@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replay of the driver's correctness gate.
+
+Usage: python3 scripts/oracle_check.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has already produced
+<outDir>/<name>/ parquet dirs + oracle_sql.json. Registers each testdata
+table as a DuckDB view, runs every oracle SQL, and value-compares against
+the Spark parquet output (columns sorted by name, rows sorted, values
+stringified) — mirroring the hash compare described in the brief.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(repr(v))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out), [colnames[i] for i in order]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(sqls):
+        spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_glob:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            oracle = con.execute(sqls[name])
+            o_cols = [d[0] for d in oracle.description]
+            o_rows, o_cols_s = canon(oracle.fetchall(), o_cols)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({spark_glob!r})")
+        g_cols = [d[0] for d in got.description]
+        g_rows, g_cols_s = canon(got.fetchall(), g_cols)
+        if g_cols_s != o_cols_s:
+            print(f"FAIL {name}: columns spark={g_cols_s} oracle={o_cols_s}")
+            n_fail += 1
+        elif g_rows != o_rows:
+            n_fail += 1
+            print(f"FAIL {name}: {len(g_rows)} spark rows vs {len(o_rows)} oracle rows")
+            for a, b in zip(g_rows, o_rows):
+                if a != b:
+                    print(f"  first diff:\n   spark : {a}\n   oracle: {b}")
+                    break
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(g_rows)} rows)")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
