@@ -10,12 +10,32 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q1_pricing_summary"      -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority"    -> (Relational.q3ShippingPriority _),
+    "q5_region_revenue"       -> (Relational.q5RegionRevenue _),
+    "q_top_customers_window"  -> (Relational.qTopCustomersWindow _),
+    "q_rollup_orders"         -> (Relational.qRollupOrders _),
+    "q_pivot_events"          -> (Relational.qPivotEvents _),
+    "q_running_window"        -> (Relational.qRunningWindow _),
+    "q_tumbling_window"       -> (Relational.qTumblingWindow _),
+    "q_sessionize"            -> (Relational.qSessionize _),
+    "q_asof_join"             -> (Relational.qAsofJoin _),
+    "q_range_join"            -> (Relational.qRangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> Relational.q1Sql,
+    "q1_pricing_summary"      -> Relational.q1Sql,
+    "q3_shipping_priority"    -> Relational.q3Sql,
+    "q5_region_revenue"       -> Relational.q5Sql,
+    "q_top_customers_window"  -> Relational.qTopCustomersSql,
+    "q_rollup_orders"         -> Relational.qRollupSql,
+    "q_pivot_events"          -> Relational.qPivotSql,
+    "q_running_window"        -> Relational.qRunningSql,
+    "q_tumbling_window"       -> Relational.qTumblingSql,
+    "q_sessionize"            -> Relational.qSessionizeSql,
+    "q_asof_join"             -> Relational.qAsofSql,
+    "q_range_join"            -> Relational.qRangeSql,
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = GraftSession("local[4]", shufflePartitions = 4)
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import graft.operators.Relational
+  lazy val spark: SparkSession = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("q1 aggregates every unfiltered lineitem row exactly once") {
+    val rows = Relational.q1PricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("q3 returns at most 10 rows in strictly descending revenue") {
+    val rows = Relational.q3ShippingPriority(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_top_customers_window yields exactly 3 per segment") {
+    val rows = Relational.qTopCustomersWindow(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    assert(bySeg.values.forall(_.length == 3))
+  }
+
+  test("q_rollup_orders grand total equals table count") {
+    val rows = Relational.qRollupOrders(spark, sf).collect()
+    val grand = rows.find(r => r.getAs[String]("status") == "ALL" &&
+      r.getAs[String]("priority") == "ALL").get
+    assert(grand.getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
+  }
+
+  test("q_sessionize: session event counts sum to total events") {
+    val n = Relational.qSessionize(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("q_asof_join picks the max qualifying order (brute-force check)") {
+    val got = Relational.qAsofJoin(spark, sf)
+    val ev = Tables.events(spark, sf).select(col("event_id"),
+      col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val ord = Tables.orders(spark, sf).select(col("o_custkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"), col("o_orderkey"))
+    val brute = ev.join(ord,
+        col("user_id") === col("o_custkey") && col("od_us") <= col("t_us"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("od_us"), col("o_orderkey"))).getField("o_orderkey").as("bk"))
+    val diff = got.select(col("event_id"), col("asof_orderkey"))
+      .join(brute, "event_id")
+      .filter(!(col("asof_orderkey") <=> col("bk")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("q_range_join pair count matches brute-force inequality join") {
+    val got = Relational.qRangeJoin(spark, sf)
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val b = ev.select(col("event_id").as("id_b"), col("t_us").as("t_b"))
+    val brute = ev.crossJoin(b)
+      .filter(col("event_id") < col("id_b") &&
+        abs(col("t_b") - col("t_us")) <= 60L * 1000000).count()
+    assert(got == brute)
+  }
+}
