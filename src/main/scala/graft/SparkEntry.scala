@@ -21,6 +21,16 @@ object SparkEntry {
     "q_sessionize"            -> (Relational.qSessionize _),
     "q_asof_join"             -> (Relational.qAsofJoin _),
     "q_range_join"            -> (Relational.qRangeJoin _),
+    "profile_catalog"         -> (profile.Profiler.profileCatalog _),
+    "profile_table"           -> (profile.Profiler.profileLineitem _),
+    "sample_most_recent"      -> (profile.Sampler.mostRecentEvents _),
+    "sample_random_det"       -> (profile.Sampler.randomEvents _),
+    "quality_completeness"    -> (profile.Quality.completeness _),
+    "quality_uniqueness"      -> (profile.Quality.uniqueness _),
+    "quality_consistency"     -> (profile.Quality.consistency _),
+    "quality_anomaly"         -> (profile.Quality.anomaly _),
+    "quality_score"           -> (profile.Quality.score _),
+    "redact_sample"           -> (profile.Redactor.redactCustomerSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +47,15 @@ object SparkEntry {
     "q_sessionize"            -> Relational.qSessionizeSql,
     "q_asof_join"             -> Relational.qAsofSql,
     "q_range_join"            -> Relational.qRangeSql,
+    "profile_catalog"         -> profile.Profiler.catalogSql,
+    "profile_table"           -> profile.Profiler.lineitemProfileSql,
+    "sample_most_recent"      -> profile.Sampler.mostRecentSql,
+    "sample_random_det"       -> profile.Sampler.randomSql,
+    "quality_completeness"    -> profile.Quality.completenessSql,
+    "quality_uniqueness"      -> profile.Quality.uniquenessSql,
+    "quality_consistency"     -> profile.Quality.consistencySql,
+    "quality_anomaly"         -> profile.Quality.anomalySql,
+    "quality_score"           -> profile.Quality.scoreSql,
+    "redact_sample"           -> profile.Redactor.redactCustomerSql,
   )
 }

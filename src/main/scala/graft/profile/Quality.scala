@@ -1,0 +1,313 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Data-quality analysis re-expressing the reference's quality module
+  * (dbsurveyor-core/src/quality/): completeness (completeness.rs),
+  * uniqueness (uniqueness.rs), consistency format detection
+  * (consistency.rs:44-100), z-score anomaly detection (anomaly.rs), and the
+  * weighted composite score (analyzer.rs:171).
+  *
+  * Everything is a single-pass columnar aggregation over the full table —
+  * the reference iterates sampled JSON rows on one core; here each metric
+  * is one `agg` of expression lists (one scan, one reduce), so the same
+  * code profiles a 100 TB table. Cross-engine exactness: all scores are
+  * IEEE-double expressions over exact integer counts (and exact DECIMAL
+  * sums for moments), evaluated with identical association order in the
+  * Spark plan and the DuckDB oracle.
+  */
+object Quality {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  private val docStringCols = Set("text", "lang", "source")
+
+  /** "Looks-like" format classifier — same heuristics and precedence as the
+    * reference's detect_format (consistency.rs): uuid → iso_datetime →
+    * iso_date → email → none. Pure shared-dialect SQL (works verbatim in
+    * Spark and DuckDB), so both engines classify identically.
+    */
+  def classifySql(c: String): String =
+    s"""CASE WHEN $c IS NULL OR $c = '' THEN NULL
+       | WHEN length($c) = 36 AND substring($c, 9, 1) = '-' AND substring($c, 14, 1) = '-'
+       |   AND substring($c, 19, 1) = '-' AND substring($c, 24, 1) = '-'
+       |   AND length(translate(lower($c), '0123456789abcdef-', '')) = 0 THEN 'uuid'
+       | WHEN length($c) >= 19 AND contains($c, 'T') AND contains($c, ':') THEN 'iso_datetime'
+       | WHEN length($c) = 10 AND substring($c, 5, 1) = '-' AND substring($c, 8, 1) = '-' THEN 'iso_date'
+       | WHEN contains($c, '@') AND contains($c, '.') THEN 'email'
+       | ELSE 'none' END""".stripMargin.replaceAll("\n", "")
+
+  // ---------------------------------------------------------------- completeness
+
+  /** Per-column null/empty counts + completeness on documents, plus a
+    * __table__ row carrying the reference's overall score (column average).
+    */
+  def completeness(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(spark, dir)
+    val aggList = Seq(count(lit(1)).as("n")) ++ docCols.flatMap { c =>
+      val nulls = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
+      val empties =
+        if (docStringCols(c)) sum(when(col(c) === "", 1L).otherwise(0L)).as(s"empty_$c")
+        else sum(lit(0L)).as(s"empty_$c")
+      Seq(nulls, empties)
+    }
+    val one = df.agg(aggList.head, aggList.tail: _*)
+    def comp(c: String): Column =
+      (col("n") - col(s"null_$c") - col(s"empty_$c")).cast(DoubleType) / col("n")
+    val colRows = docCols.map { c =>
+      struct(lit(c).as("column_name"), col(s"null_$c").as("null_count"),
+        col(s"empty_$c").as("empty_count"), comp(c).as("completeness"))
+    }
+    val tableRow = struct(lit("__table__").as("column_name"),
+      docCols.map(c => col(s"null_$c")).reduce(_ + _).as("null_count"),
+      docCols.map(c => col(s"empty_$c")).reduce(_ + _).as("empty_count"),
+      (docCols.map(comp).reduce(_ + _) / lit(5)).as("completeness"))
+    one.select(inline(array(colRows :+ tableRow: _*))).orderBy(col("column_name"))
+  }
+
+  val completenessSql: String = {
+    def nulls(c: String) = s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"
+    def empties(c: String) =
+      if (docStringCols(c)) s"sum(CASE WHEN $c = '' THEN 1 ELSE 0 END)" else "sum(0)"
+    def comp(c: String) = s"CAST(n - null_$c - empty_$c AS DOUBLE) / n"
+    val aggSelect = ("count(*) AS n" +: docCols.flatMap(c =>
+      Seq(s"${nulls(c)} AS null_$c", s"${empties(c)} AS empty_$c"))).mkString(", ")
+    val colSelects = docCols.map(c =>
+      s"SELECT '$c' AS column_name, null_$c AS null_count, empty_$c AS empty_count, ${comp(c)} AS completeness FROM a")
+    val tableSelect =
+      s"SELECT '__table__' AS column_name, ${docCols.map(c => s"null_$c").mkString(" + ")} AS null_count, " +
+        s"${docCols.map(c => s"empty_$c").mkString(" + ")} AS empty_count, " +
+        s"(${docCols.map(comp).mkString(" + ")}) / 5 AS completeness FROM a"
+    s"WITH a AS (SELECT $aggSelect FROM documents)\n" +
+      (colSelects :+ tableSelect).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ---------------------------------------------------------------- uniqueness
+
+  /** Per-column duplicate counts (uniqueness.rs semantics: NULL is a value,
+    * so distinct-including-null) + a __rows__ row with the exact duplicate
+    * row count (distinct over an md5 row fingerprint — one shuffle-free
+    * hash per row instead of a full-row sort).
+    */
+  def uniqueness(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(spark, dir)
+    val rowKey = md5(concat_ws("\u0001",
+      docCols.map(c => coalesce(col(c).cast(StringType), lit("<NULL>"))): _*))
+    val aggList = Seq(count(lit(1)).as("n"),
+      countDistinct(rowKey).as("nd_rows")) ++ docCols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"nd_$c"), count(col(c)).as(s"nn_$c"))
+    }
+    val one = df.agg(aggList.head, aggList.tail: _*)
+    def dup(c: String): Column =
+      col("n") - col(s"nd_$c") -
+        when(col("n") > col(s"nn_$c"), 1L).otherwise(0L)
+    val colRows = docCols.map { c =>
+      struct(lit(c).as("column_name"), dup(c).as("duplicate_count"),
+        ((col("n") - dup(c)).cast(DoubleType) / col("n")).as("uniqueness"))
+    }
+    val rowsRow = struct(lit("__rows__").as("column_name"),
+      (col("n") - col("nd_rows")).as("duplicate_count"),
+      (col("nd_rows").cast(DoubleType) / col("n")).as("uniqueness"))
+    one.select(inline(array(colRows :+ rowsRow: _*))).orderBy(col("column_name"))
+  }
+
+  val uniquenessSql: String = {
+    val rowKey = "md5(concat_ws(chr(1), " +
+      docCols.map(c => s"coalesce(CAST($c AS VARCHAR), '<NULL>')").mkString(", ") + "))"
+    val aggSelect = (Seq("count(*) AS n", s"count(DISTINCT $rowKey) AS nd_rows") ++
+      docCols.flatMap(c => Seq(s"count(DISTINCT $c) AS nd_$c", s"count($c) AS nn_$c")))
+      .mkString(", ")
+    def dup(c: String) = s"(n - nd_$c - CASE WHEN n > nn_$c THEN 1 ELSE 0 END)"
+    val colSelects = docCols.map(c =>
+      s"SELECT '$c' AS column_name, ${dup(c)} AS duplicate_count, CAST(n - ${dup(c)} AS DOUBLE) / n AS uniqueness FROM a")
+    val rowsSelect =
+      "SELECT '__rows__' AS column_name, n - nd_rows AS duplicate_count, CAST(nd_rows AS DOUBLE) / n AS uniqueness FROM a"
+    s"WITH a AS (SELECT $aggSelect FROM documents)\n" +
+      (colSelects :+ rowsSelect).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ---------------------------------------------------------------- consistency
+
+  /** Format-classification counts per string column of documents — one scan
+    * (each row contributes one classified cell per string column via
+    * inline/explode), never a per-column job.
+    */
+  def consistency(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(spark, dir)
+    val cells = docStringCols.toSeq.sorted.map { c =>
+      struct(lit(c).as("column_name"), expr(classifySql(c)).as("format"))
+    }
+    df.select(inline(array(cells: _*)))
+      .filter(col("format").isNotNull)
+      .groupBy(col("column_name"), col("format"))
+      .agg(count(lit(1)).as("n_values"))
+      .orderBy(col("column_name"), col("format"))
+  }
+
+  val consistencySql: String = {
+    docStringCols.toSeq.sorted.map { c =>
+      s"SELECT '$c' AS column_name, ${classifySql(c)} AS format, count(*) AS n_values " +
+        s"FROM documents WHERE $c IS NOT NULL AND $c <> '' GROUP BY 2"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name, format")
+  }
+
+  // ---------------------------------------------------------------- anomaly
+
+  private case class AnomalyTarget(table: String, cols: Seq[(String, Int)])
+
+  /** (table, column, decimal precision for exact moments) */
+  private val anomalyTargets = Seq(
+    AnomalyTarget("events", Seq(("value", 12))),
+    AnomalyTarget("lineitem", Seq(("l_quantity", 12), ("l_extendedprice", 12))),
+    AnomalyTarget("orders", Seq(("o_totalprice", 14))))
+
+  /** Z-score outlier counts (anomaly.rs): population stddev, threshold 2.5
+    * (= AnomalySensitivity::Medium, config.rs:27). Mean/stddev derive from
+    * exact DECIMAL sums (sum, sum-of-squares), so both engines see
+    * bit-identical doubles and the outlier comparisons agree exactly.
+    * Two scans per table: one tiny stats agg (broadcast back), one counting
+    * pass — the canonical distributed shape for this.
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val perTable = anomalyTargets.map { t =>
+      val df = Tables.table(spark, dir, t.table)
+      val statAggs = t.cols.flatMap { case (c, p) =>
+        val d = col(c).cast(DecimalType(p, 2))
+        Seq(count(col(c)).as(s"n_$c"),
+          sum(d).cast(DoubleType).as(s"s_$c"),
+          sum(d * d).cast(DoubleType).as(s"ss_$c"))
+      }
+      val stats = df.agg(statAggs.head, statAggs.tail: _*)
+      val withStats = df.crossJoin(broadcast(stats))
+      def mean(c: String): Column = col(s"s_$c") / col(s"n_$c")
+      def sd(c: String): Column = sqrt(greatest(
+        col(s"ss_$c") / col(s"n_$c") - mean(c) * mean(c), lit(0.0)))
+      val outAggs = t.cols.map { case (c, _) =>
+        sum(when(abs(col(c) - mean(c)) > lit(2.5) * sd(c), 1L).otherwise(0L)).as(s"o_$c")
+      } ++ t.cols.flatMap { case (c, _) =>
+        Seq(first(col(s"n_$c")).as(s"fn_$c"), first(mean(c)).as(s"fm_$c"),
+          first(sd(c)).as(s"fs_$c"))
+      }
+      val one = withStats.agg(outAggs.head, outAggs.tail: _*)
+      val rows = t.cols.map { case (c, _) =>
+        struct(lit(t.table).as("table_name"), lit(c).as("column_name"),
+          col(s"fn_$c").as("n_values"), col(s"fm_$c").as("mean"),
+          col(s"fs_$c").as("std_dev"), col(s"o_$c").as("n_outliers"))
+      }
+      one.select(inline(array(rows: _*)))
+    }
+    perTable.reduce(_ unionByName _).orderBy(col("table_name"), col("column_name"))
+  }
+
+  val anomalySql: String = {
+    val blocks = anomalyTargets.flatMap { t =>
+      t.cols.map { case (c, p) =>
+        s"""SELECT '${t.table}' AS table_name, '$c' AS column_name,
+           | n_values, mean, std_dev,
+           | (SELECT sum(CASE WHEN abs($c - a.mean) > 2.5 * a.std_dev THEN 1 ELSE 0 END)
+           |    FROM ${t.table}) AS n_outliers
+           |FROM (
+           |  SELECT count($c) AS n_values,
+           |    CAST(sum(CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c) AS mean,
+           |    sqrt(greatest(
+           |      CAST(sum(CAST($c AS DECIMAL($p,2)) * CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c)
+           |      - (CAST(sum(CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c))
+           |        * (CAST(sum(CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c)),
+           |      CAST(0 AS DOUBLE))) AS std_dev
+           |  FROM ${t.table}) a""".stripMargin
+      }
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+  }
+
+  // ---------------------------------------------------------------- composite score
+
+  /** Weighted composite quality score for documents (analyzer.rs:171,
+    * default weights 1.0): completeness = column average; uniqueness =
+    * min(row uniqueness, average uniqueness over columns WITH duplicates);
+    * consistency = 1 - violations/cells with the reference's
+    * dominant-format >50% rule (type inconsistencies are impossible on a
+    * typed parquet schema). One scan, one aggregate row.
+    */
+  def score(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(spark, dir)
+    val rowKey = md5(concat_ws("\u0001",
+      docCols.map(c => coalesce(col(c).cast(StringType), lit("<NULL>"))): _*))
+    val fmts = Seq("uuid", "iso_datetime", "iso_date", "email")
+    val aggList = Seq(count(lit(1)).as("n"), countDistinct(rowKey).as("nd_rows")) ++
+      docCols.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"nd_$c"), count(col(c)).as(s"nn_$c"),
+          (if (docStringCols(c)) sum(when(col(c) === "", 1L).otherwise(0L))
+           else sum(lit(0L))).as(s"ne_$c"))
+      } ++ docStringCols.toSeq.sorted.flatMap { c =>
+        fmts.map(f => sum(when(expr(classifySql(c)) === f, 1L).otherwise(0L)).as(s"f_${f}_$c"))
+      }
+    val one = df.agg(aggList.head, aggList.tail: _*)
+
+    def comp(c: String): Column =
+      (col("n") - (col("n") - col(s"nn_$c")) - col(s"ne_$c")).cast(DoubleType) / col("n")
+    val completenessScore = docCols.map(comp).reduce(_ + _) / lit(5)
+
+    def dup(c: String): Column =
+      col("n") - col(s"nd_$c") - when(col("n") > col(s"nn_$c"), 1L).otherwise(0L)
+    def colUniq(c: String): Column = (col("n") - dup(c)).cast(DoubleType) / col("n")
+    val nDupCols = docCols.map(c => when(dup(c) > 0, 1).otherwise(0)).reduce(_ + _)
+    val sumDupUniq = docCols.map(c => when(dup(c) > 0, colUniq(c)).otherwise(lit(0.0))).reduce(_ + _)
+    val avgDupUniq = when(nDupCols === 0, lit(1.0)).otherwise(sumDupUniq / nDupCols)
+    val rowUniq = col("nd_rows").cast(DoubleType) / col("n")
+    val uniquenessScore = least(rowUniq, avgDupUniq)
+
+    def viol(c: String): Column = {
+      val tot = col(s"nn_$c") - col(s"ne_$c")
+      val dom = greatest(fmts.map(f => col(s"f_${f}_$c")): _*)
+      when(dom > 0 && dom.cast(DoubleType) / tot > 0.5, tot - dom).otherwise(lit(0L))
+    }
+    val violations = docStringCols.toSeq.sorted.map(viol).reduce(_ + _)
+    val consistencyScore =
+      greatest(lit(1.0) - violations.cast(DoubleType) / (col("n") * lit(5)), lit(0.0))
+
+    one.select(lit("documents").as("table_name"), col("n").as("n_rows"),
+      completenessScore.as("completeness"),
+      uniquenessScore.as("uniqueness"),
+      consistencyScore.as("consistency"),
+      ((completenessScore + uniquenessScore + consistencyScore) / lit(3.0)).as("quality_score"))
+  }
+
+  val scoreSql: String = {
+    val rowKey = "md5(concat_ws(chr(1), " +
+      docCols.map(c => s"coalesce(CAST($c AS VARCHAR), '<NULL>')").mkString(", ") + "))"
+    val fmts = Seq("uuid", "iso_datetime", "iso_date", "email")
+    val aggSelect = (Seq("count(*) AS n", s"count(DISTINCT $rowKey) AS nd_rows") ++
+      docCols.flatMap { c =>
+        val ne = if (docStringCols(c)) s"sum(CASE WHEN $c = '' THEN 1 ELSE 0 END)" else "sum(0)"
+        Seq(s"count(DISTINCT $c) AS nd_$c", s"count($c) AS nn_$c", s"$ne AS ne_$c")
+      } ++ docStringCols.toSeq.sorted.flatMap { c =>
+        fmts.map(f => s"sum(CASE WHEN (${classifySql(c)}) = '$f' THEN 1 ELSE 0 END) AS f_${f}_$c")
+      }).mkString(", ")
+    def comp(c: String) = s"CAST(n - (n - nn_$c) - ne_$c AS DOUBLE) / n"
+    val completeness = "(" + docCols.map(comp).mkString(" + ") + ") / 5"
+    def dup(c: String) = s"(n - nd_$c - CASE WHEN n > nn_$c THEN 1 ELSE 0 END)"
+    def colUniq(c: String) = s"CAST(n - ${dup(c)} AS DOUBLE) / n"
+    val nDupCols = docCols.map(c => s"CASE WHEN ${dup(c)} > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val sumDupUniq = docCols.map(c =>
+      s"CASE WHEN ${dup(c)} > 0 THEN ${colUniq(c)} ELSE CAST(0 AS DOUBLE) END").mkString(" + ")
+    val avgDupUniq = s"CASE WHEN ($nDupCols) = 0 THEN CAST(1 AS DOUBLE) ELSE ($sumDupUniq) / ($nDupCols) END"
+    val rowUniq = "CAST(nd_rows AS DOUBLE) / n"
+    val uniqueness = s"least($rowUniq, $avgDupUniq)"
+    def viol(c: String) = {
+      val dom = "greatest(" + fmts.map(f => s"f_${f}_$c").mkString(", ") + ")"
+      s"CASE WHEN $dom > 0 AND CAST($dom AS DOUBLE) / (nn_$c - ne_$c) > 0.5 THEN (nn_$c - ne_$c) - $dom ELSE 0 END"
+    }
+    val violations = docStringCols.toSeq.sorted.map(viol).mkString(" + ")
+    val consistency = s"greatest(CAST(1 AS DOUBLE) - CAST($violations AS DOUBLE) / (n * 5), CAST(0 AS DOUBLE))"
+    s"""WITH a AS (SELECT $aggSelect FROM documents)
+       |SELECT 'documents' AS table_name, n AS n_rows,
+       |  $completeness AS completeness,
+       |  $uniqueness AS uniqueness,
+       |  $consistency AS consistency,
+       |  (($completeness) + ($uniqueness) + ($consistency)) / 3.0 AS quality_score
+       |FROM a""".stripMargin
+  }
+}

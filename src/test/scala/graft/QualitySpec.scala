@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profile.{Quality, Redactor}
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  def sf: String = TestSession.sf
+
+  test("format classifier matches the reference heuristics on crafted values") {
+    val cases = Seq(
+      ("550e8400-e29b-41d4-a716-446655440000", "uuid"),
+      ("2024-01-01T12:00:00Z", "iso_datetime"),
+      ("2024-01-01", "iso_date"),
+      ("user@example.com", "email"),
+      ("550e8400-e29b-41d4-a716-44665544000Z", "none"), // non-hex char
+      ("not an email @ all", "none"),                   // '@' but no '.': wait, has spaces+no dot
+      ("plain text", "none"))
+    val df = cases.toDF("v", "expected")
+      .withColumn("got", expr(Quality.classifySql("v")))
+    val bad = df.filter(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
+  test("classifier precedence: uuid-shaped beats email, empty is null") {
+    val df = Seq("", "a@b.c-d").toDF("v")
+      .withColumn("got", expr(Quality.classifySql("v")))
+    val got = df.collect().map(_.getAs[String]("got"))
+    assert(got(0) == null)       // empty string → no classification
+    assert(got(1) == "email")
+  }
+
+  test("balanced redaction masks sensitive names, keeps others, skips non-strings") {
+    val df = Seq((1L, "hunter2", "a@b.com", "alice", 9.5))
+      .toDF("user_id", "password_hash", "email_addr", "nickname", "score")
+    val out = Redactor.redact(df, Redactor.Balanced).collect()(0)
+    assert(out.getAs[String]("password_hash") == Redactor.Redacted) // minimal pattern
+    assert(out.getAs[String]("email_addr") == Redactor.Redacted)    // balanced pattern
+    assert(out.getAs[String]("nickname") == "alice")
+    assert(out.getAs[Long]("user_id") == 1L)
+    assert(out.getAs[Double]("score") == 9.5)
+  }
+
+  test("conservative redaction keeps safe keys and timestamp-looking values") {
+    val df = Seq(("u1", "2024-01-01", "free text", "k-9"))
+      .toDF("session_id", "created_at", "bio", "codename")
+    val out = Redactor.redact(df, Redactor.Conservative).collect()(0)
+    assert(out.getAs[String]("session_id") == "u1")      // *_id safe
+    assert(out.getAs[String]("created_at") == "2024-01-01")
+    assert(out.getAs[String]("bio") == Redactor.Redacted)
+    assert(out.getAs[String]("codename") == "k-9")       // contains '-' → timestamp-ish
+  }
+
+  test("quality_score components are all in [0,1] and score is their mean") {
+    val row = Quality.score(spark, sf).collect()(0)
+    val c = row.getAs[Double]("completeness")
+    val u = row.getAs[Double]("uniqueness")
+    val k = row.getAs[Double]("consistency")
+    val s = row.getAs[Double]("quality_score")
+    for (x <- Seq(c, u, k, s)) assert(x >= 0.0 && x <= 1.0)
+    assert(math.abs(s - (c + u + k) / 3.0) < 1e-12)
+  }
+
+  test("anomaly stddev matches Spark's stddev_pop within fp tolerance") {
+    val got = Quality.anomaly(spark, sf)
+      .filter(col("table_name") === "events" && col("column_name") === "value")
+      .collect()(0)
+    val ref = Tables.events(spark, sf)
+      .agg(stddev_pop(col("value")), avg(col("value"))).collect()(0)
+    assert(math.abs(got.getAs[Double]("std_dev") - ref.getDouble(0)) < 1e-6)
+    assert(math.abs(got.getAs[Double]("mean") - ref.getDouble(1)) < 1e-6)
+  }
+}
