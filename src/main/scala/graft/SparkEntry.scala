@@ -31,6 +31,20 @@ object SparkEntry {
     "quality_anomaly"         -> (profile.Quality.anomaly _),
     "quality_score"           -> (profile.Quality.score _),
     "redact_sample"           -> (profile.Redactor.redactCustomerSample _),
+    "text_token_count"        -> (text.TextStats.tokenCount _),
+    "text_langid"             -> (text.TextStats.langId _),
+    "text_quality_score"      -> (text.TextStats.qualityScore _),
+    "text_fingerprint"        -> (text.TextStats.fingerprint _),
+    "dedup_exact"             -> (text.Dedup.exact _),
+    "dedup_ngram_jaccard"     -> (text.Dedup.ngramJaccard _),
+    "dedup_minhash_lsh"       -> (text.Dedup.minhashLsh _),
+    "dedup_simhash"           -> (text.Dedup.simhash _),
+    "dedup_embedding"         -> (sim.Similarity.dedupEmbedding _),
+    "sim_topk_bruteforce"     -> (sim.Similarity.topkBruteforce _),
+    "sim_ann_lsh"             -> (sim.Similarity.annLsh _),
+    "sim_pairs_threshold"     -> (sim.Similarity.pairsThreshold _),
+    "mm_decode_features"      -> (mm.Multimodal.decodeFeatures _),
+    "mm_frame_sample"         -> (mm.Multimodal.frameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +71,19 @@ object SparkEntry {
     "quality_anomaly"         -> profile.Quality.anomalySql,
     "quality_score"           -> profile.Quality.scoreSql,
     "redact_sample"           -> profile.Redactor.redactCustomerSql,
+    "text_token_count"        -> text.TextStats.tokenCountSql,
+    "text_langid"             -> text.TextStats.langIdSql,
+    "text_quality_score"      -> text.TextStats.qualityScoreSql,
+    "text_fingerprint"        -> text.TextStats.fingerprintSql,
+    "dedup_exact"             -> text.Dedup.exactSql,
+    "dedup_ngram_jaccard"     -> text.Dedup.ngramJaccardSql,
+    "dedup_minhash_lsh"       -> text.Dedup.minhashLshSql,
+    "dedup_simhash"           -> text.Dedup.simhashSql,
+    "dedup_embedding"         -> sim.Similarity.dedupEmbeddingSql,
+    "sim_topk_bruteforce"     -> sim.Similarity.topkBruteforceSql,
+    "sim_ann_lsh"             -> sim.Similarity.annLshSql,
+    "sim_pairs_threshold"     -> sim.Similarity.pairsThresholdSql,
+    "mm_decode_features"      -> mm.Multimodal.decodeFeaturesSql,
+    "mm_frame_sample"         -> mm.Multimodal.frameSampleSql,
   )
 }

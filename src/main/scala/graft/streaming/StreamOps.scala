@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming twins of the batch event operators (SURVEY §2F).
+  *
+  * Both take an arbitrary (streaming or batch) events DataFrame with
+  * columns (event_id, ts timestamp, user_id, event_type, value) so the
+  * same logic runs against `readStream` sources in production and against
+  * MemoryStream / batch frames in tests. Watermarks bound state: the
+  * tumbling agg drops state one hour behind the event-time frontier;
+  * sessionization times out idle per-user state. That bounded-state shape
+  * is what lets these run indefinitely on an unbounded 100 TB/day stream.
+  */
+object StreamOps {
+
+  /** Streaming twin of Relational.qTumblingWindow: hourly tumbling window
+    * per event_type with a 1-hour watermark.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  case class Ev(event_id: Long, t_us: Long, user_id: Long, value: Double)
+  case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+
+  val gapUs: Long = 30L * 60 * 1000000
+
+  /** Streaming gap sessionization via flatMapGroupsWithState: per-user
+    * state is (current session id, last event time, open count). Emits a
+    * session row whenever a gap closes a session. With
+    * `idleTimeout = Some(d)` a processing-time timeout flushes idle users'
+    * open sessions (the production setting); `None` keeps open sessions in
+    * state until the next event (deterministic for replay tests). Events
+    * are assumed in event-time order per user within a batch (true for
+    * replayed logs; a production deployment would buffer out-of-order
+    * arrivals up to the watermark).
+    */
+  def sessionize(events: Dataset[Ev],
+      idleTimeout: Option[String] = None): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionId, s.nEvents))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.t_us, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              cur match {
+                case Some(s) if e.t_us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = e.t_us, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionId, s.nEvents)
+                  cur = Some(SessionState(s.sessionId + 1, e.t_us, 1))
+                case None =>
+                  cur = Some(SessionState(1, e.t_us, 1))
+              }
+            }
+            cur.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            closed.result().iterator
+          }
+        })
+  }
+}

@@ -1,0 +1,196 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.Tables
+
+/** Deduplication family for the training-data pipeline (SURVEY §2C):
+  * exact (hash groupBy), word-shingle Jaccard, MinHash+LSH banding, and
+  * SimHash with hamming banding.
+  *
+  * Scale shapes: every candidate-generation step is an equi-join on a
+  * derived key (shingle, (band, band-signature), (chunk, chunk-bits)) —
+  * never an all-pairs cross join. Exact verification only touches
+  * candidate pairs. The cross-engine hash is md5 (identical bytes in
+  * Spark and DuckDB); md5-derived integers use the first 8 hex digits.
+  */
+object Dedup {
+
+  /** Exact-dedup assignment: one row per distinct text hash, with the
+    * canonical (minimum) doc id the group's members collapse to.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("text_hash"))
+  }
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_hash, count(*) AS n_docs,
+      |  min(doc_id) AS canonical_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        """explode(array_distinct(transform(
+          |  sequence(1, size(split(text, ' ')) - 2),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1), ' ',
+          |              element_at(split(text, ' '), i + 2)))))""".stripMargin).as("s"))
+  }
+
+  private val shinglesSql: String =
+    """SELECT doc_id,
+      |  unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS s
+      |FROM documents""".stripMargin
+
+  /** Candidate pairs sharing >=1 shingle with exact Jaccard — the shared
+    * building block for ngram + minhash verification. Jaccard is
+    * |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets.
+    */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val common = sh.join(b, Seq("s"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  private val jaccardPairsSql: String =
+    s"""sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jac AS (
+       |  SELECT p.doc_a, p.doc_b, p.n_common,
+       |    CAST(p.n_common AS DOUBLE) / (x.n_sh + y.n_sh - p.n_common) AS jaccard
+       |  FROM pairs p JOIN sizes x ON p.doc_a = x.doc_id
+       |               JOIN sizes y ON p.doc_b = y.doc_id)""".stripMargin
+
+  /** Near-dup pairs at word-3-gram Jaccard >= 0.5. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val ngramJaccardSql: String =
+    s"""WITH $jaccardPairsSql
+       |SELECT doc_a, doc_b, n_common, jaccard FROM jac
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash: 32 md5-derived permutations, banded 8x4 for LSH candidate
+    * generation, then exact-Jaccard verification of candidates only.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sig = sh
+      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 31)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("cast(conv(substring(md5(concat(cast(i as string), ':', s)), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("minh"))
+    val bands = sig
+      .withColumn("band", expr("i div 4"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(i, minh))), x -> cast(x.minh as string)))")
+        .as("band_key"))
+    val b2 = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    val cand = bands.join(b2, Seq("band", "band_key"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    cand.join(jaccardPairs(spark, dir), Seq("doc_a", "doc_b"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $jaccardPairsSql,
+       |sig AS (
+       |  SELECT doc_id, i, min(CAST(('0x' || substr(md5(i || ':' || s), 1, 8)) AS BIGINT)) AS minh
+       |  FROM sh, range(32) r(i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS band_key
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b, j.jaccard
+       |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+       |WHERE j.jaccard >= 0.5
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  /** SimHash: 60-bit signature over distinct tokens (md5-derived token
+    * hashes, sign-of-sum per bit), candidate pairs via 4x15-bit chunk
+    * banding (guaranteed complete for hamming <= 3), verified by exact
+    * hamming distance.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1L).otherwise(-1L)).as(s"s_$b")
+    }
+    val sigs = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          expr(s"(sig div ${1L << (15 * c)}) % ${1 << 15}").as("k"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.k").as("k"))
+    val b2 = chunks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("c"), col("k"))
+    chunks.join(b2, Seq("c", "k"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        expr("bit_count(sig ^ sig_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+      |bits AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, range(60) r(b)
+      |  GROUP BY doc_id, b),
+      |sigs AS (
+      |  SELECT doc_id, sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS sig
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  bit_count(xor(a.sig, b.sig)) AS hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline (SURVEY §2C):
+  * token counting, stopword-vote language ID, heuristic quality scoring,
+  * and min-shingle document fingerprinting.
+  *
+  * All operators are expression-only per-document maps (whole-stage
+  * codegen'd, zero shuffle) followed by at most one aggregation — the
+  * shape that scales linearly with corpus size. Language ID does one
+  * explode + broadcast join + two aggregations; at 100 TB the stopword
+  * table is trivially broadcast and the per-doc vote state is tiny.
+  */
+object TextStats {
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
+  val bpeRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Whitespace + regex token counts per doc, rolled up per language. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("ws"),
+        size(expr(s"regexp_extract_all(text, '$bpeRegex', 0)")).as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        (sum(col("ws")).cast(DoubleType) / count(lit(1))).as("avg_ws_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenCountSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(len(regexp_extract_all(text, '$bpeRegex'))) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_ws_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-vote
+    * language-ID heuristic. Real deployments would swap in full lists; the
+    * mechanism (broadcast lexicon join + per-doc argmax) is the point.
+    */
+  val stopwords: Seq[(String, String)] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "un", "una"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour"),
+    "zh" -> Seq("de0", "shi0", "le0", "zai0", "he0")
+  ).flatMap { case (l, ws) => ws.map(w => (l, w)) }
+
+  /** Stopword-vote language ID; output is the confusion matrix
+    * (actual lang × predicted lang → doc count). Ties break to the
+    * alphabetically first language; zero votes → 'und'.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val sw = spark.createDataFrame(stopwords).toDF("sw_lang", "word")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    val votes = toks.join(broadcast(sw), "word")
+      .groupBy(col("doc_id"), col("sw_lang"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("votes").desc, col("sw_lang"))
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("sw_lang").as("pred"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("pred"), lit("und")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val langIdSql: String = {
+    val values = stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+    s"""WITH sw(sw_lang, word) AS (VALUES $values),
+       |toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+       |votes AS (
+       |  SELECT t.doc_id, s.sw_lang, count(*) AS votes
+       |  FROM toks t JOIN sw s ON t.word = s.word
+       |  GROUP BY t.doc_id, s.sw_lang),
+       |pred AS (
+       |  SELECT doc_id, sw_lang AS pred FROM votes
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, sw_lang) = 1)
+       |SELECT d.lang, coalesce(p.pred, 'und') AS lang_pred, count(*) AS n_docs
+       |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+       |GROUP BY d.lang, coalesce(p.pred, 'und')
+       |ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  /** Heuristic per-doc quality score: token-count saturation, lexical
+    * diversity, punctuation ratio — the classic cheap pre-filters for
+    * LLM training corpora.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val punct = ".,!?;:()"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"),
+        (length(col("text")) - length(translate(col("text"), punct, ""))).as("n_punct"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        (col("n_distinct_tokens").cast(DoubleType) / col("n_tokens")).as("diversity"),
+        (col("n_punct").cast(DoubleType) / col("n_chars")).as("punct_ratio"),
+        (col("n_chars") < 100).as("is_short"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.3 +
+          col("diversity") * 0.5 + (lit(1.0) - col("punct_ratio")) * 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |    length(text) - length(translate(text, '.,!?;:()', '')) AS n_punct,
+      |    length(text) AS n_chars
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_distinct_tokens,
+      |  CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS diversity,
+      |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+      |  n_chars < 100 AS is_short,
+      |  least(CAST(n_tokens AS DOUBLE) / 100.0, CAST(1 AS DOUBLE)) * 0.3
+      |    + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.5
+      |    + (CAST(1 AS DOUBLE) - CAST(n_punct AS DOUBLE) / n_chars) * 0.2 AS quality_score
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Min-shingle fingerprint: the minimum md5 over all character 5-gram
+    * shingles (a 1-permutation MinHash — the winnowing-style rolling
+    * fingerprint, computed as pure array expressions).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("array_min(transform(sequence(1, length(text) - 4), i -> md5(substring(text, i, 5))))")
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_min(list_transform(range(1, length(text) - 3), i -> md5(substr(text, i, 5)))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

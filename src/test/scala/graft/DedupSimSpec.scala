@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Dedup
+import graft.sim.Similarity
+
+class DedupSimSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("dedup_exact groups partition the corpus") {
+    val g = Dedup.exact(spark, sf)
+    val total = g.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("minhash-LSH output is a subset of the exact ngram-jaccard pairs") {
+    val lsh = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+    val exact = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+    assert(lsh.exceptAll(exact).count() == 0)
+  }
+
+  test("minhash-LSH recalls every near-identical pair (jaccard >= 0.9)") {
+    val hi = Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b")
+    val lsh = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+    assert(hi.exceptAll(lsh).count() == 0)
+  }
+
+  test("simhash pairs are symmetric-free and within hamming bound") {
+    val p = Dedup.simhash(spark, sf).collect()
+    assert(p.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(p.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("ann-lsh cosines agree with brute force for shared (query, neighbor)") {
+    val ann = Similarity.annLsh(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("c_ann"))
+    val brute = Similarity.topkBruteforce(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("c_bf"))
+    val joined = ann.join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("c_ann") =!= col("c_bf")).count() == 0)
+  }
+
+  test("topk returns exactly 10 ranked neighbors per query") {
+    val t = Similarity.topkBruteforce(spark, sf)
+    val perQuery = t.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+    assert(perQuery.filter(col("n") =!= 10 || col("mr") =!= 10).count() == 0)
+  }
+}

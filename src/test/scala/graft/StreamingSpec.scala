@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("streaming tumbling agg equals the batch tumbling agg on a replayed log") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val rows = batch.as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+    mem.addData(rows.toSeq)
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.tumblingAgg(streamDf).writeStream
+      .outputMode("complete").format("memory").queryName("tumbling_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling_out")
+      .select(col("hour"), col("event_type"), col("n_events"), col("sum_value"))
+    val want = StreamOps.tumblingAgg(batch)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming sessionization closed-session counts match batch sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"), col("user_id"),
+        col("value"))
+      .as[StreamOps.Ev].collect().sortBy(e => (e.user_id, e.t_us, e.event_id))
+    val mem = MemoryStream[StreamOps.Ev]
+    mem.addData(evs.toSeq)
+    val q = StreamOps.sessionize(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_out")
+    // one micro-batch: every session except each user's last is emitted
+    val batchSessions = graft.operators.Relational.qSessionize(spark, sf)
+    val expectedClosed = batchSessions.count() -
+      batchSessions.select("user_id").distinct().count()
+    assert(got.count() == expectedClosed)
+    // closed-session event counts must agree exactly with the batch op
+    val diff = got.toDF("user_id", "session_id", "n_events")
+      .join(batchSessions.select(col("user_id"), col("session_id"), col("n_events").as("want")),
+        Seq("user_id", "session_id"))
+      .filter(col("n_events") =!= col("want")).count()
+    assert(diff == 0)
+  }
+}
