@@ -41,8 +41,7 @@ object Similarity {
     Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x))"))
+      .withColumn("nrm", sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
 
   private val vectorsSql =
     """e AS (
@@ -50,9 +49,12 @@ object Similarity {
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** Cosine over pre-normalized columns: native codegen'd dot product
+    * (graft.functions.DotProduct) — same strict left-fold accumulation as
+    * the DuckDB oracle's list_dot_product, compiled to a primitive loop.
+    */
   private def cosine(va: String, vb: String, na: Column, nb: Column): Column =
-    round(expr(s"aggregate(zip_with($va, $vb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
-      .divide(na * nb), 6)
+    round(graft.functions.VectorOps.dot_product(col(va), col(vb)).divide(na * nb), 6)
 
   /** Embedding near-dup pairs at cosine >= 0.45 (all-pairs verification
     * baseline; the LSH path below is the scale shape).
@@ -145,8 +147,9 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (0..63) as a column expression. */
   private def bucketExpr(v: String): Column =
     (0 until nPlanes).map { j =>
-      val dot = s"aggregate(zip_with($v, ${sparkArray(hyperplanes(j))}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
-      when(expr(dot) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      val plane = array(hyperplanes(j).map(lit(_)): _*)
+      when(graft.functions.VectorOps.dot_product(col(v), plane) >= 0.0, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   private def bucketSqlExpr(v: String): String =

@@ -10,10 +10,13 @@ import graft.Tables
   * SimHash with hamming banding.
   *
   * Scale shapes: every candidate-generation step is an equi-join on a
-  * derived key (shingle, (band, band-signature), (chunk, chunk-bits)) —
-  * never an all-pairs cross join. Exact verification only touches
-  * candidate pairs. The cross-engine hash is md5 (identical bytes in
-  * Spark and DuckDB); md5-derived integers use the first 8 hex digits.
+  * derived integer key (shingle hash, (band, band-signature),
+  * (chunk, chunk-bits)) — never an all-pairs cross join. Exact
+  * verification only touches candidate pairs. md5 (identical bytes in
+  * Spark and DuckDB) is evaluated ONCE per shingle/token; the 32 MinHash
+  * permutations are universal-hash arithmetic `(a_i*h + b_i) mod p` over
+  * that single digest — 32 integer ops instead of 32 digests, and all 32
+  * minima come out of one groupBy (no row explosion).
   */
 object Dedup {
 
@@ -34,32 +37,45 @@ object Dedup {
       |  min(doc_id) AS canonical_doc_id, max(doc_id) AS max_doc_id
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct word-3-gram shingles per doc, hashed to 48-bit ints (first
+    * 12 hex of md5 — same digest both engines; a 48-bit collision would
+    * affect both engines identically, so parity is unconditional).
+    */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
+      // hoist the tokenization: split() inside the transform lambda would
+      // re-parse the text per element (O(tokens²) per doc — measured 9 s
+      // vs 2 s at sf0.1)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
         """explode(array_distinct(transform(
-          |  sequence(1, size(split(text, ' ')) - 2),
-          |  i -> concat(element_at(split(text, ' '), i), ' ',
-          |              element_at(split(text, ' '), i + 1), ' ',
-          |              element_at(split(text, ' '), i + 2)))))""".stripMargin).as("s"))
+          |  sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))))""".stripMargin).as("s"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)").as("h"))
   }
 
-  private val shinglesSql: String =
+  private val shingleHashesSql: String =
     """SELECT doc_id,
-      |  unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS s
-      |FROM documents""".stripMargin
+      |  CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS h
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
   /** Candidate pairs sharing >=1 shingle with exact Jaccard — the shared
     * building block for ngram + minhash verification. Jaccard is
-    * |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets.
+    * |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets; the join runs on
+    * the 48-bit shingle hash, not the string.
     */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = shingleHashes(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
-    val common = sh.join(b, Seq("s"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("h"))
+    val common = sh.join(b, Seq("h"))
       .filter(col("doc_id") < col("doc_b"))
       .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -72,11 +88,11 @@ object Dedup {
   }
 
   private val jaccardPairsSql: String =
-    s"""sh AS ($shinglesSql),
+    s"""sh AS ($shingleHashesSql),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id),
        |jac AS (
        |  SELECT p.doc_a, p.doc_b, p.n_common,
@@ -95,23 +111,34 @@ object Dedup {
        |SELECT doc_a, doc_b, n_common, jaccard FROM jac
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash: 32 md5-derived permutations, banded 8x4 for LSH candidate
-    * generation, then exact-Jaccard verification of candidates only.
+  // MinHash permutation constants: universal hashing (a_i*h + b_i) mod p
+  // with h < p (Mersenne prime 2^31-1); products stay < 2^62, exact in
+  // int64 in both engines.
+  val nPerms = 32
+  val minhashP: Long = 2147483647L
+  val permA: Array[Long] = Array.tabulate(nPerms)(i =>
+    (((1103515245L * (i + 1) + 12345L) % minhashP) | 1L))
+  val permB: Array[Long] = Array.tabulate(nPerms)(i =>
+    (69069L * (i + 1) + 1234567L) % minhashP)
+
+  /** MinHash: 32 universal-hash permutations over the 48-bit shingle
+    * hashes, all minima in one groupBy; 8 bands x 4 rows for LSH candidate
+    * generation; exact-Jaccard verification of candidates only.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val sig = sh
-      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 31)")).as("i"))
-      .select(col("doc_id"), col("i"),
-        expr("cast(conv(substring(md5(concat(cast(i as string), ':', s)), 1, 8), 16, 10) as bigint)")
-          .as("h"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("minh"))
-    val bands = sig
-      .withColumn("band", expr("i div 4"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(i, minh))), x -> cast(x.minh as string)))")
-        .as("band_key"))
+    val sh = shingleHashes(spark, dir)
+      .withColumn("hp", col("h") % minhashP)
+    val minAggs = (0 until nPerms).map(i =>
+      min((col("hp") * permA(i) + permB(i)) % minhashP).as(s"m_$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (4 * b until 4 * b + 4).map(i =>
+          col(s"m_$i").cast("string")): _*).as("band_key"))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val b2 = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     val cand = bands.join(b2, Seq("band", "band_key"))
       .filter(col("doc_id") < col("doc_b"))
@@ -123,16 +150,18 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val minhashLshSql: String =
+  val minhashLshSql: String = {
+    val minCols = (0 until nPerms).map(i =>
+      s"min(((h % $minhashP) * ${permA(i)} + ${permB(i)}) % $minhashP) AS m_$i").mkString(", ")
+    val bandSelects = (0 until 8).map { b =>
+      val key = (4 * b until 4 * b + 4).map(i => s"CAST(m_$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
+    }.mkString("\nUNION ALL\n")
     s"""WITH $jaccardPairsSql,
-       |sig AS (
-       |  SELECT doc_id, i, min(CAST(('0x' || substr(md5(i || ':' || s), 1, 8)) AS BIGINT)) AS minh
-       |  FROM sh, range(32) r(i)
-       |  GROUP BY doc_id, i),
+       |sigs AS (
+       |  SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS band_key
-       |  FROM sig GROUP BY doc_id, i // 4),
+       |$bandSelects),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -141,6 +170,7 @@ object Dedup {
        |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
        |WHERE j.jaccard >= 0.5
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
 
   /** SimHash: 60-bit signature over distinct tokens (md5-derived token
     * hashes, sign-of-sum per bit), candidate pairs via 4x15-bit chunk
