@@ -45,6 +45,7 @@ object SparkEntry {
     "sim_pairs_threshold"     -> (sim.Similarity.pairsThreshold _),
     "mm_decode_features"      -> (mm.Multimodal.decodeFeatures _),
     "mm_frame_sample"         -> (mm.Multimodal.frameSample _),
+    "schema_columns"          -> (sources.Collector.schemaColumns _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +86,6 @@ object SparkEntry {
     "sim_pairs_threshold"     -> sim.Similarity.pairsThresholdSql,
     "mm_decode_features"      -> mm.Multimodal.decodeFeaturesSql,
     "mm_frame_sample"         -> mm.Multimodal.frameSampleSql,
+    "schema_columns"          -> sources.Collector.schemaColumnsSql,
   )
 }

@@ -1,0 +1,82 @@
+package graft.output
+
+import graft.sources.Collector.{Artifact, TableInfo}
+
+/** Structured output writers — the Spark-side equivalent of the
+  * `dbsurveyor` postprocessor binary: a portable JSON artifact
+  * (schema.dbsurveyor.json v1.0 analogue) and Markdown documentation
+  * (dbsurveyor/src/output.rs markdown generation).
+  *
+  * Rendering happens driver-side over the (small) collected artifact —
+  * metadata scales with schema size, not data size, exactly like the
+  * reference's postprocessor that never touches the database again.
+  */
+object ArtifactJson {
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def q(s: String): String = "\"" + esc(s) + "\""
+
+  def render(a: Artifact): String = {
+    def table(t: TableInfo): String = {
+      val cols = t.columns.map(c =>
+        s"""{"name": ${q(c.name)}, "data_type": ${q(c.dataType)}, "nullable": ${c.nullable}}""")
+        .mkString("[", ", ", "]")
+      val sample = t.sampleRows.map(r =>
+        r.map(q).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""{
+         |  "name": ${q(t.name)},
+         |  "row_count": ${t.rowCount},
+         |  "columns": $cols,
+         |  "sample_header": ${t.sampleHeader.map(q).mkString("[", ", ", "]")},
+         |  "sample_rows": $sample
+         |}""".stripMargin
+    }
+    s"""{
+       |"format_version": ${q(a.formatVersion)},
+       |"source": ${q(a.source)},
+       |"table_count": ${a.tables.size},
+       |"tables": ${a.tables.map(table).mkString("[\n", ",\n", "\n]")}
+       |}""".stripMargin
+  }
+}
+
+object MarkdownDoc {
+
+  /** Markdown documentation: overview table + per-table sections with
+    * column inventory and sample rows, mirroring `dbsurveyor generate
+    * --format markdown`.
+    */
+  def render(a: Artifact): String = {
+    val sb = new StringBuilder
+    sb ++= s"# Database Documentation: ${a.source}\n\n"
+    sb ++= s"Format version: ${a.formatVersion}\n\n"
+    sb ++= "## Overview\n\n"
+    sb ++= "| Table | Rows | Columns |\n| --- | --- | --- |\n"
+    a.tables.foreach(t =>
+      sb ++= s"| ${t.name} | ${t.rowCount} | ${t.columns.size} |\n")
+    sb ++= "\n"
+    a.tables.foreach { t =>
+      sb ++= s"## Table: ${t.name}\n\n"
+      sb ++= "| Column | Type | Nullable |\n| --- | --- | --- |\n"
+      t.columns.foreach(c =>
+        sb ++= s"| ${c.name} | ${c.dataType} | ${c.nullable} |\n")
+      if (t.sampleRows.nonEmpty) {
+        sb ++= s"\n### Sample (${t.sampleRows.size} rows)\n\n"
+        sb ++= t.sampleHeader.mkString("| ", " | ", " |\n")
+        sb ++= t.sampleHeader.map(_ => "---").mkString("| ", " | ", " |\n")
+        t.sampleRows.foreach(r =>
+          sb ++= r.map(_.replace("|", "\\|")).mkString("| ", " | ", " |\n"))
+      }
+      sb ++= "\n"
+    }
+    sb.result()
+  }
+}

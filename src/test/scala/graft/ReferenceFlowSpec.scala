@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Collector, ParquetSource}
+import graft.output.{ArtifactJson, MarkdownDoc}
+
+/** End-to-end reference workflow: collect → validate → artifact → docs —
+  * the `dbsurveyor-collect | dbsurveyor generate` pipeline.
+  */
+class ReferenceFlowSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  lazy val artifact = Collector.collect(new ParquetSource(spark, sf), sampleSize = 3)
+
+  test("collect covers the whole catalog with consistent schemas") {
+    assert(artifact.tables.map(_.name).sorted == Tables.all.sorted)
+    val li = artifact.tables.find(_.name == "lineitem").get
+    assert(li.columns.size == 11)
+    assert(li.columns.head == Collector.ColumnInfo("l_orderkey", "int64", nullable = true))
+    assert(li.rowCount == Tables.lineitem(spark, sf).count())
+    assert(li.sampleRows.size == 3)
+    assert(li.sampleRows.forall(_.size == 11))
+  }
+
+  test("events ts is normalized to timestamp in the collected schema") {
+    val ev = artifact.tables.find(_.name == "events").get
+    assert(ev.columns.find(_.name == "ts").get.dataType == "timestamp")
+  }
+
+  test("validate passes on a good artifact and flags a broken one") {
+    assert(Collector.validate(artifact).isEmpty)
+    val broken = artifact.copy(tables = artifact.tables.map(t =>
+      t.copy(sampleHeader = t.sampleHeader :+ "phantom")))
+    assert(Collector.validate(broken).nonEmpty)
+  }
+
+  test("json artifact renders with expected structure and escaping") {
+    val json = ArtifactJson.render(artifact)
+    assert(json.contains("\"format_version\": \"1.0\""))
+    assert(json.contains("\"table_count\": 10"))
+    Tables.all.foreach(t => assert(json.contains(s"\"name\": \"$t\"")))
+    // quick structural sanity: balanced braces/brackets
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+    assert(json.count(_ == '[') == json.count(_ == ']'))
+  }
+
+  test("markdown doc contains overview and per-table sections") {
+    val md = MarkdownDoc.render(artifact)
+    assert(md.contains("## Overview"))
+    Tables.all.foreach(t => assert(md.contains(s"## Table: $t")))
+    assert(md.contains("| l_orderkey | int64 | true |"))
+    assert(md.contains("### Sample (3 rows)"))
+  }
+}
