@@ -172,6 +172,36 @@ object Dedup {
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  /** Edit-distance near-dup: candidates blocked on a shared 12-char text
+    * prefix (an equi-join — the blocking key stands in for the usual
+    * sorted-neighborhood pass), verified with exact levenshtein over the
+    * first 60 chars. Both engines implement the same Wagner-Fischer
+    * distance, so the verification is cross-engine exact.
+    */
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 12).as("blk"),
+        substring(col("text"), 1, 60).as("head"))
+    val b = d.select(col("doc_id").as("doc_b"), col("blk"),
+      col("head").as("head_b"))
+    d.join(b, Seq("blk"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        levenshtein(col("head"), col("head_b")).as("edit_distance"))
+      .filter(col("edit_distance") <= 20)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val levenshteinPairsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substring(text, 1, 12) AS blk, substring(text, 1, 60) AS head
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  levenshtein(a.head, b.head) AS edit_distance
+      |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.head, b.head) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** SimHash: 60-bit signature over distinct tokens (md5-derived token
     * hashes, sign-of-sum per bit), candidate pairs via 4x15-bit chunk
     * banding (guaranteed complete for hamming <= 3), verified by exact
