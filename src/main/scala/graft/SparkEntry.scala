@@ -52,6 +52,10 @@ object SparkEntry {
     "q_cube_lineitem"         -> (Relational2.qCubeLineitem _),
     "q10_returned_customers"  -> (Relational2.q10ReturnedCustomers _),
     "dedup_levenshtein"       -> (text.Dedup.levenshteinPairs _),
+    // sketch-based profile: no DuckDB oracle (sketches aren't
+    // cross-engine reproducible) -> driver's weaker rows-only check;
+    // accuracy vs the exact profile is asserted in ProfilerSpec.
+    "profile_table_approx"    -> (profile.Profiler.profileLineitemApprox _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -63,6 +63,39 @@ object Profiler {
   def profileLineitem(spark: SparkSession, dir: String): DataFrame =
     profileTable(Tables.lineitem(spark, dir))
 
+  /** Sketch-based profile — the 100 TB swap-in for `profileTable`:
+    * `approx_count_distinct` (HLL++) sketches merge in ONE aggregation
+    * pass with no Expand and no per-column branches, and
+    * `percentile_approx` (KLL-ish) replaces the exact sort. Sketches are
+    * not bit-reproducible across engines, so this entry has no DuckDB
+    * oracle (driver records the weaker rows-check); accuracy is asserted
+    * in ProfilerSpec against the exact profile.
+    */
+  def profileTableApprox(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, NumericType}
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      Seq(count(col(f.name)).as(s"nn_${f.name}"),
+        approx_count_distinct(col(f.name), 0.01).as(s"nd_${f.name}"),
+        (f.dataType match {
+          case _: NumericType =>
+            percentile_approx(col(f.name).cast(DoubleType), lit(0.5), lit(1000))
+          case _ => lit(null).cast(DoubleType)
+        }).as(s"p50_${f.name}"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = fields.map { f =>
+      struct(lit(f.name).as("column_name"),
+        col(s"nn_${f.name}").as("n_nonnull"),
+        col(s"nd_${f.name}").as("approx_distinct"),
+        col(s"p50_${f.name}").as("approx_p50"))
+    }
+    one.select(inline(array(structs: _*))).orderBy(col("column_name"))
+  }
+
+  def profileLineitemApprox(spark: SparkSession, dir: String): DataFrame =
+    profileTableApprox(Tables.lineitem(spark, dir))
+
   val lineitemProfileSql: String = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",

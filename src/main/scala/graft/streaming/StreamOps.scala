@@ -30,6 +30,22 @@ object StreamOps {
         col("n_events"), col("sum_value"))
   }
 
+  /** Native session windows: Spark's built-in `session_window` with a
+    * 30-minute gap — the idiomatic streaming sessionization (state +
+    * watermark handled by the engine; merges out-of-order arrivals
+    * within the watermark, which the manual flatMapGroupsWithState
+    * variant below does not).
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   case class Ev(event_id: Long, t_us: Long, user_id: Long, value: Double)
   case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

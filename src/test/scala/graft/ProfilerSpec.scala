@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profile.Profiler
+import graft.streaming.StreamOps
+
+class ProfilerSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("approx profile tracks the exact profile within sketch error") {
+    val exact = Profiler.profileLineitem(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
+    val approx = Profiler.profileLineitemApprox(spark, sf).collect()
+    approx.foreach { r =>
+      val c = r.getAs[String]("column_name")
+      val got = r.getAs[Long]("approx_distinct")
+      val want = exact(c)
+      assert(math.abs(got - want) <= math.max(2, (want * 0.05).toLong),
+        s"$c: approx $got vs exact $want")
+    }
+  }
+
+  test("sql dot_product is registered via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("native session_window agg matches ts-ordered gap sessionization counts") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val sessions = StreamOps.sessionWindowAgg(ev)  // batch mode: same API
+    // expected: classic gap sessionization ordered by event time
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = ev
+      .withColumn("gap", when(unix_micros(col("ts")) -
+        lag(unix_micros(col("ts")), 1).over(w) > 30L * 60 * 1000000, 1L)
+        .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("sid", sum(col("gap")).over(run))
+      .groupBy(col("user_id"), col("sid")).count()
+    assert(sessions.count() == expected.count())
+    val nEvents = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(nEvents == ev.count())
+  }
+}
