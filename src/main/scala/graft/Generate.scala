@@ -30,9 +30,20 @@ object Generate {
       sys.exit(1)
     }
     Files.createDirectories(Paths.get(outDir))
-    Files.writeString(Paths.get(s"$outDir/schema.graft.json"), ArtifactJson.render(artifact))
+    // --compress / --encrypt analogues (reference reads
+    // DBSURVEYOR_ENCRYPTION_PASSWORD; we read GRAFT_* envs)
+    val compress = sys.env.get("GRAFT_COMPRESS").contains("1")
+    val password = sys.env.get("GRAFT_ENCRYPTION_PASSWORD")
+    val jsonBytes = ArtifactJson.render(artifact).getBytes("UTF-8")
+    val (payload, ext) = (compress, password) match {
+      case (true, Some(p)) => (output.Secure.encrypt(output.Secure.gzip(jsonBytes), p), ".json.gz.enc")
+      case (true, None)    => (output.Secure.gzip(jsonBytes), ".json.gz")
+      case (false, Some(p)) => (output.Secure.encrypt(jsonBytes, p), ".json.enc")
+      case (false, None)   => (jsonBytes, ".json")
+    }
+    Files.write(Paths.get(s"$outDir/schema.graft$ext"), payload)
     Files.writeString(Paths.get(s"$outDir/schema.md"), MarkdownDoc.render(artifact))
-    println(s"[generate] wrote $outDir/schema.graft.json and $outDir/schema.md " +
+    println(s"[generate] wrote $outDir/schema.graft$ext and $outDir/schema.md " +
       s"(${artifact.tables.size} tables)")
     spark.stop()
   }

@@ -56,6 +56,7 @@ object SparkEntry {
     // cross-engine reproducible) -> driver's weaker rows-only check;
     // accuracy vs the exact profile is asserted in ProfilerSpec.
     "profile_table_approx"    -> (profile.Profiler.profileLineitemApprox _),
+    "dedup_ngram_prefix"      -> ((s: SparkSession, d: String) => text.Dedup.ngramPrefixJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +104,6 @@ object SparkEntry {
     "q_cube_lineitem"         -> Relational2.qCubeSql,
     "q10_returned_customers"  -> Relational2.q10Sql,
     "dedup_levenshtein"       -> text.Dedup.levenshteinPairsSql,
+    "dedup_ngram_prefix"      -> text.Dedup.ngramPrefixSql,
   )
 }

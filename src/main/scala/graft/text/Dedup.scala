@@ -172,6 +172,64 @@ object Dedup {
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  /** Prefix-filtered near-dup join (PPJoin-style): the scale path for
+    * dedup_ngram_jaccard with IDENTICAL output.
+    *
+    * Each doc's shingles are globally ordered by (document frequency,
+    * hash); only the first ℓ = n - ceil(t·n) + 1 shingles (its "prefix")
+    * generate candidates. Two sets with Jaccard ≥ t MUST share a prefix
+    * element (pigeonhole on the overlap bound), so no true pair is lost —
+    * and the join runs on the RAREST shingles, which removes the
+    * hot-shingle skew of the naive shared-shingle join. Verification
+    * joins candidate pairs against per-doc shingle sets (array_intersect),
+    * touching only candidates, never all pairs.
+    */
+  def ngramPrefixJoin(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    // global document frequency per shingle -> rarity order
+    val df_ = sh.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    val ranked = sh.join(df_, "h")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("freq"), col("h"))))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val prefix = ranked.join(sizes, "doc_id")
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("h"))
+    // one-sided guarantee (All-Pairs): for J >= t the overlap exceeds the
+    // suffix size of EITHER set, so joining prefixes against FULL sets
+    // catches every ordered pair; canonicalize + distinct for unordered.
+    val cand = prefix.join(
+        sh.select(col("doc_id").as("doc_r"), col("h")), Seq("h"))
+      .filter(col("doc_id") =!= col("doc_r"))
+      .select(least(col("doc_id"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_r")).as("doc_b"))
+      .distinct()
+    // verify candidates only: per-doc shingle sets + array_intersect
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast(DoubleType) /
+          (col("n_a") + col("n_b") -
+            size(array_intersect(col("hs_a"), col("hs_b"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: identical output contract to dedup_ngram_jaccard (the prefix
+    * filter is lossless at the threshold), so the oracle is the same
+    * exact-Jaccard SQL — a genuine cross-check that the optimized path
+    * drops nothing.
+    */
+  val ngramPrefixSql: String = ngramJaccardSql
+
   /** Edit-distance near-dup: candidates blocked on a shared 12-char text
     * prefix (an equi-join — the blocking key stands in for the usual
     * sorted-neighborhood pass), verified with exact levenshtein over the
