@@ -57,6 +57,7 @@ object SparkEntry {
     // accuracy vs the exact profile is asserted in ProfilerSpec.
     "profile_table_approx"    -> (profile.Profiler.profileLineitemApprox _),
     "dedup_ngram_prefix"      -> ((s: SparkSession, d: String) => text.Dedup.ngramPrefixJoin(s, d)),
+    "q_asof_custom"           -> (Relational.qAsofCustom _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +106,6 @@ object SparkEntry {
     "q10_returned_customers"  -> Relational2.q10Sql,
     "dedup_levenshtein"       -> text.Dedup.levenshteinPairsSql,
     "dedup_ngram_prefix"      -> text.Dedup.ngramPrefixSql,
+    "q_asof_custom"           -> Relational.qAsofSql,
   )
 }

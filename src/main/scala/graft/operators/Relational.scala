@@ -329,6 +329,27 @@ object Relational {
       |  PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
       |ORDER BY e.event_id""".stripMargin
 
+  /** Same as-of semantics as qAsofJoin, through the custom Catalyst
+    * operator (graft.plans.AsOfJoinPlan → AsOfJoinExec): a partition-local
+    * streaming merge join with O(1) state — checked against the same
+    * DuckDB oracle as the window-union formulation.
+    */
+  def qAsofCustom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id").cast(LongType).as("k"),
+      unix_micros(col("ts")).as("t_us"),
+      col("event_id"))
+    val ord = Tables.orders(spark, dir).select(
+      col("o_custkey").cast(LongType).as("ok"),
+      unix_micros(col("o_orderdate").cast(TimestampType)).as("ot_us"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("o_totalprice").as("asof_totalprice"))
+    graft.plans.AsOf.join(ev, ord)
+      .select(col("event_id"), col("k").as("user_id"), col("t_us"),
+        col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   /** Band-bucketed range self-join: pairs of events within 60 s of each
     * other. Each event joins only its own and the adjacent 60-s bucket —
     * a pair of equi-joins instead of an O(n²) inequality cross join.
