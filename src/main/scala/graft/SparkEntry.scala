@@ -58,6 +58,7 @@ object SparkEntry {
     "profile_table_approx"    -> (profile.Profiler.profileLineitemApprox _),
     "dedup_ngram_prefix"      -> ((s: SparkSession, d: String) => text.Dedup.ngramPrefixJoin(s, d)),
     "q_asof_custom"           -> (Relational.qAsofCustom _),
+    "q_salted_agg"            -> (SkewTools.qSaltedAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,5 +108,6 @@ object SparkEntry {
     "dedup_levenshtein"       -> text.Dedup.levenshteinPairsSql,
     "dedup_ngram_prefix"      -> text.Dedup.ngramPrefixSql,
     "q_asof_custom"           -> Relational.qAsofSql,
+    "q_salted_agg"            -> SkewTools.qSaltedAggSql,
   )
 }
