@@ -141,9 +141,6 @@ object Similarity {
   private def sqlArray(w: Array[Double]): String =
     w.mkString("[", ", ", "]::DOUBLE[]")
 
-  private def sparkArray(w: Array[Double]): String =
-    w.mkString("array(", "d, ", "d)")
-
   /** Random-hyperplane LSH bucket id (0..63) as a column expression. */
   private def bucketExpr(v: String): Column =
     (0 until nPlanes).map { j =>
