@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Product-analytics operators over the event stream + part-dimension
+  * share analysis: funnel conversion, weekly cohort retention, brand
+  * revenue share. All single-scan or broadcast-dimension shapes.
+  */
+object EventAnalytics {
+
+  /** Revenue share per part brand: lineitem ⋈ broadcast(part), exact
+    * decimal revenue, share via a window total (grand-total window is one
+    * extra lightweight pass over the already-aggregated rows).
+    */
+  def qBrandShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val revenue = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1.00).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+        .cast(DecimalType(4, 2))).cast(DecimalType(18, 4))
+    val perBrand = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(revenue).as("rev_d"), count(lit(1)).as("n_lines"))
+    perBrand
+      .select(col("p_brand"), col("n_lines"),
+        col("rev_d").cast(DoubleType).as("revenue"),
+        (col("rev_d").cast(DoubleType) /
+          sum(col("rev_d")).over(Window.partitionBy()).cast(DoubleType)).as("rev_share"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qBrandShareSql: String =
+    """WITH b AS (
+      |  SELECT p_brand,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.00 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS rev_d,
+      |    count(*) AS n_lines
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand)
+      |SELECT p_brand, n_lines, CAST(rev_d AS DOUBLE) AS revenue,
+      |  CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER () AS DOUBLE) AS rev_share
+      |FROM b ORDER BY p_brand""".stripMargin
+
+  /** Signup → purchase funnel: per user, first signup and first purchase
+    * at-or-after that signup; conversion counts and 7-day-window
+    * conversion. Two keyed aggregations + one broadcastable join.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t_signup"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(signup), "user_id")
+      .filter(col("t_us") >= col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t_purchase"))
+    val day7 = 7L * 24 * 3600 * 1000000
+    signup.join(purchase, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_signup_users"),
+        count(col("t_purchase")).as("n_converted"),
+        sum(when(col("t_purchase") - col("t_signup") <= day7, 1L).otherwise(0L))
+          .as("n_converted_7d"),
+        (sum(col("t_purchase") - col("t_signup")).cast(DoubleType) /
+          count(col("t_purchase")) / 3.6e9).as("avg_hours_to_convert"))
+  }
+
+  val qFunnelSql: String =
+    """WITH signup AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |purchase AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      |  FROM events e JOIN signup s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t_signup
+      |  GROUP BY e.user_id)
+      |SELECT count(*) AS n_signup_users,
+      |  count(t_purchase) AS n_converted,
+      |  CAST(sum(CASE WHEN t_purchase - t_signup <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d,
+      |  CAST(sum(t_purchase - t_signup) AS DOUBLE) / count(t_purchase) / 3.6e9 AS avg_hours_to_convert
+      |FROM signup LEFT JOIN purchase USING (user_id)""".stripMargin
+
+  /** Weekly cohort retention: users bucketed by first-activity week,
+    * counted as active in each subsequent week offset. One scan + two
+    * aggregations; the cohort join is broadcastable (one row per user).
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_micros(date_trunc("week", col("ts"))).as("w_us"))
+    val firstWeek = ev.groupBy(col("user_id")).agg(min(col("w_us")).as("cohort_us"))
+    val weekUs = 7L * 24 * 3600 * 1000000
+    ev.join(broadcast(firstWeek), "user_id")
+      .select(col("user_id"), col("cohort_us"),
+        ((col("w_us") - col("cohort_us")) / weekUs).cast(LongType).as("week_n"))
+      .distinct()
+      .groupBy(col("cohort_us"), col("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_us"), col("week_n"))
+  }
+
+  val qRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(date_trunc('week', ts)) AS w_us FROM events),
+      |first_week AS (
+      |  SELECT user_id, min(w_us) AS cohort_us FROM ev GROUP BY user_id)
+      |SELECT cohort_us, week_n, count(*) AS n_users FROM (
+      |  SELECT DISTINCT e.user_id, f.cohort_us,
+      |    CAST((e.w_us - f.cohort_us) / 604800000000 AS BIGINT) AS week_n
+      |  FROM ev e JOIN first_week f ON e.user_id = f.user_id)
+      |GROUP BY cohort_us, week_n
+      |ORDER BY cohort_us, week_n""".stripMargin
+}

@@ -76,10 +76,10 @@ object Profiler {
     val fields = df.schema.fields
     val aggs = fields.flatMap { f =>
       Seq(count(col(f.name)).as(s"nn_${f.name}"),
-        approx_count_distinct(col(f.name), 0.01).as(s"nd_${f.name}"),
+        approx_count_distinct(col(f.name), 0.02).as(s"nd_${f.name}"),
         (f.dataType match {
           case _: NumericType =>
-            percentile_approx(col(f.name).cast(DoubleType), lit(0.5), lit(1000))
+            percentile_approx(col(f.name).cast(DoubleType), lit(0.5), lit(250))
           case _ => lit(null).cast(DoubleType)
         }).as(s"p50_${f.name}"))
     }
