@@ -7,6 +7,13 @@ import graft.Tables
 
 /** Similarity search over the embeddings table (SURVEY §2D).
   *
+  * Design notes draw on the distributed top-k similarity literature
+  * (REPOSE, ICDE 2021 — partition-local candidate pruning with a global
+  * merge; "Continuously Adaptive Similarity Search", SIGMOD 2020 — cheap
+  * candidate filters ahead of exact scoring): the LSH path buckets first
+  * and scores exactly only within buckets, the exact path keeps per-query
+  * partial top-k so only k rows per partition reach the merge.
+  *
   * Cosine is an ordered left-fold over the vector (identical IEEE
   * accumulation in Spark's `aggregate` and DuckDB's `list_dot_product`),
   * rounded to 6 decimals before any threshold/rank decision so both
