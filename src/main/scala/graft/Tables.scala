@@ -37,8 +37,10 @@ object Tables {
     val raw = s.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // floor division (pmod trick), not `div` truncation: identical to
+        // epoch_us semantics for pre-1970 nanos too, not just positives
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => raw
     }
   }

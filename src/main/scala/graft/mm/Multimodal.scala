@@ -51,10 +51,13 @@ object Multimodal {
   }
 
   val decodeFeaturesSql: String =
-    """SELECT doc_id, length(text) AS n_bytes, substr(md5(text), 1, 8) AS checksum,
-      |  16 + length(text) % 64 AS width,
-      |  16 + length(text) % 48 AS height,
-      |  1 + length(text) // 100 AS n_frames
+    // strlen = UTF-8 BYTE length (matches Spark's payload.length on the
+    // binary column; length() would count characters and diverge on any
+    // non-ASCII document)
+    """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, substr(md5(text), 1, 8) AS checksum,
+      |  CAST(16 + strlen(text) % 64 AS INT) AS width,
+      |  CAST(16 + strlen(text) % 48 AS INT) AS height,
+      |  CAST(1 + strlen(text) // 100 AS INT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Deterministic frame-sampling stub: derive a frame index sequence from

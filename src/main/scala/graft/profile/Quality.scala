@@ -63,7 +63,7 @@ object Quality {
     val tableRow = struct(lit("__table__").as("column_name"),
       docCols.map(c => col(s"null_$c")).reduce(_ + _).as("null_count"),
       docCols.map(c => col(s"empty_$c")).reduce(_ + _).as("empty_count"),
-      (docCols.map(comp).reduce(_ + _) / lit(5)).as("completeness"))
+      (docCols.map(comp).reduce(_ + _) / lit(docCols.size)).as("completeness"))
     one.select(inline(array(colRows :+ tableRow: _*))).orderBy(col("column_name"))
   }
 
@@ -79,7 +79,7 @@ object Quality {
     val tableSelect =
       s"SELECT '__table__' AS column_name, ${docCols.map(c => s"null_$c").mkString(" + ")} AS null_count, " +
         s"${docCols.map(c => s"empty_$c").mkString(" + ")} AS empty_count, " +
-        s"(${docCols.map(comp).mkString(" + ")}) / 5 AS completeness FROM a"
+        s"(${docCols.map(comp).mkString(" + ")}) / ${docCols.size} AS completeness FROM a"
     s"WITH a AS (SELECT $aggSelect FROM documents)\n" +
       (colSelects :+ tableSelect).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
@@ -248,7 +248,7 @@ object Quality {
 
     def comp(c: String): Column =
       (col("n") - (col("n") - col(s"nn_$c")) - col(s"ne_$c")).cast(DoubleType) / col("n")
-    val completenessScore = docCols.map(comp).reduce(_ + _) / lit(5)
+    val completenessScore = docCols.map(comp).reduce(_ + _) / lit(docCols.size)
 
     def dup(c: String): Column =
       col("n") - col(s"nd_$c") - when(col("n") > col(s"nn_$c"), 1L).otherwise(0L)
@@ -266,7 +266,7 @@ object Quality {
     }
     val violations = docStringCols.toSeq.sorted.map(viol).reduce(_ + _)
     val consistencyScore =
-      greatest(lit(1.0) - violations.cast(DoubleType) / (col("n") * lit(5)), lit(0.0))
+      greatest(lit(1.0) - violations.cast(DoubleType) / (col("n") * lit(docCols.size)), lit(0.0))
 
     one.select(lit("documents").as("table_name"), col("n").as("n_rows"),
       completenessScore.as("completeness"),
@@ -287,7 +287,7 @@ object Quality {
         fmts.map(f => s"sum(CASE WHEN (${classifySql(c)}) = '$f' THEN 1 ELSE 0 END) AS f_${f}_$c")
       }).mkString(", ")
     def comp(c: String) = s"CAST(n - (n - nn_$c) - ne_$c AS DOUBLE) / n"
-    val completeness = "(" + docCols.map(comp).mkString(" + ") + ") / 5"
+    val completeness = "(" + docCols.map(comp).mkString(" + ") + s") / ${docCols.size}"
     def dup(c: String) = s"(n - nd_$c - CASE WHEN n > nn_$c THEN 1 ELSE 0 END)"
     def colUniq(c: String) = s"CAST(n - ${dup(c)} AS DOUBLE) / n"
     val nDupCols = docCols.map(c => s"CASE WHEN ${dup(c)} > 0 THEN 1 ELSE 0 END").mkString(" + ")
@@ -301,7 +301,7 @@ object Quality {
       s"CASE WHEN $dom > 0 AND CAST($dom AS DOUBLE) / (nn_$c - ne_$c) > 0.5 THEN (nn_$c - ne_$c) - $dom ELSE 0 END"
     }
     val violations = docStringCols.toSeq.sorted.map(viol).mkString(" + ")
-    val consistency = s"greatest(CAST(1 AS DOUBLE) - CAST($violations AS DOUBLE) / (n * 5), CAST(0 AS DOUBLE))"
+    val consistency = s"greatest(CAST(1 AS DOUBLE) - CAST($violations AS DOUBLE) / (n * ${docCols.size}), CAST(0 AS DOUBLE))"
     s"""WITH a AS (SELECT $aggSelect FROM documents)
        |SELECT 'documents' AS table_name, n AS n_rows,
        |  $completeness AS completeness,

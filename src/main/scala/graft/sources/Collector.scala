@@ -38,7 +38,13 @@ class ParquetSource(spark: SparkSession, dir: String) extends TableSource {
 class JdbcSource(spark: SparkSession, url: String, tables: Seq[String],
     props: java.util.Properties = new java.util.Properties())
     extends TableSource {
-  def name: String = url.replaceAll("password=[^&;]*", "password=***")
+  /** Credential sanitization (reference guarantee: no credentials in any
+    * output): masks userinfo (`user:secret@host`) and password-ish
+    * key=value params across JDBC URL dialects.
+    */
+  def name: String = url
+    .replaceAll("://([^/@:;]+):[^@/;]+@", "://$1:***@")
+    .replaceAll("(?i)(password|passwd|pwd|secret)=[^&;]*", "$1=***")
   def tableNames: Seq[String] = tables
   def load(table: String): DataFrame = spark.read.jdbc(url, table, props)
 }

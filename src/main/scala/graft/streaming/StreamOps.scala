@@ -74,14 +74,21 @@ object StreamOps {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            Iterator(SessionOut(userId, s.sessionId, s.nEvents))
+            // keep the counter (nEvents = 0 sentinel) so a later event
+            // continues numbering instead of reusing session id 1 —
+            // emitting duplicate (user, session_id) keys downstream
+            state.update(SessionState(s.sessionId + 1, s.lastUs, 0))
+            if (s.nEvents > 0) Iterator(SessionOut(userId, s.sessionId, s.nEvents))
+            else Iterator.empty
           } else {
             val sorted = evs.toSeq.sortBy(e => (e.t_us, e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             for (e <- sorted) {
               cur match {
+                case Some(s) if s.nEvents == 0 =>
+                  // fresh post-timeout session slot: claim it at this event
+                  cur = Some(SessionState(s.sessionId, e.t_us, 1))
                 case Some(s) if e.t_us - s.lastUs <= gapUs =>
                   cur = Some(s.copy(lastUs = e.t_us, nEvents = s.nEvents + 1))
                 case Some(s) =>

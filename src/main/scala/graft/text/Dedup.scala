@@ -47,6 +47,9 @@ object Dedup {
       // re-parse the text per element (O(tokens²) per doc — measured 9 s
       // vs 2 s at sf0.1)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // docs under 3 tokens yield no shingles (sequence(1, 0) would count
+      // DOWN in Spark and index element_at(toks, 0) → runtime error)
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         """explode(array_distinct(transform(
           |  sequence(1, size(toks) - 2),
@@ -144,9 +147,21 @@ object Dedup {
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
       .distinct()
-    cand.join(jaccardPairs(spark, dir), Seq("doc_a", "doc_b"))
+    // verify CANDIDATES ONLY via per-doc shingle sets + array_intersect —
+    // never the naive all-shared-shingle self-join (which would reintroduce
+    // the hot-shingle blowup LSH exists to avoid)
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast(DoubleType) /
+          (col("n_a") + col("n_b") -
+            size(array_intersect(col("hs_a"), col("hs_b"))))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

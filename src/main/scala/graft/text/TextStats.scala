@@ -111,7 +111,9 @@ object TextStats {
         length(col("text")).as("n_chars"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
         (col("n_distinct_tokens").cast(DoubleType) / col("n_tokens")).as("diversity"),
-        (col("n_punct").cast(DoubleType) / col("n_chars")).as("punct_ratio"),
+        // zero guard: empty text would be NULL in Spark but NaN in DuckDB
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(col("n_punct").cast(DoubleType) / col("n_chars")).as("punct_ratio"),
         (col("n_chars") < 100).as("is_short"))
       .withColumn("quality_score",
         least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.3 +
@@ -129,11 +131,11 @@ object TextStats {
       |  FROM documents)
       |SELECT doc_id, n_tokens, n_distinct_tokens,
       |  CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS diversity,
-      |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+      |  CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
       |  n_chars < 100 AS is_short,
       |  least(CAST(n_tokens AS DOUBLE) / 100.0, CAST(1 AS DOUBLE)) * 0.3
       |    + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.5
-      |    + (CAST(1 AS DOUBLE) - CAST(n_punct AS DOUBLE) / n_chars) * 0.2 AS quality_score
+      |    + (CAST(1 AS DOUBLE) - CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.2 AS quality_score
       |FROM b ORDER BY doc_id""".stripMargin
 
   /** Min-shingle fingerprint: the minimum md5 over all character 5-gram
@@ -143,7 +145,12 @@ object TextStats {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        expr("array_min(transform(sequence(1, length(text) - 4), i -> md5(substring(text, i, 5))))")
+        // texts under 5 chars have no 5-gram: emit NULL (matches the
+        // oracle's empty list_min; Spark's descending sequence(1, 0)
+        // would otherwise index position 0 and fabricate a value)
+        expr("""CASE WHEN length(text) >= 5
+               | THEN array_min(transform(sequence(1, length(text) - 4), i -> md5(substring(text, i, 5))))
+               | ELSE NULL END""".stripMargin.replaceAll("\n", ""))
           .as("fingerprint"))
       .orderBy(col("doc_id"))
   }

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-corpus regression: documents the synthetic testdata can't
+  * produce — under-3-token docs (descending-sequence indexing trap),
+  * empty text (divide-by-zero), non-ASCII (byte-vs-char length), exact
+  * duplicates. Every document-path query must run and stay sane.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  lazy val edgeDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edge").toString
+    Seq(
+      (0L, "hello world", "en", "src0", 11L),
+      (1L, "hi", "en", "src0", 2L),
+      (2L, "", "en", "src1", 0L),
+      (3L, "café déjà vu naïve résumé encore text body here", "fr", "src1", 47L),
+      (4L, "the quick brown fox jumps over the lazy dog again and again", "en", "src2", 60L),
+      (5L, "the quick brown fox jumps over the lazy dog again and again", "en", "src2", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val docQueries = Seq(
+    "text_token_count", "text_quality_score", "text_fingerprint",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_levenshtein",
+    "mm_decode_features", "mm_frame_sample",
+    "quality_completeness", "quality_uniqueness", "quality_consistency",
+    "quality_score")
+
+  test("every document-path query survives the adversarial corpus") {
+    docQueries.foreach { k =>
+      val n = SparkEntry.queries(k)(spark, edgeDir).count()
+      assert(n >= 0, k) // materialization itself is the assertion
+    }
+  }
+
+  test("short/empty docs produce no shingles but still dedup exactly") {
+    val exact = text.Dedup.exact(spark, edgeDir).collect()
+    assert(exact.map(_.getAs[Long]("n_docs")).sum == 6)
+    assert(exact.count(_.getAs[Long]("n_docs") == 2) == 1) // docs 4+5
+    val ngram = text.Dedup.ngramJaccard(spark, edgeDir).collect()
+    assert(ngram.length == 1)                              // only the 4-5 pair
+    assert(ngram(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("fingerprint is NULL for sub-5-char texts, defined otherwise") {
+    val fp = text.TextStats.fingerprint(spark, edgeDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    assert(fp(1L) == null && fp(2L) == null)
+    assert(fp(0L) != null && fp(3L) != null)
+  }
+
+  test("quality score handles the empty doc without NULL leakage") {
+    val row = profile.Quality.score(spark, edgeDir).collect()(0)
+    val s = row.getAs[Double]("quality_score")
+    assert(!s.isNaN && s >= 0.0 && s <= 1.0)
+  }
+}
