@@ -138,6 +138,80 @@ object TextStats {
       |    + (CAST(1 AS DOUBLE) - CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.2 AS quality_score
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Top-20 vocabulary tokens by document frequency (ties broken
+    * alphabetically) — corpus vocabulary statistics.
+    */
+  def topTokens(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(20)
+  }
+
+  val topTokensSql: String =
+    """SELECT token, count(*) AS doc_freq FROM (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20""".stripMargin
+
+  /** Bigram collocations by lift = P(ab) / (P(a)·P(b)) over adjacent token
+    * pairs (doc-frequency based). Lift instead of PMI keeps the score a
+    * pure rational of exact counts — no transcendental functions whose
+    * last-ulp behavior could differ between engines. Top 20 with
+    * count >= 5, deterministic tiebreak.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bigrams = toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), expr(
+        """explode(array_distinct(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))))""".stripMargin)
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("tok_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("tok_b", split(col("bigram"), " ").getItem(1))
+    val uni = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // corpus size joined in as a 1-row broadcast, not a driver-side count()
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    bigrams
+      .join(broadcast(uni.select(col("token").as("tok_a"), col("c").as("c_a"))), "tok_a")
+      .join(broadcast(uni.select(col("token").as("tok_b"), col("c").as("c_b"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("c_ab") >= 5)
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast("double") * col("n_docs") / col("c_a") / col("c_b")).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val collocationsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT bigram, count(*) AS c_ab,
+      |    string_split(bigram, ' ')[1] AS tok_a, string_split(bigram, ' ')[2] AS tok_b
+      |  FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i+1]))) AS bigram
+      |    FROM toks WHERE len(t) >= 2)
+      |  GROUP BY bigram),
+      |uni AS (
+      |  SELECT token, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
+      |  GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+      |  CAST(c_ab AS DOUBLE) * n_docs / a.c / b.c AS lift
+      |FROM bi JOIN uni a ON bi.tok_a = a.token
+      |        JOIN uni b ON bi.tok_b = b.token, n
+      |WHERE c_ab >= 5
+      |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin
+
   /** Min-shingle fingerprint: the minimum md5 over all character 5-gram
     * shingles (a 1-permutation MinHash — the winnowing-style rolling
     * fingerprint, computed as pure array expressions).
