@@ -161,6 +161,87 @@ object Similarity {
       s"CASE WHEN list_dot_product($v, ${sqlArray(hyperplanes(j))}) >= 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** ANN via IVF (inverted-file index): a k-means coarse quantizer built
+    * with a few Lloyd iterations as plain DataFrame jobs (assign = argmin
+    * distance over broadcast centroids; update = groupBy-mean), then each
+    * query probes only the lists of its `nprobe` nearest centroids and
+    * ranks those exactly. Centroids are seeded deterministically (evenly
+    * spaced vec_ids), so results are reproducible run to run.
+    *
+    * Scale shape: centroid set is tiny (broadcast); assignment is a
+    * narrow map; each Lloyd update is one shuffle of (cluster, partial
+    * sums). The probe join is an equi-join on cluster id — candidate set
+    * shrinks by ~k/nprobe versus brute force. No SQL oracle (centroids
+    * are runtime state); recall vs exact top-k is asserted in
+    * DedupSimSpec.
+    */
+  val ivfK = 8
+  val ivfProbe = 2
+  val ivfIters = 2
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val nVec = 500 // centroid seeding stride base; any constant works
+    // deterministic seeds: evenly spaced vec_ids
+    var centroids: Array[(Int, Array[Double])] = vecs
+      .filter(col("vec_id") % lit(math.max(nVec / ivfK, 1)) === 0)
+      .orderBy(col("vec_id")).limit(ivfK)
+      .select(col("v")).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+    def assignExpr(cents: Array[(Int, Array[Double])]): Column = {
+      // argmin squared distance = argmax dot - |c|²/2 for unit-free vecs;
+      // use explicit distance via dot products with literal centroids
+      val scored = cents.map { case (i, c) =>
+        val dot = graft.functions.VectorOps.dot_product(col("v"),
+          array(c.map(lit(_)): _*))
+        val cNorm2 = c.map(x => x * x).sum
+        struct((lit(cNorm2) - dot * 2).as("d"), lit(i).as("cid"))
+      }
+      least(scored: _*).getField("cid")
+    }
+
+    for (_ <- 1 to ivfIters) {
+      val assigned = vecs.withColumn("cid", assignExpr(centroids))
+      val meanCols = (0 until dim).map(k =>
+        avg(element_at(col("v"), k + 1)).as(s"m_$k"))
+      val updated = assigned.groupBy(col("cid"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getAs[Int]("cid"),
+          (0 until dim).map(k => r.getAs[Double](s"m_$k")).toArray))
+      // keep centroids whose cluster emptied unchanged
+      val byId = updated.toMap
+      centroids = centroids.map { case (i, c) => (i, byId.getOrElse(i, c)) }
+    }
+
+    val indexed = vecs.withColumn("cid", assignExpr(centroids))
+    val queries = indexed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("nrm").as("nrm_q"), col("v"))
+    // nprobe nearest centroids per query
+    val probeCols = centroids.map { case (i, c) =>
+      val dot = graft.functions.VectorOps.dot_product(col("v"),
+        array(c.map(lit(_)): _*))
+      val cNorm2 = c.map(x => x * x).sum
+      struct((lit(cNorm2) - dot * 2).as("d"), lit(i).as("cid"))
+    }
+    val probed = queries
+      .withColumn("probes", slice(array_sort(array(probeCols: _*)), 1, ivfProbe))
+      .select(col("query_id"), col("v_q"), col("nrm_q"),
+        explode(expr("transform(probes, p -> p.cid)")).as("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    indexed.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cid"),
+        cosine("v_q", "v", col("nrm_q"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN via random-hyperplane LSH: vectors bucketed by sign bits, each
     * query probes only its own bucket, exact cosine rank within bucket.
     */

@@ -44,6 +44,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(joined.filter(col("c_ann") =!= col("c_bf")).count() == 0)
   }
 
+  test("ivf-ann recalls a reasonable share of the exact top-10") {
+    val ivf = Similarity.annIvf(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    val brute = Similarity.topkBruteforce(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = ivf.join(brute, Seq("query_id", "neighbor_id")).count()
+    val total = brute.count()
+    // 2-of-8 probes on 64-dim unclustered synthetic data: recall is
+    // necessarily partial; assert it's meaningfully above random (2/8)
+    assert(hit.toDouble / total > 0.25, s"recall ${hit.toDouble / total}")
+    // every reported cosine must equal brute-force exactly (no approx math)
+    val cosDiff = Similarity.annIvf(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("c1"))
+      .join(Similarity.topkBruteforce(spark, sf)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("c2")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("c1") =!= col("c2")).count()
+    assert(cosDiff == 0)
+  }
+
   test("topk returns exactly 10 ranked neighbors per query") {
     val t = Similarity.topkBruteforce(spark, sf)
     val perQuery = t.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
