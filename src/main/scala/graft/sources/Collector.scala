@@ -109,6 +109,36 @@ object Collector {
     errs.result()
   }
 
+  case class SchemaDiff(addedTables: Seq[String], removedTables: Seq[String],
+      addedColumns: Seq[(String, String)], removedColumns: Seq[(String, String)],
+      typeChanges: Seq[(String, String, String, String)],
+      rowCountDrift: Seq[(String, Long, Long)])
+
+  /** Survey-to-survey drift report: what changed between two collected
+    * artifacts (schema evolution + row-count drift) — the natural
+    * companion to repeated `dbsurveyor-collect` runs over a live system.
+    */
+  def diff(before: Artifact, after: Artifact): SchemaDiff = {
+    val b = before.tables.map(t => t.name -> t).toMap
+    val a = after.tables.map(t => t.name -> t).toMap
+    val shared = b.keySet & a.keySet
+    def cols(t: TableInfo) = t.columns.map(c => c.name -> c.dataType).toMap
+    val addedCols = shared.toSeq.sorted.flatMap { t =>
+      (cols(a(t)).keySet -- cols(b(t)).keySet).toSeq.sorted.map(t -> _) }
+    val removedCols = shared.toSeq.sorted.flatMap { t =>
+      (cols(b(t)).keySet -- cols(a(t)).keySet).toSeq.sorted.map(t -> _) }
+    val typeChanges = shared.toSeq.sorted.flatMap { t =>
+      (cols(b(t)).keySet & cols(a(t)).keySet).toSeq.sorted
+        .filter(c => cols(b(t))(c) != cols(a(t))(c))
+        .map(c => (t, c, cols(b(t))(c), cols(a(t))(c))) }
+    val drift = shared.toSeq.sorted
+      .filter(t => b(t).rowCount != a(t).rowCount)
+      .map(t => (t, b(t).rowCount, a(t).rowCount))
+    SchemaDiff(
+      (a.keySet -- b.keySet).toSeq.sorted, (b.keySet -- a.keySet).toSeq.sorted,
+      addedCols, removedCols, typeChanges, drift)
+  }
+
   /** Oracle-checked schema-extraction surface: the flattened column
     * inventory of the whole catalog, with engine-neutral type names. The
     * DuckDB oracle derives the same rows from DESCRIBE, so this genuinely

@@ -45,6 +45,25 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(json.count(_ == '[') == json.count(_ == ']'))
   }
 
+  test("artifact diff reports schema evolution and rowcount drift") {
+    val after = artifact.copy(tables = artifact.tables.collect {
+      case t if t.name == "orders" =>
+        t.copy(rowCount = t.rowCount + 7,
+          columns = t.columns :+ Collector.ColumnInfo("o_new_flag", "bool", true))
+      case t if t.name != "region" => t
+    })
+    val d = Collector.diff(artifact, after)
+    assert(d.removedTables == Seq("region"))
+    assert(d.addedColumns == Seq("orders" -> "o_new_flag"))
+    assert(d.rowCountDrift.exists { case (t, b, a) => t == "orders" && a - b == 7 })
+    assert(d.addedTables.isEmpty && d.typeChanges.isEmpty)
+    // identity diff is empty
+    val same = Collector.diff(artifact, artifact)
+    assert(same.addedTables.isEmpty && same.removedTables.isEmpty &&
+      same.addedColumns.isEmpty && same.removedColumns.isEmpty &&
+      same.typeChanges.isEmpty && same.rowCountDrift.isEmpty)
+  }
+
   test("jdbc source name masks credentials in every URL dialect") {
     import graft.sources.JdbcSource
     val cases = Seq(
