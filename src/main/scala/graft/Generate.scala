@@ -9,7 +9,9 @@ import graft.output.{ArtifactJson, MarkdownDoc}
   * collect (dbsurveyor-collect) then generate (dbsurveyor generate):
   * writes `<outDir>/schema.graft.json` and `<outDir>/schema.md`.
   *
-  * Usage: runMain graft.Generate <sfDir> <outDir> [sampleSize]
+  * Usage: runMain graft.Generate <sfDir> <outDir> [sampleSize] [compareDir]
+  * With `compareDir`, also collects that catalog and appends a
+  * survey-to-survey drift report (Collector.diff) to the markdown.
   */
 object Generate {
   def main(args: Array[String]): Unit = {
@@ -42,7 +44,19 @@ object Generate {
       case (false, None)   => (jsonBytes, ".json")
     }
     Files.write(Paths.get(s"$outDir/schema.graft$ext"), payload)
-    Files.writeString(Paths.get(s"$outDir/schema.md"), MarkdownDoc.render(artifact))
+    val drift = if (args.length > 3) {
+      val other = Collector.collect(new ParquetSource(spark, args(3)), sampleSize)
+      val d = Collector.diff(other, artifact)
+      val sb = new StringBuilder("\n## Drift vs " + args(3) + "\n\n")
+      if (d.addedTables.nonEmpty) sb ++= s"- Added tables: ${d.addedTables.mkString(", ")}\n"
+      if (d.removedTables.nonEmpty) sb ++= s"- Removed tables: ${d.removedTables.mkString(", ")}\n"
+      d.addedColumns.foreach { case (t, c) => sb ++= s"- Added column: $t.$c\n" }
+      d.removedColumns.foreach { case (t, c) => sb ++= s"- Removed column: $t.$c\n" }
+      d.typeChanges.foreach { case (t, c, b, a) => sb ++= s"- Type change: $t.$c $b -> $a\n" }
+      d.rowCountDrift.foreach { case (t, b, a) => sb ++= s"- Rowcount: $t $b -> $a\n" }
+      sb.result()
+    } else ""
+    Files.writeString(Paths.get(s"$outDir/schema.md"), MarkdownDoc.render(artifact) + drift)
     println(s"[generate] wrote $outDir/schema.graft$ext and $outDir/schema.md " +
       s"(${artifact.tables.size} tables)")
     spark.stop()
