@@ -47,4 +47,29 @@ object Sampler {
       |FROM events
       |ORDER BY sample_key
       |LIMIT 100""".stripMargin
+
+  /** Deterministic stratified sample: 10 rows per event_type, chosen by
+    * md5 order within each stratum (a reproducible per-group reservoir).
+    * One window pass — each stratum's selection is partition-local after
+    * the shuffle on the stratum key.
+    */
+  def stratifiedEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(md5(col("event_id").cast("string")))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("event_type"), col("rn"), col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  val stratifiedSql: String =
+    """SELECT event_type, rn, event_id, user_id, value FROM (
+      |  SELECT event_type, event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+      |  FROM events)
+      |WHERE rn <= 10
+      |ORDER BY event_type, rn""".stripMargin
 }

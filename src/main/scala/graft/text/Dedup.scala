@@ -201,7 +201,10 @@ object Dedup {
     */
   def ngramPrefixJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(spark, dir)
+    // the shingle subplan feeds four branches (doc-frequency, ranking,
+    // sizes, verification sets); persist so it is computed once —
+    // idempotent across calls (same plan ⇒ same cache entry)
+    val sh = shingleHashes(spark, dir).persist()
     // global document frequency per shingle -> rarity order
     val df_ = sh.groupBy(col("h")).agg(count(lit(1)).as("freq"))
     val ranked = sh.join(df_, "h")
