@@ -191,10 +191,17 @@ object Quality {
           first(sd(c)).as(s"fs_$c"))
       }
       val one = withStats.agg(outAggs.head, outAggs.tail: _*)
+      // emit moments quantized through DECIMAL(24,6): beyond ~2^53 the
+      // exact decimal sums convert to double with engine-dependent last-ulp
+      // rounding (Java rounds the rational, DuckDB converts int128 then
+      // divides) — measured divergence at sf0.1 on sum-of-squares. The
+      // quantized values agree as long as the divergence << 5e-7.
       val rows = t.cols.map { case (c, _) =>
         struct(lit(t.table).as("table_name"), lit(c).as("column_name"),
-          col(s"fn_$c").as("n_values"), col(s"fm_$c").as("mean"),
-          col(s"fs_$c").as("std_dev"), col(s"o_$c").as("n_outliers"))
+          col(s"fn_$c").as("n_values"),
+          col(s"fm_$c").cast(DecimalType(24, 6)).cast(DoubleType).as("mean"),
+          col(s"fs_$c").cast(DecimalType(24, 6)).cast(DoubleType).as("std_dev"),
+          col(s"o_$c").as("n_outliers"))
       }
       one.select(inline(array(rows: _*)))
     }
@@ -205,7 +212,9 @@ object Quality {
     val blocks = anomalyTargets.flatMap { t =>
       t.cols.map { case (c, p) =>
         s"""SELECT '${t.table}' AS table_name, '$c' AS column_name,
-           | n_values, mean, std_dev,
+           | n_values,
+           | CAST(CAST(mean AS DECIMAL(24,6)) AS DOUBLE) AS mean,
+           | CAST(CAST(std_dev AS DECIMAL(24,6)) AS DOUBLE) AS std_dev,
            | (SELECT sum(CASE WHEN abs($c - a.mean) > 2.5 * a.std_dev THEN 1 ELSE 0 END)
            |    FROM ${t.table}) AS n_outliers
            |FROM (
