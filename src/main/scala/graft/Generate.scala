@@ -54,6 +54,10 @@ object Generate {
       d.removedColumns.foreach { case (t, c) => sb ++= s"- Removed column: $t.$c\n" }
       d.typeChanges.foreach { case (t, c, b, a) => sb ++= s"- Type change: $t.$c $b -> $a\n" }
       d.rowCountDrift.foreach { case (t, b, a) => sb ++= s"- Rowcount: $t $b -> $a\n" }
+      if (d.addedTables.isEmpty && d.removedTables.isEmpty &&
+          d.addedColumns.isEmpty && d.removedColumns.isEmpty &&
+          d.typeChanges.isEmpty && d.rowCountDrift.isEmpty)
+        sb ++= "- No drift detected\n"
       sb.result()
     } else ""
     Files.writeString(Paths.get(s"$outDir/schema.md"), MarkdownDoc.render(artifact) + drift)

@@ -165,8 +165,10 @@ object Quality {
 
   /** Z-score outlier counts (anomaly.rs): population stddev, threshold 2.5
     * (= AnomalySensitivity::Medium, config.rs:27). Mean/stddev derive from
-    * exact DECIMAL sums (sum, sum-of-squares), so both engines see
-    * bit-identical doubles and the outlier comparisons agree exactly.
+    * exact DECIMAL sums (sum, sum-of-squares), then are quantized through
+    * DECIMAL(24,6) before BOTH the outlier comparison and the output —
+    * past ~2^53 unscaled the decimal→double conversion differs between
+    * engines in the last ulp, so only the quantized moments are shared.
     * Two scans per table: one tiny stats agg (broadcast back), one counting
     * pass — the canonical distributed shape for this.
     */
@@ -181,9 +183,16 @@ object Quality {
       }
       val stats = df.agg(statAggs.head, statAggs.tail: _*)
       val withStats = df.crossJoin(broadcast(stats))
-      def mean(c: String): Column = col(s"s_$c") / col(s"n_$c")
+      // moments quantized through DECIMAL(24,6) BEFORE both the outlier
+      // comparison and the output: beyond ~2^53 unscaled, decimal->double
+      // conversion differs between engines in the last ulp (measured at
+      // sf0.1), so every downstream use must see the quantized value
+      def meanRaw(c: String): Column = col(s"s_$c") / col(s"n_$c")
+      def mean(c: String): Column =
+        meanRaw(c).cast(DecimalType(24, 6)).cast(DoubleType)
       def sd(c: String): Column = sqrt(greatest(
-        col(s"ss_$c") / col(s"n_$c") - mean(c) * mean(c), lit(0.0)))
+        col(s"ss_$c") / col(s"n_$c") - meanRaw(c) * meanRaw(c), lit(0.0)))
+        .cast(DecimalType(24, 6)).cast(DoubleType)
       val outAggs = t.cols.map { case (c, _) =>
         sum(when(abs(col(c) - mean(c)) > lit(2.5) * sd(c), 1L).otherwise(0L)).as(s"o_$c")
       } ++ t.cols.flatMap { case (c, _) =>
@@ -191,17 +200,10 @@ object Quality {
           first(sd(c)).as(s"fs_$c"))
       }
       val one = withStats.agg(outAggs.head, outAggs.tail: _*)
-      // emit moments quantized through DECIMAL(24,6): beyond ~2^53 the
-      // exact decimal sums convert to double with engine-dependent last-ulp
-      // rounding (Java rounds the rational, DuckDB converts int128 then
-      // divides) — measured divergence at sf0.1 on sum-of-squares. The
-      // quantized values agree as long as the divergence << 5e-7.
       val rows = t.cols.map { case (c, _) =>
         struct(lit(t.table).as("table_name"), lit(c).as("column_name"),
-          col(s"fn_$c").as("n_values"),
-          col(s"fm_$c").cast(DecimalType(24, 6)).cast(DoubleType).as("mean"),
-          col(s"fs_$c").cast(DecimalType(24, 6)).cast(DoubleType).as("std_dev"),
-          col(s"o_$c").as("n_outliers"))
+          col(s"fn_$c").as("n_values"), col(s"fm_$c").as("mean"),
+          col(s"fs_$c").as("std_dev"), col(s"o_$c").as("n_outliers"))
       }
       one.select(inline(array(rows: _*)))
     }
@@ -213,19 +215,18 @@ object Quality {
       t.cols.map { case (c, p) =>
         s"""SELECT '${t.table}' AS table_name, '$c' AS column_name,
            | n_values,
-           | CAST(CAST(mean AS DECIMAL(24,6)) AS DOUBLE) AS mean,
-           | CAST(CAST(std_dev AS DECIMAL(24,6)) AS DOUBLE) AS std_dev,
+           | mean, std_dev,
            | (SELECT sum(CASE WHEN abs($c - a.mean) > 2.5 * a.std_dev THEN 1 ELSE 0 END)
            |    FROM ${t.table}) AS n_outliers
            |FROM (
-           |  SELECT count($c) AS n_values,
-           |    CAST(sum(CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c) AS mean,
-           |    sqrt(greatest(
-           |      CAST(sum(CAST($c AS DECIMAL($p,2)) * CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c)
-           |      - (CAST(sum(CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c))
-           |        * (CAST(sum(CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c)),
-           |      CAST(0 AS DOUBLE))) AS std_dev
-           |  FROM ${t.table}) a""".stripMargin
+           |  SELECT n_values, mean,
+           |    CAST(CAST(sqrt(greatest(msq - mean_raw * mean_raw, CAST(0 AS DOUBLE))) AS DECIMAL(24,6)) AS DOUBLE) AS std_dev
+           |  FROM (
+           |    SELECT count($c) AS n_values,
+           |      CAST(CAST(CAST(sum(CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c) AS DECIMAL(24,6)) AS DOUBLE) AS mean,
+           |      CAST(sum(CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c) AS mean_raw,
+           |      CAST(sum(CAST($c AS DECIMAL($p,2)) * CAST($c AS DECIMAL($p,2))) AS DOUBLE) / count($c) AS msq
+           |    FROM ${t.table})) a""".stripMargin
       }
     }
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")

@@ -173,14 +173,19 @@ object Similarity {
     * sums). The probe join is an equi-join on cluster id — candidate set
     * shrinks by ~k/nprobe versus brute force. No SQL oracle (centroids
     * are runtime state); recall vs exact top-k is asserted in
-    * DedupSimSpec.
+    * DedupSimSpec. Reproducible for a fixed session configuration; the
+    * Lloyd means use floating-point `avg`, so a different partition
+    * layout can drift centroids by an ulp and flip near-equidistant
+    * assignments (inherent to distributed k-means).
     */
   val ivfK = 8
   val ivfProbe = 2
   val ivfIters = 2
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(spark, dir)
+    // cached: the subplan feeds seeding, every Lloyd iteration, and both
+    // sides of the probe join (5+ recomputations otherwise)
+    val vecs = vectors(spark, dir).persist()
     val nVec = 500 // centroid seeding stride base; any constant works
     // deterministic seeds: evenly spaced vec_ids
     var centroids: Array[(Int, Array[Double])] = vecs
@@ -190,15 +195,16 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
 
     def assignExpr(cents: Array[(Int, Array[Double])]): Column = {
-      // argmin squared distance = argmax dot - |c|²/2 for unit-free vecs;
-      // use explicit distance via dot products with literal centroids
+      // argmin squared distance via dot products with literal centroids;
+      // least() needs >= 2 args, so degenerate catalogs (< 2 centroids
+      // seeded) assign everything to cluster 0
       val scored = cents.map { case (i, c) =>
         val dot = graft.functions.VectorOps.dot_product(col("v"),
           array(c.map(lit(_)): _*))
         val cNorm2 = c.map(x => x * x).sum
         struct((lit(cNorm2) - dot * 2).as("d"), lit(i).as("cid"))
       }
-      least(scored: _*).getField("cid")
+      if (scored.length < 2) lit(0) else least(scored: _*).getField("cid")
     }
 
     for (_ <- 1 to ivfIters) {

@@ -123,14 +123,15 @@ object Collector {
     val a = after.tables.map(t => t.name -> t).toMap
     val shared = b.keySet & a.keySet
     def cols(t: TableInfo) = t.columns.map(c => c.name -> c.dataType).toMap
-    val addedCols = shared.toSeq.sorted.flatMap { t =>
-      (cols(a(t)).keySet -- cols(b(t)).keySet).toSeq.sorted.map(t -> _) }
-    val removedCols = shared.toSeq.sorted.flatMap { t =>
-      (cols(b(t)).keySet -- cols(a(t)).keySet).toSeq.sorted.map(t -> _) }
-    val typeChanges = shared.toSeq.sorted.flatMap { t =>
-      (cols(b(t)).keySet & cols(a(t)).keySet).toSeq.sorted
-        .filter(c => cols(b(t))(c) != cols(a(t))(c))
-        .map(c => (t, c, cols(b(t))(c), cols(a(t))(c))) }
+    val colMaps = shared.toSeq.sorted.map(t => (t, cols(b(t)), cols(a(t))))
+    val addedCols = colMaps.flatMap { case (t, bc, ac) =>
+      (ac.keySet -- bc.keySet).toSeq.sorted.map(t -> _) }
+    val removedCols = colMaps.flatMap { case (t, bc, ac) =>
+      (bc.keySet -- ac.keySet).toSeq.sorted.map(t -> _) }
+    val typeChanges = colMaps.flatMap { case (t, bc, ac) =>
+      (bc.keySet & ac.keySet).toSeq.sorted
+        .filter(c => bc(c) != ac(c))
+        .map(c => (t, c, bc(c), ac(c))) }
     val drift = shared.toSeq.sorted
       .filter(t => b(t).rowCount != a(t).rowCount)
       .map(t => (t, b(t).rowCount, a(t).rowCount))

@@ -46,22 +46,18 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("ivf-ann recalls a reasonable share of the exact top-10") {
     val ivf = Similarity.annIvf(spark, sf)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("c1"))
     val brute = Similarity.topkBruteforce(spark, sf)
-      .select(col("query_id"), col("neighbor_id"))
-    val hit = ivf.join(brute, Seq("query_id", "neighbor_id")).count()
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("c2"))
+    val joined = ivf.join(brute, Seq("query_id", "neighbor_id")).cache()
+    val hit = joined.count()
     val total = brute.count()
     // 2-of-8 probes on 64-dim unclustered synthetic data: recall is
     // necessarily partial; assert it's meaningfully above random (2/8)
     assert(hit.toDouble / total > 0.25, s"recall ${hit.toDouble / total}")
     // every reported cosine must equal brute-force exactly (no approx math)
-    val cosDiff = Similarity.annIvf(spark, sf)
-      .select(col("query_id"), col("neighbor_id"), col("cosine").as("c1"))
-      .join(Similarity.topkBruteforce(spark, sf)
-        .select(col("query_id"), col("neighbor_id"), col("cosine").as("c2")),
-        Seq("query_id", "neighbor_id"))
-      .filter(col("c1") =!= col("c2")).count()
-    assert(cosDiff == 0)
+    assert(joined.filter(col("c1") =!= col("c2")).count() == 0)
+    joined.unpersist()
   }
 
   test("topk returns exactly 10 ranked neighbors per query") {
