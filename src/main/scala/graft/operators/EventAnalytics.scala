@@ -82,6 +82,56 @@ object EventAnalytics {
       |  CAST(sum(t_purchase - t_signup) AS DOUBLE) / count(t_purchase) / 3.6e9 AS avg_hours_to_convert
       |FROM signup LEFT JOIN purchase USING (user_id)""".stripMargin
 
+  /** Time-series resample + forward fill: each user's event stream
+    * regularized onto an hourly grid (per-user span), observed hours carry
+    * the exact-decimal hourly mean, gaps forward-fill the last observation
+    * (last-ignore-nulls window). One agg + one generated grid + one keyed
+    * join + one window — no per-user driver work, scales with user count.
+    */
+  def qResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(hourUs))).as("h"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+    val obs = ev.groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_obs"),
+        (sum(col("v")).cast(DoubleType) / count(lit(1))).as("hour_avg"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .select(col("user_id"),
+        explode(expr(s"sequence(hmin, hmax, ${hourUs}L)")).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour_us"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("hour_avg"), ignoreNulls = true).over(w).as("filled_avg"))
+      .orderBy(col("user_id"), col("hour_us"))
+  }
+
+  val qResampleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS h,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |obs AS (
+      |  SELECT user_id, h, count(*) AS n_obs,
+      |    CAST(sum(v) AS DOUBLE) / count(*) AS hour_avg
+      |  FROM ev GROUP BY user_id, h),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(hmin, hmax, 3600000000)) AS h
+      |  FROM (SELECT user_id, min(h) AS hmin, max(h) AS hmax FROM ev GROUP BY user_id))
+      |SELECT g.user_id, g.h AS hour_us,
+      |  coalesce(o.n_obs, 0) AS n_obs,
+      |  last_value(o.hour_avg IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+      |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+      |ORDER BY g.user_id, hour_us""".stripMargin
+
   /** Weekly cohort retention: users bucketed by first-activity week,
     * counted as active in each subsequent week offset. One scan + two
     * aggregations; the cohort join is broadcastable (one row per user).
