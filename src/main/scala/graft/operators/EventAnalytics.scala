@@ -82,6 +82,30 @@ object EventAnalytics {
       |  CAST(sum(t_purchase - t_signup) AS DOUBLE) / count(t_purchase) / 3.6e9 AS avg_hours_to_convert
       |FROM signup LEFT JOIN purchase USING (user_id)""".stripMargin
 
+  /** Fixed-width value histogram per event_type (20 buckets of width 25
+    * over [0, 500)): one conditional-aggregation pass, the profiling
+    * op every survey tool ships. Buckets derive from exact integer floor
+    * of identically-computed doubles, so both engines bucket identically.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        least(floor(col("value") / 25.0), lit(19L)).cast(LongType).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", col("bucket") * 25.0)
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val qHistogramSql: String =
+    """SELECT event_type, bucket, count(*) AS n, bucket * 25.0 AS bucket_lo
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(least(floor("value" / 25.0), 19) AS BIGINT) AS bucket
+      |  FROM events)
+      |GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+
   /** Time-series resample + forward fill: each user's event stream
     * regularized onto an hourly grid (per-user span), observed hours carry
     * the exact-decimal hourly mean, gaps forward-fill the last observation
