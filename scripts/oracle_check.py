@@ -51,6 +51,7 @@ def main():
         try:
             oracle = con.execute(sqls[name])
             o_cols = [d[0] for d in oracle.description]
+            o_types = dict((d[0], str(d[1])) for d in oracle.description)
             o_rows, o_cols_s = canon(oracle.fetchall(), o_cols)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
@@ -59,10 +60,20 @@ def main():
         got = con.execute(
             f"SELECT * FROM read_parquet({spark_glob!r})")
         g_cols = [d[0] for d in got.description]
+        g_types = dict((d[0], str(d[1])) for d in got.description)
         g_rows, g_cols_s = canon(got.fetchall(), g_cols)
+        # The driver's hash is TYPE-sensitive (DuckDB sum() -> HUGEINT vs
+        # Spark BIGINT broke 4 queries in round 1); compare declared types too.
+        type_diff = [c for c in g_cols_s if c in o_types
+                     and g_types.get(c) != o_types[c]]
         if g_cols_s != o_cols_s:
             print(f"FAIL {name}: columns spark={g_cols_s} oracle={o_cols_s}")
             n_fail += 1
+        elif type_diff:
+            n_fail += 1
+            diffs = ", ".join(
+                f"{c}: spark={g_types.get(c)} oracle={o_types[c]}" for c in type_diff)
+            print(f"FAIL {name}: type mismatch ({diffs})")
         elif g_rows != o_rows:
             n_fail += 1
             print(f"FAIL {name}: {len(g_rows)} spark rows vs {len(o_rows)} oracle rows")

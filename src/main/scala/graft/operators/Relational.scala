@@ -269,7 +269,7 @@ object Relational {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
       |), sessioned AS (
-      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM marked)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(t_us) AS start_us, max(t_us) AS end_us,

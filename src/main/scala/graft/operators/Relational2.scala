@@ -38,8 +38,8 @@ object Relational2 {
   val qSemiAntiSql: String =
     """SELECT c_mktsegment,
       |  count(*) AS n_customers,
-      |  sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS n_with_orders,
-      |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS n_without_orders
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+      |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
       |FROM customer
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 

@@ -74,11 +74,13 @@ object Quality {
     def comp(c: String) = s"CAST(n - null_$c - empty_$c AS DOUBLE) / n"
     val aggSelect = ("count(*) AS n" +: docCols.flatMap(c =>
       Seq(s"${nulls(c)} AS null_$c", s"${empties(c)} AS empty_$c"))).mkString(", ")
+    // DuckDB sum() yields HUGEINT; the driver's hash is type-sensitive, so
+    // every emitted count is pinned to BIGINT to match Spark's LongType.
     val colSelects = docCols.map(c =>
-      s"SELECT '$c' AS column_name, null_$c AS null_count, empty_$c AS empty_count, ${comp(c)} AS completeness FROM a")
+      s"SELECT '$c' AS column_name, CAST(null_$c AS BIGINT) AS null_count, CAST(empty_$c AS BIGINT) AS empty_count, ${comp(c)} AS completeness FROM a")
     val tableSelect =
-      s"SELECT '__table__' AS column_name, ${docCols.map(c => s"null_$c").mkString(" + ")} AS null_count, " +
-        s"${docCols.map(c => s"empty_$c").mkString(" + ")} AS empty_count, " +
+      s"SELECT '__table__' AS column_name, CAST(${docCols.map(c => s"null_$c").mkString(" + ")} AS BIGINT) AS null_count, " +
+        s"CAST(${docCols.map(c => s"empty_$c").mkString(" + ")} AS BIGINT) AS empty_count, " +
         s"(${docCols.map(comp).mkString(" + ")}) / ${docCols.size} AS completeness FROM a"
     s"WITH a AS (SELECT $aggSelect FROM documents)\n" +
       (colSelects :+ tableSelect).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
@@ -216,7 +218,7 @@ object Quality {
         s"""SELECT '${t.table}' AS table_name, '$c' AS column_name,
            | n_values,
            | mean, std_dev,
-           | (SELECT sum(CASE WHEN abs($c - a.mean) > 2.5 * a.std_dev THEN 1 ELSE 0 END)
+           | (SELECT CAST(sum(CASE WHEN abs($c - a.mean) > 2.5 * a.std_dev THEN 1 ELSE 0 END) AS BIGINT)
            |    FROM ${t.table}) AS n_outliers
            |FROM (
            |  SELECT n_values, mean,
