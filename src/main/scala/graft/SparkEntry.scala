@@ -37,7 +37,9 @@ object SparkEntry {
     "text_quality_score"      -> (text.TextStats.qualityScore _),
     "text_fingerprint"        -> (text.TextStats.fingerprint _),
     "dedup_exact"             -> (text.Dedup.exact _),
-    "dedup_ngram_jaccard"     -> (text.Dedup.ngramJaccard _),
+    // dedup_ngram_jaccard demoted to test-only (r2): the naive
+    // shared-shingle join skews on hot shingles; dedup_ngram_prefix
+    // produces the identical output (same oracle SQL) skew-free.
     "dedup_minhash_lsh"       -> (text.Dedup.minhashLsh _),
     "dedup_simhash"           -> (text.Dedup.simhash _),
     "dedup_embedding"         -> (sim.Similarity.dedupEmbedding _),
@@ -103,7 +105,6 @@ object SparkEntry {
     "text_quality_score"      -> text.TextStats.qualityScoreSql,
     "text_fingerprint"        -> text.TextStats.fingerprintSql,
     "dedup_exact"             -> text.Dedup.exactSql,
-    "dedup_ngram_jaccard"     -> text.Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"       -> text.Dedup.minhashLshSql,
     "dedup_simhash"           -> text.Dedup.simhashSql,
     "dedup_embedding"         -> sim.Similarity.dedupEmbeddingSql,

@@ -23,16 +23,38 @@ object TopKAgg {
   /** IN is the full (user_id, value, event_id) row; the key is handled by
     * groupByKey, the aggregator keeps (value, id) pairs.
     */
-  class TopK(k: Int) extends Aggregator[(Long, Double, Long), Seq[Entry], Seq[Entry]] {
-    private def order(e: Entry): (Double, Long) = (-e._1, e._2)
-    private def trim(s: Seq[Entry]): Seq[Entry] = s.sortBy(order).take(k)
+  class TopK(k: Int)(implicit enc: Encoder[Seq[Entry]])
+      extends Aggregator[(Long, Double, Long), Seq[Entry], Seq[Entry]] {
+    // buffer invariant: sorted by (value desc, id asc), length <= k
+    private def beats(a: Entry, b: Entry): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     def zero: Seq[Entry] = Seq.empty
-    def reduce(b: Seq[Entry], r: (Long, Double, Long)): Seq[Entry] = trim(b :+ ((r._2, r._3)))
-    def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = trim(a ++ b)
+    def reduce(b: Seq[Entry], r: (Long, Double, Long)): Seq[Entry] = {
+      val e = (r._2, r._3)
+      // common case on a full buffer: the row doesn't make the cut —
+      // return the buffer untouched, zero allocation per input row
+      if (b.length == k && !beats(e, b(k - 1))) b
+      else {
+        val i = b.indexWhere(x => beats(e, x))
+        val at = if (i < 0) b.length else i
+        ((b.take(at) :+ e) ++ b.drop(at)).take(k)
+      }
+    }
+    def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = {
+      // linear merge of two sorted bounded buffers
+      val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+      var i = 0; var j = 0
+      while (out.length < k && (i < a.length || j < b.length)) {
+        if (j >= b.length || (i < a.length && beats(a(i), b(j)))) { out += a(i); i += 1 }
+        else { out += b(j); j += 1 }
+      }
+      out.toSeq
+    }
     def finish(r: Seq[Entry]): Seq[Entry] = r
-    // opaque buffer: the heap never needs a relational schema mid-flight
-    def bufferEncoder: Encoder[Seq[Entry]] = Encoders.kryo[Seq[Entry]]
-    def outputEncoder: Encoder[Seq[Entry]] = Encoders.kryo[Seq[Entry]]
+    // product encoder (tungsten array-of-struct), not Kryo blobs: the
+    // buffer stays unboxed in the aggregation hash map
+    def bufferEncoder: Encoder[Seq[Entry]] = enc
+    def outputEncoder: Encoder[Seq[Entry]] = enc
   }
 
   /** Top-3 events by value per user through the typed aggregator. */

@@ -45,7 +45,9 @@ object EventAnalytics {
 
   /** Signup → purchase funnel: per user, first signup and first purchase
     * at-or-after that signup; conversion counts and 7-day-window
-    * conversion. Two keyed aggregations + one broadcastable join.
+    * conversion. Two keyed aggregations + a shuffle join on user_id —
+    * the signup side is one row PER USER, i.e. it grows with the data,
+    * so no broadcast hint (AQE may still pick one at small scale).
     */
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -53,7 +55,7 @@ object EventAnalytics {
     val signup = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("t_us")).as("t_signup"))
     val purchase = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(signup), "user_id")
+      .join(signup, "user_id")
       .filter(col("t_us") >= col("t_signup"))
       .groupBy(col("user_id")).agg(min(col("t_us")).as("t_purchase"))
     val day7 = 7L * 24 * 3600 * 1000000
@@ -158,7 +160,8 @@ object EventAnalytics {
 
   /** Weekly cohort retention: users bucketed by first-activity week,
     * counted as active in each subsequent week offset. One scan + two
-    * aggregations; the cohort join is broadcastable (one row per user).
+    * aggregations; the cohort side is one row per user — data-sized, so
+    * it shuffle-joins on user_id (no broadcast hint; AQE decides).
     */
   def qRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -166,7 +169,7 @@ object EventAnalytics {
         unix_micros(date_trunc("week", col("ts"))).as("w_us"))
     val firstWeek = ev.groupBy(col("user_id")).agg(min(col("w_us")).as("cohort_us"))
     val weekUs = 7L * 24 * 3600 * 1000000
-    ev.join(broadcast(firstWeek), "user_id")
+    ev.join(firstWeek, "user_id")
       .select(col("user_id"), col("cohort_us"),
         ((col("w_us") - col("cohort_us")) / weekUs).cast(LongType).as("week_n"))
       .distinct()

@@ -103,7 +103,14 @@ object Dedup {
        |  FROM pairs p JOIN sizes x ON p.doc_a = x.doc_id
        |               JOIN sizes y ON p.doc_b = y.doc_id)""".stripMargin
 
-  /** Near-dup pairs at word-3-gram Jaccard >= 0.5. */
+  /** Near-dup pairs at word-3-gram Jaccard >= 0.5.
+    *
+    * TEST-ONLY baseline since r2: the shared-shingle join puts c^2
+    * candidate pairs on every hot shingle key — a skew scale-killer.
+    * `ngramPrefixJoin` emits the identical output (DedupSimSpec proves
+    * it; they share one oracle SQL) via the skew-immune prefix filter
+    * and is the inventory entry.
+    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir)
       .filter(col("jaccard") >= 0.5)

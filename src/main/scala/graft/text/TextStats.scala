@@ -179,11 +179,15 @@ object TextStats {
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
     // corpus size joined in as a 1-row broadcast, not a driver-side count()
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    // vocabulary joins are shuffle joins on the token: the vocabulary is
+    // corpus-sized (grows with the data), so a broadcast hint would OOM at
+    // scale. The c_ab >= 5 support filter runs BEFORE the joins to shrink
+    // the bigram side first. nDocs stays broadcast — it is one row.
     bigrams
-      .join(broadcast(uni.select(col("token").as("tok_a"), col("c").as("c_a"))), "tok_a")
-      .join(broadcast(uni.select(col("token").as("tok_b"), col("c").as("c_b"))), "tok_b")
-      .crossJoin(broadcast(nDocs))
       .filter(col("c_ab") >= 5)
+      .join(uni.select(col("token").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(uni.select(col("token").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(nDocs))
       .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
         (col("c_ab").cast("double") * col("n_docs") / col("c_a") / col("c_b")).as("lift"))
       .orderBy(col("lift").desc, col("bigram"))

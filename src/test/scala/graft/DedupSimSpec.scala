@@ -60,6 +60,36 @@ class DedupSimSpec extends AnyFunSuite {
     joined.unpersist()
   }
 
+  test("ngram prefix join output is identical to the naive shared-shingle join") {
+    val prefix = Dedup.ngramPrefixJoin(spark, sf)
+    val naive = Dedup.ngramJaccard(spark, sf)
+    assert(prefix.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(prefix).count() == 0)
+  }
+
+  test("banded dedup_embedding pairs are a verified subset of the exact all-pairs") {
+    val banded = Similarity.dedupEmbedding(spark, sf).cache()
+    val exact = Similarity.dedupEmbeddingExact(spark, sf).cache()
+    // no false positives: every banded pair appears in the exact scan
+    // with the same cosine (candidates are exactly verified)
+    assert(banded.exceptAll(exact).count() == 0)
+    // recall on this corpus's weakly-similar pairs (cosine ceiling ~0.5,
+    // where hyperplane LSH is near its theoretical floor): assert it is
+    // meaningfully above the single-band rate
+    val recall = banded.count().toDouble / math.max(exact.count(), 1L)
+    assert(recall >= 0.3, s"banded recall $recall")
+    banded.unpersist(); exact.unpersist()
+  }
+
+  test("banded pairs-threshold tally counts only exactly-verified candidates") {
+    val banded = Similarity.pairsThreshold(spark, sf).collect()
+      .map(r => r.getAs[Boolean]("same_label") -> r.getAs[Long]("n_pairs")).toMap
+    val exact = Similarity.pairsThresholdExact(spark, sf).collect()
+      .map(r => r.getAs[Boolean]("same_label") -> r.getAs[Long]("n_pairs")).toMap
+    // per label-class, the banded count never exceeds the exact count
+    banded.foreach { case (k, n) => assert(n <= exact.getOrElse(k, 0L), s"class $k") }
+  }
+
   test("topk returns exactly 10 ranked neighbors per query") {
     val t = Similarity.topkBruteforce(spark, sf)
     val perQuery = t.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))

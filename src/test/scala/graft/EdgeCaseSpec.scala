@@ -29,7 +29,7 @@ class EdgeCaseSpec extends AnyFunSuite {
   private val docQueries = Seq(
     "text_token_count", "text_quality_score", "text_fingerprint",
     "text_top_tokens", "text_collocations",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix",
+    "dedup_exact", "dedup_ngram_prefix",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_levenshtein",
     "mm_decode_features", "mm_frame_sample",
     "quality_completeness", "quality_uniqueness", "quality_consistency",
