@@ -73,6 +73,8 @@ object SparkEntry {
     // check); recall vs exact top-k asserted in DedupSimSpec.
     "sim_ann_ivf"             -> (sim.Similarity.annIvf _),
     "q_topk_agg"              -> (functions.TopKAgg.qTopkAgg _),
+    "infer_primary_keys"      -> (sources.KeyInference.inferPrimaryKeys _),
+    "infer_foreign_keys"      -> (sources.KeyInference.inferForeignKeys _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +133,7 @@ object SparkEntry {
     "text_top_tokens"         -> text.TextStats.topTokensSql,
     "text_collocations"       -> text.TextStats.collocationsSql,
     "q_topk_agg"              -> functions.TopKAgg.qTopkAggSql,
+    "infer_primary_keys"      -> sources.KeyInference.inferPrimaryKeysSql,
+    "infer_foreign_keys"      -> sources.KeyInference.inferForeignKeysSql,
   )
 }

@@ -34,16 +34,25 @@ object ArtifactJson {
       s"""{
          |  "name": ${q(t.name)},
          |  "row_count": ${t.rowCount},
+         |  "sample_status": ${q(t.sampleStatus)},
+         |  "warnings": ${t.warnings.map(q).mkString("[", ", ", "]")},
+         |  "pk_candidates": ${t.pkCandidates.map(q).mkString("[", ", ", "]")},
          |  "columns": $cols,
          |  "sample_header": ${t.sampleHeader.map(q).mkString("[", ", ", "]")},
          |  "sample_rows": $sample
          |}""".stripMargin
     }
+    val fks = a.foreignKeys.map(f =>
+      s"""{"child_table": ${q(f.childTable)}, "child_column": ${q(f.childColumn)}, """ +
+        s""""parent_table": ${q(f.parentTable)}, "parent_column": ${q(f.parentColumn)}, """ +
+        s""""coverage": ${f.coverage}, "likely": ${f.likely}}""")
+      .mkString("[", ",\n", "]")
     s"""{
        |"format_version": ${q(a.formatVersion)},
        |"source": ${q(a.source)},
        |"table_count": ${a.tables.size},
-       |"tables": ${a.tables.map(table).mkString("[\n", ",\n", "\n]")}
+       |"tables": ${a.tables.map(table).mkString("[\n", ",\n", "\n]")},
+       |"foreign_keys": $fks
        |}""".stripMargin
   }
 }
@@ -63,8 +72,20 @@ object MarkdownDoc {
     a.tables.foreach(t =>
       sb ++= s"| ${t.name} | ${t.rowCount} | ${t.columns.size} |\n")
     sb ++= "\n"
+    if (a.foreignKeys.nonEmpty) {
+      sb ++= "## Relationships (inferred)\n\n"
+      sb ++= "| Child | Parent | Coverage | Likely FK |\n| --- | --- | --- | --- |\n"
+      a.foreignKeys.foreach(f =>
+        sb ++= s"| ${f.childTable}.${f.childColumn} | ${f.parentTable}.${f.parentColumn} | ${f"${f.coverage}%.3f"} | ${f.likely} |\n")
+      sb ++= "\n"
+    }
     a.tables.foreach { t =>
       sb ++= s"## Table: ${t.name}\n\n"
+      if (t.sampleStatus != "success")
+        sb ++= s"Sample status: **${t.sampleStatus}**" +
+          (if (t.warnings.nonEmpty) s" (${t.warnings.mkString("; ")})" else "") + "\n\n"
+      if (t.pkCandidates.nonEmpty)
+        sb ++= s"Primary key candidates: ${t.pkCandidates.map(c => s"`$c`").mkString(", ")}\n\n"
       sb ++= "| Column | Type | Nullable |\n| --- | --- | --- |\n"
       t.columns.foreach(c =>
         sb ++= s"| ${c.name} | ${c.dataType} | ${c.nullable} |\n")

@@ -52,10 +52,23 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String],
 object Collector {
 
   case class ColumnInfo(name: String, dataType: String, nullable: Boolean)
+
+  /** Per-table sampling outcome (reference SampleStatus,
+    * models.rs:388-429): `success` at the requested limit, `partial`
+    * after halved-limit retries, `failed` when every retry threw.
+    */
   case class TableInfo(name: String, columns: Seq[ColumnInfo], rowCount: Long,
-      sampleHeader: Seq[String], sampleRows: Seq[Seq[String]])
+      sampleHeader: Seq[String], sampleRows: Seq[Seq[String]],
+      sampleStatus: String = "success", warnings: Seq[String] = Nil,
+      pkCandidates: Seq[String] = Nil)
+
+  /** Inferred relationship edge (KeyInference inclusion dependency). */
+  case class FkEdge(childTable: String, childColumn: String,
+      parentTable: String, parentColumn: String, coverage: Double,
+      likely: Boolean)
+
   case class Artifact(formatVersion: String, source: String,
-      tables: Seq[TableInfo])
+      tables: Seq[TableInfo], foreignKeys: Seq[FkEdge] = Nil)
 
   /** Engine-neutral type names shared with the DuckDB oracle mapping. */
   def normalizeType(dt: DataType): String = dt match {
@@ -72,39 +85,139 @@ object Collector {
     case other => other.simpleString
   }
 
-  /** Collect the full artifact: schema, row counts, and a deterministic
-    * MostRecent-style sample (first key column descending) per table.
-    * One count + one bounded top-k read per table — no full materialization.
+  /** Halved-limit retry policy around a sampling closure (reference
+    * `dbsurveyor-collect/src/sampling.rs`: on failure, halve the limit
+    * and try again; record the outcome + warnings instead of aborting).
+    * Returns (rows, status, warnings).
     */
-  def collect(source: TableSource, sampleSize: Int = 5): Artifact = {
-    val tables = source.tableNames.map { t =>
-      val df = source.load(t)
-      val cols = df.schema.fields.toSeq.map(f =>
-        ColumnInfo(f.name, normalizeType(f.dataType), f.nullable))
-      val key = df.schema.fields.head.name
-      val sample = df.orderBy(col(key).desc).limit(sampleSize)
-        .collect().toSeq.map(r =>
-          r.toSeq.map(v => if (v == null) "NULL" else v.toString))
-      TableInfo(t, cols, df.count(), df.schema.fieldNames.toSeq, sample)
+  def sampleWithRetry(limit: Int, doSample: Int => Seq[Seq[String]])
+      : (Seq[Seq[String]], String, Seq[String]) = {
+    val warnings = Seq.newBuilder[String]
+    var l = limit
+    while (l >= 1) {
+      try {
+        val rows = doSample(l)
+        return (rows, if (l == limit) "success" else "partial", warnings.result())
+      } catch {
+        case e: Exception =>
+          warnings += s"sample at limit $l failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          l = l / 2
+      }
     }
-    Artifact("1.0", source.name, tables)
+    (Nil, "failed", warnings.result())
   }
 
-  /** Reference's `validate` command: structural consistency checks over a
-    * collected artifact (dbsurveyor/src/output.rs:validate_schema).
+  /** Collect the full artifact: schema, row counts, and a deterministic
+    * MostRecent-style sample (first key column descending) per table.
+    * One count + one bounded top-k read per table — no full
+    * materialization. A failing table degrades (halved-limit retries,
+    * then a `failed` status with warnings) instead of aborting the
+    * artifact; an unloadable table is recorded as a schema-less `failed`
+    * entry. With `withKeys`, PK candidates and inclusion-dependency FK
+    * edges (KeyInference) are inferred from the data and embedded.
+    */
+  def collect(source: TableSource, sampleSize: Int = 5,
+      withKeys: Boolean = false): Artifact = {
+    val loaded: Seq[(String, Option[DataFrame], Seq[String])] =
+      source.tableNames.map { t =>
+        try { val df = source.load(t); (t, Some(df), Nil) }
+        catch { case e: Exception =>
+          (t, None, Seq(s"load failed: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }
+    val goodTables = loaded.collect { case (t, Some(df), _) => t -> df }
+    val pkMap: Map[String, Seq[String]] =
+      if (withKeys && goodTables.nonEmpty)
+        KeyInference.primaryKeysFor(goodTables)
+          .filter(col("is_pk_candidate"))
+          .collect().toSeq
+          .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      else Map.empty
+    val fks: Seq[FkEdge] =
+      if (withKeys && goodTables.nonEmpty)
+        KeyInference.foreignKeysFor(goodTables).collect().toSeq.map(r =>
+          FkEdge(r.getAs[String]("child_table"), r.getAs[String]("child_column"),
+            r.getAs[String]("parent_table"), r.getAs[String]("parent_column"),
+            r.getAs[Double]("coverage"), r.getAs[Boolean]("is_likely_fk")))
+      else Nil
+    val tables = loaded.map {
+      case (t, None, warns) =>
+        TableInfo(t, Nil, -1L, Nil, Nil, sampleStatus = "failed", warnings = warns)
+      case (t, Some(df), _) =>
+        val cols = df.schema.fields.toSeq.map(f =>
+          ColumnInfo(f.name, normalizeType(f.dataType), f.nullable))
+        val key = df.schema.fields.head.name
+        val (sample, status, warns) = sampleWithRetry(sampleSize, l =>
+          df.orderBy(col(key).desc).limit(l).collect().toSeq.map(r =>
+            r.toSeq.map(v => if (v == null) "NULL" else v.toString)))
+        TableInfo(t, cols, df.count(), df.schema.fieldNames.toSeq, sample,
+          sampleStatus = status, warnings = warns,
+          pkCandidates = pkMap.getOrElse(t, Nil))
+    }
+    Artifact("1.0", source.name, tables, fks)
+  }
+
+  /** Reference's `validate` command, at the reference's depth
+    * (dbsurveyor-core/src/validation.rs: identifier validation, type
+    * checks, cross-references; dbsurveyor/src/output.rs:validate_schema):
+    * structural consistency + identifier sanity + sample/schema agreement
+    * + key cross-references over a collected artifact.
     */
   def validate(a: Artifact): Seq[String] = {
     val errs = Seq.newBuilder[String]
+    val validStatus = Set("success", "partial", "failed")
+    def badIdent(s: String): Boolean =
+      s.isEmpty || s.length > 255 || s.exists(c => c < ' ' || c == '\u007f')
+    if (a.formatVersion != "1.0")
+      errs += s"unsupported format version '${a.formatVersion}'"
     if (a.tables.isEmpty) errs += "artifact has no tables"
+    a.tables.groupBy(_.name).collect { case (n, ts) if ts.size > 1 =>
+      errs += s"duplicate table name '$n'" }
     a.tables.foreach { t =>
-      if (t.columns.isEmpty) errs += s"table ${t.name} has no columns"
-      if (t.rowCount < 0) errs += s"table ${t.name} has negative row count"
-      if (t.sampleHeader.size != t.columns.size)
-        errs += s"table ${t.name}: sample header width != column count"
+      val failed = t.sampleStatus == "failed"
+      if (badIdent(t.name)) errs += s"invalid table identifier '${t.name}'"
+      if (!validStatus(t.sampleStatus))
+        errs += s"table ${t.name}: unknown sample status '${t.sampleStatus}'"
+      if (failed && t.sampleRows.nonEmpty)
+        errs += s"table ${t.name}: failed sample status but sample rows present"
+      if (!failed) {
+        if (t.columns.isEmpty) errs += s"table ${t.name} has no columns"
+        if (t.rowCount < 0) errs += s"table ${t.name} has negative row count"
+        if (t.rowCount >= 0 && t.sampleRows.size > t.rowCount)
+          errs += s"table ${t.name}: more sample rows than table rows"
+        if (t.sampleHeader.size != t.columns.size)
+          errs += s"table ${t.name}: sample header width != column count"
+        if (t.sampleHeader.nonEmpty && t.sampleHeader != t.columns.map(_.name))
+          errs += s"table ${t.name}: sample header disagrees with column names"
+      }
+      t.columns.groupBy(_.name).collect { case (c, cs) if cs.size > 1 =>
+        errs += s"table ${t.name}: duplicate column '$c'" }
+      t.columns.foreach { c =>
+        if (badIdent(c.name)) errs += s"table ${t.name}: invalid column identifier '${c.name}'"
+        if (c.dataType.trim.isEmpty) errs += s"table ${t.name}.${c.name}: empty data type"
+      }
       t.sampleRows.foreach { r =>
         if (r.size != t.sampleHeader.size)
           errs += s"table ${t.name}: ragged sample row"
       }
+      val colNames = t.columns.map(_.name).toSet
+      t.pkCandidates.filterNot(colNames).foreach(c =>
+        errs += s"table ${t.name}: pk candidate '$c' is not a column")
+    }
+    val tableCols = a.tables.map(t => t.name -> t.columns.map(_.name).toSet).toMap
+    a.foreignKeys.foreach { fk =>
+      def check(side: String, tbl: String, c: String): Unit =
+        tableCols.get(tbl) match {
+          case None => errs += s"foreign key $side references unknown table '$tbl'"
+          case Some(cols) if !cols(c) =>
+            errs += s"foreign key $side references unknown column '$tbl.$c'"
+          case _ =>
+        }
+      check("child", fk.childTable, fk.childColumn)
+      check("parent", fk.parentTable, fk.parentColumn)
+      if (fk.coverage < 0.0 || fk.coverage > 1.0)
+        errs += s"foreign key ${fk.childTable}.${fk.childColumn}: coverage out of [0,1]"
     }
     errs.result()
   }

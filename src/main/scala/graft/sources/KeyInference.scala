@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Key/constraint discovery — the Spark-native re-expression of the
+  * reference's deepest schema-metadata surface: primary keys, foreign
+  * keys and unique constraints (dbsurveyor-core/src/models.rs:98-175;
+  * adapters/postgres/schema_collection.rs, mysql/schema_collection.rs).
+  * The reference reads them from catalog tables; a parquet lake has no
+  * catalog, so graft INFERS them from the data itself:
+  *
+  *  - primary-key candidates: exact per-column uniqueness + non-nullness
+  *    (one pruned single-column aggregation branch per column, the same
+  *    Expand-safe shape as Profiler.profileTable);
+  *  - foreign-key candidates: unary inclusion dependencies over the
+  *    integer-typed columns — the distributed set-containment join of the
+  *    IND-discovery literature (SPIDER/Sindy style: per-column DISTINCT
+  *    value sets, then one equi-join on the value), never an all-pairs
+  *    comparison. Fan-out per value is bounded by catalog width (number
+  *    of integer columns), not by data size, so the shape survives 100 TB.
+  *
+  * Containment alone over-reports (any dense 0..n id range includes every
+  * smaller dense range), so each candidate also carries COVERAGE — the
+  * fraction of the parent key space the child references. Genuine FKs
+  * reference most of their parent (TPC-H: >= 98%); coincidental range
+  * inclusions reference a sliver. `is_likely_fk` = full containment AND
+  * coverage >= 0.8. Identical key ranges (two 0..n surrogate spaces) are
+  * indistinguishable from data alone — those few false positives are
+  * inherent to data-driven discovery and left flagged for review.
+  */
+object KeyInference {
+
+  /** Static catalog column lists for the DuckDB oracle (the testdata
+    * schema); the Spark side enumerates dynamically from the real schema.
+    * embeddings.embedding (array) is excluded: complex types can't key.
+    */
+  private val catalogColumns: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "label"))
+
+  private val intColumns: Seq[(String, String)] = Seq(
+    ("region", "r_regionkey"), ("nation", "n_nationkey"), ("nation", "n_regionkey"),
+    ("customer", "c_custkey"), ("customer", "c_nationkey"),
+    ("supplier", "s_suppkey"), ("supplier", "s_nationkey"),
+    ("part", "p_partkey"), ("part", "p_size"),
+    ("orders", "o_orderkey"), ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"), ("lineitem", "l_linenumber"),
+    ("events", "event_id"), ("events", "user_id"),
+    ("documents", "doc_id"), ("documents", "n_chars"),
+    ("embeddings", "vec_id"), ("embeddings", "label"))
+
+  private def keyable(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
+  private def isIntType(dt: DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
+  // ------------------------------------------------------------ primary keys
+
+  /** Per-column PK-candidate profile over named tables: exact row /
+    * non-null / distinct counts; a column is a candidate iff it is fully
+    * non-null and fully unique. One pruned aggregation branch per column.
+    */
+  def primaryKeysFor(tables: Seq[(String, DataFrame)]): DataFrame = {
+    tables.flatMap { case (t, df) =>
+      df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
+        df.select(col(f.name)).agg(
+          count(lit(1)).as("n_rows"),
+          count(col(f.name)).as("n_nonnull"),
+          countDistinct(col(f.name)).as("n_distinct"))
+          .select(lit(t).as("table_name"), lit(f.name).as("column_name"),
+            col("n_rows"), col("n_nonnull"), col("n_distinct"),
+            (col("n_nonnull") === col("n_rows") &&
+              col("n_distinct") === col("n_rows")).as("is_pk_candidate"))
+      }
+    }.reduce(_ unionByName _).orderBy(col("table_name"), col("column_name"))
+  }
+
+  def inferPrimaryKeys(spark: SparkSession, dir: String): DataFrame =
+    primaryKeysFor(Tables.all.map(t => t -> Tables.table(spark, dir, t)))
+
+  val inferPrimaryKeysSql: String = {
+    catalogColumns.flatMap { case (t, cols) =>
+      cols.map { c =>
+        // events.ts is ns in parquet but truncated to us by the Spark
+        // reader — count distinct microseconds on the oracle side too
+        val e = if (t == "events" && c == "ts") "epoch_us(ts)" else c
+        s"""SELECT '$t' AS table_name, '$c' AS column_name,
+           |  count(*) AS n_rows, count($e) AS n_nonnull,
+           |  count(DISTINCT $e) AS n_distinct,
+           |  (count($e) = count(*) AND count(DISTINCT $e) = count(*)) AS is_pk_candidate
+           |FROM $t""".stripMargin
+      }
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+  }
+
+  // ------------------------------------------------------------ foreign keys
+
+  /** Inclusion-dependency FK discovery over integer columns of named
+    * tables. Emits every full containment (child values ⊆ parent key,
+    * parent fully unique + non-null) with parent-coverage and the
+    * likely-FK flag. All joins are equi-joins on the 64-bit value or on
+    * (table, column) — no quadratic step anywhere.
+    */
+  def foreignKeysFor(tables: Seq[(String, DataFrame)]): DataFrame = {
+    val intCols = tables.flatMap { case (t, df) =>
+      df.schema.fields.filter(f => isIntType(f.dataType)).map(f => (t, f.name, df))
+    }
+    // per-column DISTINCT value sets, deduped before the union so each
+    // branch's shuffle carries only its own distinct values
+    val vals = intCols.map { case (t, c, df) =>
+      df.select(lit(t).as("tbl"), lit(c).as("col_name"),
+        col(c).cast(LongType).as("v"))
+        .filter(col("v").isNotNull).distinct()
+    }.reduce(_ unionByName _)
+    val stats = intCols.map { case (t, c, df) =>
+      df.select(col(c)).agg(
+        count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(t).as("tbl"), lit(c).as("col_name"),
+          col("n_rows"), col("n_nonnull"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+    val parents = stats
+      .filter(col("n_nonnull") === col("n_rows") && col("n_distinct") === col("n_rows"))
+      .select(col("tbl").as("p_tbl"), col("col_name").as("p_col"),
+        col("n_distinct").as("n_parent"))
+    val pvals = vals
+      .join(parents, vals("tbl") === parents("p_tbl") && vals("col_name") === parents("p_col"))
+      .select(col("p_tbl"), col("p_col"), col("n_parent"), col("v"))
+    val childCounts = vals.groupBy(col("tbl"), col("col_name"))
+      .agg(count(lit(1)).as("n_child"))
+    val matched = vals.join(pvals, "v")
+      .filter(!(col("tbl") === col("p_tbl") && col("col_name") === col("p_col")))
+      .groupBy(col("tbl"), col("col_name"), col("p_tbl"), col("p_col"), col("n_parent"))
+      .agg(count(lit(1)).as("n_matched"))
+    matched.join(childCounts, Seq("tbl", "col_name"))
+      .filter(col("n_matched") === col("n_child"))
+      .select(col("tbl").as("child_table"), col("col_name").as("child_column"),
+        col("p_tbl").as("parent_table"), col("p_col").as("parent_column"),
+        col("n_matched").as("n_values"),
+        (col("n_matched").cast(DoubleType) / col("n_parent")).as("coverage"),
+        (col("n_matched").cast(DoubleType) / col("n_parent") >= 0.8).as("is_likely_fk"))
+      .orderBy(col("child_table"), col("child_column"),
+        col("parent_table"), col("parent_column"))
+  }
+
+  def inferForeignKeys(spark: SparkSession, dir: String): DataFrame =
+    foreignKeysFor(Tables.all.map(t => t -> Tables.table(spark, dir, t)))
+
+  val inferForeignKeysSql: String = {
+    val vals = intColumns.map { case (t, c) =>
+      s"SELECT DISTINCT '$t' AS tbl, '$c' AS col_name, CAST($c AS BIGINT) AS v FROM $t WHERE $c IS NOT NULL"
+    }.mkString("\nUNION ALL\n")
+    val stats = intColumns.map { case (t, c) =>
+      s"SELECT '$t' AS tbl, '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct FROM $t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vals AS ($vals),
+       |stats AS ($stats),
+       |parents AS (
+       |  SELECT tbl, col_name, n_distinct AS n_parent FROM stats
+       |  WHERE n_nonnull = n_rows AND n_distinct = n_rows),
+       |pvals AS (
+       |  SELECT v.tbl AS p_tbl, v.col_name AS p_col, p.n_parent, v.v
+       |  FROM vals v JOIN parents p ON v.tbl = p.tbl AND v.col_name = p.col_name),
+       |child_counts AS (SELECT tbl, col_name, count(*) AS n_child FROM vals GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT c.tbl AS child_table, c.col_name AS child_column,
+       |    p.p_tbl AS parent_table, p.p_col AS parent_column,
+       |    p.n_parent, count(*) AS n_matched
+       |  FROM vals c JOIN pvals p
+       |    ON c.v = p.v AND NOT (c.tbl = p.p_tbl AND c.col_name = p.p_col)
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT m.child_table, m.child_column, m.parent_table, m.parent_column,
+       |  CAST(m.n_matched AS BIGINT) AS n_values,
+       |  CAST(m.n_matched AS DOUBLE) / m.n_parent AS coverage,
+       |  CAST(m.n_matched AS DOUBLE) / m.n_parent >= 0.8 AS is_likely_fk
+       |FROM matched m JOIN child_counts cc
+       |  ON m.child_table = cc.tbl AND m.child_column = cc.col_name
+       |WHERE m.n_matched = cc.n_child
+       |ORDER BY child_table, child_column, parent_table, parent_column""".stripMargin
+  }
+}

@@ -85,4 +85,99 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(md.contains("| l_orderkey | int64 | true |"))
     assert(md.contains("### Sample (3 rows)"))
   }
+
+  test("sample retry halves the limit and records partial/failed outcomes") {
+    // succeeds only at limit <= 2: two halvings from 10 -> partial
+    val (rows, status, warns) = Collector.sampleWithRetry(10, l =>
+      if (l > 2) throw new RuntimeException(s"too big: $l")
+      else Seq.fill(l)(Seq("x")))
+    assert(status == "partial" && rows.size == 2 && warns.size == 2)
+    // never succeeds -> failed with a warning per halving (10,5,2,1)
+    val (r2, s2, w2) = Collector.sampleWithRetry(10, _ => throw new RuntimeException("nope"))
+    assert(s2 == "failed" && r2.isEmpty && w2.size == 4)
+    // immediate success
+    val (_, s3, w3) = Collector.sampleWithRetry(3, l => Seq.fill(l)(Seq("x")))
+    assert(s3 == "success" && w3.isEmpty)
+  }
+
+  test("a failing table degrades to a failed entry instead of aborting") {
+    val base = new ParquetSource(spark, sf)
+    val flaky = new graft.sources.TableSource {
+      def name = "flaky"
+      def tableNames = Seq("region", "ghost_table", "nation")
+      def load(t: String) =
+        if (t == "ghost_table") spark.read.parquet(s"$sf/does_not_exist.parquet")
+        else base.load(t)
+    }
+    val a = Collector.collect(flaky, sampleSize = 2)
+    assert(a.tables.map(_.name) == Seq("region", "ghost_table", "nation"))
+    val ghost = a.tables.find(_.name == "ghost_table").get
+    assert(ghost.sampleStatus == "failed" && ghost.warnings.nonEmpty &&
+      ghost.rowCount == -1L && ghost.columns.isEmpty)
+    assert(a.tables.filter(_.name != "ghost_table").forall(_.sampleStatus == "success"))
+    // the degraded artifact still validates (failure is a recorded outcome)
+    assert(Collector.validate(a).isEmpty)
+  }
+
+  lazy val keyed = Collector.collect(new ParquetSource(spark, sf),
+    sampleSize = 2, withKeys = true)
+
+  test("collect withKeys embeds inferred pk candidates and fk edges") {
+    val orders = keyed.tables.find(_.name == "orders").get
+    assert(orders.pkCandidates.contains("o_orderkey"))
+    val li = keyed.tables.find(_.name == "lineitem").get
+    assert(!li.pkCandidates.contains("l_orderkey")) // not unique
+    val likely = keyed.foreignKeys.filter(_.likely)
+      .map(f => (f.childTable, f.childColumn, f.parentTable, f.parentColumn))
+    assert(likely.contains(("orders", "o_custkey", "customer", "c_custkey")))
+    assert(likely.contains(("lineitem", "l_orderkey", "orders", "o_orderkey")))
+    assert(likely.contains(("nation", "n_regionkey", "region", "r_regionkey")))
+    assert(Collector.validate(keyed).isEmpty)
+    val json = ArtifactJson.render(keyed)
+    assert(json.contains("\"pk_candidates\"") && json.contains("\"o_orderkey\""))
+    assert(json.contains("\"foreign_keys\""))
+    val md = MarkdownDoc.render(keyed)
+    assert(md.contains("## Relationships (inferred)"))
+    assert(md.contains("| orders.o_custkey | customer.c_custkey |"))
+  }
+
+  test("validate catches the new corruption classes") {
+    def errsOf(mut: Collector.Artifact => Collector.Artifact): Seq[String] =
+      Collector.validate(mut(keyed))
+    // bad format version
+    assert(errsOf(_.copy(formatVersion = "9.9")).exists(_.contains("format version")))
+    // duplicate table
+    assert(errsOf(a => a.copy(tables = a.tables ++ a.tables.take(1)))
+      .exists(_.contains("duplicate table")))
+    // invalid identifier
+    assert(errsOf(a => a.copy(tables = a.tables.head.copy(name = "bad\u0001name") +: a.tables.tail))
+      .exists(_.contains("invalid table identifier")))
+    // duplicate column
+    assert(errsOf(a => a.copy(tables = a.tables.map(t =>
+      t.copy(columns = t.columns ++ t.columns.take(1),
+        sampleHeader = t.sampleHeader :+ t.columns.head.name))))
+      .exists(_.contains("duplicate column")))
+    // sample header disagrees with column names
+    assert(errsOf(a => a.copy(tables = a.tables.map(t =>
+      t.copy(sampleHeader = t.sampleHeader.reverse))))
+      .exists(_.contains("disagrees")))
+    // pk candidate referencing a ghost column
+    assert(errsOf(a => a.copy(tables = a.tables.map(t =>
+      t.copy(pkCandidates = Seq("ghost_col")))))
+      .exists(_.contains("pk candidate")))
+    // fk referencing a ghost table
+    assert(errsOf(a => a.copy(foreignKeys = Seq(
+      Collector.FkEdge("no_such", "c", "orders", "o_orderkey", 1.0, likely = true))))
+      .exists(_.contains("unknown table")))
+    // coverage out of range
+    assert(errsOf(a => a.copy(foreignKeys = Seq(
+      Collector.FkEdge("orders", "o_custkey", "customer", "c_custkey", 1.5, likely = true))))
+      .exists(_.contains("coverage")))
+    // failed status with sample rows present
+    assert(errsOf(a => a.copy(tables = a.tables.map(_.copy(sampleStatus = "failed"))))
+      .exists(_.contains("failed sample status")))
+    // more sample rows than table rows
+    assert(errsOf(a => a.copy(tables = a.tables.map(t => t.copy(rowCount = 0))))
+      .exists(_.contains("more sample rows")))
+  }
 }
