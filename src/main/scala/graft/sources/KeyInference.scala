@@ -120,38 +120,63 @@ object KeyInference {
     * (table, column) — no quadratic step anywhere.
     */
   def foreignKeysFor(tables: Seq[(String, DataFrame)]): DataFrame = {
-    val intCols = tables.flatMap { case (t, df) =>
-      df.schema.fields.filter(f => isIntType(f.dataType)).map(f => (t, f.name, df))
-    }
-    // per-column DISTINCT value sets, deduped before the union so each
-    // branch's shuffle carries only its own distinct values
-    val vals = intCols.map { case (t, c, df) =>
-      df.select(lit(t).as("tbl"), lit(c).as("col_name"),
-        col(c).cast(LongType).as("v"))
-        .filter(col("v").isNotNull).distinct()
+    // integer columns get dense ids so every shuffle carries (int, long)
+    // pairs instead of table/column strings; names rejoin at the end via
+    // a tiny broadcast.
+    val intCols: Seq[((String, String), Int)] = tables.flatMap { case (t, df) =>
+      df.schema.fields.filter(f => isIntType(f.dataType)).map(f => (t, f.name))
+    }.zipWithIndex
+    val byTable = intCols.groupBy(_._1._1)
+    val spark = tables.head._2.sparkSession
+    import spark.implicits._
+    val names = intCols.map { case ((t, c), i) => (i, t, c) }
+      .toDF("cid", "tbl", "col_name")
+    // ONE scan per table emits (cid, v) for all its integer columns at
+    // once (posexplode of a struct array), then ONE global distinct —
+    // a single wide shuffle on the near-unique (cid, v) key with map-side
+    // partial dedup, instead of a distinct shuffle per column. Persisted:
+    // it feeds the child side, the parent side and the per-column counts.
+    val vals = tables.flatMap { case (t, df) =>
+      byTable.get(t).map { cols =>
+        val pairs = cols.map { case ((_, c), i) =>
+          struct(lit(i).as("cid"), col(c).cast(LongType).as("v"))
+        }
+        df.select(explode(array(pairs: _*)).as("p"))
+          .select(col("p.cid").as("cid"), col("p.v").as("v"))
+          .filter(col("v").isNotNull)
+      }
+    }.reduce(_ unionByName _).distinct().persist()
+    // per-table single-pass row/non-null counts (no countDistinct -> no
+    // Expand, no per-column scan); distinct counts come from `vals`
+    val counts = tables.flatMap { case (t, df) =>
+      byTable.get(t).map { cols =>
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.map { case ((_, c), i) => count(col(c)).as(s"nn_$i") }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val rows = cols.map { case (_, i) =>
+          struct(lit(i).as("cid"), col("n_rows"), col(s"nn_$i").as("n_nonnull"))
+        }
+        one.select(inline(array(rows: _*)))
+      }
     }.reduce(_ unionByName _)
-    val stats = intCols.map { case (t, c, df) =>
-      df.select(col(c)).agg(
-        count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
-        countDistinct(col(c)).as("n_distinct"))
-        .select(lit(t).as("tbl"), lit(c).as("col_name"),
-          col("n_rows"), col("n_nonnull"), col("n_distinct"))
-    }.reduce(_ unionByName _)
+    val nDistinct = vals.groupBy(col("cid")).agg(count(lit(1)).as("n_distinct"))
+    val stats = counts.join(nDistinct, Seq("cid"))
     val parents = stats
       .filter(col("n_nonnull") === col("n_rows") && col("n_distinct") === col("n_rows"))
-      .select(col("tbl").as("p_tbl"), col("col_name").as("p_col"),
-        col("n_distinct").as("n_parent"))
-    val pvals = vals
-      .join(parents, vals("tbl") === parents("p_tbl") && vals("col_name") === parents("p_col"))
-      .select(col("p_tbl"), col("p_col"), col("n_parent"), col("v"))
-    val childCounts = vals.groupBy(col("tbl"), col("col_name"))
-      .agg(count(lit(1)).as("n_child"))
-    val matched = vals.join(pvals, "v")
-      .filter(!(col("tbl") === col("p_tbl") && col("col_name") === col("p_col")))
-      .groupBy(col("tbl"), col("col_name"), col("p_tbl"), col("p_col"), col("n_parent"))
+      .select(col("cid").as("pid"), col("n_distinct").as("n_parent"))
+    val pvals = vals.join(broadcast(parents.select(col("pid"))),
+        vals("cid") === col("pid"))
+      .select(col("pid"), col("v"))
+    val matched = vals.join(pvals, vals("v") === pvals("v") && vals("cid") =!= pvals("pid"))
+      .groupBy(col("cid"), col("pid"))
       .agg(count(lit(1)).as("n_matched"))
-    matched.join(childCounts, Seq("tbl", "col_name"))
+    matched
+      .join(broadcast(stats.select(col("cid"), col("n_distinct").as("n_child"))), Seq("cid"))
       .filter(col("n_matched") === col("n_child"))
+      .join(broadcast(parents), Seq("pid"))
+      .join(broadcast(names), Seq("cid"))
+      .join(broadcast(names.select(col("cid").as("pid"), col("tbl").as("p_tbl"),
+        col("col_name").as("p_col"))), Seq("pid"))
       .select(col("tbl").as("child_table"), col("col_name").as("child_column"),
         col("p_tbl").as("parent_table"), col("p_col").as("parent_column"),
         col("n_matched").as("n_values"),
