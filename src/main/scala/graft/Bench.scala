@@ -26,21 +26,30 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // error bars: N timed runs per query (run-to-run noise on this box is
+    // up to 2x); "queries" reports the MEDIAN so round-over-round regressions
+    // are attributable, "queries_min" the best observed run
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+      val times = (1 to nRuns).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            // a failed run reports -1 so breakage is visible in BENCH_r{N}.json
+            -1.0
+        }
       }
-      // a failed query reports -1 so breakage is visible in BENCH_r{N}.json
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val ok = times.filter(_ >= 0).sorted
+      val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      val min = if (ok.isEmpty) -1.0 else ok.head
+      (name, median, min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(f: ((String, Double, Double)) => Double): String = results
+      .map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     // failures stay visible as -1 per query but must not reduce the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

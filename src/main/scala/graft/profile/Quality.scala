@@ -174,7 +174,21 @@ object Quality {
     * Two scans per table: one tiny stats agg (broadcast back), one counting
     * pass — the canonical distributed shape for this.
     */
-  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+  /** Sensitivity tiers (reference quality/config.rs:27): the z-score
+    * threshold in population standard deviations. Higher sensitivity =
+    * lower threshold = more rows flagged.
+    */
+  object Sensitivity {
+    val Low = 3.0
+    val Medium = 2.5
+    val High = 2.0
+  }
+
+  /** Oracle entry point: Medium (2.5σ) — the reference default. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyWith(spark, dir, Sensitivity.Medium)
+
+  def anomalyWith(spark: SparkSession, dir: String, sigma: Double): DataFrame = {
     val perTable = anomalyTargets.map { t =>
       val df = Tables.table(spark, dir, t.table)
       val statAggs = t.cols.flatMap { case (c, p) =>
@@ -196,7 +210,7 @@ object Quality {
         col(s"ss_$c") / col(s"n_$c") - meanRaw(c) * meanRaw(c), lit(0.0)))
         .cast(DecimalType(24, 6)).cast(DoubleType)
       val outAggs = t.cols.map { case (c, _) =>
-        sum(when(abs(col(c) - mean(c)) > lit(2.5) * sd(c), 1L).otherwise(0L)).as(s"o_$c")
+        sum(when(abs(col(c) - mean(c)) > lit(sigma) * sd(c), 1L).otherwise(0L)).as(s"o_$c")
       } ++ t.cols.flatMap { case (c, _) =>
         Seq(first(col(s"n_$c")).as(s"fn_$c"), first(mean(c)).as(s"fm_$c"),
           first(sd(c)).as(s"fs_$c"))
@@ -243,7 +257,21 @@ object Quality {
     * dominant-format >50% rule (type inconsistencies are impossible on a
     * typed parquet schema). One scan, one aggregate row.
     */
-  def score(spark: SparkSession, dir: String): DataFrame = {
+  /** Component weights for the composite score (reference
+    * quality/config.rs QualityWeights; analyzer.rs:171 weighted
+    * aggregation). Defaults are the reference's equal weights.
+    */
+  case class ScoreWeights(completeness: Double = 1.0, uniqueness: Double = 1.0,
+      consistency: Double = 1.0) {
+    require(completeness >= 0 && uniqueness >= 0 && consistency >= 0 &&
+      completeness + uniqueness + consistency > 0, "weights must be >= 0, sum > 0")
+  }
+
+  /** Oracle entry point: equal weights — the reference default. */
+  def score(spark: SparkSession, dir: String): DataFrame =
+    scoreWith(spark, dir, ScoreWeights())
+
+  def scoreWith(spark: SparkSession, dir: String, w: ScoreWeights): DataFrame = {
     val df = Tables.documents(spark, dir)
     val rowKey = md5(concat_ws("\u0001",
       docCols.map(c => coalesce(col(c).cast(StringType), lit("<NULL>"))): _*))
@@ -280,11 +308,16 @@ object Quality {
     val consistencyScore =
       greatest(lit(1.0) - violations.cast(DoubleType) / (col("n") * lit(docCols.size)), lit(0.0))
 
+    // with the default weights this is bit-identical to (c + u + n) / 3.0
+    // (x * 1.0 == x in IEEE), preserving oracle parity
+    val weighted = (completenessScore * w.completeness +
+      uniquenessScore * w.uniqueness + consistencyScore * w.consistency) /
+      lit(w.completeness + w.uniqueness + w.consistency)
     one.select(lit("documents").as("table_name"), col("n").as("n_rows"),
       completenessScore.as("completeness"),
       uniquenessScore.as("uniqueness"),
       consistencyScore.as("consistency"),
-      ((completenessScore + uniquenessScore + consistencyScore) / lit(3.0)).as("quality_score"))
+      weighted.as("quality_score"))
   }
 
   val scoreSql: String = {

@@ -72,4 +72,36 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("std_dev") - ref.getDouble(0)) < 1e-6)
     assert(math.abs(got.getAs[Double]("mean") - ref.getDouble(1)) < 1e-6)
   }
+
+  test("sensitivity tiers are monotone: High flags at least as many as Low") {
+    def outliers(sigma: Double): Long =
+      Quality.anomalyWith(spark, sf, sigma).collect()
+        .map(_.getAs[Long]("n_outliers")).sum
+    val lo = outliers(Quality.Sensitivity.Low)     // 3.0σ
+    val med = outliers(Quality.Sensitivity.Medium) // 2.5σ
+    val hi = outliers(Quality.Sensitivity.High)    // 2.0σ
+    assert(hi >= med && med >= lo)
+    assert(hi > lo, "tiers should separate on this data")
+  }
+
+  test("score weights shift the composite toward the weighted component") {
+    def scoreOf(w: Quality.ScoreWeights): (Double, Double, Double, Double) = {
+      val r = Quality.scoreWith(spark, sf, w).collect()(0)
+      (r.getAs[Double]("completeness"), r.getAs[Double]("uniqueness"),
+        r.getAs[Double]("consistency"), r.getAs[Double]("quality_score"))
+    }
+    val (c, u, n, equal) = scoreOf(Quality.ScoreWeights())
+    assert(math.abs(equal - (c + u + n) / 3.0) < 1e-12)
+    // all weight on one component reproduces that component exactly
+    val (_, _, _, onlyC) = scoreOf(Quality.ScoreWeights(1.0, 0.0, 0.0))
+    assert(math.abs(onlyC - c) < 1e-12)
+    val (_, _, _, onlyU) = scoreOf(Quality.ScoreWeights(0.0, 1.0, 0.0))
+    assert(math.abs(onlyU - u) < 1e-12)
+    // scaling all weights equally leaves the score unchanged
+    val (_, _, _, scaled) = scoreOf(Quality.ScoreWeights(2.0, 2.0, 2.0))
+    assert(math.abs(scaled - equal) < 1e-12)
+    // invalid weights rejected
+    intercept[IllegalArgumentException](Quality.ScoreWeights(0.0, 0.0, 0.0))
+    intercept[IllegalArgumentException](Quality.ScoreWeights(-1.0, 1.0, 1.0))
+  }
 }
