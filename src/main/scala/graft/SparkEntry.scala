@@ -76,6 +76,11 @@ object SparkEntry {
     "infer_primary_keys"      -> (sources.KeyInference.inferPrimaryKeys _),
     "infer_foreign_keys"      -> (sources.KeyInference.inferForeignKeys _),
     "schema_infer_json"       -> (sources.JsonSchema.inferEventsProps _),
+    "catalog_views"           -> (sources.CatalogSurvey.catalogViews _),
+    "catalog_types"           -> (sources.CatalogSurvey.catalogTypes _),
+    // routine listing is an engine-specific catalog surface -> rows-only
+    // check; semantics asserted in CatalogSurveySpec.
+    "catalog_routines"        -> (sources.CatalogSurvey.catalogRoutines _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +142,7 @@ object SparkEntry {
     "infer_primary_keys"      -> sources.KeyInference.inferPrimaryKeysSql,
     "infer_foreign_keys"      -> sources.KeyInference.inferForeignKeysSql,
     "schema_infer_json"       -> sources.JsonSchema.inferEventsPropsSql,
+    "catalog_views"           -> sources.CatalogSurvey.catalogViewsSql,
+    "catalog_types"           -> sources.CatalogSurvey.catalogTypesSql,
   )
 }

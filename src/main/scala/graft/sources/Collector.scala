@@ -158,6 +158,34 @@ object Collector {
     Artifact("1.0", source.name, tables, fks)
   }
 
+  /** Multi-database survey (adapters/postgres/multi_database.rs
+    * analogue): one artifact per enumerated database, collected with the
+    * same per-table machinery.
+    */
+  case class MultiArtifact(formatVersion: String, databases: Seq[Artifact])
+
+  def collectAll(sources: Seq[TableSource], sampleSize: Int = 5,
+      withKeys: Boolean = false): MultiArtifact =
+    MultiArtifact("1.0", sources.map(s => collect(s, sampleSize, withKeys)))
+
+  /** Enumerate parquet "databases" under a root path — each
+    * subdirectory holding at least one `*.parquet` entry is one
+    * database, the lake analogue of a server's database listing. Uses
+    * the Hadoop FileSystem API so the same code enumerates local, HDFS
+    * or object-store roots.
+    */
+  def enumerateLakes(spark: SparkSession, root: String): Seq[ParquetSource] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => fs.listStatus(p).exists(f => f.getPath.getName.endsWith(".parquet")))
+      .map(p => new ParquetSource(spark, p.toUri.getPath))
+      .sortBy(_.name)
+  }
+
   /** Reference's `validate` command, at the reference's depth
     * (dbsurveyor-core/src/validation.rs: identifier validation, type
     * checks, cross-references; dbsurveyor/src/output.rs:validate_schema):

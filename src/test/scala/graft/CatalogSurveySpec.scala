@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CatalogSurvey, Collector}
+
+/** Catalog-object surfaces: views, type inventory, routines, and
+  * multi-database enumeration.
+  */
+class CatalogSurveySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("standard views resolve and are queryable after registration") {
+    CatalogSurvey.registerStandardViews(spark, sf)
+    CatalogSurvey.standardViews.foreach { case (name, _) =>
+      assert(spark.table(name).count() > 0, name)
+    }
+    // resolved aggregation types follow the shared-dialect contract
+    val vc = spark.table("v_customer_orders").schema
+    assert(vc("n_orders").dataType.simpleString == "bigint")
+    assert(vc("total_spent").dataType.simpleString == "double")
+  }
+
+  test("catalog_views surveys every standard view's resolved schema") {
+    val rows = CatalogSurvey.catalogViews(spark, sf).collect()
+    val byView = rows.groupBy(_.getAs[String]("view_name"))
+    assert(byView.keySet == CatalogSurvey.standardViews.map(_._1).toSet)
+    assert(rows.exists(r => r.getAs[String]("view_name") == "v_doc_stats" &&
+      r.getAs[String]("column_name") == "total_chars" &&
+      r.getAs[String]("data_type") == "int64"))
+  }
+
+  test("catalog_types inventories the lake's type usage") {
+    val types = CatalogSurvey.catalogTypes(spark, sf).collect()
+      .map(r => r.getAs[String]("data_type") ->
+        (r.getAs[Long]("n_columns"), r.getAs[Long]("n_tables"))).toMap
+    assert(types.contains("array<float32>")) // the embedding column
+    assert(types("array<float32>") == (1L, 1L))
+    assert(types("string")._1 > 10)
+    assert(types("timestamp")._2 >= 3) // orders, lineitem, events
+  }
+
+  test("catalog_routines lists the registered graft functions") {
+    val fns = CatalogSurvey.catalogRoutines(spark, sf).collect()
+      .map(_.getAs[String]("function_name"))
+    CatalogSurvey.routineNames.foreach(n => assert(fns.contains(n), n))
+    // and they actually compute
+    CatalogSurvey.registerRoutines(spark)
+    val r = spark.sql(
+      "SELECT graft_norm_text('  A  b\tC ') AS t, graft_token_count('a b  c') AS n")
+      .collect()(0)
+    assert(r.getAs[String]("t") == "a b c")
+    assert(r.getAs[Int]("n") == 3)
+  }
+
+  test("enumerateLakes finds every sf database under the testdata root") {
+    val lakes = Collector.enumerateLakes(spark, "/root/testdata")
+    assert(lakes.size >= 3)
+    assert(lakes.map(_.name).exists(_.endsWith("sf0.001")))
+    assert(lakes.map(_.name).exists(_.endsWith("sf0.01")))
+  }
+
+  test("collectAll surveys multiple databases into one multi-artifact") {
+    val lakes = Collector.enumerateLakes(spark, "/root/testdata")
+      .filter(l => l.name.endsWith("sf0.001") || l.name.endsWith("sf0.01"))
+    val multi = Collector.collectAll(lakes, sampleSize = 1)
+    assert(multi.databases.size == 2)
+    multi.databases.foreach { a =>
+      assert(a.tables.size == 10)
+      assert(Collector.validate(a).isEmpty)
+    }
+    // row counts grow with scale factor
+    def rows(suffix: String) = multi.databases
+      .find(_.source.endsWith(suffix)).get
+      .tables.find(_.name == "lineitem").get.rowCount
+    assert(rows("sf0.01") > rows("sf0.001"))
+  }
+}
