@@ -255,6 +255,85 @@ object Dedup {
     */
   val ngramPrefixSql: String = ngramJaccardSql
 
+  /** Near-dup canonicalization — the "keep one document per duplicate
+    * cluster" step a dedup pipeline runs after pair generation:
+    * connected components over the exact Jaccard >= threshold near-dup
+    * graph, each document labeled with its component's minimum doc_id
+    * (the canonical survivor) and the component size.
+    *
+    * Spark-first shape: Pregel-style iterative min-label propagation —
+    * each round is ONE equi-join (edge src -> label) + ONE min-aggregate
+    * per dst, so a round costs two shuffles and rounds are bounded by
+    * the component diameter (near-dup clusters are shallow; the
+    * `maxIters` guard documents the bound; at planetary scale alternate
+    * large-star/small-star — "Connected Components in MapReduce", Kiveris
+    * et al. — to halve the round count, and checkpoint every ~10 rounds
+    * to cut lineage). The driver only ever sees the per-round
+    * changed-count — labels never leave the cluster.
+    *
+    * The DuckDB oracle computes the same fixpoint as a recursive CTE
+    * (min reachable label), so the iterative distributed algorithm is
+    * cross-checked against a declarative transitive closure.
+    */
+  def components(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = ngramPrefixJoin(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    // seed labels one propagation step ahead: min(self, direct neighbors)
+    // — saves a full round on shallow near-dup clusters
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), first(col("src"))).as("lbl"))
+      .select(col("src").as("node"), col("lbl")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+        .select(labels("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val labeled = docs.join(labels, docs("doc_id") === labels("node"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon_id"))
+    val sizes = labeled.groupBy(col("canon_id"))
+      .agg(count(lit(1)).as("component_size"))
+    labeled.join(sizes, "canon_id")
+      .select(col("doc_id"), col("canon_id"), col("component_size"),
+        (col("doc_id") === col("canon_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val componentsSql: String =
+    s"""WITH RECURSIVE $jaccardPairsSql,
+       |dup_pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM dup_pairs),
+       |reach(node, lbl) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM edges e JOIN reach r ON r.node = e.s),
+       |comp AS (SELECT node, min(lbl) AS canon_id FROM reach GROUP BY node),
+       |labeled AS (SELECT doc_id, coalesce(c.canon_id, doc_id) AS canon_id
+       |  FROM documents LEFT JOIN comp c ON c.node = doc_id),
+       |csize AS (SELECT canon_id, CAST(count(*) AS BIGINT) AS component_size
+       |  FROM labeled GROUP BY 1)
+       |SELECT l.doc_id, l.canon_id, s.component_size,
+       |  l.doc_id = l.canon_id AS is_canonical
+       |FROM labeled l JOIN csize s USING (canon_id) ORDER BY doc_id""".stripMargin
+
   /** Edit-distance near-dup: candidates blocked on a shared 12-char text
     * prefix (an equi-join — the blocking key stands in for the usual
     * sorted-neighborhood pass), verified with exact levenshtein over the

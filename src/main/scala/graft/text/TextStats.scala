@@ -237,4 +237,61 @@ object TextStats {
     """SELECT doc_id,
       |  list_min(list_transform(range(1, length(text) - 3), i -> md5(substr(text, i, 5)))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Unigram language-model quality scoring (the CCNet-style importance
+    * filter): train a unigram LM from the corpus itself (token relative
+    * frequencies), then score each document with its average per-token
+    * negative log-likelihood. Low avg_nll = common, fluent tokens;
+    * high = rare/garbage tokens — the classic cheap quality signal for
+    * pretraining-data filtering (a real deployment swaps in a KenLM-style
+    * n-gram model; the pipeline shape is identical).
+    *
+    * Cross-engine parity: ln() may differ by an ulp between engines, so
+    * each token's log-prob is quantized through DECIMAL(18,9) BEFORE the
+    * per-doc sum — decimal sums are exact and order-independent, which
+    * also makes the result partition-layout-invariant (a raw double sum
+    * over a shuffled groupBy would not be). The decimal->double output
+    * conversion stays far below the 2^53 unscaled divergence bound.
+    *
+    * Scale shape: one explode, one vocabulary aggregation, one shuffle
+    * join on token (the vocabulary is corpus-sized — never broadcast),
+    * one per-doc aggregation. The corpus total is a 1-row broadcast.
+    */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).cast(DoubleType).as("total"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        log(col("c").cast(DoubleType) / col("total"))
+          .cast(DecimalType(18, 9)).as("lpv"))
+    val scored = toks.join(lp, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lpv")).as("sum_lp"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (-(col("sum_lp").cast(DoubleType) / col("n_tokens"))).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramNllSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT token, count(*) AS c FROM toks WHERE token <> '' GROUP BY token),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM tf),
+      |lp AS (SELECT token, CAST(ln(CAST(c AS DOUBLE) / total) AS DECIMAL(18,9)) AS lpv FROM tf, tot),
+      |sc AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens, sum(l.lpv) AS sum_lp
+      |  FROM toks t JOIN lp l USING (token)
+      |  WHERE t.token <> '' GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  -(CAST(sc.sum_lp AS DOUBLE) / sc.n_tokens) AS avg_nll
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

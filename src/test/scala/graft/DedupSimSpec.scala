@@ -90,6 +90,26 @@ class DedupSimSpec extends AnyFunSuite {
     banded.foreach { case (k, n) => assert(n <= exact.getOrElse(k, 0L), s"class $k") }
   }
 
+  test("components partition all docs; every near-dup pair lands in one component") {
+    val comp = Dedup.components(spark, sf).cache()
+    val byDoc = comp.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canon_id")).toMap
+    // every document labeled exactly once
+    assert(byDoc.size == Tables.documents(spark, sf).count())
+    // canonical id is the component minimum and is itself in the component
+    byDoc.foreach { case (d, c) => assert(c <= d && byDoc(c) == c) }
+    // every verified near-dup pair shares a component
+    Dedup.ngramPrefixJoin(spark, sf).collect().foreach { r =>
+      assert(byDoc(r.getAs[Long]("doc_a")) == byDoc(r.getAs[Long]("doc_b")))
+    }
+    // component sizes are consistent with the labeling
+    val sizes = comp.collect().groupBy(_.getAs[Long]("canon_id"))
+    sizes.foreach { case (_, rows) =>
+      assert(rows.forall(_.getAs[Long]("component_size") == rows.length))
+    }
+    comp.unpersist()
+  }
+
   test("topk returns exactly 10 ranked neighbors per query") {
     val t = Similarity.topkBruteforce(spark, sf)
     val perQuery = t.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))

@@ -28,7 +28,8 @@ class EdgeCaseSpec extends AnyFunSuite {
 
   private val docQueries = Seq(
     "text_token_count", "text_quality_score", "text_fingerprint",
-    "text_top_tokens", "text_collocations",
+    "text_top_tokens", "text_collocations", "text_unigram_nll",
+    "dedup_components",
     "dedup_exact", "dedup_ngram_prefix",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_levenshtein",
     "mm_decode_features", "mm_frame_sample",
@@ -56,6 +57,17 @@ class EdgeCaseSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
     assert(fp(1L) == null && fp(2L) == null)
     assert(fp(0L) != null && fp(3L) != null)
+  }
+
+  test("unigram NLL: identical docs tie, rare tokens score high, empty doc is NULL") {
+    val nll = text.TextStats.unigramNll(spark, edgeDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), Option(r.getAs[Any]("avg_nll")))).toMap
+    assert(nll(2L)._1 == 0 && nll(2L)._2.isEmpty)      // empty text
+    assert(nll(4L) == nll(5L))                          // exact duplicates tie
+    // the all-rare-token French doc outscores the common-token English dup
+    val score = (d: Long) => nll(d)._2.get.asInstanceOf[Double]
+    assert(score(3L) > score(4L))
   }
 
   test("quality score handles the empty doc without NULL leakage") {
