@@ -46,6 +46,31 @@ object StreamOps {
         col("n_events"), col("sum_value"))
   }
 
+  /** Continuous data-quality profiling — the dbsurveyor quality surface
+    * (completeness / anomaly-ish counts) run AS A STREAM: per event-type
+    * per hourly window, emit row count, null-value count, out-of-range
+    * count ([0, 500) is the generator's value domain), approx distinct
+    * users (HLL — bounded state, the only stream-safe distinct), and the
+    * decimal-exact value sum. The 1-hour watermark bounds window state,
+    * so this monitors an unbounded stream with O(active windows) memory —
+    * continuous profiling instead of point-in-time surveys.
+    */
+  def qualityMonitor(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+        sum(when(col("value") < 0 || col("value") >= 500, 1L).otherwise(0L))
+          .as("n_out_of_range"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n_events"),
+        col("n_null_value"), col("n_out_of_range"), col("approx_users"),
+        col("sum_value"))
+  }
+
   case class Ev(event_id: Long, t_us: Long, user_id: Long, value: Double)
   case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

@@ -28,6 +28,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming quality monitor equals the same profile computed in batch") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    mem.addData(batch.as[(Long, java.sql.Timestamp, Long, String, Double)].collect().toSeq)
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.qualityMonitor(streamDf).writeStream
+      .outputMode("complete").format("memory").queryName("qm_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("qm_out")
+    val want = StreamOps.qualityMonitor(batch)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the monitor actually measures: totals reconcile with the raw log
+    val totalEvents = got.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(totalEvents == batch.count())
+  }
+
   test("streaming sessionization closed-session counts match batch sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
