@@ -49,18 +49,23 @@ def main():
             n_fail += 1
             continue
         try:
+            # con.sql(...).types carries real DuckDB types (HUGEINT vs
+            # BIGINT); the DBAPI cursor.description collapses all numerics
+            # to 'NUMBER' and would make this gate a no-op.
+            o_rel = con.sql(sqls[name])
+            o_types = dict(zip(o_rel.columns, map(str, o_rel.types)))
             oracle = con.execute(sqls[name])
             o_cols = [d[0] for d in oracle.description]
-            o_types = dict((d[0], str(d[1])) for d in oracle.description)
             o_rows, o_cols_s = canon(oracle.fetchall(), o_cols)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        g_rel = con.sql(f"SELECT * FROM read_parquet({spark_glob!r})")
+        g_types = dict(zip(g_rel.columns, map(str, g_rel.types)))
         got = con.execute(
             f"SELECT * FROM read_parquet({spark_glob!r})")
         g_cols = [d[0] for d in got.description]
-        g_types = dict((d[0], str(d[1])) for d in got.description)
         g_rows, g_cols_s = canon(got.fetchall(), g_cols)
         # The driver's hash is TYPE-sensitive (DuckDB sum() -> HUGEINT vs
         # Spark BIGINT broke 4 queries in round 1); compare declared types too.

@@ -43,13 +43,15 @@ object Bench {
       val ok = times.filter(_ >= 0).sorted
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       val min = if (ok.isEmpty) -1.0 else ok.head
-      (name, median, min)
+      // intermittent failures must stay visible even when the median is
+      // healthy — queries_fails carries the per-query failed-run count
+      (name, median, min, (times.size - ok.size).toDouble)
     }
-    def fmt(f: ((String, Double, Double)) => Double): String = results
+    def fmt(f: ((String, Double, Double, Double)) => Double): String = results
       .map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     // failures stay visible as -1 per query but must not reduce the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"runs":$nRuns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"queries_fails":${fmt(_._4)},"runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

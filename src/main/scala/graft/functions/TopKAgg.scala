@@ -76,7 +76,7 @@ object TopKAgg {
   val qTopkAggSql: String =
     """SELECT user_id, rn AS rank, event_id, value FROM (
       |  SELECT user_id, event_id, value,
-      |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS rn
       |  FROM events)
       |WHERE rn <= 3
       |ORDER BY user_id, rank""".stripMargin

@@ -100,7 +100,7 @@ object EventAnalytics {
   }
 
   val qHistogramSql: String =
-    """SELECT event_type, bucket, count(*) AS n, bucket * 25.0 AS bucket_lo
+    """SELECT event_type, bucket, count(*) AS n, CAST(bucket * 25.0 AS DOUBLE) AS bucket_lo
       |FROM (
       |  SELECT event_type,
       |    CAST(least(floor("value" / 25.0), 19) AS BIGINT) AS bucket

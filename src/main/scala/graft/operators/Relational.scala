@@ -136,7 +136,7 @@ object Relational {
     """SELECT c_mktsegment, rank_in_segment, c_custkey, c_name, c_acctbal
       |FROM (
       |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
-      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank_in_segment
+      |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rank_in_segment
       |  FROM customer)
       |WHERE rank_in_segment <= 3
       |ORDER BY c_mktsegment, rank_in_segment""".stripMargin

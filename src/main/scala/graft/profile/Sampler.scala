@@ -68,7 +68,7 @@ object Sampler {
   val stratifiedSql: String =
     """SELECT event_type, rn, event_id, user_id, value FROM (
       |  SELECT event_type, event_id, user_id, value,
-      |    row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR))) AS INTEGER) AS rn
       |  FROM events)
       |WHERE rn <= 10
       |ORDER BY event_type, rn""".stripMargin

@@ -107,10 +107,14 @@ object Similarity {
     * x bands.
     */
   private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(spark, dir)
+    // persisted: vecs feeds the band keying and both vector join-backs
+    // (3 consumers); keyed feeds both sides of the self-join whose
+    // differing projections defeat exchange reuse — without these the
+    // embeddings scan runs 4x and the 48 dot products per row run twice
+    val vecs = vectors(spark, dir).persist()
     val keyed = vecs.select(col("vec_id"),
       posexplode(array((0 until pairBands).map(b => pairBandKey("v", b)): _*))
-        .as(Seq("band", "bkey")))
+        .as(Seq("band", "bkey"))).persist()
     val cand = keyed
       .join(keyed.select(col("band"), col("bkey"), col("vec_id").as("vec_id_b")),
         Seq("band", "bkey"))
@@ -238,7 +242,7 @@ object Similarity {
        |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
@@ -372,7 +376,7 @@ object Similarity {
   val annLshSql: String =
     s"""WITH $vectorsSql,
        |bucketed AS (
-       |  SELECT vec_id, v, nrm, ${bucketSqlExpr("v")} AS bucket FROM e),
+       |  SELECT vec_id, v, nrm, CAST(${bucketSqlExpr("v")} AS BIGINT) AS bucket FROM e),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
        |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
@@ -380,7 +384,7 @@ object Similarity {
        |    ON q.vec_id < 20 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine, bucket,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin

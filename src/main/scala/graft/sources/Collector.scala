@@ -182,7 +182,9 @@ object Collector {
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(p => fs.listStatus(p).exists(f => f.getPath.getName.endsWith(".parquet")))
-      .map(p => new ParquetSource(spark, p.toUri.getPath))
+      // full URI (p.toString), not p.toUri.getPath: stripping the
+      // scheme/authority would break hdfs:// and s3a:// roots
+      .map(p => new ParquetSource(spark, p.toString))
       .sortBy(_.name)
   }
 

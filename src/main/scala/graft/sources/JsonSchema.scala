@@ -29,11 +29,17 @@ object JsonSchema {
   private val taxonomy =
     Seq("object", "array", "string", "float", "int", "bool", "null")
 
-  /** Spark variant schema string -> neutral type name. */
+  /** Spark variant schema string -> neutral type name. Whole JSON
+    * numbers beyond int64 parse as DECIMAL(p,0) in Spark's variant and
+    * as UBIGINT in DuckDB up to 2^64 — both classify as int here;
+    * integers beyond uint64 are engine-dependent (DuckDB degrades to
+    * DOUBLE) and out of the parity contract.
+    */
   private def classify(st: Column): Column =
     when(st.startsWith("OBJECT"), "object")
       .when(st.startsWith("ARRAY"), "array")
       .when(st === "STRING", "string")
+      .when(st.startsWith("DECIMAL") && st.endsWith(",0)"), "int")
       .when(st.startsWith("DECIMAL") || st === "DOUBLE" || st === "FLOAT", "float")
       .when(st === "BIGINT" || st === "INT" || st === "SMALLINT" || st === "TINYINT", "int")
       .when(st === "BOOLEAN", "bool")

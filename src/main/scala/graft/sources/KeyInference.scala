@@ -78,8 +78,15 @@ object KeyInference {
     * non-null / distinct counts; a column is a candidate iff it is fully
     * non-null and fully unique. One pruned aggregation branch per column.
     */
+  /** Empty result with the given schema — the degrade-don't-abort path
+    * when a catalog has no columns eligible for key inference.
+    */
+  private def emptyResult(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
   def primaryKeysFor(tables: Seq[(String, DataFrame)]): DataFrame = {
-    tables.flatMap { case (t, df) =>
+    val branches = tables.flatMap { case (t, df) =>
       df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
         df.select(col(f.name)).agg(
           count(lit(1)).as("n_rows"),
@@ -90,7 +97,13 @@ object KeyInference {
             (col("n_nonnull") === col("n_rows") &&
               col("n_distinct") === col("n_rows")).as("is_pk_candidate"))
       }
-    }.reduce(_ unionByName _).orderBy(col("table_name"), col("column_name"))
+    }
+    if (branches.isEmpty)
+      emptyResult(tables.head._2.sparkSession,
+        "table_name STRING, column_name STRING, n_rows BIGINT, " +
+          "n_nonnull BIGINT, n_distinct BIGINT, is_pk_candidate BOOLEAN")
+    else branches.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("column_name"))
   }
 
   def inferPrimaryKeys(spark: SparkSession, dir: String): DataFrame =
@@ -126,8 +139,12 @@ object KeyInference {
     val intCols: Seq[((String, String), Int)] = tables.flatMap { case (t, df) =>
       df.schema.fields.filter(f => isIntType(f.dataType)).map(f => (t, f.name))
     }.zipWithIndex
-    val byTable = intCols.groupBy(_._1._1)
     val spark = tables.head._2.sparkSession
+    if (intCols.isEmpty)
+      return emptyResult(spark,
+        "child_table STRING, child_column STRING, parent_table STRING, " +
+          "parent_column STRING, n_values BIGINT, coverage DOUBLE, is_likely_fk BOOLEAN")
+    val byTable = intCols.groupBy(_._1._1)
     import spark.implicits._
     val names = intCols.map { case ((t, c), i) => (i, t, c) }
       .toDF("cid", "tbl", "col_name")
@@ -136,6 +153,9 @@ object KeyInference {
     // a single wide shuffle on the near-unique (cid, v) key with map-side
     // partial dedup, instead of a distinct shuffle per column. Persisted:
     // it feeds the child side, the parent side and the per-column counts.
+    // The cache outlives the returned (lazy) DataFrame by design — it is
+    // MEMORY_AND_DISK (LRU-evictable); long-lived sessions running many
+    // unrelated queries can reclaim it with spark.catalog.clearCache().
     val vals = tables.flatMap { case (t, df) =>
       byTable.get(t).map { cols =>
         val pairs = cols.map { case ((_, c), i) =>

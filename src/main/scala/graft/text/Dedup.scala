@@ -292,9 +292,18 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
         .select(labels("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // pointer jump (path halving): also adopt the label OF the current
+      // label — turns the diameter-bounded propagation into an
+      // O(log diameter) round count, so maxIters = 20 covers chains of
+      // ~2^20 docs and the convergence guard is a real invariant
+      val next = stepped.as("a")
+        .join(stepped.select(col("node").as("lnode"), col("lbl").as("llbl")),
+          col("a.lbl") === col("lnode"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.lbl"), coalesce(col("llbl"), col("a.lbl"))).as("lbl"))
         .persist()
       val changed = next
         .join(labels.select(col("node"), col("lbl").as("prev")), "node")
@@ -359,7 +368,7 @@ object Dedup {
       |  SELECT doc_id, substring(text, 1, 12) AS blk, substring(text, 1, 60) AS head
       |  FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  levenshtein(a.head, b.head) AS edit_distance
+      |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_distance
       |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
       |WHERE levenshtein(a.head, b.head) <= 20
       |ORDER BY doc_a, doc_b""".stripMargin
@@ -411,7 +420,7 @@ object Dedup {
       |  SELECT doc_id, sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS sig
       |  FROM bits GROUP BY doc_id)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  bit_count(xor(a.sig, b.sig)) AS hamming
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin

@@ -124,8 +124,8 @@ object TextStats {
   val qualityScoreSql: String =
     """WITH b AS (
       |  SELECT doc_id,
-      |    len(string_split(text, ' ')) AS n_tokens,
-      |    len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
       |    length(text) - length(translate(text, '.,!?;:()', '')) AS n_punct,
       |    length(text) AS n_chars
       |  FROM documents)
