@@ -180,7 +180,10 @@ object KeyInference {
       }
     }.reduce(_ unionByName _)
     val nDistinct = vals.groupBy(col("cid")).agg(count(lit(1)).as("n_distinct"))
-    val stats = counts.join(nDistinct, Seq("cid"))
+    // one row per integer column; persisted because both the parent
+    // filter and the child-count broadcast consume it (the per-table
+    // count scans behind it would otherwise run twice)
+    val stats = counts.join(nDistinct, Seq("cid")).persist()
     val parents = stats
       .filter(col("n_nonnull") === col("n_rows") && col("n_distinct") === col("n_rows"))
       .select(col("cid").as("pid"), col("n_distinct").as("n_parent"))
