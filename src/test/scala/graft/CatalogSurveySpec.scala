@@ -53,6 +53,27 @@ class CatalogSurveySpec extends AnyFunSuite {
     assert(r.getAs[Int]("n") == 3)
   }
 
+  test("key inference degrades to empty results on catalogs with no eligible columns") {
+    import spark.implicits._
+    import graft.sources.KeyInference
+    val stringOnly = Seq(("a", "b"), ("c", "d")).toDF("x", "y")
+    val fk = KeyInference.foreignKeysFor(Seq("t1" -> stringOnly))
+    assert(fk.count() == 0)
+    assert(fk.columns.toSeq == Seq("child_table", "child_column",
+      "parent_table", "parent_column", "n_values", "coverage", "is_likely_fk"))
+    val arrayOnly = Seq(Tuple1(Seq(1.0))).toDF("v")
+    val pk = KeyInference.primaryKeysFor(Seq("t2" -> arrayOnly))
+    assert(pk.count() == 0 && pk.columns.contains("is_pk_candidate"))
+    // and collect(withKeys) over such a source must not abort
+    val src = new graft.sources.TableSource {
+      def name = "stringy"
+      def tableNames = Seq("only")
+      def load(t: String) = stringOnly
+    }
+    val a = Collector.collect(src, sampleSize = 1, withKeys = true)
+    assert(a.foreignKeys.isEmpty && Collector.validate(a).isEmpty)
+  }
+
   test("enumerateLakes finds every sf database under the testdata root") {
     val lakes = Collector.enumerateLakes(spark, "/root/testdata")
     assert(lakes.size >= 3)

@@ -50,6 +50,17 @@ class JsonSchemaSpec extends AnyFunSuite {
     assert(profile("name").getAs[String]("dominant_type") == "string")
   }
 
+  test("whole numbers beyond int64 classify as int (uint64 parity range)") {
+    import spark.implicits._
+    // 2^63 = 9223372036854775808 parses as DECIMAL(19,0)/UBIGINT
+    val docs = Seq("""{"big": 9223372036854775808, "neg": -1, "frac": 1.5}""").toDF("j")
+    val prof = JsonSchema.inferColumn(docs, "j").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("dominant_type")).toMap
+    assert(prof("big") == "int")
+    assert(prof("neg") == "int")
+    assert(prof("frac") == "float")
+  }
+
   test("events.props infers the single uniform int key") {
     val rows = JsonSchema.inferEventsProps(spark, TestSession.sf).collect()
     assert(rows.length == 1)
