@@ -188,6 +188,37 @@ object Collector {
       .sortBy(_.name)
   }
 
+  /** Run-level outcome classification for a multi-database collection
+    * (reference `dbsurveyor-collect/src/outcome.rs` CollectionOutcome):
+    * aggregates per-table sample statuses and warnings into one outcome
+    * with the reference's process exit codes — the contract scripts and
+    * CI hook into.
+    */
+  sealed abstract class CollectionOutcome(val exitCode: Int)
+  object CollectionOutcome {
+    case object Success extends CollectionOutcome(0)
+    case class TotalFailure(error: String) extends CollectionOutcome(1)
+    case object PartialWithoutSamples extends CollectionOutcome(2)
+    case object PartialWithData extends CollectionOutcome(3)
+    case object PartialWithValidationWarnings extends CollectionOutcome(4)
+    case class Canceled(reason: String) extends CollectionOutcome(5)
+
+    /** Mirrors outcome.rs from_results precedence: no schemas >
+      * missing samples > partial samples > warnings > success.
+      */
+    def fromResults(databases: Seq[Artifact]): CollectionOutcome = {
+      if (databases.isEmpty) TotalFailure("No schemas were produced")
+      else if (databases.exists(_.tables.exists(_.sampleStatus == "failed")))
+        PartialWithoutSamples
+      else if (databases.exists(_.tables.exists(_.sampleStatus == "partial")))
+        PartialWithData
+      else if (databases.exists(a =>
+        a.tables.exists(_.warnings.nonEmpty) || validate(a).nonEmpty))
+        PartialWithValidationWarnings
+      else Success
+    }
+  }
+
   /** Reference's `validate` command, at the reference's depth
     * (dbsurveyor-core/src/validation.rs: identifier validation, type
     * checks, cross-references; dbsurveyor/src/output.rs:validate_schema):

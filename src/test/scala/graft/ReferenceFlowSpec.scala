@@ -141,6 +141,24 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(md.contains("| orders.o_custkey | customer.c_custkey |"))
   }
 
+  test("collection outcome classification follows the reference exit-code ladder") {
+    import Collector.CollectionOutcome
+    assert(CollectionOutcome.fromResults(Nil).exitCode == 1)
+    assert(CollectionOutcome.fromResults(Seq(artifact)) == CollectionOutcome.Success)
+    val failedT = artifact.copy(tables = artifact.tables.head.copy(
+      sampleStatus = "failed", sampleRows = Nil, columns = Nil,
+      sampleHeader = Nil, rowCount = -1L) +: artifact.tables.tail)
+    assert(CollectionOutcome.fromResults(Seq(failedT)).exitCode == 2)
+    val partialT = artifact.copy(tables = artifact.tables.head.copy(
+      sampleStatus = "partial") +: artifact.tables.tail)
+    assert(CollectionOutcome.fromResults(Seq(partialT)).exitCode == 3)
+    val warnT = artifact.copy(tables = artifact.tables.head.copy(
+      warnings = Seq("sample at limit 3 failed: X")) +: artifact.tables.tail)
+    assert(CollectionOutcome.fromResults(Seq(warnT)).exitCode == 4)
+    // precedence: a failed table outranks warnings elsewhere
+    assert(CollectionOutcome.fromResults(Seq(failedT, warnT)).exitCode == 2)
+  }
+
   test("validate catches the new corruption classes") {
     def errsOf(mut: Collector.Artifact => Collector.Artifact): Seq[String] =
       Collector.validate(mut(keyed))
