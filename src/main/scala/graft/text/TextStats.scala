@@ -238,6 +238,53 @@ object TextStats {
       |  list_min(list_transform(range(1, length(text) - 3), i -> md5(substr(text, i, 5)))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus report card — the training-mix curation rollup: per
+    * (source, lang) cell, document and token counts, the exact-duplicate
+    * rate (docs whose normalized-text md5 appears more than once, minus
+    * one canonical per group), and length statistics. This is the table
+    * a data-mixture owner reads before weighting sources — composed from
+    * the same fingerprint/token building blocks as the standalone ops,
+    * in one scan + two keyed aggregations.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).as("n_toks"),
+        length(col("text")).as("n_chars"),
+        md5(col("text")).as("fp"))
+    // exact-dup flag: every doc beyond the min doc_id of its fingerprint
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val flagged = docs.withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(w))
+    flagged.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("total_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        (sum(when(col("is_dup"), 1L).otherwise(0L)).cast(DoubleType) /
+          count(lit(1))).as("dup_rate"),
+        (sum(col("n_chars").cast("long")).cast(DoubleType) / count(lit(1)))
+          .as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val corpusReportSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
+      |    CAST(length(text) AS INTEGER) AS n_chars, md5(text) AS fp
+      |  FROM documents),
+      |f AS (
+      |  SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup FROM d)
+      |SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM f GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   /** Unigram language-model quality scoring (the CCNet-style importance
     * filter): train a unigram LM from the corpus itself (token relative
     * frequencies), then score each document with its average per-token
