@@ -298,13 +298,18 @@ object Dedup {
       // pointer jump (path halving): also adopt the label OF the current
       // label — turns the diameter-bounded propagation into an
       // O(log diameter) round count, so maxIters = 20 covers chains of
-      // ~2^20 docs and the convergence guard is a real invariant
+      // ~2^20 docs and the convergence guard is a real invariant.
+      // localCheckpoint TRUNCATES LINEAGE each round: the jump references
+      // `stepped` twice, so without truncation the logical plan doubles
+      // per round and planning itself OOMs on deep chains (measured). On
+      // a cluster with executor loss concerns, swap for a reliable
+      // checkpoint(dir) — same shape.
       val next = stepped.as("a")
         .join(stepped.select(col("node").as("lnode"), col("lbl").as("llbl")),
           col("a.lbl") === col("lnode"), "left")
         .select(col("a.node").as("node"),
           least(col("a.lbl"), coalesce(col("llbl"), col("a.lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next
         .join(labels.select(col("node"), col("lbl").as("prev")), "node")
         .filter(col("lbl") =!= col("prev")).count()

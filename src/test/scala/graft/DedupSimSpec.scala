@@ -110,6 +110,27 @@ class DedupSimSpec extends AnyFunSuite {
     comp.unpersist()
   }
 
+  test("components converges on a 25-doc duplicate CHAIN (deep diameter, log rounds)") {
+    import spark.implicits._
+    // sliding 40-token windows shifted by 8: adjacent docs share 30 of 38
+    // trigram shingles (J ~ 0.65 >= 0.5), skip-one pairs share 22 of 54
+    // (J ~ 0.41 < 0.5) -> the dup graph is a pure CHAIN of diameter 24,
+    // the worst case for plain min-label propagation
+    val words = (0 until 240).map(i => s"w$i")
+    val docs = (0 until 25).map { i =>
+      (i.toLong, words.slice(i * 8, i * 8 + 40).mkString(" "), "en", "chain", 40L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val comp = text.Dedup.components(spark, dir).collect()
+    assert(comp.length == 25)
+    // every doc lands in ONE component canonicalized at doc 0
+    assert(comp.forall(_.getAs[Long]("canon_id") == 0L))
+    assert(comp.forall(_.getAs[Long]("component_size") == 25L))
+    assert(comp.count(_.getAs[Boolean]("is_canonical")) == 1)
+  }
+
   test("topk returns exactly 10 ranked neighbors per query") {
     val t = Similarity.topkBruteforce(spark, sf)
     val perQuery = t.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
