@@ -48,6 +48,9 @@ object SparkEntry {
     "sim_pairs_threshold"     -> (sim.Similarity.pairsThreshold _),
     "mm_decode_features"      -> (mm.Multimodal.decodeFeatures _),
     "mm_frame_sample"         -> (mm.Multimodal.frameSample _),
+    // batched-inference shape: batch_n is partition-layout-dependent by
+    // nature -> rows-only check; invariants asserted in MultimodalSpec.
+    "mm_embed_batch"          -> ((s: SparkSession, d: String) => mm.Multimodal.embedBatched(s, d)),
     "schema_columns"          -> (sources.Collector.schemaColumns _),
     "q_semi_anti"             -> (Relational2.qSemiAnti _),
     "q_quantiles"             -> (Relational2.qQuantiles _),

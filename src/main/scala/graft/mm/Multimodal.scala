@@ -60,6 +60,49 @@ object Multimodal {
       |  CAST(1 + strlen(text) // 100 AS INT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  case class DocEmbedding(doc_id: Long, embedding: Array[Float], batch_n: Int)
+
+  /** STUB: deterministic fake batch encoder. A real implementation would
+    * run the whole batch through one model/device call (ONNX session,
+    * TorchScript module, remote endpoint) — that single-call-per-batch
+    * boundary is exactly where this stands in. Embeddings derive from
+    * md5(payload) so they are deterministic and partition-independent.
+    */
+  object FakeEncoder {
+    val dim = 64
+    def encodeBatch(batch: Seq[BinaryDoc]): Seq[DocEmbedding] = {
+      val mdt = java.security.MessageDigest.getInstance("MD5")
+      batch.map { d =>
+        val v = Array.tabulate(dim) { k =>
+          val h = mdt.digest((d.doc_id + "_" + k).getBytes("UTF-8"))
+          (((h(0) & 0xff) << 8 | (h(1) & 0xff)) - 32768) / 32768.0f
+        }
+        DocEmbedding(d.doc_id, v, batch.size)
+      }
+    }
+  }
+
+  /** Batched embedding inference over binary payloads — the GPU-encoder
+    * shape on Spark: `mapPartitions` + `grouped(batchSize)` gives the
+    * encoder fixed-size batches (amortizing per-call overhead exactly
+    * like a device batch), one encoder instance per partition, streaming
+    * iterators throughout (no partition materialization beyond one
+    * batch). Embedding values are deterministic per doc; `batch_n`
+    * records the actual batch each row rode in (the tail batch of every
+    * partition is smaller — partition-layout-dependent by nature, so
+    * this entry is rows-only checked; the embedding invariants are
+    * asserted in MultimodalSpec).
+    */
+  def embedBatched(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryDoc]
+    bin.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => FakeEncoder.encodeBatch(b))
+    }.toDF().orderBy(col("doc_id"))
+  }
+
   /** Deterministic frame-sampling stub: derive a frame index sequence from
     * the payload length, keep every 5th frame. posexplode keeps this a
     * pure narrow transform — no shuffle, scales with input size.

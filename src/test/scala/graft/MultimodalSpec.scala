@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mm.Multimodal
+
+/** Batched-inference plumbing invariants: fixed-size batches, streaming
+  * per-partition encoding, partition-independent embedding values.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("embed batches are bounded by batchSize and cover every doc") {
+    val out = Multimodal.embedBatched(spark, sf, batchSize = 32).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    val sizes = out.select(col("batch_n")).distinct().collect().map(_.getInt(0))
+    assert(sizes.forall(s => s >= 1 && s <= 32))
+    // full batches dominate (only partition tails are smaller)
+    val full = out.filter(col("batch_n") === 32).count()
+    assert(full > out.count() / 2)
+    val dims = out.select(size(col("embedding"))).distinct().collect()
+    assert(dims.length == 1 && dims(0).getInt(0) == Multimodal.FakeEncoder.dim)
+    out.unpersist()
+  }
+
+  test("embedding values are deterministic and partition-layout-invariant") {
+    def vecs(parts: Int): Map[Long, Seq[Float]] = {
+      import spark.implicits._
+      val bin = Tables.documents(spark, sf)
+        .repartition(parts)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.BinaryDoc]
+      bin.mapPartitions(it => it.grouped(16).flatMap(Multimodal.FakeEncoder.encodeBatch))
+        .collect().map(e => e.doc_id -> e.embedding.toSeq).toMap
+    }
+    val a = vecs(2)
+    val b = vecs(13)
+    assert(a == b)
+  }
+}
