@@ -73,8 +73,13 @@ object Multimodal {
     def encodeBatch(batch: Seq[BinaryDoc]): Seq[DocEmbedding] = {
       val mdt = java.security.MessageDigest.getInstance("MD5")
       batch.map { d =>
+        // content-derived: one digest of the payload, re-hashed per
+        // dimension — identical payloads embed identically, like a real
+        // content encoder would
+        val base = mdt.digest(d.payload)
         val v = Array.tabulate(dim) { k =>
-          val h = mdt.digest((d.doc_id + "_" + k).getBytes("UTF-8"))
+          mdt.update(base)
+          val h = mdt.digest(Array(k.toByte))
           (((h(0) & 0xff) << 8 | (h(1) & 0xff)) - 32768) / 32768.0f
         }
         DocEmbedding(d.doc_id, v, batch.size)

@@ -313,11 +313,12 @@ object Dedup {
       val changed = next
         .join(labels.select(col("node"), col("lbl").as("prev")), "node")
         .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
+      freeRound(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val labeled = docs.join(labels, docs("doc_id") === labels("node"), "left")
@@ -329,6 +330,18 @@ object Dedup {
         (col("doc_id") === col("canon_id")).as("is_canonical"))
       .orderBy(col("doc_id"))
   }
+
+  /** Free a finished round's storage: Dataset.unpersist only reaches the
+    * CacheManager, but a localCheckpoint'ed round holds its blocks in the
+    * underlying RDD — unpersist THAT, or every round's label table stays
+    * pinned until the ContextCleaner gets to it.
+    */
+  private def freeRound(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
 
   val componentsSql: String =
     s"""WITH RECURSIVE $jaccardPairsSql,

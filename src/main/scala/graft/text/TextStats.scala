@@ -240,8 +240,9 @@ object TextStats {
 
   /** Corpus report card — the training-mix curation rollup: per
     * (source, lang) cell, document and token counts, the exact-duplicate
-    * rate (docs whose normalized-text md5 appears more than once, minus
-    * one canonical per group), and length statistics. This is the table
+    * rate (docs whose RAW-text md5 appears more than once, minus one
+    * canonical per group — Dedup.exact semantics; near-dup rates come
+    * from the dedup family), and length statistics. This is the table
     * a data-mixture owner reads before weighting sources — composed from
     * the same fingerprint/token building blocks as the standalone ops,
     * in one scan + two keyed aggregations.
