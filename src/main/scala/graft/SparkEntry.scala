@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_components"        -> ((s: SparkSession, d: String) => text.Dedup.components(s, d)),
     "text_unigram_nll"        -> (text.TextStats.unigramNll _),
     "text_corpus_report"      -> (text.TextStats.corpusReport _),
+    "sim_label_centroids"     -> (sim.Similarity.labelCentroids _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -153,5 +154,6 @@ object SparkEntry {
     "dedup_components"        -> text.Dedup.componentsSql,
     "text_unigram_nll"        -> text.TextStats.unigramNllSql,
     "text_corpus_report"      -> text.TextStats.corpusReportSql,
+    "sim_label_centroids"     -> sim.Similarity.labelCentroidsSql,
   )
 }

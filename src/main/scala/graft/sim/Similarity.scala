@@ -200,6 +200,37 @@ object Similarity {
        |FROM lsh_pairs WHERE cosine >= 0.4
        |GROUP BY same_label ORDER BY same_label""".stripMargin
 
+  /** Per-label embedding centroid profile — the embedding-QA surface a
+    * training pipeline monitors (label separation, drift between corpus
+    * versions via Collector.diff-style comparison of centroid tables).
+    * One posexplode (narrow, 64x rows) + one (label, dim) aggregation —
+    * a single shuffle whose key space is labels x dims, skew-free.
+    * Components are quantized through DECIMAL(24,6) before summing, so
+    * the per-cell mean is exact, summation-order-independent and
+    * cross-engine identical (same pattern as the anomaly moments).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    vectors(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        col("x").cast(DecimalType(24, 6)).as("xd"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("xd")).cast(DoubleType) / count(lit(1))).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val labelCentroidsSql: String =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (
+      |  SELECT label, CAST(t.i AS INTEGER) AS dim,
+      |    CAST(v[t.i + 1] AS DECIMAL(24,6)) AS xd
+      |  FROM e, range(64) t(i))
+      |SELECT label, dim, count(*) AS n_vecs,
+      |  CAST(sum(xd) AS DOUBLE) / count(*) AS centroid
+      |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   /** TEST-ONLY all-pairs threshold baseline — see dedupEmbeddingExact. */
   def pairsThresholdExact(spark: SparkSession, dir: String): DataFrame = {
     val a = vectors(spark, dir)
