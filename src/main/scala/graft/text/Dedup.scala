@@ -318,7 +318,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    // edges stays cached deliberately: it is tiny (the near-dup pair
+    // list) but its lineage (the whole prefix join) is expensive, and
+    // repeated invocations reuse it via the CacheManager — unpersisting
+    // here tripled repeat-call latency. The per-ROUND checkpoints above
+    // are what must be freed (they accumulate); this one entry is
+    // bounded and LRU-evictable.
     require(converged, s"label propagation did not converge in $maxIters rounds")
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val labeled = docs.join(labels, docs("doc_id") === labels("node"), "left")
