@@ -29,7 +29,7 @@ class EdgeCaseSpec extends AnyFunSuite {
   private val docQueries = Seq(
     "text_token_count", "text_quality_score", "text_fingerprint",
     "text_top_tokens", "text_collocations", "text_unigram_nll",
-    "dedup_components",
+    "text_corpus_report", "dedup_components", "mm_embed_batch",
     "dedup_exact", "dedup_ngram_prefix",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_levenshtein",
     "mm_decode_features", "mm_frame_sample",
