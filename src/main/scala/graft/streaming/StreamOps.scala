@@ -71,6 +71,45 @@ object StreamOps {
         col("sum_value"))
   }
 
+  case class FunnelEv(event_id: Long, t_us: Long, user_id: Long, event_type: String)
+  case class FunnelState(tSignup: Long, converted: Boolean)
+  case class Conversion(user_id: Long, t_signup: Long, t_purchase: Long,
+      hours_to_convert: Double)
+
+  /** Streaming signup→purchase funnel: per-user state machine via
+    * mapGroupsWithState — remembers the first signup, emits exactly one
+    * conversion row when the first at-or-after purchase arrives (the
+    * streaming twin of the batch qFunnel's per-user core). State is two
+    * fields per user — bounded by the user population, the natural
+    * key-scoped state budget; production would add a state TTL for
+    * abandoned signups. Events are assumed event-time ordered per user
+    * within a batch (replayed logs), like sessionize above.
+    */
+  def funnel(events: Dataset[FunnelEv]): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Conversion]
+          for (e <- sorted) {
+            (e.event_type, cur) match {
+              case ("signup", None) =>
+                cur = Some(FunnelState(e.t_us, converted = false))
+              case ("purchase", Some(s)) if !s.converted && e.t_us >= s.tSignup =>
+                out += Conversion(userId, s.tSignup, e.t_us,
+                  (e.t_us - s.tSignup) / 3.6e9)
+                cur = Some(s.copy(converted = true))
+              case _ => // later signups / pre-signup or repeat purchases: no-op
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   case class Ev(event_id: Long, t_us: Long, user_id: Long, value: Double)
   case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

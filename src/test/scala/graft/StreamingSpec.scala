@@ -48,6 +48,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(totalEvents == batch.count())
   }
 
+  test("streaming funnel conversions match the batch definition per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"), col("user_id"),
+        col("event_type"))
+      .as[StreamOps.FunnelEv].collect().sortBy(e => (e.user_id, e.t_us, e.event_id))
+    val mem = MemoryStream[StreamOps.FunnelEv]
+    mem.addData(evs.toSeq)
+    val q = StreamOps.funnel(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("funnel_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("funnel_out")
+      .select(col("user_id"), col("t_signup"), col("t_purchase")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch definition: first signup per user, first purchase at/after it
+    val signup = evs.filter(_.event_type == "signup").groupBy(_.user_id)
+      .map { case (u, es) => u -> es.map(_.t_us).min }
+    val want = signup.flatMap { case (u, ts) =>
+      evs.filter(e => e.user_id == u && e.event_type == "purchase" && e.t_us >= ts)
+        .map(_.t_us).minOption.map(tp => (u, ts, tp))
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // exactly one conversion per converted user
+    assert(got.map(_._1).size == got.size)
+  }
+
   test("streaming sessionization closed-session counts match batch sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
