@@ -48,9 +48,10 @@ object SparkEntry {
     "sim_pairs_threshold"     -> (sim.Similarity.pairsThreshold _),
     "mm_decode_features"      -> (mm.Multimodal.decodeFeatures _),
     "mm_frame_sample"         -> (mm.Multimodal.frameSample _),
-    // batched-inference shape: batch_n is partition-layout-dependent by
-    // nature -> rows-only check; invariants asserted in MultimodalSpec.
-    "mm_embed_batch"          -> ((s: SparkSession, d: String) => mm.Multimodal.embedBatched(s, d)),
+    // batched-inference shape, projected to scalar (doc_id, dim, val)
+    // rows: hash-checked against a pure-SQL re-derivation of the encoder;
+    // batch-shape invariants asserted in MultimodalSpec.
+    "mm_embed_batch"          -> (mm.Multimodal.embedBatchDims _),
     "schema_columns"          -> (sources.Collector.schemaColumns _),
     "q_semi_anti"             -> (Relational2.qSemiAnti _),
     "q_quantiles"             -> (Relational2.qQuantiles _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "sim_pairs_threshold"     -> sim.Similarity.pairsThresholdSql,
     "mm_decode_features"      -> mm.Multimodal.decodeFeaturesSql,
     "mm_frame_sample"         -> mm.Multimodal.frameSampleSql,
+    "mm_embed_batch"          -> mm.Multimodal.embedBatchSql,
     "schema_columns"          -> sources.Collector.schemaColumnsSql,
     "q_semi_anti"             -> Relational2.qSemiAntiSql,
     "q_quantiles"             -> Relational2.qQuantilesSql,

@@ -65,21 +65,24 @@ object Multimodal {
   /** STUB: deterministic fake batch encoder. A real implementation would
     * run the whole batch through one model/device call (ONNX session,
     * TorchScript module, remote endpoint) — that single-call-per-batch
-    * boundary is exactly where this stands in. Embeddings derive from
-    * md5(payload) so they are deterministic and partition-independent.
+    * boundary is exactly where this stands in. Dimension k derives from
+    * md5(payload ++ "#k"): content-derived (identical payloads embed
+    * identically, like a real content encoder), partition-independent,
+    * and — deliberately — expressible in plain SQL, so the batched
+    * pipeline's numeric output is oracle-checkable end-to-end.
     */
   object FakeEncoder {
     val dim = 64
     def encodeBatch(batch: Seq[BinaryDoc]): Seq[DocEmbedding] = {
       val mdt = java.security.MessageDigest.getInstance("MD5")
       batch.map { d =>
-        // content-derived: one digest of the payload, re-hashed per
-        // dimension — identical payloads embed identically, like a real
-        // content encoder would
-        val base = mdt.digest(d.payload)
         val v = Array.tabulate(dim) { k =>
-          mdt.update(base)
-          val h = mdt.digest(Array(k.toByte))
+          mdt.update(d.payload)
+          mdt.update(s"#$k".getBytes("UTF-8"))
+          val h = mdt.digest()
+          // first 4 hex chars of the digest as an int in [0, 65535],
+          // centered and scaled to [-1, 1); exact in Float (<= 16-bit
+          // numerator over a power-of-two denominator)
           (((h(0) & 0xff) << 8 | (h(1) & 0xff)) - 32768) / 32768.0f
         }
         DocEmbedding(d.doc_id, v, batch.size)
@@ -107,6 +110,32 @@ object Multimodal {
       it.grouped(batchSize).flatMap(b => FakeEncoder.encodeBatch(b))
     }.toDF().orderBy(col("doc_id"))
   }
+
+  /** Oracle-checkable projection of the batched-inference pipeline: the
+    * embeddings computed by the real `mapPartitions`+`grouped` batch path,
+    * exploded to scalar (doc_id, dim, val) rows. A hash-match against the
+    * pure-SQL oracle proves the batched path computes exactly the declared
+    * encoder function for every document and dimension — a stronger check
+    * than the previous rows-only gate. `batch_n` (the batch each row rode
+    * in) is deliberately NOT emitted here: tail batches make it
+    * partition-layout-dependent by nature; batch-shape invariants are
+    * asserted in MultimodalSpec instead.
+    */
+  def embedBatchDims(spark: SparkSession, dir: String): DataFrame = {
+    embedBatched(spark, dir)
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+      .select(col("doc_id"), col("dim"),
+        col("val").cast("double").as("val"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  val embedBatchSql: String =
+    // (md5-hex-prefix as int - 32768) / 32768.0 is exact in both engines:
+    // <= 16-bit numerator over 2^15, so Float == Double == this SQL
+    """SELECT d.doc_id, CAST(r.k AS INTEGER) AS dim,
+      |  (CAST('0x' || substr(md5(d.text || '#' || CAST(r.k AS VARCHAR)), 1, 4) AS BIGINT) - 32768) / 32768.0 AS val
+      |FROM documents d CROSS JOIN range(0, 64) r(k)
+      |ORDER BY doc_id, dim""".stripMargin
 
   /** Deterministic frame-sampling stub: derive a frame index sequence from
     * the payload length, keep every 5th frame. posexplode keeps this a
