@@ -51,22 +51,28 @@ def main():
         try:
             # con.sql(...).types carries real DuckDB types (HUGEINT vs
             # BIGINT); the DBAPI cursor.description collapses all numerics
-            # to 'NUMBER' and would make this gate a no-op.
+            # to 'NUMBER' and would make this gate a no-op. The relation
+            # is planned once and fetched from directly.
             o_rel = con.sql(sqls[name])
             o_types = dict(zip(o_rel.columns, map(str, o_rel.types)))
-            oracle = con.execute(sqls[name])
-            o_cols = [d[0] for d in oracle.description]
-            o_rows, o_cols_s = canon(oracle.fetchall(), o_cols)
+            o_cols = list(o_rel.columns)
+            o_rows, o_cols_s = canon(o_rel.fetchall(), o_cols)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        g_rel = con.sql(f"SELECT * FROM read_parquet({spark_glob!r})")
-        g_types = dict(zip(g_rel.columns, map(str, g_rel.types)))
-        got = con.execute(
-            f"SELECT * FROM read_parquet({spark_glob!r})")
-        g_cols = [d[0] for d in got.description]
-        g_rows, g_cols_s = canon(got.fetchall(), g_cols)
+        try:
+            # guarded like the oracle side: one corrupt/unreadable Spark
+            # output records a FAIL for that query instead of crashing
+            # the whole gate
+            g_rel = con.sql(f"SELECT * FROM read_parquet({spark_glob!r})")
+            g_types = dict(zip(g_rel.columns, map(str, g_rel.types)))
+            g_cols = list(g_rel.columns)
+            g_rows, g_cols_s = canon(g_rel.fetchall(), g_cols)
+        except Exception as e:
+            print(f"FAIL {name}: spark output error: {e}")
+            n_fail += 1
+            continue
         # The driver's hash is TYPE-sensitive (DuckDB sum() -> HUGEINT vs
         # Spark BIGINT broke 4 queries in round 1); compare declared types too.
         type_diff = [c for c in g_cols_s if c in o_types

@@ -107,7 +107,7 @@ object CatalogSurvey {
   }
 
   val catalogTypesSql: String =
-    s"""WITH cols AS (${Collector.schemaColumnsSql.replace("ORDER BY table_name, column_name", "")})
+    s"""WITH cols AS (${Collector.schemaColumnsSqlUnordered})
        |SELECT data_type, count(*) AS n_columns,
        |  count(DISTINCT table_name) AS n_tables
        |FROM cols GROUP BY data_type ORDER BY data_type""".stripMargin

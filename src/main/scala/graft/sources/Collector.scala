@@ -88,11 +88,25 @@ object Collector {
   /** Halved-limit retry policy around a sampling closure (reference
     * `dbsurveyor-collect/src/sampling.rs`: on failure, halve the limit
     * and try again; record the outcome + warnings instead of aborting).
+    * A repeat of the SAME failure (class + message) on the halved limit
+    * is treated as deterministic — corrupt data fails identically at
+    * every limit, so further halved-limit scans would only burn cluster
+    * time — and the retry loop bails out after that second attempt.
     * Returns (rows, status, warnings).
     */
   def sampleWithRetry(limit: Int, doSample: Int => Seq[Seq[String]])
       : (Seq[Seq[String]], String, Seq[String]) = {
+    // the ROOT cause identifies the failure: Spark wraps task failures
+    // in SparkException layers whose messages embed stage/task ids that
+    // change between attempts, so only the innermost (class, message)
+    // is a stable deterministic-failure signature
+    def rootSig(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+      s"${c.getClass.getSimpleName}: ${c.getMessage}"
+    }
     val warnings = Seq.newBuilder[String]
+    var lastErr: String = null
     var l = limit
     while (l >= 1) {
       try {
@@ -100,7 +114,13 @@ object Collector {
         return (rows, if (l == limit) "success" else "partial", warnings.result())
       } catch {
         case e: Exception =>
-          warnings += s"sample at limit $l failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          val sig = rootSig(e)
+          warnings += s"sample at limit $l failed: $sig"
+          if (sig == lastErr) {
+            warnings += "same failure at halved limit: deterministic, giving up"
+            return (Nil, "failed", warnings.result())
+          }
+          lastErr = sig
           l = l / 2
       }
     }
@@ -145,15 +165,37 @@ object Collector {
       case (t, None, warns) =>
         TableInfo(t, Nil, -1L, Nil, Nil, sampleStatus = "failed", warnings = warns)
       case (t, Some(df), _) =>
-        val cols = df.schema.fields.toSeq.map(f =>
-          ColumnInfo(f.name, normalizeType(f.dataType), f.nullable))
-        val key = df.schema.fields.head.name
-        val (sample, status, warns) = sampleWithRetry(sampleSize, l =>
-          df.orderBy(col(key).desc).limit(l).collect().toSeq.map(r =>
-            r.toSeq.map(v => if (v == null) "NULL" else v.toString)))
-        TableInfo(t, cols, df.count(), df.schema.fieldNames.toSeq, sample,
-          sampleStatus = status, warnings = warns,
-          pkCandidates = pkMap.getOrElse(t, Nil))
+        // a table can load (parquet footer reads fine) yet still fail at
+        // scan time — corrupt data pages, a lost partition. Every Spark
+        // ACTION here is therefore guarded: the sample via the retry
+        // policy, the count directly; either failing degrades this
+        // table's entry instead of aborting the whole artifact.
+        try {
+          val cols = df.schema.fields.toSeq.map(f =>
+            ColumnInfo(f.name, normalizeType(f.dataType), f.nullable))
+          val key = df.schema.fields.head.name
+          val (sample, status, warns) = sampleWithRetry(sampleSize, l =>
+            df.orderBy(col(key).desc).limit(l).collect().toSeq.map(r =>
+              r.toSeq.map(v => if (v == null) "NULL" else v.toString)))
+          val (cnt, status2, warns2) =
+            try (df.count(), status, warns)
+            catch { case e: Exception =>
+              (-1L, "failed",
+                warns :+ s"count failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          // a failed entry carries no sample rows (mirrors the load-failure
+          // path and keeps validate()'s failed-status invariant)
+          val (hdr, rows2) =
+            if (status2 == "failed") (Nil, Nil)
+            else (df.schema.fieldNames.toSeq, sample)
+          TableInfo(t, cols, cnt, hdr, rows2,
+            sampleStatus = status2, warnings = warns2,
+            pkCandidates = pkMap.getOrElse(t, Nil))
+        } catch {
+          case e: Exception =>
+            TableInfo(t, Nil, -1L, Nil, Nil, sampleStatus = "failed",
+              warnings = Seq(s"collection failed: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
     }
     Artifact("1.0", source.name, tables, fks)
   }
@@ -329,7 +371,13 @@ object Collector {
       .orderBy(col("table_name"), col("column_name"))
   }
 
-  val schemaColumnsSql: String = {
+  /** Un-ordered catalog column listing (DuckDB dialect) — the shared
+    * building block: `schemaColumnsSql` adds the ORDER BY, and
+    * CatalogSurvey.catalogTypesSql wraps it in a CTE (where an embedded
+    * ORDER BY would be illegal). Composing both from this constant keeps
+    * them in sync by construction (no string surgery on the ordered SQL).
+    */
+  val schemaColumnsSqlUnordered: String = {
     val typeCase =
       """CASE column_type
         |  WHEN 'BIGINT' THEN 'int64'
@@ -345,6 +393,9 @@ object Collector {
         |  ELSE lower(column_type) END""".stripMargin
     Tables.all.map { t =>
       s"SELECT '$t' AS table_name, column_name, $typeCase AS data_type FROM (DESCRIBE SELECT * FROM $t)"
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+    }.mkString("\nUNION ALL\n")
   }
+
+  val schemaColumnsSql: String =
+    schemaColumnsSqlUnordered + "\nORDER BY table_name, column_name"
 }

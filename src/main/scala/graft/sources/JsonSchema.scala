@@ -74,8 +74,13 @@ object JsonSchema {
     inferColumn(Tables.events(spark, dir), "props")
 
   val inferEventsPropsSql: String = {
+    // The JSON path is built by splicing the key into '$."<key>"', so a
+    // key containing a double-quote or backslash must be escaped or the
+    // path would be invalid/wrong (type NULL -> 'other') while the Spark
+    // side classifies the real value. The Spark side iterates parsed map
+    // entries directly and needs no escaping.
     val classifySql =
-      """CASE json_type(props, '$."' || key || '"')
+      """CASE json_type(props, '$."' || replace(replace(key, '\', '\\'), '"', '\"') || '"')
         |  WHEN 'OBJECT' THEN 'object'
         |  WHEN 'ARRAY' THEN 'array'
         |  WHEN 'VARCHAR' THEN 'string'

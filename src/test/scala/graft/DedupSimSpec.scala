@@ -74,10 +74,12 @@ class DedupSimSpec extends AnyFunSuite {
     // with the same cosine (candidates are exactly verified)
     assert(banded.exceptAll(exact).count() == 0)
     // recall on this corpus's weakly-similar pairs (cosine ceiling ~0.5,
-    // where hyperplane LSH is near its theoretical floor): assert it is
-    // meaningfully above the single-band rate
+    // where hyperplane LSH is near its theoretical floor): 16 bands x 6
+    // bits measures 0.714 (10/14) here — pin the measured value so a
+    // banding regression (fewer effective bands, broken plane literals)
+    // is caught, with a small margin for corpus variation across SFs
     val recall = banded.count().toDouble / math.max(exact.count(), 1L)
-    assert(recall >= 0.3, s"banded recall $recall")
+    assert(recall >= 0.6, s"banded recall $recall (expected ~0.71 measured)")
     banded.unpersist(); exact.unpersist()
   }
 
@@ -88,6 +90,9 @@ class DedupSimSpec extends AnyFunSuite {
       .map(r => r.getAs[Boolean]("same_label") -> r.getAs[Long]("n_pairs")).toMap
     // per label-class, the banded count never exceeds the exact count
     banded.foreach { case (k, n) => assert(n <= exact.getOrElse(k, 0L), s"class $k") }
+    // and total recall holds the measured 16x6 banding level (0.69 here)
+    val recall = banded.values.sum.toDouble / math.max(exact.values.sum, 1L)
+    assert(recall >= 0.55, s"pairs-threshold recall $recall (expected ~0.69 measured)")
   }
 
   test("components partition all docs; every near-dup pair lands in one component") {

@@ -92,9 +92,16 @@ class ReferenceFlowSpec extends AnyFunSuite {
       if (l > 2) throw new RuntimeException(s"too big: $l")
       else Seq.fill(l)(Seq("x")))
     assert(status == "partial" && rows.size == 2 && warns.size == 2)
-    // never succeeds -> failed with a warning per halving (10,5,2,1)
-    val (r2, s2, w2) = Collector.sampleWithRetry(10, _ => throw new RuntimeException("nope"))
+    // never succeeds, DIFFERENT failure each time (looks limit-related)
+    // -> a warning per halving (10,5,2,1) before giving up
+    val (r2, s2, w2) = Collector.sampleWithRetry(10, l =>
+      throw new RuntimeException(s"transient at $l"))
     assert(s2 == "failed" && r2.isEmpty && w2.size == 4)
+    // never succeeds with the IDENTICAL failure -> deterministic: bails
+    // after the second attempt instead of burning two more full scans
+    val (r4, s4, w4) = Collector.sampleWithRetry(10, _ => throw new RuntimeException("corrupt page"))
+    assert(s4 == "failed" && r4.isEmpty)
+    assert(w4.size == 3 && w4.last.contains("deterministic"))
     // immediate success
     val (_, s3, w3) = Collector.sampleWithRetry(3, l => Seq.fill(l)(Seq("x")))
     assert(s3 == "success" && w3.isEmpty)
@@ -116,6 +123,33 @@ class ReferenceFlowSpec extends AnyFunSuite {
       ghost.rowCount == -1L && ghost.columns.isEmpty)
     assert(a.tables.filter(_.name != "ghost_table").forall(_.sampleStatus == "success"))
     // the degraded artifact still validates (failure is a recorded outcome)
+    assert(Collector.validate(a).isEmpty)
+  }
+
+  test("a table that loads but fails at scan time degrades, not aborts") {
+    import org.apache.spark.sql.functions.udf
+    val base = new ParquetSource(spark, sf)
+    val boom = udf((_: Long) => {
+      throw new RuntimeException("corrupt data page"); true
+    })
+    // load() succeeds (plan builds fine); every ACTION on the frame
+    // throws — the corrupt-pages / lost-partition case the load-time
+    // guard alone cannot catch
+    val scanFail = new graft.sources.TableSource {
+      def name = "scanfail"
+      def tableNames = Seq("region", "rotten", "nation")
+      def load(t: String) =
+        if (t == "rotten") base.load("region").filter(boom(org.apache.spark.sql.functions.col("r_regionkey")))
+        else base.load(t)
+    }
+    val a = Collector.collect(scanFail, sampleSize = 2)
+    assert(a.tables.map(_.name) == Seq("region", "rotten", "nation"))
+    val rotten = a.tables.find(_.name == "rotten").get
+    assert(rotten.sampleStatus == "failed" && rotten.rowCount == -1L &&
+      rotten.sampleRows.isEmpty && rotten.warnings.nonEmpty)
+    // deterministic identical failure: retry loop bailed early
+    assert(rotten.warnings.exists(_.contains("deterministic")))
+    assert(a.tables.filter(_.name != "rotten").forall(_.sampleStatus == "success"))
     assert(Collector.validate(a).isEmpty)
   }
 
