@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.QualityFilters
+
+/** Semantic checks for the Gopher-repetition / C4-cleaning filters on a
+  * crafted corpus that exercises every flag (the synthetic testdata is
+  * punctuation-free word soup, so the interesting branches never fire
+  * there; cross-engine parity runs in the Verify/oracle gate).
+  */
+class QualityFiltersSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  lazy val dir: String = {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat.", "en", "crafted", 23L),
+      (1L, "spam spam spam spam spam spam spam spam spam spam.", "en", "crafted", 50L),
+      (2L, "a b", "en", "crafted", 3L),
+      (3L, "lorem ipsum dolor sit amet consectetur.", "en", "crafted", 39L),
+      (4L, "code { x } more words here now.", "en", "crafted", 31L),
+      (5L, "", "en", "crafted", 0L),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta.", "en", "crafted", 46L),
+      (7L, "one two three one two three one two three one two three.", "en", "crafted", 56L))
+    val d = java.nio.file.Files.createTempDirectory("graft_qf").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("c4 flags fire on the crafted corpus exactly where they should") {
+    val rows = QualityFilters.c4Filters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def b(id: Long, c: String) = rows(id).getAs[Boolean](c)
+    assert(b(0, "keep") && b(0, "ends_terminal") && !b(0, "too_few_words"))
+    assert(rows(0).getAs[Double]("mean_word_len") == 3.0)
+    assert(b(2, "too_few_words") && !b(2, "keep"))
+    assert(b(3, "has_lorem") && !b(3, "keep"))
+    assert(b(4, "has_brace") && !b(4, "keep"))
+    // empty doc: no words, zero mean, nothing fires except too_few
+    assert(rows(5).getAs[Int]("n_words") == 0 &&
+      rows(5).getAs[Double]("mean_word_len") == 0.0 &&
+      b(5, "too_few_words") && !b(5, "ends_terminal"))
+    assert(b(6, "keep"))
+    // doc 7 ends in '.', enough words, normal word length -> keep
+    assert(b(7, "keep"))
+  }
+
+  test("repetition metrics separate spammy docs from diverse ones") {
+    val rows = QualityFilters.repetition(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 'spam' x9 + 'spam.' -> max_tok_frac 0.9, flagged
+    assert(rows(1).getAs[Double]("max_tok_frac") == 0.9)
+    assert(rows(1).getAs[Boolean]("is_repetitive"))
+    // doc 7: 'one two three' x4 (last with '.') -> duplicate trigrams
+    assert(rows(7).getAs[Double]("dup_trigram_frac") > 0.3)
+    assert(rows(7).getAs[Boolean]("is_repetitive"))
+    // doc 6: all-distinct tokens -> nothing repeats (and the top bigram
+    // occurring ONCE covers 0 — no short-doc 2/n floor)
+    assert(rows(6).getAs[Long]("max_tok_n") == 1L &&
+      rows(6).getAs[Double]("top_bigram_frac") == 0.0 &&
+      rows(6).getAs[Double]("dup_trigram_frac") == 0.0 &&
+      !rows(6).getAs[Boolean]("is_repetitive"))
+    // doc 5 (empty) and doc 2 (two tokens): guarded zero fractions
+    assert(rows(5).getAs[Double]("max_tok_frac") == 0.0)
+    assert(rows(2).getAs[Double]("dup_trigram_frac") == 0.0)
+    // every doc present exactly once
+    assert(rows.size == 8)
+  }
+}
