@@ -68,4 +68,29 @@ class QualityFiltersSpec extends AnyFunSuite {
     // every doc present exactly once
     assert(rows.size == 8)
   }
+
+  test("decontamination flags exactly the train docs sharing an eval 8-gram") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"tok$i").mkString(" ")   // a 12-token run
+    val docs = Seq(
+      // doc 0 is EVAL (0 % 20 == 0)
+      (0L, s"$run eval tail words here", "en", "c", 0L),
+      // doc 1 copies the full eval run -> contaminated (5 shared 8-grams)
+      (1L, s"prefix $run suffix", "en", "c", 0L),
+      // doc 2 copies only 7 consecutive eval tokens -> clean at n=8
+      (2L, (1 to 7).map(i => s"tok$i").mkString(" ") + " unrelated trailing words padding four more", "en", "c", 0L),
+      // doc 3 shares nothing
+      (3L, (1 to 10).map(i => s"other$i").mkString(" "), "en", "c", 0L))
+    val d = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.text.Decontaminate.report(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L)) // eval doc 0 excluded
+    assert(rows(1).getAs[Boolean]("is_contaminated"))
+    assert(rows(1).getAs[Long]("n_shared_ngrams") == 5L) // 12-run -> 5 8-grams
+    assert(rows(1).getAs[Long]("n_eval_docs") == 1L)
+    assert(!rows(2).getAs[Boolean]("is_contaminated"))
+    assert(!rows(3).getAs[Boolean]("is_contaminated"))
+  }
 }
