@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables
+
+/** Full-text relevance scoring over the corpus — the retrieval surface
+  * of a training-data/search pipeline:
+  *
+  *  - `search_bm25`: Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's
+  *    always-positive idf) for a fixed query-term set, top-20 documents.
+  *  - `text_keywords_tfidf`: per-document top-3 keywords by tf-idf —
+  *    the cheap per-doc topic signature.
+  *
+  * Cross-engine determinism: ln() can differ in the last ulp between
+  * engines, so every idf is quantized through DECIMAL(18,9) at the
+  * definition site; BM25 per-term contributions are re-quantized before
+  * the per-doc sum (decimal sums are exact and order-independent — a raw
+  * double sum over a shuffled aggregation would not be), and ranking
+  * happens on the exact decimal. The BM25 tf-saturation fraction is a
+  * pure rational of exactly-agreed ints evaluated with the identical
+  * literal sequence on both engines.
+  *
+  * Scale shape: tf filters to the query terms BEFORE any shuffle (the
+  * scored side is |query| rows per matching doc); df/avgdl are one
+  * vocabulary aggregation; the per-doc window in tf-idf partitions by
+  * doc_id. The df join stays a shuffle join (vocabulary is
+  * corpus-sized); the corpus-stats row is a 1-row broadcast.
+  */
+object Search {
+
+  val queryTerms = Seq("spark", "join", "fast")
+  val topN = 20
+
+  private def toks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(text, ' '), t -> t <> '')")).as("token"))
+
+  /** BM25 top-20 for the fixed query-term set. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir)
+    val docLen = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // corpus stats: one row, broadcast
+    val stats = docLen.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val qt = t.filter(col("token").isin(queryTerms: _*))
+    val tf = qt.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = qt.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(df, "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        // idf quantized at the definition site; the saturation fraction
+        // uses the identical literal sequence as the SQL oracle
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          .cast(DecimalType(18, 9)).cast(DoubleType) *
+          (col("tf").cast(DoubleType) * 2.2 /
+            (col("tf").cast(DoubleType) +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl")))))
+          .cast(DecimalType(18, 9)).as("contrib"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_q"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("score_q").cast(DoubleType).as("score"),
+        col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  val bm25Sql: String = {
+    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+       |  FROM documents),
+       |doc_len AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM doc_len),
+       |qt AS (SELECT doc_id, token FROM toks WHERE token IN ($terms)),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM qt) GROUP BY token),
+       |contrib AS (
+       |  SELECT t.doc_id,
+       |    CAST(CAST(CAST(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) AS DECIMAL(18,9)) AS DOUBLE) *
+       |      (CAST(t.tf AS DOUBLE) * 2.2 /
+       |        (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)))
+       |      AS DECIMAL(18,9)) AS contrib
+       |  FROM tf t JOIN df f USING (token) JOIN doc_len l USING (doc_id), stats s)
+       |SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
+  /** Per-doc top-3 keywords by tf-idf (idf = ln(N/df), quantized). */
+  def keywordsTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir)
+    val tf = t.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"),
+        // tf (exact int) * decimal idf: exact decimal score, ranked as
+        // such. tf is cast to DECIMAL(10,0) first — long * decimal(18,9)
+        // would need precision 39 and Spark silently trades scale for it
+        // (rounds to 7-8 decimals), diverging from DuckDB's exact product
+        (col("tf").cast(DecimalType(10, 0)) *
+          log(col("n_docs") / col("df")).cast(DecimalType(18, 9)))
+          .as("score_q"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+        col("score_q").cast(DoubleType).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val keywordsTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, tf,
+      |    tf * CAST(ln(n.n_docs / f.df) AS DECIMAL(18,9)) AS score_q
+      |  FROM tf JOIN df f USING (token), n),
+      |ranked AS (
+      |  SELECT doc_id, token, tf, score_q,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) AS INTEGER) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, token, CAST(tf AS BIGINT) AS tf,
+      |  CAST(score_q AS DOUBLE) AS tfidf
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+}
