@@ -327,6 +327,47 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE tokenizer-training building block — the pair-count step of one
+    * merge iteration: frequencies of adjacent character pairs across the
+    * corpus, weighted by word frequency. Runs over the DISTINCT word
+    * vocabulary with counts (the classic BPE word-frequency-dict
+    * optimization: the pair scan touches |vocab| strings, not the raw
+    * corpus — at 100 TB the vocabulary aggregation is the only
+    * corpus-sized shuffle, and the pair aggregation is alphabet²-sized).
+    * The top pair is exactly the merge BPE would perform next; a full
+    * trainer iterates this with the merged symbol re-injected.
+    */
+  def bpePairStats(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("wc"))
+    words.filter(length(col("token")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("pair_count"))
+      .select(substring(col("pair"), 1, 1).as("sym_a"),
+        substring(col("pair"), 2, 1).as("sym_b"),
+        col("pair_count"))
+      .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+      .limit(20)
+  }
+
+  val bpePairStatsSql: String =
+    """WITH words AS (
+      |  SELECT token, count(*) AS wc FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      |    FROM documents)
+      |  GROUP BY token),
+      |pairs AS (
+      |  SELECT wc, unnest(list_transform(range(1, length(token)),
+      |    i -> substr(token, i, 2))) AS pair
+      |  FROM words WHERE length(token) >= 2)
+      |SELECT substr(pair, 1, 1) AS sym_a, substr(pair, 2, 1) AS sym_b,
+      |  CAST(sum(wc) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY pair
+      |ORDER BY pair_count DESC, sym_a, sym_b LIMIT 20""".stripMargin
+
   val unigramNllSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

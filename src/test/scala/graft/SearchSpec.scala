@@ -52,4 +52,21 @@ class SearchSpec extends AnyFunSuite {
     val d2 = byDoc(2L).sortBy(_.getAs[Int]("rk")).map(_.getAs[String]("token"))
     assert(d2.sameElements(Seq("here", "only", "today")))
   }
+
+  test("bpe pair counts weight by word frequency and pick the right merge") {
+    import spark.implicits._
+    // vocab: 'aaab' x2, 'cd' x1, 'e' x1 (single char -> no pair)
+    val docs = Seq((0L, "aaab cd aaab e", "en", "c", 14L))
+    val d = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.text.TextStats.bpePairStats(spark, d).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")) -> r.getAs[Long]("pair_count"))
+      .toMap
+    // 'aaab' has pairs aa,aa,ab per occurrence; wc=2 -> aa:4, ab:2, cd:1
+    assert(rows == Map(("a", "a") -> 4L, ("a", "b") -> 2L, ("c", "d") -> 1L))
+    // the top merge BPE would perform next is (a,a)
+    val top = graft.text.TextStats.bpePairStats(spark, d).collect().head
+    assert(top.getAs[String]("sym_a") == "a" && top.getAs[String]("sym_b") == "a")
+  }
 }
