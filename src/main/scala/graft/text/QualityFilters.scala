@@ -33,46 +33,54 @@ object QualityFilters {
 
   /** Per-doc repetition metrics + the repetitive flag. Docs with too few
     * tokens for an n-gram level score 0 at that level (nothing repeats).
+    *
+    * Single-scan shape: unigrams and bigrams ride ONE tagged explode
+    * ('1|tok' / '2|bigram', plus a '0|' sentinel so token-less docs
+    * survive the aggregation), counted per (doc, gram) and reduced to
+    * per-level maxima in one more shuffle — the corpus is read once,
+    * with no join-backs. The duplicate-3-gram fraction is pure array
+    * arithmetic and rides the same projection.
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
-    // most frequent single token: explode + per-(doc, token) count + max
-    val maxTok = base.filter(col("n_tokens") >= 1)
-      .select(col("doc_id"), explode(col("toks")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok_n"))
-    // most frequent 2-gram (token bigram, space-joined)
-    val topBi = base.filter(col("n_tokens") >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"),
+        when(col("toks").isNotNull && size(col("toks")) >= 3, expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+          .otherwise(expr("CAST(array() AS array<string>)")).as("tris"))
+    val grams = base.select(col("doc_id"), col("n_tokens"),
+      size(col("tris")).as("n_tri"),
+      size(array_distinct(col("tris"))).as("n_tri_distinct"),
+      explode(concat(
+        array(lit("0|")),
+        expr("transform(toks, t -> concat('1|', t))"),
+        when(size(col("toks")) >= 2, expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat('2|', element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))))
         .as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
-    // duplicate-3-gram fraction is expression-only: 1 - distinct/total
-    val tri = base.select(col("doc_id"), col("n_tokens"),
-      when(col("n_tokens") >= 3, expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
-        .otherwise(expr("CAST(array() AS array<string>)")).as("tris"))
+    val counts = grams
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"), max(col("n_tokens")).as("n_tokens"),
+        max(col("n_tri")).as("n_tri"), max(col("n_tri_distinct")).as("n_tri_distinct"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(max(when(substring(col("g"), 1, 1) === "1", col("c"))).as("max_tok_n0"),
+        max(when(substring(col("g"), 1, 1) === "2", col("c"))).as("top_bigram_n0"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("n_tri")).as("n_tri"),
+        max(col("n_tri_distinct")).as("n_tri_distinct"))
       .select(col("doc_id"), col("n_tokens"),
-        size(col("tris")).as("n_tri"),
-        size(array_distinct(col("tris"))).as("n_tri_distinct"))
-    tri
-      .join(maxTok, Seq("doc_id"), "left")
-      .join(topBi, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("max_tok_n"), lit(0L)).as("max_tok_n"),
-        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("max_tok_n0"), lit(0L)).as("max_tok_n"),
+        coalesce(col("top_bigram_n0"), lit(0L)).as("top_bigram_n"),
         when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(coalesce(col("max_tok_n"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+          .otherwise(coalesce(col("max_tok_n0"), lit(0L)).cast(DoubleType) / col("n_tokens"))
           .as("max_tok_frac"),
         // coverage of DUPLICATE occurrences (beyond the first): a top
         // bigram that occurs once covers 0 — otherwise every doc under
         // 2/threshold tokens would trip the filter on its 2/n floor
         when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(greatest(coalesce(col("top_bigram_n"), lit(0L)) - 1L, lit(0L))
+          .otherwise(greatest(coalesce(col("top_bigram_n0"), lit(0L)) - 1L, lit(0L))
             .cast(DoubleType) * 2.0 / col("n_tokens"))
           .as("top_bigram_frac"),
         when(col("n_tri") <= 0, lit(0.0))
