@@ -34,7 +34,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     "dedup_minhash_lsh", "dedup_simhash", "dedup_levenshtein",
     "mm_decode_features", "mm_frame_sample",
     "quality_completeness", "quality_uniqueness", "quality_consistency",
-    "quality_score")
+    "quality_score",
+    "text_repetition", "text_c4_filters", "text_decontaminate",
+    "search_bm25", "text_keywords_tfidf", "bpe_pair_stats")
 
   test("every document-path query survives the adversarial corpus") {
     docQueries.foreach { k =>

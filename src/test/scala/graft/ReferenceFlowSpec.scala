@@ -175,6 +175,26 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(md.contains("| orders.o_custkey | customer.c_custkey |"))
   }
 
+  test("ddl, mermaid, and html generators render the keyed artifact") {
+    import graft.output.{SqlDdlDoc, MermaidDoc, HtmlDoc}
+    val ddl = SqlDdlDoc.render(keyed)
+    assert(ddl.contains("CREATE TABLE orders ("))
+    assert(ddl.contains("o_orderkey BIGINT PRIMARY KEY"))
+    assert(ddl.contains("ALTER TABLE orders ADD FOREIGN KEY (o_custkey) REFERENCES customer (c_custkey);"))
+    assert(ddl.contains("embedding REAL[]"))  // array type mapping
+    val mm = MermaidDoc.render(keyed)
+    assert(mm.startsWith("erDiagram"))
+    assert(mm.contains("int64 o_orderkey PK"))
+    assert(mm.contains("""orders }o--|| customer : "o_custkey -> c_custkey""""))
+    assert(!mm.contains("<"))  // mermaid-legal identifiers only
+    val html = HtmlDoc.render(keyed)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    Tables.all.foreach(t => assert(html.contains(s"<h2>Table: $t</h2>")))
+    assert(html.contains("array&lt;float32&gt;"))  // escaped type
+    // every opened table element closes
+    assert(html.sliding(7).count(_ == "<table>") == html.sliding(8).count(_ == "</table>"))
+  }
+
   test("collection outcome classification follows the reference exit-code ladder") {
     import Collector.CollectionOutcome
     assert(CollectionOutcome.fromResults(Nil).exitCode == 1)
