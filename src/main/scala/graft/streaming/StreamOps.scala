@@ -71,6 +71,31 @@ object StreamOps {
         col("sum_value"))
   }
 
+  /** Streaming decontamination monitor — benchmark leakage watched AS
+    * DOCUMENTS ARRIVE: the incoming doc stream is shingled (distinct
+    * word n-grams, Decontaminate.withGrams) and joined against a STATIC
+    * eval-suite n-gram table — a stream-static inner join, the idiomatic
+    * Spark shape for enriching a stream against reference data: the
+    * static side is a plain DataFrame planned fresh each micro-batch,
+    * holds no streaming state, and (being a bounded benchmark suite) is
+    * broadcast by AQE. One watermarked hourly aggregation then emits
+    * gram-hit counts and approx-distinct contaminated docs (HLL — the
+    * only stream-safe distinct), so state is O(active windows).
+    *
+    * `docs` needs (doc_id, ts, text); `evalGrams` needs (g) — e.g.
+    * `Decontaminate.withGrams(evalDocs).select("g").distinct()`.
+    */
+  def contaminationMonitor(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    graft.text.Decontaminate.withGrams(docs)
+      .withWatermark("ts", "1 hour")
+      .join(evalGrams, "g")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_gram_hits"),
+        approx_count_distinct(col("doc_id")).as("approx_contaminated_docs"))
+      .select(col("w.start").as("hour"), col("n_gram_hits"),
+        col("approx_contaminated_docs"))
+  }
+
   case class FunnelEv(event_id: Long, t_us: Long, user_id: Long, event_type: String)
   case class FunnelState(tSignup: Long, converted: Boolean)
   case class Conversion(user_id: Long, t_signup: Long, t_purchase: Long,

@@ -36,13 +36,20 @@ object Decontaminate {
     s"transform(sequence(1, size(toks) - ${ngramN - 1}), i -> concat($parts))"
   }
 
+  /** Distinct word-n-grams per row, all other columns preserved — shared
+    * by the batch report and the streaming contamination monitor (where
+    * the event-time column must ride along).
+    */
+  def withGrams(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size(col("toks")) >= ngramN)
+      .withColumn("g", explode(expr(s"array_distinct($gramExpr)")))
+      .drop("toks", "text")
+
   def report(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
-    val grams = toks.filter(size(col("toks")) >= ngramN)
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct($gramExpr)")).as("g"))
+    val grams = withGrams(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     val isEval = col("doc_id") % evalModulus === 0
     val evalGrams = grams.filter(isEval)
       .select(col("g"), col("doc_id").as("eval_id"))

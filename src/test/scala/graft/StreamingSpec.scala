@@ -48,6 +48,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(totalEvents == batch.count())
   }
 
+  test("streaming contamination monitor flags the copied-run doc via the static gram table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val run = (1 to 12).map(i => s"tok$i").mkString(" ") // 12-token eval run
+    // static eval-suite gram table from a batch frame
+    val evalDocs = Seq((100L, s"$run eval tail words")).toDF("doc_id", "text")
+    val evalGrams = graft.text.Decontaminate.withGrams(evalDocs)
+      .select(col("g")).distinct()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(Seq(
+      (1L, t0, s"prefix $run suffix"),                                // 5 shared 8-grams
+      (2L, t0, (1 to 20).map(i => s"clean$i").mkString(" ")),         // disjoint
+      (3L, t0, "too short for any gram")))
+    val streamDf = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.contaminationMonitor(streamDf, evalGrams).writeStream
+      .outputMode("complete").format("memory").queryName("contam_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("contam_out").collect()
+    assert(got.length == 1) // one active hourly window
+    assert(got(0).getAs[Long]("n_gram_hits") == 5L)
+    assert(got(0).getAs[Long]("approx_contaminated_docs") == 1L)
+    // replay equality: the same monitor over the same data as a batch frame
+    val batchDf = Seq(
+      (1L, t0, s"prefix $run suffix"),
+      (2L, t0, (1 to 20).map(i => s"clean$i").mkString(" ")),
+      (3L, t0, "too short for any gram")).toDF("doc_id", "ts", "text")
+    val want = StreamOps.contaminationMonitor(batchDf, evalGrams)
+    assert(spark.table("contam_out").exceptAll(want).count() == 0 &&
+      want.exceptAll(spark.table("contam_out")).count() == 0)
+  }
+
   test("streaming funnel conversions match the batch definition per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
