@@ -311,18 +311,23 @@ object Similarity {
     * Scale shape: centroid set is tiny (broadcast); assignment is a
     * narrow map; each Lloyd update is one shuffle of (cluster, partial
     * sums). The probe join is an equi-join on cluster id — candidate set
-    * shrinks by ~k/nprobe versus brute force. No SQL oracle (centroids
-    * are runtime state); recall vs exact top-k is asserted in
-    * DedupSimSpec. Reproducible for a fixed session configuration; the
-    * Lloyd means use floating-point `avg`, so a different partition
-    * layout can drift centroids by an ulp and flip near-equidistant
-    * assignments (inherent to distributed k-means).
+    * shrinks by ~k/nprobe versus brute force.
+    *
+    * Cross-engine determinism (r3, upgraded rows→sql): each Lloyd mean
+    * quantizes its inputs through DECIMAL(24,6) — the sum is exact and
+    * order-independent, so centroids are bit-identical under any
+    * partition layout AND re-derivable in plain SQL. The oracle unrolls
+    * the identical two Lloyd iterations as CTEs (seed → assign → mean →
+    * coalesce-empty-clusters, twice), so the driver's hash gate proves
+    * the distributed iterative quantizer computes exactly the declared
+    * k-means — runtime state made reproducible, not skipped.
     */
   val ivfK = 8
   val ivfProbe = 2
   val ivfIters = 2
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     // cached: the subplan feeds seeding, every Lloyd iteration, and both
     // sides of the probe join (5+ recomputations otherwise)
     val vecs = vectors(spark, dir).persist()
@@ -352,16 +357,19 @@ object Similarity {
 
     for (_ <- 1 to ivfIters) {
       val assigned = vecs.withColumn("cid", assignExpr(centroids))
-      val meanCols = (0 until dim).map(k =>
-        avg(element_at(col("v"), k + 1)).as(s"m_$k"))
-      val updated = assigned.groupBy(col("cid"))
-        .agg(meanCols.head, meanCols.tail: _*)
+      // decimal-quantized mean (labelCentroids pattern): exact,
+      // order-independent, and identical to the SQL oracle's re-derivation
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("k", "x")))
+        .select(col("cid"), col("k"), col("x").cast(DecimalType(24, 6)).as("xd"))
+        .groupBy(col("cid"), col("k"))
+        .agg((sum(col("xd")).cast(DoubleType) / count(lit(1))).as("m"))
         .collect()
-        .map(r => (r.getAs[Int]("cid"),
-          (0 until dim).map(k => r.getAs[Double](s"m_$k")).toArray))
+        .map(r => (r.getAs[Int]("cid"), r.getAs[Int]("k"), r.getAs[Double]("m")))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
       // keep centroids whose cluster emptied unchanged
-      val byId = updated.toMap
-      centroids = centroids.map { case (i, c) => (i, byId.getOrElse(i, c)) }
+      centroids = centroids.map { case (i, c) => (i, updated.getOrElse(i, c)) }
     }
 
     val indexed = vecs.withColumn("cid", assignExpr(centroids))
@@ -389,6 +397,63 @@ object Similarity {
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The identical two Lloyd iterations + probe, unrolled as DuckDB CTEs:
+    * seed → (assign → decimal mean → coalesce empty clusters) ×2 →
+    * assign → nprobe probe → exact in-list rank. Every arithmetic step
+    * mirrors the Spark expression order, so distances, centroids, and
+    * therefore assignments agree bit-for-bit.
+    */
+  lazy val annIvfSql: String = {
+    def dist(vexpr: String, cexpr: String): String =
+      s"list_dot_product($cexpr, $cexpr) - list_dot_product($vexpr, $cexpr) * 2"
+    def assign(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT e.vec_id, e.v, c.cid
+         |  FROM e CROSS JOIN $cents c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dist("e.v", "c.v")}, c.cid) = 1)""".stripMargin
+    def mean(name: String, assigned: String, prev: String): String =
+      s"""${name}_m AS (
+         |  SELECT cid, t.i AS k,
+         |    CAST(sum(CAST(v[t.i + 1] AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS m
+         |  FROM $assigned, range($dim) t(i) GROUP BY cid, t.i),
+         |$name AS (
+         |  SELECT p.cid, coalesce(mv.v, p.v) AS v
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY k) AS v FROM ${name}_m GROUP BY cid) mv
+         |  USING (cid))""".stripMargin
+    s"""WITH $vectorsSql,
+       |s AS (SELECT greatest(count(*) // $ivfK, 1) AS stride FROM e),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM (
+       |    SELECT vec_id, v FROM e
+       |    WHERE vec_id % (SELECT stride FROM s) = 0
+       |    ORDER BY vec_id LIMIT $ivfK)),
+       |${assign("a1", "c0")},
+       |${mean("c1", "a1", "c0")},
+       |${assign("a2", "c1")},
+       |${mean("c2", "a2", "c1")},
+       |${assign("idx", "c2")},
+       |probes AS (
+       |  SELECT e.vec_id AS query_id, c.cid
+       |  FROM e CROSS JOIN c2 c WHERE e.vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${dist("e.v", "c.v")}, c.cid) <= $ivfProbe),
+       |cand AS (
+       |  SELECT p.query_id, i.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS cosine
+       |  FROM probes p
+       |  JOIN idx i ON i.cid = p.cid AND i.vec_id <> p.query_id
+       |  JOIN e qe ON qe.vec_id = p.query_id
+       |  JOIN e ne ON ne.vec_id = i.vec_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+       |  neighbor_id, cosine
+       |FROM cand
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** ANN via random-hyperplane LSH: vectors bucketed by sign bits, each
