@@ -28,4 +28,36 @@ object Lake {
     */
   def readDay(spark: SparkSession, outDir: String, day: String): DataFrame =
     spark.read.parquet(outDir).filter(col("day") === day)
+
+  /** Bucketed materialization — the OTHER lake layout lever (SURVEY §5):
+    * write both join sides bucketed AND sorted by the join key into the
+    * session catalog; every subsequent equi-join on that key is then
+    * co-located (bucket-to-bucket, no Exchange) and pre-sorted (no Sort)
+    * — the pay-once-shuffle-never-again trade a 100 TB pipeline makes
+    * for its repeated fact-fact joins. Bucket counts must match across
+    * tables; at scale you'd size them to target-partition bytes.
+    */
+  def writeBucketed(spark: SparkSession, sfDir: String, buckets: Int = 8): Unit = {
+    Tables.orders(spark, sfDir).write
+      .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("g_orders_bucketed")
+    Tables.customer(spark, sfDir).write
+      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("g_customer_bucketed")
+  }
+
+  /** Per-customer order rollup over the bucketed tables. With both sides
+    * bucketed on the join key, the merge-join plan has zero shuffle
+    * exchanges and zero sorts before the join (asserted in LakeSpec).
+    */
+  def bucketedJoin(spark: SparkSession): DataFrame = {
+    val o = spark.table("g_orders_bucketed")
+    val c = spark.table("g_customer_bucketed")
+    // hint the merge join so the check is about bucketing, not about
+    // AQE's broadcast choice at toy scale
+    o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+  }
 }

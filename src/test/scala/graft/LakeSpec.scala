@@ -27,4 +27,25 @@ class LakeSpec extends AnyFunSuite {
     val total = spark.read.parquet(dir).agg(sum("n_events")).collect()(0).getLong(0)
     assert(total == Tables.events(spark, sf).count())
   }
+
+  test("bucketed tables co-locate the join: no exchange, no pre-join sort") {
+    Lake.writeBucketed(spark, sf, buckets = 8)
+    try {
+      val joined = Lake.bucketedJoin(spark)
+      // the non-adaptive physical plan: bucketing satisfies the merge
+      // join's distribution AND ordering, so there is no shuffle and no
+      // sort anywhere before the join
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      // correctness: totals match the unbucketed join
+      val want = Tables.orders(spark, sf).count()
+      val got = joined.agg(org.apache.spark.sql.functions.sum("n_orders"))
+        .collect()(0).getLong(0)
+      assert(got == want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_customer_bucketed")
+    }
+  }
 }
