@@ -60,8 +60,19 @@ object Similarity {
     * (graft.functions.DotProduct) — same strict left-fold accumulation as
     * the DuckDB oracle's list_dot_product, compiled to a primitive loop.
     */
+  /** Zero-norm guard: a single all-zero embedding (a real hazard in
+    * production corpora — failed encoder call, padded row) must not kill
+    * the job. Under Spark 4's default ANSI mode the bare division throws
+    * DIVIDE_BY_ZERO; the guard emits NULL instead, which drops out of
+    * every threshold filter and sorts after real cosines in desc ranks.
+    * The conditional is runtime-lazy, so the division never executes for
+    * zero denominators. (The oracle corpus has no zero vectors, so SQL
+    * parity is unaffected.)
+    */
   private def cosine(va: String, vb: String, na: Column, nb: Column): Column =
-    round(graft.functions.VectorOps.dot_product(col(va), col(vb)).divide(na * nb), 6)
+    when((na * nb) === 0.0, lit(null).cast("double"))
+      .otherwise(round(graft.functions.VectorOps.dot_product(col(va), col(vb))
+        .divide(na * nb), 6))
 
   // ---------------------------------------------------------- banded pair LSH
   //
