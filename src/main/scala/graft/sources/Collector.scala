@@ -173,7 +173,15 @@ object Collector {
         try {
           val cols = df.schema.fields.toSeq.map(f =>
             ColumnInfo(f.name, normalizeType(f.dataType), f.nullable))
-          val key = df.schema.fields.head.name
+          // MostRecent ordering ladder (reference sampling.rs strategy
+          // preference): inferred primary key > first timestamp column
+          // (recency) > first column (the rowid stand-in).
+          val key = pkMap.get(t).flatMap(_.headOption)
+            .orElse(df.schema.fields.collectFirst {
+              case f if f.dataType.isInstanceOf[TimestampType] ||
+                f.dataType.isInstanceOf[TimestampNTZType] => f.name
+            })
+            .getOrElse(df.schema.fields.head.name)
           val (sample, status, warns) = sampleWithRetry(sampleSize, l =>
             df.orderBy(col(key).desc).limit(l).collect().toSeq.map(r =>
               r.toSeq.map(v => if (v == null) "NULL" else v.toString)))
