@@ -1,0 +1,246 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import graft.Tables
+
+/** Final curation stage of a training-data pipeline — the operators that
+  * turn a filtered/deduplicated corpus into what a trainer actually
+  * consumes: a deterministic train/valid/test split, one surviving
+  * document per near-dup cluster, token-budget shard packing, and
+  * temperature-based source mixing weights (the GPT-3 §2.2 / Pile-style
+  * sqrt re-weighting of heterogeneous sources).
+  *
+  * All four are single-pass, fully distributed shapes: pure column maps
+  * plus one or two keyed aggregations; the only windows are partitioned
+  * by (source[, bucket]) or by the handful of post-aggregation rows, so
+  * no operator ever funnels the corpus through one partition.
+  */
+object Curation {
+
+  /** Deterministic content-keyed split bucket: md5(doc_id) % 100 — stable
+    * across runs, engines and partitionings (the same md5-derived-int
+    * device as the deterministic samplers and MinHash permutations).
+    */
+  private val bucketExpr =
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+  private val toksExpr = "size(filter(split(text, ' '), t -> t <> ''))"
+
+  /** 98/1/1 train/valid/test assignment + per-(split, source, lang)
+    * balance report. A hash split (rather than a positional one) keeps
+    * membership stable under re-ingestion and appends — exactly why
+    * production pipelines key splits on content ids. `split_doc_share`
+    * is each cell's share of its split, the quantity you eyeball to
+    * confirm valid/test mirror the train mix.
+    *
+    * Scale shape: one projection + one (split, source, lang) aggregation;
+    * the share window runs over the ~|splits × sources × langs| aggregate
+    * rows, not the corpus.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("source"), col("lang"),
+      expr(toksExpr).as("toks"),
+      (expr(bucketExpr) % 100).as("bucket"))
+    val s = d.withColumn("split",
+      when(col("bucket") < 1, "test")
+        .when(col("bucket") < 2, "valid")
+        .otherwise("train"))
+    val g = s.groupBy(col("split"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    g.withColumn("split_doc_share",
+        col("n_docs").cast(DoubleType) /
+          sum(col("n_docs")).over(Window.partitionBy(col("split"))).cast(DoubleType))
+      .orderBy(col("split"), col("source"), col("lang"))
+  }
+
+  val splitAssignSql: String =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |s AS (
+      |  SELECT CASE WHEN bucket < 1 THEN 'test'
+      |              WHEN bucket < 2 THEN 'valid'
+      |              ELSE 'train' END AS split, source, lang, toks
+      |  FROM d),
+      |g AS (
+      |  SELECT split, source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(toks) AS BIGINT) AS n_tokens
+      |  FROM s GROUP BY 1, 2, 3)
+      |SELECT split, source, lang, n_docs, n_tokens,
+      |  CAST(n_docs AS DOUBLE) /
+      |    CAST(sum(n_docs) OVER (PARTITION BY split) AS DOUBLE) AS split_doc_share
+      |FROM g ORDER BY split, source, lang""".stripMargin
+
+  /** Near-dup cluster representative selection: per connected component
+    * of the Jaccard >= 0.5 graph (Dedup.components), keep the
+    * highest-quality member (TextStats quality score; doc_id tiebreak)
+    * and count the dropped docs. "Dedup then keep the best copy" is the
+    * step LLM pipelines run between clustering and shard writing —
+    * min-doc_id canonicalization throws away the cleanest duplicate.
+    *
+    * The ranking key is the same IEEE-exact quality double the oracle
+    * gate already proves cross-engine identical (text_quality_score), so
+    * the per-component argmax selects identical rows in both engines.
+    * Scale shape: components' cost dominates; the selection itself is
+    * one join + one window partitioned by component label.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.components(spark, dir)
+      .select(col("doc_id"), col("canon_id"), col("component_size"))
+    val quality = TextStats.qualityScoreCore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("canon_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    comp.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("canon_id"), col("component_size"),
+        col("doc_id").as("kept_doc_id"),
+        col("quality_score").as("kept_quality"),
+        (col("component_size") - lit(1L)).as("n_dropped"))
+      .orderBy(col("canon_id"))
+  }
+
+  val keepBestSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentsCoreSql},
+       |quality AS (
+       |  SELECT doc_id, quality_score
+       |  FROM (${TextStats.qualityScoreBodySql}) qb),
+       |ranked AS (
+       |  SELECT l.canon_id, s.component_size, l.doc_id, q.quality_score,
+       |    row_number() OVER (PARTITION BY l.canon_id
+       |      ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+       |  FROM labeled l
+       |  JOIN csize s USING (canon_id)
+       |  JOIN quality q USING (doc_id))
+       |SELECT canon_id, component_size, doc_id AS kept_doc_id,
+       |  quality_score AS kept_quality,
+       |  component_size - 1 AS n_dropped
+       |FROM ranked WHERE rn = 1 ORDER BY canon_id""".stripMargin
+
+  /** Tokens per shard. Small on purpose: the synthetic docs average ~54
+    * tokens, so 512 exercises real shard boundaries at every test SF; a
+    * production run would use 2^20+.
+    */
+  val shardCapacity = 512
+  /** Packing parallelism within a source. 2 here so sf0.001 still lands
+    * multiple docs per (source, bucket); at 100 TB raise it until each
+    * bucket's token mass fits an executor-friendly work unit — shards
+    * are an arbitrary partition of the corpus, so more buckets changes
+    * nothing semantically.
+    */
+  val packBuckets = 2
+
+  /** Token-budget shard packing: documents are laid out contiguously in
+    * (doc_id) order within each (source, bucket) lane and cut every
+    * `shardCapacity` tokens; a document belongs to the shard where it
+    * starts (offset-based next-fit — how sequence-packing writers
+    * assign documents to fixed-token output files). Emits per-shard
+    * occupancy: doc count, token mass, fill ratio, id range.
+    *
+    * Scale shape: the only window is the running token sum, partitioned
+    * by (source, bucket) — parallelism = |sources| × packBuckets, never
+    * a single global cumsum (THE classic packing scale-killer). The
+    * md5-derived bucket is content-keyed, so lanes stay balanced even
+    * when one source dominates the corpus.
+    */
+  def packShards(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      expr(toksExpr).as("toks"),
+      (expr(bucketExpr) % packBuckets).cast(IntegerType).as("bucket"))
+    val w = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sharded = d.withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("shard_id",
+        expr(s"CAST(floor((cum - toks) / CAST($shardCapacity AS DOUBLE)) AS INT)"))
+    sharded.groupBy(col("source"), col("bucket"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio",
+        col("shard_tokens").cast(DoubleType) / lit(shardCapacity.toDouble))
+      .orderBy(col("source"), col("bucket"), col("shard_id"))
+  }
+
+  val packShardsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % $packBuckets AS INTEGER) AS bucket
+       |  FROM documents),
+       |sharded AS (
+       |  SELECT doc_id, source, bucket, toks,
+       |    sum(toks) OVER (PARTITION BY source, bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT source, bucket,
+       |  CAST(floor((cum - toks) / CAST($shardCapacity AS DOUBLE)) AS INTEGER) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS shard_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  CAST(sum(toks) AS DOUBLE) / ${shardCapacity.toDouble} AS fill_ratio
+       |FROM sharded GROUP BY 1, 2, 3 ORDER BY source, bucket, shard_id""".stripMargin
+
+  /** Temperature-based source mixing weights: sample_share ∝
+    * n_tokens^0.5 (alpha = 0.5, the sqrt flattening GPT-3 §2.2 / The
+    * Pile apply so giant web crawls don't drown curated sources). Emits
+    * per source: exact doc/token counts, the sqrt weight, its
+    * normalized sampling share, the corpus-natural share, and
+    * boost = sample_share / natural_share (> 1 ⇔ the source is
+    * up-sampled relative to raw token mass).
+    *
+    * Cross-engine exactness: sqrt of an exactly-agreed integer is
+    * IEEE-correctly-rounded in both engines; the weight is then
+    * quantized through DECIMAL(24,6) so the normalizing sum is an exact,
+    * order-independent decimal sum (the labelCentroids device) — shares
+    * are single IEEE divisions of identical numerators/denominators.
+    * Scale shape: one corpus aggregation to |sources| rows; the windows
+    * run over those rows only.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("source"), expr(toksExpr).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("weight",
+        expr("CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,6))"))
+    val all = Window.partitionBy()
+    g.withColumn("sample_share",
+        col("weight").cast(DoubleType) /
+          sum(col("weight")).over(all).cast(DoubleType))
+      .withColumn("natural_share",
+        col("n_tokens").cast(DoubleType) /
+          sum(col("n_tokens")).over(all).cast(DoubleType))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight").cast(DoubleType).as("weight"),
+        col("sample_share"), col("natural_share"),
+        (col("sample_share") / col("natural_share")).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  val mixWeightsSql: String =
+    """WITH g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,6)) AS weight
+      |  FROM g),
+      |shares AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(weight AS DOUBLE) AS weight,
+      |    CAST(weight AS DOUBLE) / CAST(sum(weight) OVER () AS DOUBLE) AS sample_share,
+      |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS natural_share
+      |  FROM w)
+      |SELECT source, n_docs, n_tokens, weight, sample_share, natural_share,
+      |  sample_share / natural_share AS boost
+      |FROM shares ORDER BY source""".stripMargin
+}

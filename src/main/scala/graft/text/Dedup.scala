@@ -348,8 +348,13 @@ object Dedup {
       case _ => df.unpersist()
     }
 
-  val componentsSql: String =
-    s"""WITH RECURSIVE $jaccardPairsSql,
+  /** CTE chain producing `labeled` (doc_id, canon_id) + `csize`
+    * (canon_id, component_size) — the components fixpoint, composable by
+    * downstream oracles (Curation.keepBestSql). Callers prepend
+    * `WITH RECURSIVE` and append their own final SELECT.
+    */
+  private[text] val componentsCoreSql: String =
+    s"""$jaccardPairsSql,
        |dup_pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
        |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup_pairs
        |          UNION ALL SELECT doc_b, doc_a FROM dup_pairs),
@@ -361,7 +366,10 @@ object Dedup {
        |labeled AS (SELECT doc_id, coalesce(c.canon_id, doc_id) AS canon_id
        |  FROM documents LEFT JOIN comp c ON c.node = doc_id),
        |csize AS (SELECT canon_id, CAST(count(*) AS BIGINT) AS component_size
-       |  FROM labeled GROUP BY 1)
+       |  FROM labeled GROUP BY 1)""".stripMargin
+
+  val componentsSql: String =
+    s"""WITH RECURSIVE $componentsCoreSql
        |SELECT l.doc_id, l.canon_id, s.component_size,
        |  l.doc_id = l.canon_id AS is_canonical
        |FROM labeled l JOIN csize s USING (canon_id) ORDER BY doc_id""".stripMargin

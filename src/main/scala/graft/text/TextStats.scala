@@ -101,7 +101,13 @@ object TextStats {
     * diversity, punctuation ratio — the classic cheap pre-filters for
     * LLM training corpora.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreCore(spark, dir).orderBy(col("doc_id"))
+
+  /** Unordered per-doc quality map — composable by downstream operators
+    * (Curation.keepBest) without inheriting a pointless global sort.
+    */
+  private[text] def qualityScoreCore(spark: SparkSession, dir: String): DataFrame = {
     val punct = ".,!?;:()"
     Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -118,10 +124,12 @@ object TextStats {
       .withColumn("quality_score",
         least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.3 +
           col("diversity") * 0.5 + (lit(1.0) - col("punct_ratio")) * 0.2)
-      .orderBy(col("doc_id"))
   }
 
-  val qualityScoreSql: String =
+  /** Un-ordered oracle body, composable as a subquery (paired with
+    * qualityScoreCore exactly as qualityScoreSql pairs with qualityScore).
+    */
+  private[text] val qualityScoreBodySql: String =
     """WITH b AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -136,7 +144,9 @@ object TextStats {
       |  least(CAST(n_tokens AS DOUBLE) / 100.0, CAST(1 AS DOUBLE)) * 0.3
       |    + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * 0.5
       |    + (CAST(1 AS DOUBLE) - CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.2 AS quality_score
-      |FROM b ORDER BY doc_id""".stripMargin
+      |FROM b""".stripMargin
+
+  val qualityScoreSql: String = qualityScoreBodySql + " ORDER BY doc_id"
 
   /** Top-20 vocabulary tokens by document frequency (ties broken
     * alphabetically) — corpus vocabulary statistics.

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Curation, TextStats}
+
+/** Semantic invariants for the curation-stage operators on sf0.001
+  * (cross-engine value parity runs in the Verify/oracle gate).
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("split partitions the corpus and shares sum to 1 per split") {
+    val rows = Curation.splitAssign(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == nDocs)
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(bySplit.contains("train"))
+    for ((_, cells) <- bySplit) {
+      val share = cells.map(_.getAs[Double]("split_doc_share")).sum
+      assert(math.abs(share - 1.0) < 1e-9)
+    }
+    // hash split => deterministic across runs
+    val again = Curation.splitAssign(spark, dir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("keepBest keeps exactly the highest-quality member per component") {
+    val kept = Curation.keepBest(spark, dir).collect()
+    val quality = TextStats.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val comp = text.Dedup.components(spark, dir)
+      .select(col("doc_id"), col("canon_id"), col("component_size")).collect()
+    val members = comp.groupBy(_.getAs[Long]("canon_id"))
+    assert(kept.length == members.size) // one survivor per component
+    for (r <- kept) {
+      val cid = r.getAs[Long]("canon_id")
+      val ms = members(cid).map(_.getAs[Long]("doc_id"))
+      val best = ms.map(m => (quality(m), m)).sortBy(t => (-t._1, t._2)).head
+      assert(r.getAs[Long]("kept_doc_id") == best._2)
+      assert(r.getAs[Double]("kept_quality") == best._1)
+      assert(r.getAs[Long]("n_dropped") == ms.length - 1)
+    }
+  }
+
+  test("packShards reproduces a driver-side next-fit fold exactly") {
+    val out = Curation.packShards(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("bucket"),
+        r.getAs[Int]("shard_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"))).toMap
+    // recompute the offset-based shard assignment sequentially
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").as("toks"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+          .mod(Curation.packBuckets).cast("int").as("bucket"))
+      .collect()
+      .map(r => (r.getString(1), r.getInt(3), r.getLong(0), r.getInt(2)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val expected = scala.collection.mutable.Map[(String, Int, Int), (Long, Long)]()
+    var cum = Map[(String, Int), Long]().withDefaultValue(0L)
+    for ((src, bkt, _, toks) <- docs) {
+      val off = cum((src, bkt))
+      val shard = (off / Curation.shardCapacity).toInt
+      val (n, t) = expected.getOrElse((src, bkt, shard), (0L, 0L))
+      expected((src, bkt, shard)) = (n + 1, t + toks)
+      cum = cum.updated((src, bkt), off + toks)
+    }
+    assert(out == expected.toMap)
+    // shard ids are contiguous from 0 within each lane
+    for (((_, _), shards) <- out.keys.groupBy(k => (k._1, k._2))) {
+      val ids = shards.map(_._3).toSeq.sorted
+      assert(ids == (0 until ids.length))
+    }
+  }
+
+  test("mixWeights shares sum to 1 and sqrt-boost is monotone in tokens") {
+    val rows = Curation.mixWeights(spark, dir).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("sample_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("natural_share")).sum - 1.0) < 1e-9)
+    // boost = Σt / (Σ√t · √t_i): strictly decreasing in n_tokens
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    val boosts = byTokens.map(_.getAs[Double]("boost"))
+    for (Seq((a, ta), (b, tb)) <- boosts.zip(byTokens.map(_.getAs[Long]("n_tokens")))
+        .toSeq.sliding(2)) {
+      if (ta < tb) assert(a > b)
+    }
+    // smallest source is up-sampled, largest down-sampled (unless uniform)
+    if (byTokens.head.getAs[Long]("n_tokens") < byTokens.last.getAs[Long]("n_tokens")) {
+      assert(boosts.head > 1.0 - 1e-12 || boosts.head > boosts.last)
+      assert(boosts.last < 1.0 + 1e-12 || boosts.head > boosts.last)
+    }
+  }
+}
