@@ -43,15 +43,21 @@ object Bench {
       val ok = times.filter(_ >= 0).sorted
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       val min = if (ok.isEmpty) -1.0 else ok.head
+      // the FIRST timed run at the target SF is the cold number — caches
+      // persisted by cache-reusing ops (components' edge list, FK stats)
+      // only warm up runs 2..N, so `first` is the 100 TB-relevant
+      // first-scan cost while `median` is the repeated-invocation cost
+      val first = if (times.head >= 0) times.head else -1.0
       // intermittent failures must stay visible even when the median is
       // healthy — queries_fails carries the per-query failed-run count
-      (name, median, min, (times.size - ok.size).toDouble)
+      (name, median, min, (times.size - ok.size).toDouble, first)
     }
-    def fmt(f: ((String, Double, Double, Double)) => Double): String = results
+    def fmt(f: ((String, Double, Double, Double, Double)) => Double): String = results
       .map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     // failures stay visible as -1 per query but must not reduce the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"queries_fails":${fmt(_._4)},"runs":$nRuns,"sf":"$sfDir"}""")
+    val totalFirst = results.map(_._5).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_first":$totalFirst,"queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"queries_first":${fmt(_._5)},"queries_fails":${fmt(_._4)},"runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -128,13 +128,14 @@ object Curation {
     * production run would use 2^20+.
     */
   val shardCapacity = 512
-  /** Packing parallelism within a source. 2 here so sf0.001 still lands
-    * multiple docs per (source, bucket); at 100 TB raise it until each
-    * bucket's token mass fits an executor-friendly work unit — shards
-    * are an arbitrary partition of the corpus, so more buckets changes
-    * nothing semantically.
+  /** Target token mass per packing lane: 8 shards' worth. Lane count per
+    * source is DERIVED from that source's token mass (below), so packing
+    * parallelism scales with the corpus instead of being a fixed toy
+    * constant — at 100 TB a 10 T-token source gets ~2.4 B lanes of ~8
+    * shards each, and sf0.001 still gets ≥ 1 lane per source. Integer
+    * ceiling math keeps the count bit-identical cross-engine.
     */
-  val packBuckets = 2
+  val laneTokenTarget: Long = 8L * shardCapacity
 
   /** Token-budget shard packing: documents are laid out contiguously in
     * (doc_id) order within each (source, bucket) lane and cut every
@@ -144,8 +145,11 @@ object Curation {
     * occupancy: doc count, token mass, fill ratio, id range.
     *
     * Scale shape: the only window is the running token sum, partitioned
-    * by (source, bucket) — parallelism = |sources| × packBuckets, never
-    * a single global cumsum (THE classic packing scale-killer). The
+    * by (source, bucket) — never a single global cumsum (THE classic
+    * packing scale-killer). Lanes per source =
+    * ceil(source_tokens / laneTokenTarget) via one tiny per-source
+    * aggregate broadcast back onto the corpus, so each lane's cumsum is
+    * a bounded ~laneTokenTarget work unit at ANY corpus size. The
     * md5-derived bucket is content-keyed, so lanes stay balanced even
     * when one source dominates the corpus.
     */
@@ -153,11 +157,17 @@ object Curation {
     val d = Tables.documents(spark, dir).select(
       col("doc_id"), col("source"),
       expr(toksExpr).as("toks"),
-      (expr(bucketExpr) % packBuckets).cast(IntegerType).as("bucket"))
+      expr(bucketExpr).as("h"))
+    val lanes = d.groupBy(col("source"))
+      .agg(sum(col("toks")).as("src_tokens"))
+      .select(col("source"), greatest(lit(1L),
+        expr(s"(src_tokens + ${laneTokenTarget - 1}) DIV $laneTokenTarget")).as("n_lanes"))
+    val b = d.join(broadcast(lanes), "source")
+      .withColumn("bucket", (col("h") % col("n_lanes")).cast(IntegerType))
     val w = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sharded = d.withColumn("cum", sum(col("toks")).over(w))
+    val sharded = b.withColumn("cum", sum(col("toks")).over(w))
       .withColumn("shard_id",
         expr(s"CAST(floor((cum - toks) / CAST($shardCapacity AS DOUBLE)) AS INT)"))
     sharded.groupBy(col("source"), col("bucket"), col("shard_id"))
@@ -172,14 +182,20 @@ object Curation {
     s"""WITH d AS (
        |  SELECT doc_id, source,
        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks,
-       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |      % $packBuckets AS INTEGER) AS bucket
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
        |  FROM documents),
+       |lanes AS (
+       |  SELECT source, GREATEST(1, (CAST(sum(toks) AS BIGINT)
+       |    + ${laneTokenTarget - 1}) // $laneTokenTarget) AS n_lanes
+       |  FROM d GROUP BY 1),
+       |b AS (
+       |  SELECT doc_id, source, toks, CAST(h % n_lanes AS INTEGER) AS bucket
+       |  FROM d JOIN lanes USING (source)),
        |sharded AS (
        |  SELECT doc_id, source, bucket, toks,
        |    sum(toks) OVER (PARTITION BY source, bucket ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM d)
+       |  FROM b)
        |SELECT source, bucket,
        |  CAST(floor((cum - toks) / CAST($shardCapacity AS DOUBLE)) AS INTEGER) AS shard_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,

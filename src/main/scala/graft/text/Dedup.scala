@@ -292,8 +292,14 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
+      // the round's PREVIOUS label rides along as `prev` so the
+      // convergence check below is a filter over this round's already-
+      // checkpointed blocks — not (as before) an extra join-against-
+      // previous-labels job per round. Checking every 2nd round instead
+      // would be worse: a stale check costs one full propagate+jump round
+      // (2 shuffles), far more than a cached-block scan.
       val stepped = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
-        .select(labels("node"),
+        .select(labels("node"), labels("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
       // pointer jump (path halving): also adopt the label OF the current
       // label — turns the diameter-bounded propagation into an
@@ -304,17 +310,18 @@ object Dedup {
       // per round and planning itself OOMs on deep chains (measured). On
       // a cluster with executor loss concerns, swap for a reliable
       // checkpoint(dir) — same shape.
-      val next = stepped.as("a")
+      val checkpointed = stepped.as("a")
         .join(stepped.select(col("node").as("lnode"), col("lbl").as("llbl")),
           col("a.lbl") === col("lnode"), "left")
-        .select(col("a.node").as("node"),
+        .select(col("a.node").as("node"), col("a.prev").as("prev"),
           least(col("a.lbl"), coalesce(col("llbl"), col("a.lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
-        .filter(col("lbl") =!= col("prev")).count()
+      val changed = checkpointed.filter(col("lbl") =!= col("prev")).count()
       freeRound(labels)
-      labels = next
+      // drop `prev` for the next round's joins; the projection reads the
+      // same checkpointed blocks, and freeRound keeps unpersisting the
+      // underlying RDD through it (Project over LogicalRDD)
+      labels = checkpointed.drop("prev")
       converged = changed == 0
       iter += 1
     }
@@ -341,12 +348,15 @@ object Dedup {
     * underlying RDD — unpersist THAT, or every round's label table stays
     * pinned until the ContextCleaner gets to it.
     */
-  private def freeRound(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => df.unpersist()
+  private def freeRound(df: DataFrame): Unit = {
+    // the round DF may be the LogicalRDD itself or a projection over it
+    // (the post-checkpoint drop("prev")) — find the leaf either way
+    val rdds = df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+    if (rdds.nonEmpty) rdds.foreach(_.unpersist(blocking = false))
+    else df.unpersist()
+  }
 
   /** CTE chain producing `labeled` (doc_id, canon_id) + `csize`
     * (canon_id, component_size) — the components fixpoint, composable by

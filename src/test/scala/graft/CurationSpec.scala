@@ -52,14 +52,20 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("source"), r.getAs[Int]("bucket"),
         r.getAs[Int]("shard_id")) ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"))).toMap
-    // recompute the offset-based shard assignment sequentially
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // recompute the offset-based shard assignment sequentially, with the
+    // same mass-derived lane count: ceil(source_tokens / laneTokenTarget)
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"),
         expr("size(filter(split(text, ' '), t -> t <> ''))").as("toks"),
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
-          .mod(Curation.packBuckets).cast("int").as("bucket"))
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
       .collect()
-      .map(r => (r.getString(1), r.getInt(3), r.getLong(0), r.getInt(2)))
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(0), r.getInt(2)))
+    val lanes = raw.groupBy(_._1).map { case (s, rs) =>
+      s -> math.max(1L, (rs.map(_._4.toLong).sum + Curation.laneTokenTarget - 1) /
+        Curation.laneTokenTarget)
+    }
+    val docs = raw
+      .map { case (src, h, id, toks) => (src, (h % lanes(src)).toInt, id, toks) }
       .sortBy(t => (t._1, t._2, t._3))
     val expected = scala.collection.mutable.Map[(String, Int, Int), (Long, Long)]()
     var cum = Map[(String, Int), Long]().withDefaultValue(0L)
@@ -76,6 +82,25 @@ class CurationSpec extends AnyFunSuite {
       val ids = shards.map(_._3).toSeq.sorted
       assert(ids == (0 until ids.length))
     }
+  }
+
+  test("packShards lane count scales with token mass and stays deterministic") {
+    def laneCounts(d: String): Map[String, Int] =
+      Curation.packShards(spark, d).collect()
+        .groupBy(_.getAs[String]("source"))
+        .view.mapValues(_.map(_.getAs[Int]("bucket")).distinct.length).toMap
+    val small = laneCounts(dir)
+    // documents is ~500 rows at BOTH sf0.001 and sf0.01; the 10x token
+    // mass step is at sf0.1 (~13.5k tokens/source => ~4 lanes each)
+    val big = laneCounts("/root/testdata/sf0.1")
+    // 10x the corpus => strictly more packing lanes overall, never fewer
+    // per source; shard ~8-per-lane stays an executor-sized work unit
+    assert(big.values.sum > small.values.sum)
+    for ((s, n) <- small if big.contains(s)) assert(big(s) >= n)
+    // determinism: same input => identical shard report
+    val a = Curation.packShards(spark, dir).collect().map(_.toString)
+    val b = Curation.packShards(spark, dir).collect().map(_.toString)
+    assert(a.sameElements(b))
   }
 
   test("mixWeights shares sum to 1 and sqrt-boost is monotone in tokens") {
