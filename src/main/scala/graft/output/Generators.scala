@@ -2,6 +2,21 @@ package graft.output
 
 import graft.sources.Collector.{Artifact, TableInfo}
 
+/** Shared generator helpers for the round-4 artifact surfaces. */
+private[output] object GenUtil {
+  /** Human-readable layout summary, or "" when no layout metadata. */
+  def layoutSummary(t: TableInfo): String = t.layout.map { l =>
+    val parts = Seq(
+      if (l.partitionColumns.nonEmpty)
+        Some(s"partitioned by (${l.partitionColumns.mkString(", ")})") else None,
+      if (l.numBuckets > 0)
+        Some(s"clustered by (${l.bucketColumns.mkString(", ")}) into ${l.numBuckets} buckets") else None,
+      if (l.sortColumns.nonEmpty)
+        Some(s"sorted by (${l.sortColumns.mkString(", ")})") else None).flatten
+    parts.mkString("; ")
+  }.getOrElse("")
+}
+
 /** Structured output writers — the Spark-side equivalent of the
   * `dbsurveyor` postprocessor binary: a portable JSON artifact
   * (schema.dbsurveyor.json v1.0 analogue) and Markdown documentation
@@ -31,12 +46,31 @@ object ArtifactJson {
         .mkString("[", ", ", "]")
       val sample = t.sampleRows.map(r =>
         r.map(q).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val idx = t.indexes.map(ix =>
+        s"""{"name": ${q(ix.name)}, "columns": ${ix.columns.map(q).mkString("[", ", ", "]")}, "unique": ${ix.unique}}""")
+        .mkString("[", ", ", "]")
+      val cons = t.constraints.map(c =>
+        s"""{"name": ${q(c.name)}, "kind": ${q(c.kind)}, """ +
+          s""""columns": ${c.columns.map(q).mkString("[", ", ", "]")}, """ +
+          s""""detail": ${q(c.detail)}, "provenance": ${q(c.provenance)}}""")
+        .mkString("[", ", ", "]")
+      val layout = t.layout.map(l =>
+        s"""{"partition_columns": ${l.partitionColumns.map(q).mkString("[", ", ", "]")}, """ +
+          s""""bucket_columns": ${l.bucketColumns.map(q).mkString("[", ", ", "]")}, """ +
+          s""""num_buckets": ${l.numBuckets}, """ +
+          s""""sort_columns": ${l.sortColumns.map(q).mkString("[", ", ", "]")}}""")
+        .getOrElse("null")
       s"""{
          |  "name": ${q(t.name)},
          |  "row_count": ${t.rowCount},
          |  "sample_status": ${q(t.sampleStatus)},
+         |  "sampling": {"strategy": ${q(t.samplingStrategy)}, "key": ${q(t.samplingKey)}},
          |  "warnings": ${t.warnings.map(q).mkString("[", ", ", "]")},
          |  "pk_candidates": ${t.pkCandidates.map(q).mkString("[", ", ", "]")},
+         |  "key_provenance": ${q(t.keyProvenance)},
+         |  "indexes": $idx,
+         |  "constraints": $cons,
+         |  "layout": $layout,
          |  "columns": $cols,
          |  "sample_header": ${t.sampleHeader.map(q).mkString("[", ", ", "]")},
          |  "sample_rows": $sample
@@ -45,11 +79,16 @@ object ArtifactJson {
     val fks = a.foreignKeys.map(f =>
       s"""{"child_table": ${q(f.childTable)}, "child_column": ${q(f.childColumn)}, """ +
         s""""parent_table": ${q(f.parentTable)}, "parent_column": ${q(f.parentColumn)}, """ +
-        s""""coverage": ${f.coverage}, "likely": ${f.likely}}""")
+        s""""coverage": ${f.coverage}, "likely": ${f.likely}, "provenance": ${q(f.provenance)}}""")
       .mkString("[", ",\n", "]")
+    val server = a.server.map(s =>
+      s"""{"engine": ${q(s.engine)}, "version": ${q(s.version)}, """ +
+        s""""collected_at": ${q(s.collectedAt)}, "table_count": ${s.tableCount}}""")
+      .getOrElse("null")
     s"""{
        |"format_version": ${q(a.formatVersion)},
        |"source": ${q(a.source)},
+       |"server": $server,
        |"table_count": ${a.tables.size},
        |"tables": ${a.tables.map(table).mkString("[\n", ",\n", "\n]")},
        |"foreign_keys": $fks
@@ -83,24 +122,63 @@ object SqlDdlDoc {
   def render(a: Artifact): String = {
     val sb = new StringBuilder
     sb ++= s"-- Schema DDL reconstructed by graft from: ${a.source}\n"
-    sb ++= s"-- format version ${a.formatVersion}\n\n"
+    sb ++= s"-- format version ${a.formatVersion}\n"
+    a.server.foreach(s =>
+      sb ++= s"-- engine: ${s.engine} ${s.version}; collected at ${s.collectedAt}; ${s.tableCount} tables\n")
+    sb ++= "\n"
     a.tables.foreach { t =>
       if (t.columns.isEmpty) {
         sb ++= s"-- table ${t.name}: collection ${t.sampleStatus}, schema unavailable\n\n"
       } else {
-        if (t.pkCandidates.size > 1)
+        if (t.pkCandidates.size > 1 && t.keyProvenance == "inferred")
           sb ++= s"-- candidate keys: ${t.pkCandidates.mkString(", ")}\n"
-        val cols = t.columns.map { c =>
-          val nn = if (c.nullable) "" else " NOT NULL"
-          val pk = if (t.pkCandidates.headOption.contains(c.name)) " PRIMARY KEY" else ""
-          s"  ${c.name} ${sqlType(c.dataType)}$nn$pk"
+        // a COLLECTED multi-column key is one composite PRIMARY KEY; an
+        // INFERRED candidate list is alternatives — only the first is
+        // rendered as the key (the rest stay comments above)
+        val pkCols: Seq[String] =
+          if (t.keyProvenance == "collected") t.pkCandidates
+          else t.pkCandidates.take(1)
+        val inlinePk = pkCols.size == 1
+        // data-inferred range/enum constraints render as CHECK clauses
+        // (the reference's check-constraint surface, models.rs:156-175)
+        val checks = t.constraints.collect {
+          case c if c.kind == "range" && c.columns.size == 1 =>
+            val bounds = c.detail.stripPrefix("[").stripSuffix("]").split(",")
+            s"  CHECK (${c.columns.head} BETWEEN ${bounds(0)} AND ${bounds(1)}) -- ${c.provenance}"
+          case c if c.kind == "enum" && c.columns.size == 1 =>
+            val vals = c.detail.split(",", -1).map(v => s"'${v.replace("'", "''")}'")
+            s"  CHECK (${c.columns.head} IN (${vals.mkString(", ")})) -- ${c.provenance}"
         }
-        sb ++= cols.mkString(s"CREATE TABLE ${t.name} (\n", ",\n", "\n);\n\n")
+        val notNullInferred = t.constraints
+          .collect { case c if c.kind == "not_null" => c.columns.head }.toSet
+        val uniqueInferred = t.constraints
+          .collect { case c if c.kind == "unique" => c.columns.head }.toSet
+        val cols = t.columns.map { c =>
+          val nn = if (!c.nullable || notNullInferred(c.name)) " NOT NULL" else ""
+          val pk = if (inlinePk && pkCols.headOption.contains(c.name)) " PRIMARY KEY" else ""
+          val uq = if (pk.isEmpty && uniqueInferred(c.name) &&
+            !t.indexes.exists(ix => ix.unique && ix.columns == Seq(c.name))) " UNIQUE" else ""
+          s"  ${c.name} ${sqlType(c.dataType)}$nn$pk$uq"
+        }
+        val compositePk =
+          if (!inlinePk && pkCols.nonEmpty)
+            Seq(s"  PRIMARY KEY (${pkCols.mkString(", ")})") else Nil
+        sb ++= (cols ++ compositePk ++ checks)
+          .mkString(s"CREATE TABLE ${t.name} (\n", ",\n", "\n);\n")
+        GenUtil.layoutSummary(t) match {
+          case "" =>
+          case s => sb ++= s"-- layout: $s\n"
+        }
+        t.indexes.filterNot(ix => ix.columns == pkCols).foreach { ix =>
+          val u = if (ix.unique) "UNIQUE " else ""
+          sb ++= s"CREATE ${u}INDEX ${ix.name} ON ${t.name} (${ix.columns.mkString(", ")});\n"
+        }
+        sb ++= "\n"
       }
     }
     a.foreignKeys.filter(_.likely).foreach { f =>
       sb ++= s"ALTER TABLE ${f.childTable} ADD FOREIGN KEY (${f.childColumn}) " +
-        s"REFERENCES ${f.parentTable} (${f.parentColumn});\n"
+        s"REFERENCES ${f.parentTable} (${f.parentColumn}); -- ${f.provenance}\n"
     }
     sb.result()
   }
@@ -121,7 +199,9 @@ object MermaidDoc {
     a.tables.filter(_.columns.nonEmpty).foreach { t =>
       sb ++= s"  ${t.name} {\n"
       t.columns.foreach { c =>
-        val pk = if (t.pkCandidates.contains(c.name)) " PK" else ""
+        val pk = if (t.pkCandidates.contains(c.name)) " PK"
+          else if (t.indexes.exists(ix => ix.unique && ix.columns == Seq(c.name))) " UK"
+          else ""
         sb ++= s"    ${mmType(c.dataType)} ${c.name}$pk\n"
       }
       sb ++= "  }\n"
@@ -153,9 +233,11 @@ object HtmlDoc {
     sb ++= "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"
     sb ++= s"<title>${esc(a.source)}</title></head>\n<body>\n"
     sb ++= s"<h1>Database Documentation: ${esc(a.source)}</h1>\n"
-    sb ++= "<h2>Overview</h2>\n<table><tr><th>Table</th><th>Rows</th><th>Columns</th><th>Status</th></tr>\n"
+    a.server.foreach(s => sb ++=
+      s"<p>Engine: ${esc(s.engine)} ${esc(s.version)} &mdash; collected at ${esc(s.collectedAt)} &mdash; ${s.tableCount} tables</p>\n")
+    sb ++= "<h2>Overview</h2>\n<table><tr><th>Table</th><th>Rows</th><th>Columns</th><th>Status</th><th>Sampling</th></tr>\n"
     a.tables.foreach(t => sb ++=
-      s"<tr><td>${esc(t.name)}</td><td>${t.rowCount}</td><td>${t.columns.size}</td><td>${esc(t.sampleStatus)}</td></tr>\n")
+      s"<tr><td>${esc(t.name)}</td><td>${t.rowCount}</td><td>${t.columns.size}</td><td>${esc(t.sampleStatus)}</td><td>${esc(t.samplingStrategy)}</td></tr>\n")
     sb ++= "</table>\n"
     if (a.foreignKeys.nonEmpty) {
       sb ++= "<h2>Relationships (inferred)</h2>\n<table><tr><th>Child</th><th>Parent</th><th>Coverage</th></tr>\n"
@@ -166,10 +248,26 @@ object HtmlDoc {
     }
     a.tables.foreach { t =>
       sb ++= s"<h2>Table: ${esc(t.name)}</h2>\n"
+      GenUtil.layoutSummary(t) match {
+        case "" =>
+        case s => sb ++= s"<p>Layout: ${esc(s)}</p>\n"
+      }
       sb ++= "<table><tr><th>Column</th><th>Type</th><th>Nullable</th></tr>\n"
       t.columns.foreach(c => sb ++=
         s"<tr><td>${esc(c.name)}</td><td>${esc(c.dataType)}</td><td>${c.nullable}</td></tr>\n")
       sb ++= "</table>\n"
+      if (t.indexes.nonEmpty) {
+        sb ++= "<h3>Indexes</h3>\n<table><tr><th>Name</th><th>Columns</th><th>Unique</th></tr>\n"
+        t.indexes.foreach(ix => sb ++=
+          s"<tr><td>${esc(ix.name)}</td><td>${esc(ix.columns.mkString(", "))}</td><td>${ix.unique}</td></tr>\n")
+        sb ++= "</table>\n"
+      }
+      if (t.constraints.nonEmpty) {
+        sb ++= "<h3>Constraints</h3>\n<table><tr><th>Kind</th><th>Columns</th><th>Detail</th><th>Provenance</th></tr>\n"
+        t.constraints.foreach(c => sb ++=
+          s"<tr><td>${esc(c.kind)}</td><td>${esc(c.columns.mkString(", "))}</td><td>${esc(c.detail)}</td><td>${esc(c.provenance)}</td></tr>\n")
+        sb ++= "</table>\n"
+      }
       if (t.sampleRows.nonEmpty) {
         sb ++= s"<h3>Sample (${t.sampleRows.size} rows)</h3>\n<table>"
         sb ++= t.sampleHeader.map(esc).mkString("<tr><th>", "</th><th>", "</th></tr>\n")
@@ -193,6 +291,8 @@ object MarkdownDoc {
     val sb = new StringBuilder
     sb ++= s"# Database Documentation: ${a.source}\n\n"
     sb ++= s"Format version: ${a.formatVersion}\n\n"
+    a.server.foreach(s => sb ++=
+      s"Engine: ${s.engine} ${s.version} — collected at ${s.collectedAt} — ${s.tableCount} tables\n\n")
     sb ++= "## Overview\n\n"
     sb ++= "| Table | Rows | Columns |\n| --- | --- | --- |\n"
     a.tables.foreach(t =>
@@ -210,11 +310,28 @@ object MarkdownDoc {
       if (t.sampleStatus != "success")
         sb ++= s"Sample status: **${t.sampleStatus}**" +
           (if (t.warnings.nonEmpty) s" (${t.warnings.mkString("; ")})" else "") + "\n\n"
-      if (t.pkCandidates.nonEmpty)
-        sb ++= s"Primary key candidates: ${t.pkCandidates.map(c => s"`$c`").mkString(", ")}\n\n"
+      if (t.pkCandidates.nonEmpty) {
+        val label = if (t.keyProvenance == "collected") "Primary key (collected)"
+          else "Primary key candidates"
+        sb ++= s"$label: ${t.pkCandidates.map(c => s"`$c`").mkString(", ")}\n\n"
+      }
+      GenUtil.layoutSummary(t) match {
+        case "" =>
+        case s => sb ++= s"Layout: $s\n\n"
+      }
       sb ++= "| Column | Type | Nullable |\n| --- | --- | --- |\n"
       t.columns.foreach(c =>
         sb ++= s"| ${c.name} | ${c.dataType} | ${c.nullable} |\n")
+      if (t.indexes.nonEmpty) {
+        sb ++= "\n### Indexes\n\n| Name | Columns | Unique |\n| --- | --- | --- |\n"
+        t.indexes.foreach(ix =>
+          sb ++= s"| ${ix.name} | ${ix.columns.mkString(", ")} | ${ix.unique} |\n")
+      }
+      if (t.constraints.nonEmpty) {
+        sb ++= "\n### Constraints\n\n| Kind | Columns | Detail | Provenance |\n| --- | --- | --- | --- |\n"
+        t.constraints.foreach(c =>
+          sb ++= s"| ${c.kind} | ${c.columns.mkString(", ")} | ${c.detail.replace("|", "\\|")} | ${c.provenance} |\n")
+      }
       if (t.sampleRows.nonEmpty) {
         sb ++= s"\n### Sample (${t.sampleRows.size} rows)\n\n"
         sb ++= t.sampleHeader.mkString("| ", " | ", " |\n")

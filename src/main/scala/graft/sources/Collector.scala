@@ -22,6 +22,24 @@ trait TableSource {
   def name: String
   def tableNames: Seq[String]
   def load(table: String): DataFrame
+  /** Engine identity block (reference models.rs:272-326 DatabaseInfo:
+    * engine name + version serialized into the artifact).
+    */
+  def engine: (String, String) = ("unknown", "unknown")
+}
+
+/** A source whose engine catalog can be read directly: COLLECTED (not
+  * inferred) keys, indexes and relationships — the reference's core
+  * identity (adapters/postgres/schema_collection.rs, mysql/…: the
+  * adapters read pg_catalog / information_schema instead of guessing
+  * from data). Collector prefers this metadata when present and stamps
+  * the artifact's provenance accordingly.
+  */
+trait MetadataSource { self: TableSource =>
+  /** Per-table collected metadata; throwing degrades to inference. */
+  def tableMetadata(table: String): Collector.CollectedTableMeta
+  /** Engine-declared foreign keys across the surveyed tables. */
+  def collectedForeignKeys: Seq[Collector.FkEdge]
 }
 
 /** Parquet-lake source over the `<dir>/<name>.parquet` layout. */
@@ -29,15 +47,24 @@ class ParquetSource(spark: SparkSession, dir: String) extends TableSource {
   def name: String = s"parquet:$dir"
   def tableNames: Seq[String] = Tables.all
   def load(table: String): DataFrame = Tables.table(spark, dir, table)
+  override def engine: (String, String) = ("spark-parquet-lake", spark.version)
 }
 
 /** JDBC source: each table is read through Spark's JDBC relation —
   * predicate pushdown and column pruning reach the remote database, and
-  * `partitionColumn` bounds give parallel reads on a cluster.
+  * `partitionColumn` bounds give parallel reads on a cluster. Catalog
+  * metadata (primary keys, indexes, foreign keys, engine version) is
+  * COLLECTED through the driver's `DatabaseMetaData` — the same catalog
+  * surface the reference's adapters query with dialect SQL
+  * (postgres/schema_collection.rs:1-877, mysql/schema_collection.rs),
+  * expressed here through JDBC's engine-neutral metadata API so one
+  * code path covers every dialect with a conforming driver.
   */
 class JdbcSource(spark: SparkSession, url: String, tables: Seq[String],
     props: java.util.Properties = new java.util.Properties())
-    extends TableSource {
+    extends TableSource with MetadataSource {
+  import Collector.{CollectedTableMeta, IndexInfo, FkEdge}
+
   /** Credential sanitization (reference guarantee: no credentials in any
     * output): masks userinfo (`user:secret@host`) and password-ish
     * key=value params across JDBC URL dialects.
@@ -47,28 +74,206 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String],
     .replaceAll("(?i)(password|passwd|pwd|secret)=[^&;]*", "$1=***")
   def tableNames: Seq[String] = tables
   def load(table: String): DataFrame = spark.read.jdbc(url, table, props)
+
+  private def withConnection[A](f: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  override def engine: (String, String) = withConnection { c =>
+    val md = c.getMetaData
+    (md.getDatabaseProductName, md.getDatabaseProductVersion)
+  }
+
+  /** Case folding: engines that fold unquoted identifiers to upper case
+    * (Derby, Oracle, DB2 per SQL standard) store `people` as `PEOPLE` in
+    * the catalog; try the name as given, then the engine's folded form.
+    */
+  private def foldCase(md: java.sql.DatabaseMetaData, t: String): String =
+    if (md.storesUpperCaseIdentifiers) t.toUpperCase
+    else if (md.storesLowerCaseIdentifiers) t.toLowerCase
+    else t
+
+  /** Map a catalog-cased table name back to the name the caller used. */
+  private def asGiven(catalogName: String): String =
+    tables.find(_.equalsIgnoreCase(catalogName)).getOrElse(catalogName)
+
+  def tableMetadata(table: String): CollectedTableMeta = withConnection { c =>
+    val md = c.getMetaData
+    val t = foldCase(md, table)
+    val pks = {
+      val rs = md.getPrimaryKeys(null, null, t)
+      val buf = Seq.newBuilder[(Short, String)]
+      while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+      rs.close()
+      buf.result().sortBy(_._1).map(_._2)
+    }
+    val indexes = {
+      val rs = md.getIndexInfo(null, null, t, false, false)
+      val buf = Seq.newBuilder[(String, Boolean, Short, String)]
+      while (rs.next()) {
+        val name = rs.getString("INDEX_NAME")
+        val col = rs.getString("COLUMN_NAME")
+        // tableIndexStatistic rows carry no index name/column — skip
+        if (name != null && col != null)
+          buf += ((name, !rs.getBoolean("NON_UNIQUE"),
+            rs.getShort("ORDINAL_POSITION"), col))
+      }
+      rs.close()
+      buf.result().groupBy(n => (n._1, n._2)).toSeq
+        .map { case ((name, unique), cols) =>
+          IndexInfo(name, cols.sortBy(_._3).map(_._4), unique) }
+        .sortBy(_.name)
+    }
+    // NOT NULL is part of the engine catalog too — Spark's JDBC schema
+    // defensively marks every remote column nullable, so nullability is
+    // collected here from column metadata instead
+    val notNull = {
+      val rs = md.getColumns(null, null, t, null)
+      val buf = Seq.newBuilder[String]
+      while (rs.next())
+        if (rs.getInt("NULLABLE") == java.sql.DatabaseMetaData.columnNoNulls)
+          buf += rs.getString("COLUMN_NAME")
+      rs.close()
+      buf.result()
+    }
+    CollectedTableMeta(pks, indexes, notNull)
+  }
+
+  def collectedForeignKeys: Seq[FkEdge] = withConnection { c =>
+    val md = c.getMetaData
+    tables.flatMap { t =>
+      val rs = md.getImportedKeys(null, null, foldCase(md, t))
+      val buf = Seq.newBuilder[FkEdge]
+      while (rs.next())
+        buf += FkEdge(asGiven(rs.getString("FKTABLE_NAME")),
+          rs.getString("FKCOLUMN_NAME"),
+          asGiven(rs.getString("PKTABLE_NAME")),
+          rs.getString("PKCOLUMN_NAME"),
+          coverage = 1.0, likely = true, provenance = "collected")
+      rs.close()
+      buf.result()
+    }.distinct.sortBy(f => (f.childTable, f.childColumn))
+  }
+}
+
+/** Session-catalog source: surveys tables registered in Spark's own
+  * catalog (saveAsTable materializations — e.g. Lake.writeBucketed's
+  * bucketed layouts). Physical-layout metadata (partition columns,
+  * bucket/sort spec) is COLLECTED from the catalog — the lake analogue
+  * of the reference's index metadata (models.rs:133-155: an index IS the
+  * engine's physical access path; a lake's access paths are partitions
+  * and buckets).
+  */
+class CatalogSource(spark: SparkSession, tables: Seq[String])
+    extends TableSource with MetadataSource {
+  import Collector.{CollectedTableMeta, LayoutInfo}
+
+  def name: String = s"spark-catalog:${spark.sessionState.catalog.getCurrentDatabase}"
+  def tableNames: Seq[String] = tables
+  def load(table: String): DataFrame = spark.table(table)
+  override def engine: (String, String) = ("spark", spark.version)
+
+  def tableMetadata(table: String): CollectedTableMeta = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val layout = LayoutInfo(
+      partitionColumns = meta.partitionColumnNames,
+      bucketColumns = meta.bucketSpec.map(_.bucketColumnNames).getOrElse(Nil),
+      numBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(0),
+      sortColumns = meta.bucketSpec.map(_.sortColumnNames).getOrElse(Nil))
+    CollectedTableMeta(Nil, Nil,
+      layout = if (layout == LayoutInfo()) None else Some(layout))
+  }
+
+  def collectedForeignKeys: Seq[Collector.FkEdge] = Nil
 }
 
 object Collector {
 
   case class ColumnInfo(name: String, dataType: String, nullable: Boolean)
 
+  /** Engine index metadata (reference models.rs:133-155 Index /
+    * IndexColumn): name, ordered column list, uniqueness.
+    */
+  case class IndexInfo(name: String, columns: Seq[String], unique: Boolean)
+
+  /** Table constraint (reference models.rs:156-175 Constraint): kind is
+    * one of not_null | unique | range | enum; `columns` the constrained
+    * columns; `detail` a rendering-ready payload (range bounds, enum
+    * domain). Provenance distinguishes engine-collected constraints from
+    * data-inferred candidates (ConstraintInference).
+    */
+  case class ConstraintInfo(name: String, kind: String,
+      columns: Seq[String], detail: String = "",
+      provenance: String = "inferred")
+
+  /** Physical-layout metadata — the lake analogue of index metadata:
+    * partition columns (directory pruning) and bucket/sort spec
+    * (co-located joins), as recorded in the catalog that materialized
+    * the table.
+    */
+  case class LayoutInfo(partitionColumns: Seq[String] = Nil,
+      bucketColumns: Seq[String] = Nil, numBuckets: Int = 0,
+      sortColumns: Seq[String] = Nil)
+
+  /** Engine identity block (reference models.rs:272-326 DatabaseInfo:
+    * engine/version/collection metadata serialized with the schema).
+    */
+  case class ServerInfo(engine: String, version: String,
+      collectedAt: String, tableCount: Int)
+
+  /** Collected (engine-catalog) per-table metadata from a
+    * MetadataSource; any field may be empty when the engine doesn't
+    * expose that surface.
+    */
+  case class CollectedTableMeta(primaryKey: Seq[String],
+      indexes: Seq[IndexInfo], notNull: Seq[String] = Nil,
+      layout: Option[LayoutInfo] = None)
+
   /** Per-table sampling outcome (reference SampleStatus,
     * models.rs:388-429): `success` at the requested limit, `partial`
-    * after halved-limit retries, `failed` when every retry threw.
+    * after halved-limit retries, `failed` when every retry threw,
+    * `skipped` under SamplingStrategy.NoSample.
     */
   case class TableInfo(name: String, columns: Seq[ColumnInfo], rowCount: Long,
       sampleHeader: Seq[String], sampleRows: Seq[Seq[String]],
       sampleStatus: String = "success", warnings: Seq[String] = Nil,
-      pkCandidates: Seq[String] = Nil)
+      pkCandidates: Seq[String] = Nil,
+      keyProvenance: String = "inferred",
+      samplingStrategy: String = "most_recent",
+      samplingKey: String = "",
+      indexes: Seq[IndexInfo] = Nil,
+      constraints: Seq[ConstraintInfo] = Nil,
+      layout: Option[LayoutInfo] = None)
 
-  /** Inferred relationship edge (KeyInference inclusion dependency). */
+  /** Relationship edge: inferred (KeyInference inclusion dependency)
+    * or collected from an engine catalog (provenance = "collected",
+    * coverage pinned to 1.0 — the engine enforces it).
+    */
   case class FkEdge(childTable: String, childColumn: String,
       parentTable: String, parentColumn: String, coverage: Double,
-      likely: Boolean)
+      likely: Boolean, provenance: String = "inferred")
 
   case class Artifact(formatVersion: String, source: String,
-      tables: Seq[TableInfo], foreignKeys: Seq[FkEdge] = Nil)
+      tables: Seq[TableInfo], foreignKeys: Seq[FkEdge] = Nil,
+      server: Option[ServerInfo] = None)
+
+  /** Sampling strategy selection (reference models.rs:349-381
+    * SamplingStrategy / OrderingStrategy): which rows each table's
+    * sample contains, recorded per table in the artifact.
+    */
+  sealed abstract class SamplingStrategy(val strategyName: String)
+  object SamplingStrategy {
+    /** Order by the sampling key descending — latest-first. */
+    case object MostRecent extends SamplingStrategy("most_recent")
+    /** Deterministic random: order by md5 of the sampling key — the
+      * reproducible, distributed-friendly analogue of Random{limit}.
+      */
+    case object RandomDet extends SamplingStrategy("random")
+    /** Schema/metadata-only collection: no sample rows at all. */
+    case object NoSample extends SamplingStrategy("none")
+  }
 
   /** Engine-neutral type names shared with the DuckDB oracle mapping. */
   def normalizeType(dt: DataType): String = dt match {
@@ -128,16 +333,27 @@ object Collector {
   }
 
   /** Collect the full artifact: schema, row counts, and a deterministic
-    * MostRecent-style sample (first key column descending) per table.
-    * One count + one bounded top-k read per table — no full
+    * sample per table under the chosen `strategy` (MostRecent: sampling
+    * key descending; RandomDet: md5-of-key order; NoSample: metadata
+    * only). One count + one bounded top-k read per table — no full
     * materialization. A failing table degrades (halved-limit retries,
     * then a `failed` status with warnings) instead of aborting the
     * artifact; an unloadable table is recorded as a schema-less `failed`
     * entry. With `withKeys`, PK candidates and inclusion-dependency FK
-    * edges (KeyInference) are inferred from the data and embedded.
+    * edges (KeyInference) are inferred from the data and embedded; with
+    * `withConstraints`, data-derived not-null/unique/range/enum
+    * constraint candidates (ConstraintInference) are embedded too. When
+    * the source is a MetadataSource (JDBC, session catalog), engine-
+    * collected keys/indexes/layout take precedence over inference and
+    * the table is stamped keyProvenance = "collected" — the reference's
+    * "read the catalog, don't guess" identity
+    * (postgres/schema_collection.rs).
     */
   def collect(source: TableSource, sampleSize: Int = 5,
-      withKeys: Boolean = false): Artifact = {
+      withKeys: Boolean = false,
+      strategy: SamplingStrategy = SamplingStrategy.MostRecent,
+      withConstraints: Boolean = false,
+      collectedAt: String = java.time.Instant.now().toString): Artifact = {
     val loaded: Seq[(String, Option[DataFrame], Seq[String])] =
       source.tableNames.map { t =>
         try { val df = source.load(t); (t, Some(df), Nil) }
@@ -146,6 +362,20 @@ object Collector {
         }
       }
     val goodTables = loaded.collect { case (t, Some(df), _) => t -> df }
+    // engine-collected metadata first (guarded: a metadata read that
+    // throws degrades that table to the inference path with a warning)
+    val collectedMeta: Map[String, (CollectedTableMeta, Seq[String])] = source match {
+      case m: MetadataSource => goodTables.map { case (t, _) =>
+        try t -> (m.tableMetadata(t), Nil: Seq[String])
+        catch { case e: Exception =>
+          t -> (CollectedTableMeta(Nil, Nil),
+            Seq(s"metadata read failed: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    def collectedPk(t: String): Seq[String] =
+      collectedMeta.get(t).map(_._1.primaryKey).getOrElse(Nil)
     val pkMap: Map[String, Seq[String]] =
       if (withKeys && goodTables.nonEmpty)
         KeyInference.primaryKeysFor(goodTables)
@@ -154,16 +384,29 @@ object Collector {
           .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")))
           .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
       else Map.empty
-    val fks: Seq[FkEdge] =
-      if (withKeys && goodTables.nonEmpty)
+    val collectedFks: Seq[FkEdge] = source match {
+      case m: MetadataSource =>
+        try m.collectedForeignKeys catch { case _: Exception => Nil }
+      case _ => Nil
+    }
+    val inferredFks: Seq[FkEdge] =
+      if (withKeys && goodTables.nonEmpty) {
+        val seen = collectedFks.map(f =>
+          (f.childTable, f.childColumn, f.parentTable, f.parentColumn)).toSet
         KeyInference.foreignKeysFor(goodTables).collect().toSeq.map(r =>
           FkEdge(r.getAs[String]("child_table"), r.getAs[String]("child_column"),
             r.getAs[String]("parent_table"), r.getAs[String]("parent_column"),
             r.getAs[Double]("coverage"), r.getAs[Boolean]("is_likely_fk")))
-      else Nil
+          .filterNot(f => seen((f.childTable, f.childColumn, f.parentTable, f.parentColumn)))
+      } else Nil
+    val constraintMap: Map[String, Seq[ConstraintInfo]] =
+      if (withConstraints && goodTables.nonEmpty)
+        ConstraintInference.constraintsFor(goodTables)
+      else Map.empty
     val tables = loaded.map {
       case (t, None, warns) =>
-        TableInfo(t, Nil, -1L, Nil, Nil, sampleStatus = "failed", warnings = warns)
+        TableInfo(t, Nil, -1L, Nil, Nil, sampleStatus = "failed", warnings = warns,
+          samplingStrategy = strategy.strategyName)
       case (t, Some(df), _) =>
         // a table can load (parquet footer reads fine) yet still fail at
         // scan time — corrupt data pages, a lost partition. Every Spark
@@ -171,41 +414,66 @@ object Collector {
         // policy, the count directly; either failing degrades this
         // table's entry instead of aborting the whole artifact.
         try {
+          val (meta, metaWarns) =
+            collectedMeta.getOrElse(t, (CollectedTableMeta(Nil, Nil), Nil))
+          val notNull = meta.notNull.toSet
           val cols = df.schema.fields.toSeq.map(f =>
-            ColumnInfo(f.name, normalizeType(f.dataType), f.nullable))
-          // MostRecent ordering ladder (reference sampling.rs strategy
-          // preference): inferred primary key > first timestamp column
-          // (recency) > first column (the rowid stand-in).
-          val key = pkMap.get(t).flatMap(_.headOption)
+            ColumnInfo(f.name, normalizeType(f.dataType),
+              f.nullable && !notNull(f.name)))
+          // sampling-key ladder (reference sampling.rs strategy
+          // preference): collected primary key > inferred primary key >
+          // first timestamp column (recency) > first column (rowid
+          // stand-in).
+          val key = meta.primaryKey.headOption
+            .orElse(pkMap.get(t).flatMap(_.headOption))
             .orElse(df.schema.fields.collectFirst {
               case f if f.dataType.isInstanceOf[TimestampType] ||
                 f.dataType.isInstanceOf[TimestampNTZType] => f.name
             })
             .getOrElse(df.schema.fields.head.name)
-          val (sample, status, warns) = sampleWithRetry(sampleSize, l =>
-            df.orderBy(col(key).desc).limit(l).collect().toSeq.map(r =>
-              r.toSeq.map(v => if (v == null) "NULL" else v.toString)))
+          val ordering = strategy match {
+            case SamplingStrategy.MostRecent => col(key).desc
+            case _ => md5(col(key).cast(StringType)).asc
+          }
+          val (sample, status, warns) = strategy match {
+            case SamplingStrategy.NoSample => (Nil, "skipped", Nil)
+            case _ => sampleWithRetry(sampleSize, l =>
+              df.orderBy(ordering).limit(l).collect().toSeq.map(r =>
+                r.toSeq.map(v => if (v == null) "NULL" else v.toString)))
+          }
           val (cnt, status2, warns2) =
             try (df.count(), status, warns)
             catch { case e: Exception =>
               (-1L, "failed",
                 warns :+ s"count failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
             }
-          // a failed entry carries no sample rows (mirrors the load-failure
-          // path and keeps validate()'s failed-status invariant)
+          // a failed/skipped entry carries no sample rows (mirrors the
+          // load-failure path and keeps validate()'s status invariants)
           val (hdr, rows2) =
-            if (status2 == "failed") (Nil, Nil)
+            if (status2 == "failed" || status2 == "skipped") (Nil, Nil)
             else (df.schema.fieldNames.toSeq, sample)
+          val pk = if (meta.primaryKey.nonEmpty) meta.primaryKey
+            else pkMap.getOrElse(t, Nil)
           TableInfo(t, cols, cnt, hdr, rows2,
-            sampleStatus = status2, warnings = warns2,
-            pkCandidates = pkMap.getOrElse(t, Nil))
+            sampleStatus = status2, warnings = metaWarns ++ warns2,
+            pkCandidates = pk,
+            keyProvenance = if (meta.primaryKey.nonEmpty) "collected" else "inferred",
+            samplingStrategy = strategy.strategyName,
+            samplingKey = if (strategy == SamplingStrategy.NoSample) "" else key,
+            indexes = meta.indexes,
+            constraints = constraintMap.getOrElse(t, Nil),
+            layout = meta.layout)
         } catch {
           case e: Exception =>
             TableInfo(t, Nil, -1L, Nil, Nil, sampleStatus = "failed",
-              warnings = Seq(s"collection failed: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+              warnings = Seq(s"collection failed: ${e.getClass.getSimpleName}: ${e.getMessage}"),
+              samplingStrategy = strategy.strategyName)
         }
     }
-    Artifact("1.0", source.name, tables, fks)
+    val (engineName, engineVersion) =
+      try source.engine catch { case _: Exception => ("unknown", "unknown") }
+    Artifact("1.0", source.name, tables, collectedFks ++ inferredFks,
+      server = Some(ServerInfo(engineName, engineVersion, collectedAt, tables.size)))
   }
 
   /** Multi-database survey (adapters/postgres/multi_database.rs
@@ -277,24 +545,38 @@ object Collector {
     */
   def validate(a: Artifact): Seq[String] = {
     val errs = Seq.newBuilder[String]
-    val validStatus = Set("success", "partial", "failed")
+    val validStatus = Set("success", "partial", "failed", "skipped")
+    val validStrategy = Set("most_recent", "random", "none")
+    val validProvenance = Set("inferred", "collected")
     def badIdent(s: String): Boolean =
       s.isEmpty || s.length > 255 || s.exists(c => c < ' ' || c == '\u007f')
     if (a.formatVersion != "1.0")
       errs += s"unsupported format version '${a.formatVersion}'"
     if (a.tables.isEmpty) errs += "artifact has no tables"
+    a.server.foreach { s =>
+      if (s.engine.trim.isEmpty) errs += "server info: empty engine name"
+      if (s.tableCount != a.tables.size)
+        errs += s"server info: table count ${s.tableCount} != ${a.tables.size} tables"
+    }
     a.tables.groupBy(_.name).collect { case (n, ts) if ts.size > 1 =>
       errs += s"duplicate table name '$n'" }
     a.tables.foreach { t =>
       val failed = t.sampleStatus == "failed"
+      val noSample = failed || t.sampleStatus == "skipped"
       if (badIdent(t.name)) errs += s"invalid table identifier '${t.name}'"
       if (!validStatus(t.sampleStatus))
         errs += s"table ${t.name}: unknown sample status '${t.sampleStatus}'"
-      if (failed && t.sampleRows.nonEmpty)
-        errs += s"table ${t.name}: failed sample status but sample rows present"
+      if (!validStrategy(t.samplingStrategy))
+        errs += s"table ${t.name}: unknown sampling strategy '${t.samplingStrategy}'"
+      if (!validProvenance(t.keyProvenance))
+        errs += s"table ${t.name}: unknown key provenance '${t.keyProvenance}'"
+      if (noSample && t.sampleRows.nonEmpty)
+        errs += s"table ${t.name}: ${t.sampleStatus} sample status but sample rows present"
       if (!failed) {
         if (t.columns.isEmpty) errs += s"table ${t.name} has no columns"
         if (t.rowCount < 0) errs += s"table ${t.name} has negative row count"
+      }
+      if (!noSample) {
         if (t.rowCount >= 0 && t.sampleRows.size > t.rowCount)
           errs += s"table ${t.name}: more sample rows than table rows"
         if (t.sampleHeader.size != t.columns.size)
@@ -315,6 +597,33 @@ object Collector {
       val colNames = t.columns.map(_.name).toSet
       t.pkCandidates.filterNot(colNames).foreach(c =>
         errs += s"table ${t.name}: pk candidate '$c' is not a column")
+      if (t.columns.nonEmpty) {
+        if (t.samplingKey.nonEmpty && !colNames(t.samplingKey))
+          errs += s"table ${t.name}: sampling key '${t.samplingKey}' is not a column"
+        t.indexes.foreach { ix =>
+          if (badIdent(ix.name)) errs += s"table ${t.name}: invalid index name '${ix.name}'"
+          if (ix.columns.isEmpty) errs += s"table ${t.name}: index ${ix.name} has no columns"
+          ix.columns.filterNot(colNames).foreach(c =>
+            errs += s"table ${t.name}: index ${ix.name} references unknown column '$c'")
+        }
+        t.indexes.groupBy(_.name).collect { case (n, is) if is.size > 1 =>
+          errs += s"table ${t.name}: duplicate index name '$n'" }
+        t.constraints.foreach { c =>
+          if (!Set("not_null", "unique", "range", "enum")(c.kind))
+            errs += s"table ${t.name}: unknown constraint kind '${c.kind}'"
+          if (!validProvenance(c.provenance))
+            errs += s"table ${t.name}: constraint ${c.name}: unknown provenance '${c.provenance}'"
+          c.columns.filterNot(colNames).foreach(cc =>
+            errs += s"table ${t.name}: constraint ${c.name} references unknown column '$cc'")
+        }
+        t.layout.foreach { l =>
+          (l.partitionColumns ++ l.bucketColumns ++ l.sortColumns)
+            .filterNot(colNames).foreach(c =>
+              errs += s"table ${t.name}: layout references unknown column '$c'")
+          if (l.bucketColumns.nonEmpty != (l.numBuckets > 0))
+            errs += s"table ${t.name}: bucket columns and bucket count disagree"
+        }
+      }
     }
     val tableCols = a.tables.map(t => t.name -> t.columns.map(_.name).toSet).toMap
     a.foreignKeys.foreach { fk =>

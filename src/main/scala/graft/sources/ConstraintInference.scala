@@ -1,0 +1,210 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Data-driven constraint discovery — the reference records engine
+  * constraints beyond PK/FK (dbsurveyor-core/src/models.rs:156-175:
+  * check / unique / not-null constraints read from the catalog); a
+  * parquet lake has no constraint catalog, so graft INFERS constraint
+  * CANDIDATES from the data itself, one row per candidate:
+  *
+  *  - `not_null`:  column observed fully non-null;
+  *  - `unique`:    distinct count equals non-null count (a unique
+  *                 constraint candidate; PK candidates are the
+  *                 non-null+unique subset, KeyInference);
+  *  - `range`:     observed [min,max] of integer columns — the
+  *                 data-derived CHECK (c BETWEEN lo AND hi);
+  *  - `enum`:      low-cardinality string domains (<= 10 distinct
+  *                 values) — the data-derived CHECK (c IN (...)).
+  *
+  * Shape: one pruned single-column aggregation branch per column (the
+  * same Expand-safe form as Profiler.profileTable — each branch scans
+  * exactly one parquet column), then constraint rows are pure filters
+  * over the per-column stats. Floating-point columns get no range
+  * constraint (float min/max is a profiling surface, profile_table;
+  * their text rendering is not cross-engine stable in general), and
+  * enum domains come only from string columns.
+  */
+object ConstraintInference {
+
+  private val enumMaxDistinct = 10
+
+  private def keyable(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+  private def isIntType(dt: DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
+  /** Per-column stats feeding the constraint filters: one branch per
+    * column, unioned. Deliberately does NOT materialize value domains —
+    * collect_set over an unbounded string column (document text at
+    * 100 TB) is a driver/executor memory hazard, so domains are a
+    * second, candidate-only pass in constraintsDf.
+    */
+  private def statsFor(tables: Seq[(String, DataFrame)]): DataFrame = {
+    val branches = tables.flatMap { case (t, df) =>
+      df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
+        val c = col(f.name)
+        val isInt = isIntType(f.dataType)
+        val isStr = f.dataType == StringType
+        val aggs = Seq(
+          count(lit(1)).as("n_rows"),
+          count(c).as("n_nonnull"),
+          countDistinct(c).as("n_distinct"),
+          (if (isInt) min(c).cast(LongType) else lit(null).cast(LongType)).as("min_l"),
+          (if (isInt) max(c).cast(LongType) else lit(null).cast(LongType)).as("max_l"))
+        df.select(c).agg(aggs.head, aggs.tail: _*)
+          .select(lit(t).as("table_name"), lit(f.name).as("column_name"),
+            lit(isInt).as("is_int"), lit(isStr).as("is_str"),
+            col("n_rows"), col("n_nonnull"), col("n_distinct"),
+            col("min_l"), col("max_l"))
+      }
+    }
+    branches.reduce(_ unionByName _)
+  }
+
+  /** Constraint-candidate rows over named tables:
+    * (table_name, column_name, kind, detail).
+    *
+    * Two phases: (1) per-column stats, collected driver-side — bounded
+    * by catalog width (columns), not data size, the same bounded-state
+    * argument as Similarity's IVF centroids; (2) ONE job over only the
+    * enum-candidate columns (cardinality already known <= 10, so
+    * collect_set is bounded) for the sorted domains.
+    */
+  def constraintsDf(tables: Seq[(String, DataFrame)]): DataFrame = {
+    val spark = tables.head._2.sparkSession
+    import spark.implicits._
+    // degrade-don't-abort: a catalog with no scalar columns yields an
+    // empty (correctly-typed) result instead of a planning error
+    val eligible = tables.filter(_._2.schema.fields.exists(f => keyable(f.dataType)))
+    if (eligible.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType.fromDDL("table_name STRING, column_name STRING, kind STRING, detail STRING"))
+    val stats = statsFor(eligible).collect().toSeq
+    val base: Seq[(String, String, String, String)] = stats.flatMap { r =>
+      val t = r.getAs[String]("table_name")
+      val c = r.getAs[String]("column_name")
+      val nRows = r.getAs[Long]("n_rows")
+      val nn = r.getAs[Long]("n_nonnull")
+      val nd = r.getAs[Long]("n_distinct")
+      Seq(
+        if (nRows > 0 && nn == nRows) Some((t, c, "not_null", "")) else None,
+        if (nn > 0 && nd == nn) Some((t, c, "unique", "")) else None,
+        if (r.getAs[Boolean]("is_int") && nn > 0)
+          Some((t, c, "range",
+            s"[${r.getAs[Long]("min_l")},${r.getAs[Long]("max_l")}]"))
+        else None).flatten
+    }
+    val enumCols: Seq[(String, String)] = stats
+      .filter { r =>
+        val nd = r.getAs[Long]("n_distinct")
+        r.getAs[Boolean]("is_str") && nd >= 1 && nd <= enumMaxDistinct
+      }
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")))
+    val baseDf = base.toDF("table_name", "column_name", "kind", "detail")
+    val byName = tables.toMap
+    val out =
+      if (enumCols.isEmpty) baseDf
+      else {
+        val enumDf = enumCols.map { case (t, c) =>
+          byName(t).select(lit(t).as("table_name"), lit(c).as("column_name"),
+            col(c).as("v")).filter(col("v").isNotNull)
+        }.reduce(_ unionByName _)
+          .groupBy(col("table_name"), col("column_name"))
+          .agg(array_join(sort_array(collect_set(col("v"))), ",").as("detail"))
+          .select(col("table_name"), col("column_name"),
+            lit("enum").as("kind"), col("detail"))
+        baseDf.unionByName(enumDf)
+      }
+    out.orderBy(col("table_name"), col("column_name"), col("kind"))
+  }
+
+  /** SparkEntry operator: constraint candidates over the whole catalog. */
+  def inferConstraints(spark: SparkSession, dir: String): DataFrame =
+    constraintsDf(Tables.all.map(t => t -> Tables.table(spark, dir, t)))
+
+  /** Artifact embedding: per-table ConstraintInfo lists with
+    * deterministic names (`<kind>_<table>_<column>`).
+    */
+  def constraintsFor(tables: Seq[(String, DataFrame)])
+      : Map[String, Seq[Collector.ConstraintInfo]] =
+    constraintsDf(tables).collect().toSeq
+      .map { r =>
+        val (t, c, k, d) = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+        t -> Collector.ConstraintInfo(s"${k}_${t}_$c", k, Seq(c), d)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  /** Static catalog column classification for the DuckDB oracle (the
+    * testdata schema; the Spark side enumerates dynamically).
+    * kind flags: i = integer (range-eligible), s = string
+    * (enum-eligible), t = other scalar (timestamps, floats).
+    * events.ts is ns in parquet but truncated to µs by the Spark
+    * reader, so the oracle counts distinct microseconds (epoch_us).
+    */
+  private val catalogColumns: Seq[(String, String, Char)] = Seq(
+    ("region", "r_regionkey", 'i'), ("region", "r_name", 's'),
+    ("nation", "n_nationkey", 'i'), ("nation", "n_name", 's'),
+    ("nation", "n_regionkey", 'i'),
+    ("customer", "c_custkey", 'i'), ("customer", "c_name", 's'),
+    ("customer", "c_nationkey", 'i'), ("customer", "c_acctbal", 't'),
+    ("customer", "c_mktsegment", 's'),
+    ("supplier", "s_suppkey", 'i'), ("supplier", "s_name", 's'),
+    ("supplier", "s_nationkey", 'i'), ("supplier", "s_acctbal", 't'),
+    ("part", "p_partkey", 'i'), ("part", "p_name", 's'),
+    ("part", "p_brand", 's'), ("part", "p_type", 's'),
+    ("part", "p_size", 'i'), ("part", "p_retailprice", 't'),
+    ("orders", "o_orderkey", 'i'), ("orders", "o_custkey", 'i'),
+    ("orders", "o_orderstatus", 's'), ("orders", "o_totalprice", 't'),
+    ("orders", "o_orderdate", 't'), ("orders", "o_orderpriority", 's'),
+    ("lineitem", "l_orderkey", 'i'), ("lineitem", "l_partkey", 'i'),
+    ("lineitem", "l_suppkey", 'i'), ("lineitem", "l_linenumber", 'i'),
+    ("lineitem", "l_quantity", 't'), ("lineitem", "l_extendedprice", 't'),
+    ("lineitem", "l_discount", 't'), ("lineitem", "l_tax", 't'),
+    ("lineitem", "l_returnflag", 's'), ("lineitem", "l_linestatus", 's'),
+    ("lineitem", "l_shipdate", 't'),
+    ("events", "event_id", 'i'), ("events", "ts", 't'),
+    ("events", "user_id", 'i'), ("events", "event_type", 's'),
+    ("events", "value", 't'), ("events", "props", 's'),
+    ("documents", "doc_id", 'i'), ("documents", "text", 's'),
+    ("documents", "lang", 's'), ("documents", "source", 's'),
+    ("documents", "n_chars", 'i'),
+    ("embeddings", "vec_id", 'i'), ("embeddings", "label", 'i'))
+
+  val inferConstraintsSql: String = {
+    val stats = catalogColumns.map { case (t, c, kind) =>
+      val e = if (t == "events" && c == "ts") "epoch_us(ts)" else c
+      val minMax =
+        if (kind == 'i') s"CAST(min($c) AS BIGINT) AS min_l, CAST(max($c) AS BIGINT) AS max_l"
+        else "CAST(NULL AS BIGINT) AS min_l, CAST(NULL AS BIGINT) AS max_l"
+      val domain =
+        if (kind == 's')
+          s"array_to_string(list_sort(list(DISTINCT $c) FILTER (WHERE $c IS NOT NULL)), ',') AS domain"
+        else "CAST(NULL AS VARCHAR) AS domain"
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  ${kind == 'i'} AS is_int, ${kind == 's'} AS is_str,
+         |  count(*) AS n_rows, count($e) AS n_nonnull,
+         |  count(DISTINCT $e) AS n_distinct, $minMax, $domain
+         |FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH stats AS ($stats)
+       |SELECT table_name, column_name, 'not_null' AS kind, '' AS detail
+       |FROM stats WHERE n_rows > 0 AND n_nonnull = n_rows
+       |UNION ALL
+       |SELECT table_name, column_name, 'unique' AS kind, '' AS detail
+       |FROM stats WHERE n_nonnull > 0 AND n_distinct = n_nonnull
+       |UNION ALL
+       |SELECT table_name, column_name, 'range' AS kind,
+       |  '[' || CAST(min_l AS VARCHAR) || ',' || CAST(max_l AS VARCHAR) || ']' AS detail
+       |FROM stats WHERE is_int AND n_nonnull > 0
+       |UNION ALL
+       |SELECT table_name, column_name, 'enum' AS kind, domain AS detail
+       |FROM stats WHERE is_str AND n_distinct BETWEEN 1 AND $enumMaxDistinct
+       |ORDER BY table_name, column_name, kind""".stripMargin
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Collector, JdbcSource}
+import graft.output.{ArtifactJson, MarkdownDoc, SqlDdlDoc}
+
+/** JDBC collection end-to-end against an EMBEDDED in-memory Derby
+  * database — a real SQL engine with a real catalog, so the collected
+  * (not inferred) metadata path is exercised for real: primary keys,
+  * composite keys, indexes and foreign keys read through JDBC
+  * `DatabaseMetaData`, the engine-neutral face of the reference's
+  * dialect catalog queries (postgres/schema_collection.rs:1-877,
+  * mysql/schema_collection.rs:1-733).
+  */
+class JdbcCollectSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private lazy val ready: Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // Derby has no DROP IF EXISTS — ignore first-run failures
+      Seq("DROP TABLE assign", "DROP TABLE emp", "DROP TABLE dept").foreach(s =>
+        try st.execute(s) catch { case _: Exception => })
+      st.execute(
+        "CREATE TABLE dept(dept_id INT NOT NULL PRIMARY KEY, dept_name VARCHAR(40) NOT NULL)")
+      st.execute(
+        """CREATE TABLE emp(
+          |  emp_id INT NOT NULL PRIMARY KEY,
+          |  dept_id INT NOT NULL REFERENCES dept(dept_id),
+          |  emp_name VARCHAR(60),
+          |  salary DOUBLE)""".stripMargin)
+      st.execute("CREATE UNIQUE INDEX dept_name_ux ON dept(dept_name)")
+      // NB: an index on emp(dept_id) would be absorbed into Derby's
+      // FK backing index — index a non-constrained column instead
+      st.execute("CREATE INDEX emp_salary_ix ON emp(salary)")
+      st.execute(
+        """CREATE TABLE assign(
+          |  emp_id INT NOT NULL,
+          |  project VARCHAR(20) NOT NULL,
+          |  hours INT,
+          |  PRIMARY KEY (emp_id, project))""".stripMargin)
+      st.execute("INSERT INTO dept VALUES (1, 'eng'), (2, 'sales')")
+      st.execute("INSERT INTO emp VALUES (10, 1, 'ada', 120000.0), " +
+        "(11, 1, 'grace', 130000.0), (12, 2, 'edsger', 90000.0)")
+      st.execute("INSERT INTO assign VALUES (10, 'alpha', 30), (10, 'beta', 10), (11, 'alpha', 40)")
+      st.close()
+    } finally conn.close()
+  }
+
+  def source: JdbcSource = { ready; new JdbcSource(spark, url, Seq("dept", "emp", "assign")) }
+
+  lazy val artifact = Collector.collect(source, sampleSize = 2)
+
+  test("engine identity is collected from the driver") {
+    val (engine, version) = source.engine
+    assert(engine == "Apache Derby" && version.nonEmpty)
+    val s = artifact.server.get
+    assert(s.engine == "Apache Derby" && s.tableCount == 3)
+  }
+
+  test("collected primary keys land with collected provenance") {
+    val emp = artifact.tables.find(_.name == "emp").get
+    assert(emp.keyProvenance == "collected")
+    assert(emp.pkCandidates == Seq("EMP_ID"))
+    // composite key, in KEY_SEQ order
+    val asg = artifact.tables.find(_.name == "assign").get
+    assert(asg.keyProvenance == "collected")
+    assert(asg.pkCandidates == Seq("EMP_ID", "PROJECT"))
+  }
+
+  test("collected indexes carry columns and uniqueness") {
+    val dept = artifact.tables.find(_.name == "dept").get
+    val ux = dept.indexes.find(_.name == "DEPT_NAME_UX").get
+    assert(ux.unique && ux.columns == Seq("DEPT_NAME"))
+    val emp = artifact.tables.find(_.name == "emp").get
+    val ix = emp.indexes.find(_.name == "EMP_SALARY_IX").get
+    assert(!ix.unique && ix.columns == Seq("SALARY"))
+    // the FK's system-named backing index is collected too
+    assert(emp.indexes.exists(i => i.columns == Seq("DEPT_ID") && !i.unique))
+  }
+
+  test("collected foreign keys are engine-declared, coverage pinned to 1.0") {
+    val fk = artifact.foreignKeys.find(f => f.childTable == "emp").get
+    assert(fk.childColumn == "DEPT_ID" && fk.parentTable == "dept" &&
+      fk.parentColumn == "DEPT_ID" && fk.provenance == "collected" &&
+      fk.coverage == 1.0 && fk.likely)
+  }
+
+  test("schema + samples collect through the Spark JDBC relation") {
+    val emp = artifact.tables.find(_.name == "emp").get
+    assert(emp.rowCount == 3)
+    assert(emp.columns.map(_.name) == Seq("EMP_ID", "DEPT_ID", "EMP_NAME", "SALARY"))
+    assert(emp.columns.find(_.name == "EMP_ID").get.dataType == "int32")
+    assert(!emp.columns.find(_.name == "EMP_ID").get.nullable) // NOT NULL collected
+    // MostRecent over the collected PK: highest ids first
+    assert(emp.samplingStrategy == "most_recent" && emp.samplingKey == "EMP_ID")
+    assert(emp.sampleRows.map(_.head) == Seq("12", "11"))
+    assert(Collector.validate(artifact).isEmpty)
+  }
+
+  test("ddl doc renders the collected constraints for real") {
+    val ddl = SqlDdlDoc.render(artifact)
+    assert(ddl.contains("EMP_ID INTEGER NOT NULL PRIMARY KEY"))
+    assert(ddl.contains("PRIMARY KEY (EMP_ID, PROJECT)")) // composite
+    assert(ddl.contains("CREATE UNIQUE INDEX DEPT_NAME_UX ON dept (DEPT_NAME);"))
+    assert(ddl.contains("CREATE INDEX EMP_SALARY_IX ON emp (SALARY);"))
+    assert(ddl.contains("ALTER TABLE emp ADD FOREIGN KEY (DEPT_ID) REFERENCES dept (DEPT_ID); -- collected"))
+    assert(ddl.contains("-- engine: Apache Derby"))
+    val md = MarkdownDoc.render(artifact)
+    assert(md.contains("Primary key (collected): `EMP_ID`"))
+    assert(md.contains("Engine: Apache Derby"))
+    val json = ArtifactJson.render(artifact)
+    assert(json.contains("\"key_provenance\": \"collected\""))
+    assert(json.contains("\"engine\": \"Apache Derby\""))
+    assert(json.contains("\"provenance\": \"collected\""))
+  }
+
+  test("a ghost jdbc table degrades instead of aborting the artifact") {
+    val bad = { ready; new JdbcSource(spark, url, Seq("dept", "ghost")) }
+    val a = Collector.collect(bad, sampleSize = 2)
+    val ghost = a.tables.find(_.name == "ghost").get
+    assert(ghost.sampleStatus == "failed" && ghost.warnings.nonEmpty)
+    assert(a.tables.find(_.name == "dept").get.sampleStatus == "success")
+    assert(Collector.validate(a).isEmpty)
+  }
+
+  test("inference agrees with the engine catalog on the same data") {
+    // run the INFERRED path over the same JDBC tables: data-driven PK
+    // candidates must include every collected PK column set's head
+    val inferred = Collector.collect(source, sampleSize = 2, withKeys = true)
+    val emp = inferred.tables.find(_.name == "emp").get
+    // collected metadata still wins (provenance stays collected)...
+    assert(emp.keyProvenance == "collected" && emp.pkCandidates == Seq("EMP_ID"))
+    // ...and the inferred FK edges dedup against the collected one
+    val empFks = inferred.foreignKeys.filter(f =>
+      f.childTable == "emp" && f.childColumn == "DEPT_ID" &&
+        f.parentTable == "dept" && f.parentColumn == "DEPT_ID")
+    assert(empFks.size == 1 && empFks.head.provenance == "collected")
+  }
+}

@@ -48,4 +48,38 @@ class LakeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS g_customer_bucketed")
     }
   }
+
+  test("catalog-collected layout metadata round-trips through the artifact") {
+    import graft.sources.{CatalogSource, Collector}
+    import graft.output.{ArtifactJson, SqlDdlDoc, HtmlDoc}
+    Lake.writeBucketed(spark, sf, buckets = 8)
+    Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .write.mode("overwrite").partitionBy("day").saveAsTable("g_daily_agg")
+    try {
+      val src = new CatalogSource(spark, Seq("g_orders_bucketed", "g_daily_agg"))
+      val a = Collector.collect(src, sampleSize = 2)
+      assert(Collector.validate(a).isEmpty)
+      // bucket spec collected from the session catalog
+      val b = a.tables.find(_.name == "g_orders_bucketed").get.layout.get
+      assert(b.bucketColumns == Seq("o_custkey") && b.numBuckets == 8 &&
+        b.sortColumns == Seq("o_custkey") && b.partitionColumns.isEmpty)
+      // partition columns collected from the session catalog
+      val p = a.tables.find(_.name == "g_daily_agg").get.layout.get
+      assert(p.partitionColumns == Seq("day") && p.numBuckets == 0)
+      // layout survives json + renders in ddl/html
+      val json = ArtifactJson.render(a)
+      assert(json.contains("\"num_buckets\": 8"))
+      assert(json.contains("\"partition_columns\": [\"day\"]"))
+      val ddl = SqlDdlDoc.render(a)
+      assert(ddl.contains("-- layout: clustered by (o_custkey) into 8 buckets; sorted by (o_custkey)"))
+      assert(ddl.contains("-- layout: partitioned by (day)"))
+      assert(HtmlDoc.render(a).contains("Layout: partitioned by (day)"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_customer_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_daily_agg")
+    }
+  }
 }

@@ -195,6 +195,64 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(html.sliding(7).count(_ == "<table>") == html.sliding(8).count(_ == "</table>"))
   }
 
+  test("server info block records engine, version, timestamp, table count") {
+    val s = artifact.server.get
+    assert(s.engine == "spark-parquet-lake" && s.version == spark.version)
+    assert(s.tableCount == artifact.tables.size)
+    // collectedAt is a parseable instant
+    java.time.Instant.parse(s.collectedAt)
+    // table-count mismatch is a validation error
+    assert(Collector.validate(artifact.copy(server = Some(s.copy(tableCount = 3))))
+      .exists(_.contains("table count")))
+    val json = ArtifactJson.render(artifact)
+    assert(json.contains("\"engine\": \"spark-parquet-lake\""))
+    assert(MarkdownDoc.render(artifact).contains("Engine: spark-parquet-lake"))
+  }
+
+  test("sampling strategy selection is honored and recorded per table") {
+    import Collector.SamplingStrategy
+    val rnd = Collector.collect(new ParquetSource(spark, sf), sampleSize = 3,
+      strategy = SamplingStrategy.RandomDet)
+    val ev = rnd.tables.find(_.name == "events").get
+    assert(ev.samplingStrategy == "random" && ev.samplingKey == "ts")
+    assert(ev.sampleRows.size == 3)
+    // deterministic: a second collection returns the identical sample
+    val rnd2 = Collector.collect(new ParquetSource(spark, sf), sampleSize = 3,
+      strategy = SamplingStrategy.RandomDet)
+    assert(rnd.tables.map(_.sampleRows) == rnd2.tables.map(_.sampleRows))
+    // and differs from the most_recent ordering on a big-enough table
+    assert(ev.sampleRows != artifact.tables.find(_.name == "events").get.sampleRows)
+    assert(Collector.validate(rnd).isEmpty)
+    // metadata-only collection: no sample action at all, schema intact
+    val none = Collector.collect(new ParquetSource(spark, sf),
+      strategy = SamplingStrategy.NoSample)
+    assert(none.tables.forall(t => t.sampleStatus == "skipped" &&
+      t.sampleRows.isEmpty && t.samplingKey.isEmpty && t.samplingStrategy == "none"))
+    assert(none.tables.forall(t => t.columns.nonEmpty && t.rowCount >= 0))
+    assert(Collector.validate(none).isEmpty)
+    // strategy is recorded in the json artifact
+    assert(ArtifactJson.render(rnd).contains("\"strategy\": \"random\""))
+  }
+
+  test("inferred constraints embed in the artifact and render as CHECKs") {
+    import graft.output.{SqlDdlDoc, HtmlDoc}
+    val a = Collector.collect(new ParquetSource(spark, sf), sampleSize = 2,
+      withConstraints = true)
+    assert(Collector.validate(a).isEmpty)
+    val region = a.tables.find(_.name == "region").get
+    assert(region.constraints.exists(c => c.kind == "range" && c.columns == Seq("r_regionkey")))
+    val enumC = region.constraints.find(_.kind == "enum").get
+    assert(enumC.columns == Seq("r_name") && enumC.detail.split(",").length == 5)
+    assert(region.constraints.exists(c => c.kind == "not_null" && c.columns == Seq("r_name")))
+    assert(region.constraints.exists(c => c.kind == "unique" && c.columns == Seq("r_regionkey")))
+    val ddl = SqlDdlDoc.render(a)
+    assert(ddl.contains("CHECK (r_regionkey BETWEEN 0 AND 4) -- inferred"))
+    assert(ddl.contains("CHECK (r_name IN ("))
+    assert(MarkdownDoc.render(a).contains("### Constraints"))
+    assert(HtmlDoc.render(a).contains("<h3>Constraints</h3>"))
+    assert(ArtifactJson.render(a).contains("\"kind\": \"range\""))
+  }
+
   test("collection outcome classification follows the reference exit-code ladder") {
     import Collector.CollectionOutcome
     assert(CollectionOutcome.fromResults(Nil).exitCode == 1)
