@@ -124,12 +124,19 @@ object Similarity {
     * after the DISTINCT, so the shuffle never replicates the embeddings
     * x bands.
     */
-  private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def lshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairsFor(vectors(spark, dir))
+
+  /** Same banded pipeline over an arbitrary (vec_id, label, v, nrm)
+    * frame — lets DedupSimSpec measure recall on PLANTED high-cosine
+    * near-duplicates, where the analytic >99.9% claim actually applies.
+    */
+  private[graft] def lshPairsFor(vectorsIn: DataFrame): DataFrame = {
     // persisted: vecs feeds the band keying and both vector join-backs
     // (3 consumers); keyed feeds both sides of the self-join whose
     // differing projections defeat exchange reuse — without these the
     // embeddings scan runs 4x and the 48 dot products per row run twice
-    val vecs = vectors(spark, dir).persist()
+    val vecs = vectorsIn.persist()
     val keyed = vecs.select(col("vec_id"),
       posexplode(array((0 until pairBands).map(b => pairBandKey("v", b)): _*))
         .as(Seq("band", "bkey"))).persist()
@@ -248,6 +255,66 @@ object Similarity {
       |SELECT label, dim, count(*) AS n_vecs,
       |  CAST(sum(xd) AS DOUBLE) / count(*) AS centroid
       |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  /** Embedding outlier detection — the QA pass a training pipeline runs
+    * after labelCentroids: for every vector, cosine to its OWN label's
+    * centroid; the 3 least-aligned vectors per label are flagged
+    * (mislabeled / corrupted / off-distribution candidates).
+    *
+    * Scale shape: centroids are a labels×dims aggregate (tiny) —
+    * assembled per label and BROADCAST back against the corpus, so the
+    * scoring pass is one scan, no second shuffle of the vectors; the
+    * per-label top-3 is a bounded window over label partitions. Centroid
+    * cells go through the labelCentroids decimal quantization and the
+    * cosine through round(·, 6), so ranks are cross-engine exact
+    * (vec_id tiebreak).
+    */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val cent = vectors(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), col("x").cast(DecimalType(24, 6)).as("xd"))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("xd")).cast(DoubleType) / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+      .withColumn("cnrm", sqrt(graft.functions.VectorOps.dot_product(col("cv"), col("cv"))))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    vectors(spark, dir)
+      .join(broadcast(cent), "label")
+      .select(col("label"), col("vec_id"),
+        cosine("v", "cv", col("nrm"), col("cnrm")).as("cos_centroid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("rank"), col("vec_id"), col("cos_centroid"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  val centroidOutliersSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT label, CAST(t.i AS INTEGER) AS dim,
+      |    CAST(sum(CAST(v[t.i + 1] AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS c
+      |  FROM e, range(64) t(i) GROUP BY label, t.i),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY dim) AS cv FROM cells GROUP BY label),
+      |scored AS (
+      |  SELECT e.label, e.vec_id,
+      |    round(list_dot_product(e.v, cent.cv) /
+      |      (e.nrm * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS cos_centroid
+      |  FROM e JOIN cent USING (label)),
+      |ranked AS (
+      |  SELECT label, vec_id, cos_centroid,
+      |    CAST(row_number() OVER (PARTITION BY label
+      |      ORDER BY cos_centroid ASC, vec_id ASC) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT label, rank, vec_id, cos_centroid
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY label, rank""".stripMargin
 
   /** TEST-ONLY all-pairs threshold baseline — see dedupEmbeddingExact. */
   def pairsThresholdExact(spark: SparkSession, dir: String): DataFrame = {

@@ -337,6 +337,73 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM quality scoring — the order-2 upgrade of unigramNll
+    * (CCNet trains 5-gram KenLM models; the pipeline shape from order 2
+    * up is identical, only the model table grows): train conditional
+    * bigram probabilities p(w2|w1) = c(w1 w2)/c(w1 ·) from the corpus,
+    * then score each document by its average bigram negative
+    * log-likelihood. High avg_nll2 = improbable word SEQUENCES — catches
+    * shuffled/garbled text that unigram frequencies cannot (every token
+    * common, every transition rare).
+    *
+    * Parity + scale: bigrams are built with one in-row transform over
+    * the token array (no positional self-join); log-probs quantized
+    * through DECIMAL(18,9) before the per-doc sum (exact,
+    * order-independent — the unigramNll device); the model table is
+    * corpus-sized, joined by bigram key, never broadcast.
+    */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
+        .as("bg"))
+    val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val w1Totals = model.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
+    val lp = model.join(w1Totals, "w1")
+      .select(col("bg"),
+        log(col("c_bg").cast(DoubleType) / col("c_w1").cast(DoubleType))
+          .cast(DecimalType(18, 9)).as("lpv"))
+    val scored = bigrams.join(lp, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpv")).as("sum_lp"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (-(col("sum_lp").cast(DoubleType) / col("n_bigrams"))).as("avg_nll2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramNllSql: String =
+    """WITH docs2 AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(a)),
+      |    i -> a[i] || ' ' || a[i + 1])) AS bg
+      |  FROM docs2 WHERE len(a) >= 2),
+      |model AS (
+      |  SELECT bg, count(*) AS c_bg, string_split(bg, ' ')[1] AS w1
+      |  FROM bg GROUP BY bg),
+      |w1t AS (SELECT w1, sum(c_bg) AS c_w1 FROM model GROUP BY w1),
+      |lp AS (
+      |  SELECT m.bg,
+      |    CAST(ln(CAST(m.c_bg AS DOUBLE) / CAST(t.c_w1 AS DOUBLE)) AS DECIMAL(18,9)) AS lpv
+      |  FROM model m JOIN w1t t USING (w1)),
+      |sc AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams, sum(l.lpv) AS sum_lp
+      |  FROM bg b JOIN lp l USING (bg) GROUP BY b.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  -(CAST(sc.sum_lp AS DOUBLE) / sc.n_bigrams) AS avg_nll2
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** BPE tokenizer-training building block — the pair-count step of one
     * merge iteration: frequencies of adjacent character pairs across the
     * corpus, weighted by word frequency. Runs over the DISTINCT word

