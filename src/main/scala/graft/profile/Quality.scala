@@ -355,4 +355,116 @@ object Quality {
        |  (($completeness) + ($uniqueness) + ($consistency)) / 3.0 AS quality_score
        |FROM a""".stripMargin
   }
+
+  // ---------------------------------------------------------------- psi drift
+
+  /** Distribution-drift monitoring via PSI (population stability index —
+    * the standard production drift metric; the natural companion to
+    * Collector.diff's schema drift): compare a reference slice of events
+    * against a current slice, per monitored column. Numeric `value` is
+    * discretized into 10 fixed-width bins over the GLOBAL [min,max]
+    * (shared edges — computed once, broadcast); categorical `event_type`
+    * uses its categories directly. PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref)
+    * with +0.5 Laplace smoothing per bin so empty bins stay finite.
+    *
+    * Slices here are the deterministic event_id parity halves (a
+    * mechanism demo the oracle can replay; a deployment slices on time
+    * windows — swap the predicate). Per-bin ln terms are quantized
+    * through DECIMAL(18,9) before the per-column TOTAL sum, so totals
+    * are exact and order-independent (the unigram-NLL device).
+    *
+    * Scale shape: one pass to bin + count (shuffle key = column × bins,
+    * tiny), windows over the bin rows only. PSI interpretation: < 0.1
+    * stable, 0.1-0.25 moderate shift, > 0.25 action.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("value"), col("event_type"),
+        (col("event_id") % 2 === 1).as("is_cur"))
+    val mm = ev.filter(col("value").isNotNull)
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val valueBins = ev.filter(col("value").isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(lit("value").as("column_name"),
+        concat(lit("b"),
+          when(col("vmax") === col("vmin"), lit(0L))
+            .otherwise(least(floor((col("value") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / 10.0)), lit(9L)))
+            .cast(StringType)).as("bin"),
+        col("is_cur"))
+    val catBins = ev.select(lit("event_type").as("column_name"),
+      col("event_type").as("bin"), col("is_cur"))
+    val counts = valueBins.unionByName(catBins)
+      .groupBy(col("column_name"), col("bin"))
+      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("column_name"))
+    val terms = counts
+      .withColumn("b_all", count(lit(1)).over(w))
+      .withColumn("p_ref",
+        (col("n_ref").cast(DoubleType) + 0.5) /
+          (sum(col("n_ref")).over(w).cast(DoubleType) + lit(0.5) * col("b_all")))
+      .withColumn("p_cur",
+        (col("n_cur").cast(DoubleType) + 0.5) /
+          (sum(col("n_cur")).over(w).cast(DoubleType) + lit(0.5) * col("b_all")))
+      .withColumn("psi_term",
+        ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+          .cast(DecimalType(18, 9)))
+    val perBin = terms.select(col("column_name"), col("bin"),
+      col("n_ref"), col("n_cur"), col("psi_term").cast(DoubleType).as("psi"))
+    val total = terms.groupBy(col("column_name"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        sum(col("psi_term")).cast(DoubleType).as("psi"))
+      .select(col("column_name"), lit("TOTAL").as("bin"),
+        col("n_ref"), col("n_cur"), col("psi"))
+    perBin.unionByName(total).orderBy(col("column_name"), col("bin"))
+  }
+
+  val psiDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, value, event_type, event_id % 2 = 1 AS is_cur
+      |  FROM events),
+      |mm AS (
+      |  SELECT min(value) AS vmin, max(value) AS vmax
+      |  FROM ev WHERE value IS NOT NULL),
+      |binned AS (
+      |  SELECT 'value' AS column_name,
+      |    'b' || CAST(CASE WHEN vmax = vmin THEN 0
+      |      ELSE least(CAST(floor((value - vmin) / ((vmax - vmin) / 10.0)) AS BIGINT), 9)
+      |      END AS VARCHAR) AS bin,
+      |    is_cur
+      |  FROM ev, mm WHERE value IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'event_type' AS column_name, event_type AS bin, is_cur FROM ev),
+      |counts AS (
+      |  SELECT column_name, bin,
+      |    sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
+      |    sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+      |  FROM binned GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT column_name, bin, n_ref, n_cur,
+      |    CAST(((CAST(n_cur AS DOUBLE) + 0.5) /
+      |          (CAST(sum(n_cur) OVER (PARTITION BY column_name) AS DOUBLE)
+      |            + 0.5 * count(*) OVER (PARTITION BY column_name)) -
+      |          (CAST(n_ref AS DOUBLE) + 0.5) /
+      |          (CAST(sum(n_ref) OVER (PARTITION BY column_name) AS DOUBLE)
+      |            + 0.5 * count(*) OVER (PARTITION BY column_name))) *
+      |      ln(((CAST(n_cur AS DOUBLE) + 0.5) /
+      |          (CAST(sum(n_cur) OVER (PARTITION BY column_name) AS DOUBLE)
+      |            + 0.5 * count(*) OVER (PARTITION BY column_name))) /
+      |          ((CAST(n_ref AS DOUBLE) + 0.5) /
+      |          (CAST(sum(n_ref) OVER (PARTITION BY column_name) AS DOUBLE)
+      |            + 0.5 * count(*) OVER (PARTITION BY column_name))))
+      |      AS DECIMAL(18,9)) AS psi_term
+      |  FROM counts)
+      |SELECT column_name, bin,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(psi_term AS DOUBLE) AS psi
+      |FROM terms
+      |UNION ALL
+      |SELECT column_name, 'TOTAL' AS bin,
+      |  CAST(sum(n_ref) AS BIGINT) AS n_ref, CAST(sum(n_cur) AS BIGINT) AS n_cur,
+      |  CAST(sum(psi_term) AS DOUBLE) AS psi
+      |FROM terms GROUP BY column_name
+      |ORDER BY column_name, bin""".stripMargin
 }

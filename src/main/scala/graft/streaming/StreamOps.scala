@@ -96,6 +96,35 @@ object StreamOps {
         col("approx_contaminated_docs"))
   }
 
+  /** Streaming PII monitor — the text_pii_scan pass watched as documents
+    * arrive (the ingest gate a training pipeline runs BEFORE anything
+    * lands in the lake): stateless per-row regex detection (email /
+    * phone / IPv4, same Java-regex/RE2-common-subset patterns as the
+    * batch twin) followed by one watermarked hourly aggregation of doc
+    * and hit counts per source. All detection work is in-row — the only
+    * streaming state is the O(active windows) aggregation.
+    *
+    * `docs` needs (doc_id, ts, source, text).
+    */
+  def piiMonitor(docs: DataFrame): DataFrame = {
+    import graft.text.Pii
+    docs
+      .select(col("doc_id"), col("ts"), col("source"),
+        regexp_count(col("text"), lit(Pii.emailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(Pii.phoneRe)).as("n_phones"),
+        regexp_count(col("text"), lit(Pii.ipRe)).as("n_ips"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1L)
+          .otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("n_emails").cast("long")).as("n_emails"),
+        sum(col("n_phones").cast("long")).as("n_phones"),
+        sum(col("n_ips").cast("long")).as("n_ips"))
+      .select(col("w.start").as("hour"), col("source"), col("n_docs"),
+        col("n_docs_with_pii"), col("n_emails"), col("n_phones"), col("n_ips"))
+  }
+
   case class FunnelEv(event_id: Long, t_us: Long, user_id: Long, event_type: String)
   case class FunnelState(tSignup: Long, converted: Boolean)
   case class Conversion(user_id: Long, t_signup: Long, t_purchase: Long,

@@ -241,6 +241,89 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Materialize the temperature mix (the step after mixWeights): keep
+    * each document with probability proportional to its source's boost,
+    * scaled so the most-up-weighted source is kept in full — single-
+    * epoch DOWN-sampling that realizes the sqrt-temperature shares
+    * without duplication. Acceptance is the deterministic md5-uniform
+    * u(doc_id) < boost/max_boost — reproducible across runs, engines
+    * and partitionings (no rand()), and append-stable like the hash
+    * split.
+    *
+    * Emits the per-source audit: docs/tokens kept, acceptance rate,
+    * realized vs target sample share. Realized shares track the target
+    * up to hash-sampling noise (asserted in CurationSpec).
+    *
+    * Scale shape: the |sources|-row rate table joins back broadcast;
+    * the corpus is scanned once, filtered in-row, aggregated once.
+    */
+  def mixApply(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("source"), expr(toksExpr).as("toks"),
+        (expr(bucketExpr).cast(DoubleType) / lit(1152921504606846976.0)).as("u"))
+    val w = g.groupBy(col("source"))
+      .agg(sum(col("toks")).as("n_tokens"))
+      .withColumn("weight",
+        expr("CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,6))"))
+    val all = Window.partitionBy()
+    val rates = w
+      .withColumn("boost",
+        (col("weight").cast(DoubleType) /
+          sum(col("weight")).over(all).cast(DoubleType)) /
+          (col("n_tokens").cast(DoubleType) /
+            sum(col("n_tokens")).over(all).cast(DoubleType)))
+      .withColumn("accept_rate", col("boost") / max(col("boost")).over(all))
+      .select(col("source"), col("accept_rate"))
+    val kept = g.join(broadcast(rates), "source")
+      .filter(col("u") < col("accept_rate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("toks")).as("n_tokens_kept"))
+    val target = mixWeights(spark, dir).select(col("source"), col("sample_share"))
+    kept.join(rates, "source").join(target, "source")
+      .withColumn("realized_share",
+        col("n_tokens_kept").cast(DoubleType) /
+          sum(col("n_tokens_kept")).over(all).cast(DoubleType))
+      .select(col("source"), col("n_docs_kept"), col("n_tokens_kept"),
+        col("accept_rate"), col("sample_share").as("target_share"),
+        col("realized_share"))
+      .orderBy(col("source"))
+  }
+
+  val mixApplySql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      |      / 1152921504606846976.0 AS u
+      |  FROM documents),
+      |g AS (SELECT source, CAST(sum(toks) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |    CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,6)) AS weight
+      |  FROM g),
+      |rates AS (
+      |  SELECT source,
+      |    (CAST(weight AS DOUBLE) / CAST(sum(weight) OVER () AS DOUBLE)) /
+      |      (CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)) AS boost,
+      |    CAST(weight AS DOUBLE) / CAST(sum(weight) OVER () AS DOUBLE) AS sample_share
+      |  FROM w),
+      |rates2 AS (
+      |  SELECT source, sample_share, boost / max(boost) OVER () AS accept_rate
+      |  FROM rates),
+      |kept AS (
+      |  SELECT d.source, count(*) AS n_docs_kept, sum(d.toks) AS n_tokens_kept
+      |  FROM d JOIN rates2 r USING (source)
+      |  WHERE d.u < r.accept_rate
+      |  GROUP BY d.source)
+      |SELECT k.source,
+      |  CAST(k.n_docs_kept AS BIGINT) AS n_docs_kept,
+      |  CAST(k.n_tokens_kept AS BIGINT) AS n_tokens_kept,
+      |  r.accept_rate,
+      |  r.sample_share AS target_share,
+      |  CAST(k.n_tokens_kept AS DOUBLE) / CAST(sum(k.n_tokens_kept) OVER () AS DOUBLE) AS realized_share
+      |FROM kept k JOIN rates2 r USING (source)
+      |ORDER BY source""".stripMargin
+
   val mixWeightsSql: String =
     """WITH g AS (
       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

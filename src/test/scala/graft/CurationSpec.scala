@@ -120,4 +120,32 @@ class CurationSpec extends AnyFunSuite {
       assert(boosts.last < 1.0 + 1e-12 || boosts.head > boosts.last)
     }
   }
+
+  test("mixApply realizes the target shares within hash-sampling noise") {
+    val rows = Curation.mixApply(spark, dir).collect()
+    val weights = Curation.mixWeights(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Double]("boost"))).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == weights.keySet)
+    val maxBoost = weights.values.map(_._3).max
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val (nd, nt, boost) = weights(s)
+      // acceptance rate is boost scaled so the max-boost source keeps all
+      assert(math.abs(r.getAs[Double]("accept_rate") - boost / maxBoost) < 1e-12, s)
+      // kept counts never exceed the source totals
+      assert(r.getAs[Long]("n_docs_kept") <= nd && r.getAs[Long]("n_tokens_kept") <= nt, s)
+      // realized share tracks the target within md5-sampling noise
+      // (20-25 docs/source at sf0.001 -> generous band)
+      val diff = math.abs(r.getAs[Double]("realized_share") - r.getAs[Double]("target_share"))
+      assert(diff < 0.05, s"$s realized ${r.getAs[Double]("realized_share")} vs target ${r.getAs[Double]("target_share")}")
+    }
+    // the max-boost source is kept in full
+    val full = rows.find(r => math.abs(r.getAs[Double]("accept_rate") - 1.0) < 1e-12).get
+    val fullSrc = full.getAs[String]("source")
+    assert(full.getAs[Long]("n_docs_kept") == weights(fullSrc)._1)
+    // deterministic: rerun is identical
+    val again = Curation.mixApply(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -104,4 +104,35 @@ class QualitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Quality.ScoreWeights(0.0, 0.0, 0.0))
     intercept[IllegalArgumentException](Quality.ScoreWeights(-1.0, 1.0, 1.0))
   }
+
+  test("psi drift: parity halves of one distribution measure as stable") {
+    val rows = Quality.psiDrift(spark, sf).collect()
+    val byCol = rows.groupBy(_.getAs[String]("column_name"))
+    assert(byCol.keySet == Set("value", "event_type"))
+    byCol.foreach { case (c, rs) =>
+      val total = rs.find(_.getAs[String]("bin") == "TOTAL").get
+      val bins = rs.filterNot(_.getAs[String]("bin") == "TOTAL")
+      // every per-bin PSI term is non-negative; total is their sum
+      bins.foreach(r => assert(r.getAs[Double]("psi") >= 0.0, s"$c ${r.getAs[String]("bin")}"))
+      assert(math.abs(bins.map(_.getAs[Double]("psi")).sum - total.getAs[Double]("psi")) < 1e-6)
+      // counts partition the (non-null) rows
+      assert(total.getAs[Long]("n_ref") + total.getAs[Long]("n_cur") ==
+        Tables.events(spark, sf).count())
+      // event_id parity halves are samples of the SAME distribution:
+      // PSI must read "stable" (< 0.1), the metric's base calibration
+      assert(total.getAs[Double]("psi") < 0.1, s"$c psi ${total.getAs[Double]("psi")}")
+      // value gets its 10 fixed bins (all populated at this SF)
+      if (c == "value") assert(bins.length == 10)
+    }
+    // a genuinely shifted slice must read as drifted: compare event_type
+    // distribution of purchase-only rows vs all — recompute PSI by hand
+    val ev = Tables.events(spark, sf).select(col("event_type")).collect().map(_.getString(0))
+    val shifted = ev.filter(_ == "purchase") ++ ev.take(50)
+    def dist(xs: Seq[String], cats: Seq[String]) =
+      cats.map(c => (xs.count(_ == c) + 0.5) / (xs.size + 0.5 * cats.size))
+    val cats = ev.distinct.toSeq.sorted
+    val (p, q) = (dist(ev.toSeq, cats), dist(shifted.toSeq, cats))
+    val psiShift = p.zip(q).map { case (a, b) => (b - a) * math.log(b / a) }.sum
+    assert(psiShift > 0.25, s"hand psi $psiShift") // the 'action' band
+  }
 }

@@ -80,6 +80,34 @@ class StreamingSpec extends AnyFunSuite {
       want.exceptAll(spark.table("contam_out")).count() == 0)
   }
 
+  test("streaming pii monitor counts planted pii per window and source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 11:20:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    mem.addData(Seq(
+      (1L, t0, "web", "reach me at ada@example.com or 415-555-0001 ok"),
+      (2L, t0, "web", "clean document no identifiers here"),
+      (3L, t0, "books", "server at 10.0.0.1 and 192.168.1.2 responded"),
+      (4L, t1, "web", "second window mail bob@corp.io")))
+    val streamDf = mem.toDF().toDF("doc_id", "ts", "source", "text")
+    val q = StreamOps.piiMonitor(streamDf).writeStream
+      .outputMode("complete").format("memory").queryName("pii_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pii_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").toString, r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_with_pii"),
+          r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"), r.getAs[Long]("n_ips"))).toMap
+    assert(got(("2026-01-01 10:00:00.0", "web")) == ((2L, 1L, 1L, 1L, 0L)))
+    assert(got(("2026-01-01 10:00:00.0", "books")) == ((1L, 1L, 0L, 0L, 2L)))
+    assert(got(("2026-01-01 11:00:00.0", "web")) == ((1L, 1L, 1L, 0L, 0L)))
+    // totals reconcile: 2 emails, 1 phone, 2 ips across all windows
+    assert(got.values.map(_._3).sum == 2L)
+    assert(got.values.map(_._4).sum == 1L)
+    assert(got.values.map(_._5).sum == 2L)
+  }
+
   test("streaming funnel conversions match the batch definition per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
