@@ -75,6 +75,24 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String],
   def tableNames: Seq[String] = tables
   def load(table: String): DataFrame = spark.read.jdbc(url, table, props)
 
+  /** Partition-bounded parallel read — the cluster-scale JDBC ingest
+    * shape: `numPartitions` executor-side range slices on an integer
+    * column, whose bounds come from ONE min/max query through the same
+    * connection (the reference reads single-threaded per table;
+    * Spark's partitioned JDBC relation is the 1000-executor version).
+    */
+  def loadPartitioned(table: String, column: String,
+      numPartitions: Int): DataFrame = {
+    val (lo, hi) = withConnection { c =>
+      val st = c.createStatement()
+      val rs = st.executeQuery(s"SELECT min($column), max($column) FROM $table")
+      rs.next()
+      val r = (rs.getLong(1), rs.getLong(2))
+      rs.close(); st.close(); r
+    }
+    spark.read.jdbc(url, table, column, lo, hi, numPartitions, props)
+  }
+
   private def withConnection[A](f: java.sql.Connection => A): A = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try f(conn) finally conn.close()

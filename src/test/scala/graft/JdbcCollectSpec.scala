@@ -127,6 +127,14 @@ class JdbcCollectSpec extends AnyFunSuite {
     assert(Collector.validate(a).isEmpty)
   }
 
+  test("partitioned jdbc read slices on the key and preserves the rows") {
+    val df = source.loadPartitioned("emp", "emp_id", 2)
+    assert(df.rdd.getNumPartitions == 2)
+    val plain = source.load("emp")
+    assert(df.count() == 3)
+    assert(df.exceptAll(plain).count() == 0 && plain.exceptAll(df).count() == 0)
+  }
+
   test("inference agrees with the engine catalog on the same data") {
     // run the INFERRED path over the same JDBC tables: data-driven PK
     // candidates must include every collected PK column set's head

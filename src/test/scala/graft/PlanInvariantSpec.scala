@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical plan-hygiene guards: the scale properties PLANS.md claims
+  * are asserted here against the actual physical plans, so a regression
+  * (lost pushdown, accidental cartesian, lost broadcast, un-pruned
+  * scan) fails CI instead of surviving as stale documentation. Uses the
+  * non-adaptive sparkPlan (same device as LakeSpec) so assertions are
+  * about the static planning, not AQE's runtime choices.
+  */
+class PlanInvariantSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+
+  test("no unbounded cartesian anywhere in the oracle inventory") {
+    // CartesianProduct = the O(n^2) killer. BroadcastNestedLoopJoin is
+    // allowed ONLY for the deliberate 1-row stat broadcasts; a genuine
+    // cartesian between data-sized sides plans as CartesianProduct.
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+    }
+  }
+
+  test("filters are pushed into the parquet scans") {
+    // q1's shipdate predicate must reach the lineitem scan
+    val q1 = plan("q1_pricing_summary")
+    assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), q1)
+    // the incremental-dedup bucket predicates stay scan-level DataFilters
+    // (md5 isn't a parquet-pushable predicate, but it must evaluate at
+    // the scan, not after a shuffle)
+    val inc = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(inc.contains("DataFilters: [isnotnull(doc_id"), inc)
+  }
+
+  test("scans are column-pruned to what the query needs") {
+    // pii scan must read exactly (doc_id, text) — not lang/source/n_chars
+    val pii = plan("text_pii_scan")
+    assert(pii.contains("ReadSchema: struct<doc_id:bigint,text:string>"), pii)
+    // token count reads no doc_id
+    val fp = plan("text_fingerprint")
+    assert(!fp.contains("n_chars"), fp)
+  }
+
+  test("dimension joins broadcast; the 6-way join has no dim shuffle") {
+    val q5 = plan("q5_region_revenue")
+    assert(q5.contains("BroadcastHashJoin"), q5)
+    // region+nation (the tiny dims) must NOT be exchange-shuffled
+    assert(!q5.contains("Exchange hashpartitioning(r_regionkey"), q5)
+    assert(!q5.contains("Exchange hashpartitioning(n_nationkey"), q5)
+  }
+
+  test("banded LSH pair generation joins on (band, key), never all-pairs") {
+    val p = plan("dedup_embedding")
+    assert(p.contains("band"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bounded top-k plans as TakeOrderedAndProject, not a global sort") {
+    val q3 = plan("q3_shipping_priority")
+    assert(q3.contains("TakeOrderedAndProject"), q3)
+  }
+
+  test("pii scan's only exchange is the presentation sort") {
+    // exchanges are inserted by EnsureRequirements -> executedPlan
+    val p = SparkEntry.queries("text_pii_scan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1 && p.contains("Exchange rangepartitioning"), p)
+  }
+}

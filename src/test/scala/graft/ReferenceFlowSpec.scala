@@ -253,6 +253,33 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(ArtifactJson.render(a).contains("\"kind\": \"range\""))
   }
 
+  test("artifact json round-trips exactly through the loader") {
+    import graft.output.ArtifactLoad
+    // the richest artifact available: collected keys + constraints
+    val a = Collector.collect(new ParquetSource(spark, sf), sampleSize = 2,
+      withKeys = true, withConstraints = true)
+    val loaded = ArtifactLoad.load(ArtifactJson.render(a))
+    assert(loaded == a) // case-class equality: every field survives
+    // escaping round-trips too
+    val tricky = a.copy(source = "weird \"quoted\"\\path\n\ttab\u0001ctl")
+    assert(ArtifactLoad.load(ArtifactJson.render(tricky)) == tricky)
+    // malformed input fails loudly, not silently
+    intercept[IllegalArgumentException](ArtifactLoad.load("{\"format_version\": }"))
+    intercept[IllegalArgumentException](ArtifactLoad.load(ArtifactJson.render(a) + "x"))
+  }
+
+  test("offline secure workflow: render -> gzip -> encrypt -> decrypt -> load") {
+    import graft.output.{ArtifactLoad, Secure}
+    val json = ArtifactJson.render(artifact)
+    val sealed_ = Secure.encrypt(Secure.gzip(json.getBytes("UTF-8")), "hunter2")
+    // the consumer side: decrypt, decompress, load, regenerate — the
+    // reference's `dbsurveyor generate` working purely offline
+    val back = new String(Secure.gunzip(Secure.decrypt(sealed_, "hunter2")), "UTF-8")
+    val loaded = ArtifactLoad.load(back)
+    assert(loaded == artifact)
+    assert(MarkdownDoc.render(loaded) == MarkdownDoc.render(artifact))
+  }
+
   test("collection outcome classification follows the reference exit-code ladder") {
     import Collector.CollectionOutcome
     assert(CollectionOutcome.fromResults(Nil).exitCode == 1)
