@@ -125,6 +125,26 @@ object StreamOps {
         col("n_docs_with_pii"), col("n_emails"), col("n_phones"), col("n_ips"))
   }
 
+  /** Streaming incremental dedup — dedup_incremental's twin, the live
+    * ingest gate: an arriving doc is dropped if (a) its exact text
+    * fingerprint is already in the SETTLED CORPUS index (stream-static
+    * left-anti join — no state, the static side is the bucketed
+    * fingerprint table at scale), or (b) it already arrived within the
+    * stream (watermarked dropDuplicates on the fingerprint — state is
+    * the in-watermark fingerprint set, exactly the engine's bounded
+    * dedup state). Emits the surviving docs.
+    *
+    * `docs` needs (doc_id, ts, text); `corpusFps` needs (fp).
+    */
+  def incrementalDedup(docs: DataFrame, corpusFps: DataFrame): DataFrame = {
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp")
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("ts"), col("fp"))
+  }
+
   case class FunnelEv(event_id: Long, t_us: Long, user_id: Long, event_type: String)
   case class FunnelState(tSignup: Long, converted: Boolean)
   case class Conversion(user_id: Long, t_signup: Long, t_purchase: Long,

@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative BPE tokenizer TRAINING — the full merge loop whose single
+  * step bpe_pair_stats exposes: K rounds of (count adjacent symbol
+  * pairs weighted by word frequency → take the top pair → merge it
+  * everywhere), over the distinct-word frequency dict (the classic BPE
+  * optimization — rounds scan |vocab| strings, not the corpus; the one
+  * corpus-sized shuffle is the initial word count).
+  *
+  * Same engineering pattern as the IVF quantizer (Similarity.annIvf,
+  * the r3 rows→sql upgrade): an iterative algorithm whose per-round
+  * driver state is BOUNDED (here: exactly one (pair, count) row per
+  * round) and whose whole iteration is re-derived as a K-level
+  * unrolled SQL CTE chain, so the trainer is hash-checked end-to-end
+  * against DuckDB — the oracle re-selects each round's top pair and
+  * re-applies each merge independently.
+  *
+  * Merge application contract (what both engines compute, exactly):
+  * words are space-separated symbol strings padded with one space on
+  * each side; merging pair (a,b) = two passes of left-to-right
+  * non-overlapping `replace(' a b ' → ' ab ')`. One pass misses every
+  * second occurrence of a chain (the match consumes the trailing
+  * space the next match needs); the second pass catches it. `replace`
+  * has identical semantics in Spark and DuckDB, so the trained merges
+  * are cross-engine identical — including on pathological chains.
+  * Pair selection tiebreak: count DESC, then pair string ASC (binary
+  * collation both engines).
+  */
+object BpeTrainer {
+
+  val defaultMerges = 6
+
+  private def pairsOf(wordsCol: String): org.apache.spark.sql.Column =
+    explode(expr(
+      s"""transform(sequence(1, size(split($wordsCol, ' ')) - 1),
+         |  i -> concat(element_at(split($wordsCol, ' '), i), ' ',
+         |              element_at(split($wordsCol, ' '), i + 1)))""".stripMargin))
+
+  /** Train `merges` BPE merges; returns (rank, sym_a, sym_b, pair_count)
+    * in training order.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = defaultMerges): DataFrame = {
+    import spark.implicits._
+    // the only corpus-sized aggregation: the word-frequency dict,
+    // symbolized to space-separated characters
+    var words = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("wc"))
+      .select(concat_ws(" ", split(col("token"), "")).as("w"), col("wc"))
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to merges) {
+      // one bounded driver row per round — the whole mutable state.
+      // (single-symbol words are pairless; without the filter Spark's
+      // sequence(1, 0) counts DOWN — the Dedup shingle pitfall)
+      val top = words
+        .filter(size(split(col("w"), " ")) >= 2)
+        .select(col("wc"), pairsOf("w").as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getAs[String]("pair")
+        val cnt = top(0).getAs[Long]("cnt")
+        val Array(a, b) = pair.split(" ", 2)
+        learned += ((k, a, b, cnt))
+        val pat = lit(s" $a $b ")
+        val rep = lit(s" $a$b ")
+        words = words.select(
+          trim(replace(replace(concat(lit(" "), col("w"), lit(" ")),
+            pat, rep), pat, rep)).as("w"), col("wc"))
+      }
+    }
+    learned.result()
+      .toDF("rank", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  def bpeTrainQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, dir)
+
+  /** K-level unrolled oracle: each level re-derives the round's top
+    * pair with a scalar subquery and re-applies the merge with the
+    * identical padded double-replace.
+    */
+  val bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH words0 AS (
+             |  SELECT array_to_string(string_split(token, ''), ' ') AS w,
+             |    CAST(count(*) AS BIGINT) AS wc
+             |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+             |        FROM documents)
+             |  GROUP BY 1)""".stripMargin
+    for (k <- 1 to defaultMerges) {
+      val prev = s"words${k - 1}"
+      sb ++= s""",
+                |pairs$k AS (
+                |  SELECT p AS pair, sum(wc) AS cnt FROM (
+                |    SELECT wc, unnest(list_transform(range(1, len(string_split(w, ' '))),
+                |      i -> string_split(w, ' ')[i] || ' ' || string_split(w, ' ')[i + 1])) AS p
+                |    FROM $prev)
+                |  GROUP BY 1),
+                |top$k AS (SELECT pair, cnt FROM pairs$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+                |words$k AS (
+                |  SELECT trim(replace(replace(' ' || w || ' ',
+                |    ' ' || (SELECT pair FROM top$k) || ' ',
+                |    ' ' || (SELECT replace(pair, ' ', '') FROM top$k) || ' '),
+                |    ' ' || (SELECT pair FROM top$k) || ' ',
+                |    ' ' || (SELECT replace(pair, ' ', '') FROM top$k) || ' ')) AS w, wc
+                |  FROM $prev)""".stripMargin
+    }
+    sb ++= "\n" + (1 to defaultMerges).map(k =>
+      s"""SELECT CAST($k AS INTEGER) AS rank,
+         |  split_part(pair, ' ', 1) AS sym_a, split_part(pair, ' ', 2) AS sym_b,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM top$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    sb ++= "\nORDER BY rank"
+    sb.result()
+  }
+}

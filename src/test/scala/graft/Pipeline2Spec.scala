@@ -84,6 +84,31 @@ class Pipeline2Spec extends AnyFunSuite {
     assert(mean > 0.5 && mean < 20.0, s"mean bigram nll $mean")
   }
 
+  test("bpe training: round 1 matches pair stats; merges actually apply") {
+    import graft.text.BpeTrainer
+    val merges = BpeTrainer.bpeTrain(spark, sf).collect()
+    assert(merges.length == BpeTrainer.defaultMerges)
+    assert(merges.map(_.getAs[Int]("rank")).toSeq == (1 to merges.length))
+    // round 1 must agree with the single-step pair stats' top pair
+    val top = TextStats.bpePairStats(spark, sf).collect().head
+    assert(merges.head.getAs[String]("sym_a") == top.getAs[String]("sym_a"))
+    assert(merges.head.getAs[String]("sym_b") == top.getAs[String]("sym_b"))
+    assert(merges.head.getAs[Long]("pair_count") == top.getAs[Long]("pair_count"))
+    // counts never increase across rounds for the SAME pair space; and a
+    // learned pair can recur only with merged symbols, never identically
+    val pairs = merges.map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    assert(pairs.distinct.length == pairs.length, "a pair was re-learned")
+    // later merges may build on earlier ones: at least check every
+    // multi-char symbol was produced by an earlier merge
+    val produced = scala.collection.mutable.Set[String]()
+    merges.foreach { r =>
+      val (a, b) = (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))
+      for (s <- Seq(a, b) if s.length > 1)
+        assert(produced.contains(s), s"symbol '$s' used before being merged")
+      produced += a + b
+    }
+  }
+
   test("centroid outliers rank the least-aligned vectors per label") {
     val rows = Similarity.centroidOutliers(spark, sf).collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))

@@ -108,6 +108,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.map(_._5).sum == 2L)
   }
 
+  test("streaming incremental dedup drops corpus dups and in-stream dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("settled doc one", "settled doc two").toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(Seq(
+      (1L, t0, "settled doc one"),     // corpus dup -> dropped
+      (2L, t0, "fresh doc"),           // kept
+      (3L, t0, "fresh doc"),           // in-stream dup -> dropped
+      (4L, t0, "another fresh doc")))  // kept
+    val q = StreamOps.incrementalDedup(
+        mem.toDF().toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incdedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("incdedup_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("streaming funnel conversions match the batch definition per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
