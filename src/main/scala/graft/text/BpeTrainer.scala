@@ -84,11 +84,15 @@ object BpeTrainer {
 
   /** K-level unrolled oracle: each level re-derives the round's top
     * pair with a scalar subquery and re-applies the merge with the
-    * identical padded double-replace.
+    * identical padded double-replace. Every CTE is MATERIALIZED —
+    * without it DuckDB inlines each level into all of its consumers
+    * (words_k feeds pairs_{k+1} AND words_{k+1}, plus 4 scalar
+    * subqueries per replace), re-evaluating the chain exponentially in
+    * K: the un-materialized form pegged a core for minutes at K=6.
     */
   val bpeTrainSql: String = {
     val sb = new StringBuilder
-    sb ++= """WITH words0 AS (
+    sb ++= """WITH words0 AS MATERIALIZED (
              |  SELECT array_to_string(string_split(token, ''), ' ') AS w,
              |    CAST(count(*) AS BIGINT) AS wc
              |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
@@ -97,14 +101,14 @@ object BpeTrainer {
     for (k <- 1 to defaultMerges) {
       val prev = s"words${k - 1}"
       sb ++= s""",
-                |pairs$k AS (
+                |pairs$k AS MATERIALIZED (
                 |  SELECT p AS pair, sum(wc) AS cnt FROM (
                 |    SELECT wc, unnest(list_transform(range(1, len(string_split(w, ' '))),
                 |      i -> string_split(w, ' ')[i] || ' ' || string_split(w, ' ')[i + 1])) AS p
                 |    FROM $prev)
                 |  GROUP BY 1),
-                |top$k AS (SELECT pair, cnt FROM pairs$k ORDER BY cnt DESC, pair ASC LIMIT 1),
-                |words$k AS (
+                |top$k AS MATERIALIZED (SELECT pair, cnt FROM pairs$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+                |words$k AS MATERIALIZED (
                 |  SELECT trim(replace(replace(' ' || w || ' ',
                 |    ' ' || (SELECT pair FROM top$k) || ' ',
                 |    ' ' || (SELECT replace(pair, ' ', '') FROM top$k) || ' '),

@@ -173,6 +173,63 @@ object QualityFilters {
       .orderBy(col("doc_id"))
   }
 
+  /** The composite KEEP decision — what a curation pipeline actually
+    * executes after computing the individual signals: C4 STRUCTURAL
+    * cleanliness (word count, lorem-ipsum, braces, mean word length —
+    * the terminal-punctuation rule is deliberately excluded: this
+    * synthetic corpus carries no punctuation, so including it rejects
+    * 100% and the gate stops measuring anything; a web-corpus
+    * deployment adds it back) AND not Gopher-repetitive AND unigram-LM
+    * likelihood under the fluency ceiling. Emits the verdict plus a
+    * machine-readable reason list (';'-joined failed checks, empty when
+    * kept), so downstream audits can aggregate rejection causes. Three
+    * single-scan signal frames joined on doc_id (AQE-broadcast at toy
+    * scale).
+    */
+  val lmNllCeiling = 6.0
+
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val c4 = c4Filters(spark, dir).select(col("doc_id"),
+      (!col("too_few_words") && !col("has_lorem") && !col("has_brace") &&
+        col("word_len_ok")).as("struct_clean"))
+    val rep = repetition(spark, dir).select(col("doc_id"), col("is_repetitive"))
+    val nll = TextStats.unigramNll(spark, dir).select(col("doc_id"), col("avg_nll"))
+    c4.join(rep, "doc_id").join(nll, "doc_id")
+      .withColumn("lm_reject",
+        col("avg_nll").isNotNull && col("avg_nll") > lmNllCeiling)
+      .withColumn("keep",
+        col("struct_clean") && !col("is_repetitive") && !col("lm_reject"))
+      .withColumn("reason", concat_ws(";",
+        when(!col("struct_clean"), "structure"),
+        when(col("is_repetitive"), "repetition"),
+        when(col("lm_reject"), "lm")))
+      .select(col("doc_id"), col("struct_clean"), col("is_repetitive"),
+        col("avg_nll"), col("lm_reject"), col("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val qualityGateSql: String =
+    s"""WITH c4_full AS (${c4FiltersSql}),
+       |rep_full AS (${repetitionSql}),
+       |nll_full AS (${TextStats.unigramNllSql})
+       |SELECT c.doc_id,
+       |  NOT c.too_few_words AND NOT c.has_lorem AND NOT c.has_brace
+       |    AND c.word_len_ok AS struct_clean,
+       |  r.is_repetitive, n.avg_nll,
+       |  n.avg_nll IS NOT NULL AND n.avg_nll > $lmNllCeiling AS lm_reject,
+       |  (NOT c.too_few_words AND NOT c.has_lorem AND NOT c.has_brace
+       |    AND c.word_len_ok) AND NOT r.is_repetitive AND
+       |    NOT (n.avg_nll IS NOT NULL AND n.avg_nll > $lmNllCeiling) AS keep,
+       |  concat_ws(';',
+       |    CASE WHEN NOT (NOT c.too_few_words AND NOT c.has_lorem
+       |      AND NOT c.has_brace AND c.word_len_ok) THEN 'structure' END,
+       |    CASE WHEN r.is_repetitive THEN 'repetition' END,
+       |    CASE WHEN n.avg_nll IS NOT NULL AND n.avg_nll > $lmNllCeiling THEN 'lm' END) AS reason
+       |FROM c4_full c
+       |JOIN rep_full r USING (doc_id)
+       |JOIN nll_full n USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+
   val c4FiltersSql: String =
     s"""WITH b AS (
        |  SELECT doc_id,

@@ -93,4 +93,27 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(!rows(2).getAs[Boolean]("is_contaminated"))
     assert(!rows(3).getAs[Boolean]("is_contaminated"))
   }
+
+  test("quality gate composes the signals; reasons name exactly the failed checks") {
+    import graft.text.QualityFilters
+    val sf = TestSession.sf
+    val gate = QualityFilters.qualityGate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rep = QualityFilters.repetition(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_repetitive")).toMap
+    assert(gate.size == rep.size)
+    gate.values.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expectKeep = r.getAs[Boolean]("struct_clean") && !rep(id) &&
+        !r.getAs[Boolean]("lm_reject")
+      assert(r.getAs[Boolean]("keep") == expectKeep, s"doc $id")
+      val reasons = r.getAs[String]("reason")
+      assert(reasons.isEmpty == r.getAs[Boolean]("keep"), s"doc $id")
+      assert(reasons.contains("repetition") == rep(id), s"doc $id")
+    }
+    // the gate actually separates on this corpus: keeps most, drops some
+    val kept = gate.values.count(_.getAs[Boolean]("keep"))
+    assert(kept > gate.size / 2 && kept < gate.size,
+      s"gate kept $kept of ${gate.size} — not separating")
+  }
 }
