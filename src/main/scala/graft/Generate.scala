@@ -3,15 +3,20 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import graft.sources.{Collector, ParquetSource}
-import graft.output.{ArtifactJson, MarkdownDoc}
+import graft.output.{ArtifactJson, MarkdownDoc, SqlDdlDoc, MermaidDoc, HtmlDoc}
 
 /** CLI-equivalent of the reference's two binaries in one pass:
   * collect (dbsurveyor-collect) then generate (dbsurveyor generate):
-  * writes `<outDir>/schema.graft.json` and `<outDir>/schema.md`.
+  * writes `<outDir>/schema.graft.json` plus all four doc formats
+  * (schema.md / schema.sql / schema.mmd / schema.html).
   *
   * Usage: runMain graft.Generate <sfDir> <outDir> [sampleSize] [compareDir]
   * With `compareDir`, also collects that catalog and appends a
   * survey-to-survey drift report (Collector.diff) to the markdown.
+  * Env flags (the reference's CLI switches): GRAFT_WITH_KEYS=1 infers
+  * PK/FK, GRAFT_WITH_CONSTRAINTS=1 infers constraint candidates,
+  * GRAFT_STRATEGY=most_recent|random|none picks the sampling strategy,
+  * GRAFT_COMPRESS=1 / GRAFT_ENCRYPTION_PASSWORD secure the artifact.
   */
 object Generate {
   def main(args: Array[String]): Unit = {
@@ -25,7 +30,15 @@ object Generate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val artifact = Collector.collect(new ParquetSource(spark, sfDir), sampleSize)
+    val strategy = sys.env.get("GRAFT_STRATEGY") match {
+      case Some("random") => Collector.SamplingStrategy.RandomDet
+      case Some("none") => Collector.SamplingStrategy.NoSample
+      case _ => Collector.SamplingStrategy.MostRecent
+    }
+    val artifact = Collector.collect(new ParquetSource(spark, sfDir), sampleSize,
+      withKeys = sys.env.get("GRAFT_WITH_KEYS").contains("1"),
+      strategy = strategy,
+      withConstraints = sys.env.get("GRAFT_WITH_CONSTRAINTS").contains("1"))
     val errors = Collector.validate(artifact)
     if (errors.nonEmpty) {
       errors.foreach(e => System.err.println(s"[generate] validation: $e"))
@@ -61,8 +74,11 @@ object Generate {
       sb.result()
     } else ""
     Files.writeString(Paths.get(s"$outDir/schema.md"), MarkdownDoc.render(artifact) + drift)
-    println(s"[generate] wrote $outDir/schema.graft$ext and $outDir/schema.md " +
-      s"(${artifact.tables.size} tables)")
+    Files.writeString(Paths.get(s"$outDir/schema.sql"), SqlDdlDoc.render(artifact))
+    Files.writeString(Paths.get(s"$outDir/schema.mmd"), MermaidDoc.render(artifact))
+    Files.writeString(Paths.get(s"$outDir/schema.html"), HtmlDoc.render(artifact))
+    println(s"[generate] wrote $outDir/schema.graft$ext + md/sql/mmd/html " +
+      s"(${artifact.tables.size} tables, strategy ${strategy.strategyName})")
     spark.stop()
   }
 }
