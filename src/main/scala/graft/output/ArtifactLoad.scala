@@ -208,6 +208,6 @@ object ArtifactLoad {
           str(field(sm, "collected_at")), long(field(sm, "table_count")).toInt))
     }
     Artifact(str(field(root, "format_version")), str(field(root, "source")),
-      tables, fks, server)
+      tables, fks, server, strs(field(root, "warnings")))
   }
 }

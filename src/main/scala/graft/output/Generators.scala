@@ -89,6 +89,7 @@ object ArtifactJson {
        |"format_version": ${q(a.formatVersion)},
        |"source": ${q(a.source)},
        |"server": $server,
+       |"warnings": ${a.warnings.map(q).mkString("[", ", ", "]")},
        |"table_count": ${a.tables.size},
        |"tables": ${a.tables.map(table).mkString("[\n", ",\n", "\n]")},
        |"foreign_keys": $fks

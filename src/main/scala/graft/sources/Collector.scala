@@ -275,7 +275,8 @@ object Collector {
 
   case class Artifact(formatVersion: String, source: String,
       tables: Seq[TableInfo], foreignKeys: Seq[FkEdge] = Nil,
-      server: Option[ServerInfo] = None)
+      server: Option[ServerInfo] = None,
+      warnings: Seq[String] = Nil)
 
   /** Sampling strategy selection (reference models.rs:349-381
     * SamplingStrategy / OrderingStrategy): which rows each table's
@@ -402,9 +403,17 @@ object Collector {
           .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")))
           .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
       else Map.empty
+    // a failing engine FK read degrades to no collected edges, but is
+    // RECORDED — silent metadata loss would misrepresent the survey
+    val artifactWarnings = Seq.newBuilder[String]
     val collectedFks: Seq[FkEdge] = source match {
       case m: MetadataSource =>
-        try m.collectedForeignKeys catch { case _: Exception => Nil }
+        try m.collectedForeignKeys
+        catch { case e: Exception =>
+          artifactWarnings +=
+            s"foreign-key metadata read failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          Nil
+        }
       case _ => Nil
     }
     val inferredFks: Seq[FkEdge] =
@@ -489,9 +498,14 @@ object Collector {
         }
     }
     val (engineName, engineVersion) =
-      try source.engine catch { case _: Exception => ("unknown", "unknown") }
+      try source.engine catch { case e: Exception =>
+        artifactWarnings +=
+          s"engine identity read failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        ("unknown", "unknown")
+      }
     Artifact("1.0", source.name, tables, collectedFks ++ inferredFks,
-      server = Some(ServerInfo(engineName, engineVersion, collectedAt, tables.size)))
+      server = Some(ServerInfo(engineName, engineVersion, collectedAt, tables.size)),
+      warnings = artifactWarnings.result())
   }
 
   /** Multi-database survey (adapters/postgres/multi_database.rs
@@ -549,7 +563,8 @@ object Collector {
       else if (databases.exists(_.tables.exists(_.sampleStatus == "partial")))
         PartialWithData
       else if (databases.exists(a =>
-        a.tables.exists(_.warnings.nonEmpty) || validate(a).nonEmpty))
+        a.warnings.nonEmpty || a.tables.exists(_.warnings.nonEmpty) ||
+          validate(a).nonEmpty))
         PartialWithValidationWarnings
       else Success
     }

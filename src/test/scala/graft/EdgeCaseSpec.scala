@@ -36,7 +36,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     "quality_completeness", "quality_uniqueness", "quality_consistency",
     "quality_score",
     "text_repetition", "text_c4_filters", "text_decontaminate",
-    "search_bm25", "text_keywords_tfidf", "bpe_pair_stats")
+    "search_bm25", "text_keywords_tfidf", "bpe_pair_stats",
+    // r3 curation + r4 additions (documents-path only; quality_psi and
+    // the sim_* family read events/embeddings and are out of scope here)
+    "split_train_eval", "dedup_keep_best", "pack_shards", "mix_weights",
+    "mix_apply", "text_pii_scan", "dedup_incremental", "text_bigram_nll",
+    "bpe_train", "text_quality_gate")
 
   test("every document-path query survives the adversarial corpus") {
     docQueries.foreach { k =>

@@ -118,6 +118,25 @@ class JdbcCollectSpec extends AnyFunSuite {
     assert(json.contains("\"provenance\": \"collected\""))
   }
 
+  test("a failing engine FK read degrades but is recorded, not silent") {
+    val flakyMeta = new graft.sources.TableSource with graft.sources.MetadataSource {
+      val inner = source
+      def name = inner.name
+      def tableNames = inner.tableNames
+      def load(t: String) = inner.load(t)
+      override def engine = inner.engine
+      def tableMetadata(t: String) = inner.tableMetadata(t)
+      def collectedForeignKeys = throw new RuntimeException("catalog gone away")
+    }
+    val a = Collector.collect(flakyMeta, sampleSize = 2)
+    assert(a.foreignKeys.isEmpty)
+    assert(a.warnings.exists(_.contains("foreign-key metadata read failed")))
+    // warnings survive the json round-trip and downgrade the outcome
+    val loaded = graft.output.ArtifactLoad.load(graft.output.ArtifactJson.render(a))
+    assert(loaded == a)
+    assert(Collector.CollectionOutcome.fromResults(Seq(a)).exitCode == 4)
+  }
+
   test("a ghost jdbc table degrades instead of aborting the artifact") {
     val bad = { ready; new JdbcSource(spark, url, Seq("dept", "ghost")) }
     val a = Collector.collect(bad, sampleSize = 2)
