@@ -179,6 +179,7 @@ object ArtifactLoad {
       }
       TableInfo(
         name = str(field(t, "name")),
+        tableType = str(field(t, "table_type")),
         columns = cols,
         rowCount = long(field(t, "row_count")),
         sampleHeader = strs(field(t, "sample_header")),

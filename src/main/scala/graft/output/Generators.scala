@@ -62,6 +62,7 @@ object ArtifactJson {
         .getOrElse("null")
       s"""{
          |  "name": ${q(t.name)},
+         |  "table_type": ${q(t.tableType)},
          |  "row_count": ${t.rowCount},
          |  "sample_status": ${q(t.sampleStatus)},
          |  "sampling": {"strategy": ${q(t.samplingStrategy)}, "key": ${q(t.samplingKey)}},
@@ -131,6 +132,9 @@ object SqlDdlDoc {
       if (t.columns.isEmpty) {
         sb ++= s"-- table ${t.name}: collection ${t.sampleStatus}, schema unavailable\n\n"
       } else {
+        if (t.tableType == "view")
+          sb ++= s"-- ${t.name} is a VIEW in the source engine (definition not collected);\n" +
+            "-- reconstructed below as a table of its resolved schema\n"
         if (t.pkCandidates.size > 1 && t.keyProvenance == "inferred")
           sb ++= s"-- candidate keys: ${t.pkCandidates.mkString(", ")}\n"
         // a COLLECTED multi-column key is one composite PRIMARY KEY; an

@@ -60,7 +60,7 @@ class ParquetSource(spark: SparkSession, dir: String) extends TableSource {
   * expressed here through JDBC's engine-neutral metadata API so one
   * code path covers every dialect with a conforming driver.
   */
-class JdbcSource(spark: SparkSession, url: String, tables: Seq[String],
+class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     props: java.util.Properties = new java.util.Properties())
     extends TableSource with MetadataSource {
   import Collector.{CollectedTableMeta, IndexInfo, FkEdge}
@@ -72,7 +72,29 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String],
   def name: String = url
     .replaceAll("://([^/@:;]+):[^@/;]+@", "://$1:***@")
     .replaceAll("(?i)(password|passwd|pwd|secret)=[^&;]*", "$1=***")
-  def tableNames: Seq[String] = tables
+
+  /** With an empty `tables` list, the survey target set is DISCOVERED
+    * from the engine catalog — user tables AND views, system schemas
+    * excluded — exactly how the reference enumerates its targets
+    * (dbsurveyor-collect surveys the whole database unless told
+    * otherwise). Discovery result also powers per-table type lookup.
+    */
+  private lazy val discovered: Seq[(String, String)] = withConnection { c =>
+    val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE", "VIEW"))
+    val buf = Seq.newBuilder[(String, String)]
+    while (rs.next()) {
+      val schema = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+      if (!schema.toUpperCase.startsWith("SYS") &&
+          !schema.equalsIgnoreCase("information_schema"))
+        buf += ((rs.getString("TABLE_NAME"),
+          if (rs.getString("TABLE_TYPE") == "VIEW") "view" else "table"))
+    }
+    rs.close()
+    buf.result().sortBy(_._1)
+  }
+
+  def tableNames: Seq[String] =
+    if (tables.nonEmpty) tables else discovered.map(_._1)
   def load(table: String): DataFrame = spark.read.jdbc(url, table, props)
 
   /** Partition-bounded parallel read — the cluster-scale JDBC ingest
@@ -155,7 +177,10 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String],
       rs.close()
       buf.result()
     }
-    CollectedTableMeta(pks, indexes, notNull)
+    val tableType = discovered.collectFirst {
+      case (n, tt) if n.equalsIgnoreCase(table) => tt
+    }.getOrElse("table")
+    CollectedTableMeta(pks, indexes, notNull, tableType = tableType)
   }
 
   def collectedForeignKeys: Seq[FkEdge] = withConnection { c =>
@@ -247,7 +272,8 @@ object Collector {
     */
   case class CollectedTableMeta(primaryKey: Seq[String],
       indexes: Seq[IndexInfo], notNull: Seq[String] = Nil,
-      layout: Option[LayoutInfo] = None)
+      layout: Option[LayoutInfo] = None,
+      tableType: String = "table")
 
   /** Per-table sampling outcome (reference SampleStatus,
     * models.rs:388-429): `success` at the requested limit, `partial`
@@ -263,7 +289,8 @@ object Collector {
       samplingKey: String = "",
       indexes: Seq[IndexInfo] = Nil,
       constraints: Seq[ConstraintInfo] = Nil,
-      layout: Option[LayoutInfo] = None)
+      layout: Option[LayoutInfo] = None,
+      tableType: String = "table")
 
   /** Relationship edge: inferred (KeyInference inclusion dependency)
     * or collected from an engine catalog (provenance = "collected",
@@ -489,7 +516,8 @@ object Collector {
             samplingKey = if (strategy == SamplingStrategy.NoSample) "" else key,
             indexes = meta.indexes,
             constraints = constraintMap.getOrElse(t, Nil),
-            layout = meta.layout)
+            layout = meta.layout,
+            tableType = meta.tableType)
         } catch {
           case e: Exception =>
             TableInfo(t, Nil, -1L, Nil, Nil, sampleStatus = "failed",
@@ -603,6 +631,8 @@ object Collector {
         errs += s"table ${t.name}: unknown sampling strategy '${t.samplingStrategy}'"
       if (!validProvenance(t.keyProvenance))
         errs += s"table ${t.name}: unknown key provenance '${t.keyProvenance}'"
+      if (!Set("table", "view")(t.tableType))
+        errs += s"table ${t.name}: unknown table type '${t.tableType}'"
       if (noSample && t.sampleRows.nonEmpty)
         errs += s"table ${t.name}: ${t.sampleStatus} sample status but sample rows present"
       if (!failed) {

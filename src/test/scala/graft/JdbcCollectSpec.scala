@@ -146,6 +146,32 @@ class JdbcCollectSpec extends AnyFunSuite {
     assert(Collector.validate(a).isEmpty)
   }
 
+  test("empty table list discovers user tables AND views from the catalog") {
+    ready
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP VIEW emp_pay") catch { case _: Exception => }
+      st.execute("CREATE VIEW emp_pay AS SELECT emp_id, salary FROM emp")
+      st.close()
+    } finally conn.close()
+    val auto = new JdbcSource(spark, url)
+    // discovery finds the three tables + the view, no SYS catalog noise
+    assert(auto.tableNames.map(_.toUpperCase).toSet ==
+      Set("DEPT", "EMP", "ASSIGN", "EMP_PAY"))
+    val a = Collector.collect(auto, sampleSize = 2)
+    assert(Collector.validate(a).isEmpty)
+    val view = a.tables.find(_.name.equalsIgnoreCase("EMP_PAY")).get
+    assert(view.tableType == "view")
+    assert(view.columns.map(_.name) == Seq("EMP_ID", "SALARY"))
+    assert(view.rowCount == 3) // views read through the same relation
+    assert(a.tables.filter(_.name.equalsIgnoreCase("EMP")).head.tableType == "table")
+    // type survives json round-trip and renders in the ddl
+    val loaded = graft.output.ArtifactLoad.load(graft.output.ArtifactJson.render(a))
+    assert(loaded == a)
+    assert(SqlDdlDoc.render(a).contains("EMP_PAY is a VIEW"))
+  }
+
   test("partitioned jdbc read slices on the key and preserves the rows") {
     val df = source.loadPartitioned("emp", "emp_id", 2)
     assert(df.rdd.getNumPartitions == 2)
