@@ -142,6 +142,12 @@ object ArtifactLoad {
   }
   private def strs(j: J): Seq[String] = arr(j).map(str)
 
+  /** Parse a standalone JSON string array (the enum-constraint domain
+    * encoding — comma-safe, shared with the DuckDB oracle's to_json).
+    */
+  def parseStringArray(json: String): Seq[String] =
+    strs(new Parser(json).parseRoot())
+
   /** Parse a rendered artifact back into the model — the exact inverse
     * of ArtifactJson.render.
     */
@@ -149,26 +155,37 @@ object ArtifactLoad {
     val root = obj(new Parser(json).parseRoot())
     def field(m: Map[String, J], k: String): J =
       m.getOrElse(k, throw new IllegalArgumentException(s"missing field '$k'"))
+    // fields added after v1.0 are optional-with-defaults, so artifacts
+    // written by earlier releases keep loading (a version that CLAIMS
+    // support must deliver it — the r4 loader hard-required its new
+    // fields under the same '1.0' tag, breaking older files)
+    def optField(m: Map[String, J], k: String, default: J): J =
+      m.getOrElse(k, default)
+    def optStr(m: Map[String, J], k: String, default: String): String =
+      m.get(k).map(str).getOrElse(default)
     val tables = arr(field(root, "tables")).map { tj =>
       val t = obj(tj)
-      val sampling = obj(field(t, "sampling"))
+      val sampling = optField(t, "sampling", JNull) match {
+        case JNull => Map.empty[String, J]
+        case sj => obj(sj)
+      }
       val cols = arr(field(t, "columns")).map { cj =>
         val c = obj(cj)
         ColumnInfo(str(field(c, "name")), str(field(c, "data_type")),
           bool(field(c, "nullable")))
       }
-      val idx = arr(field(t, "indexes")).map { ij =>
+      val idx = arr(optField(t, "indexes", JArr(Vector.empty))).map { ij =>
         val ix = obj(ij)
         IndexInfo(str(field(ix, "name")), strs(field(ix, "columns")),
           bool(field(ix, "unique")))
       }
-      val cons = arr(field(t, "constraints")).map { cj =>
+      val cons = arr(optField(t, "constraints", JArr(Vector.empty))).map { cj =>
         val c = obj(cj)
         ConstraintInfo(str(field(c, "name")), str(field(c, "kind")),
           strs(field(c, "columns")), str(field(c, "detail")),
           str(field(c, "provenance")))
       }
-      val layout = field(t, "layout") match {
+      val layout = optField(t, "layout", JNull) match {
         case JNull => None
         case lj =>
           val l = obj(lj)
@@ -179,7 +196,8 @@ object ArtifactLoad {
       }
       TableInfo(
         name = str(field(t, "name")),
-        tableType = str(field(t, "table_type")),
+        tableType = optStr(t, "table_type", "table"),
+        viewDefinition = optStr(t, "view_definition", ""),
         columns = cols,
         rowCount = long(field(t, "row_count")),
         sampleHeader = strs(field(t, "sample_header")),
@@ -187,9 +205,9 @@ object ArtifactLoad {
         sampleStatus = str(field(t, "sample_status")),
         warnings = strs(field(t, "warnings")),
         pkCandidates = strs(field(t, "pk_candidates")),
-        keyProvenance = str(field(t, "key_provenance")),
-        samplingStrategy = str(field(sampling, "strategy")),
-        samplingKey = str(field(sampling, "key")),
+        keyProvenance = optStr(t, "key_provenance", "inferred"),
+        samplingStrategy = sampling.get("strategy").map(str).getOrElse("most_recent"),
+        samplingKey = sampling.get("key").map(str).getOrElse(""),
         indexes = idx,
         constraints = cons,
         layout = layout)
@@ -199,7 +217,24 @@ object ArtifactLoad {
       FkEdge(str(field(f, "child_table")), str(field(f, "child_column")),
         str(field(f, "parent_table")), str(field(f, "parent_column")),
         dbl(field(f, "coverage")), bool(field(f, "likely")),
-        str(field(f, "provenance")))
+        str(field(f, "provenance")),
+        onUpdate = optStr(f, "on_update", ""),
+        onDelete = optStr(f, "on_delete", ""))
+    }
+    val routines = arr(optField(root, "routines", JArr(Vector.empty))).map { rj =>
+      val r = obj(rj)
+      val ps = arr(field(r, "parameters")).map { pj =>
+        val p = obj(pj)
+        RoutineParam(str(field(p, "name")), str(field(p, "data_type")),
+          str(field(p, "mode")))
+      }
+      RoutineInfo(str(field(r, "name")), str(field(r, "routine_type")),
+        ps, str(field(r, "returns")))
+    }
+    val customTypes = arr(optField(root, "custom_types", JArr(Vector.empty))).map { cj =>
+      val c = obj(cj)
+      CustomTypeInfo(str(field(c, "name")), str(field(c, "kind")),
+        str(field(c, "class_name")))
     }
     val server = field(root, "server") match {
       case JNull => None
@@ -209,6 +244,7 @@ object ArtifactLoad {
           str(field(sm, "collected_at")), long(field(sm, "table_count")).toInt))
     }
     Artifact(str(field(root, "format_version")), str(field(root, "source")),
-      tables, fks, server, strs(field(root, "warnings")))
+      tables, fks, server, strs(field(root, "warnings")),
+      routines = routines, customTypes = customTypes)
   }
 }

@@ -63,6 +63,7 @@ object ArtifactJson {
       s"""{
          |  "name": ${q(t.name)},
          |  "table_type": ${q(t.tableType)},
+         |  "view_definition": ${q(t.viewDefinition)},
          |  "row_count": ${t.rowCount},
          |  "sample_status": ${q(t.sampleStatus)},
          |  "sampling": {"strategy": ${q(t.samplingStrategy)}, "key": ${q(t.samplingKey)}},
@@ -80,7 +81,18 @@ object ArtifactJson {
     val fks = a.foreignKeys.map(f =>
       s"""{"child_table": ${q(f.childTable)}, "child_column": ${q(f.childColumn)}, """ +
         s""""parent_table": ${q(f.parentTable)}, "parent_column": ${q(f.parentColumn)}, """ +
-        s""""coverage": ${f.coverage}, "likely": ${f.likely}, "provenance": ${q(f.provenance)}}""")
+        s""""coverage": ${f.coverage}, "likely": ${f.likely}, "provenance": ${q(f.provenance)}, """ +
+        s""""on_update": ${q(f.onUpdate)}, "on_delete": ${q(f.onDelete)}}""")
+      .mkString("[", ",\n", "]")
+    val routines = a.routines.map { r =>
+      val ps = r.parameters.map(p =>
+        s"""{"name": ${q(p.name)}, "data_type": ${q(p.dataType)}, "mode": ${q(p.mode)}}""")
+        .mkString("[", ", ", "]")
+      s"""{"name": ${q(r.name)}, "routine_type": ${q(r.routineType)}, """ +
+        s""""parameters": $ps, "returns": ${q(r.returns)}}"""
+    }.mkString("[", ",\n", "]")
+    val customTypes = a.customTypes.map(ct =>
+      s"""{"name": ${q(ct.name)}, "kind": ${q(ct.kind)}, "class_name": ${q(ct.className)}}""")
       .mkString("[", ",\n", "]")
     val server = a.server.map(s =>
       s"""{"engine": ${q(s.engine)}, "version": ${q(s.version)}, """ +
@@ -93,7 +105,9 @@ object ArtifactJson {
        |"warnings": ${a.warnings.map(q).mkString("[", ", ", "]")},
        |"table_count": ${a.tables.size},
        |"tables": ${a.tables.map(table).mkString("[\n", ",\n", "\n]")},
-       |"foreign_keys": $fks
+       |"foreign_keys": $fks,
+       |"routines": $routines,
+       |"custom_types": $customTypes
        |}""".stripMargin
   }
 }
@@ -132,6 +146,16 @@ object SqlDdlDoc {
       if (t.columns.isEmpty) {
         sb ++= s"-- table ${t.name}: collection ${t.sampleStatus}, schema unavailable\n\n"
       } else {
+        // a view with a COLLECTED definition renders as the real CREATE
+        // VIEW (Derby's SYSVIEWS stores the full original statement; a
+        // bare SELECT gets the CREATE VIEW prefix); without one it
+        // degrades to the resolved-schema reconstruction as before
+        if (t.tableType == "view" && t.viewDefinition.nonEmpty) {
+          val defn = t.viewDefinition.trim.stripSuffix(";")
+          sb ++= s"-- ${t.name} is a VIEW (definition collected from the engine catalog)\n"
+          sb ++= (if (defn.toUpperCase.startsWith("CREATE")) s"$defn;\n\n"
+            else s"CREATE VIEW ${t.name} AS $defn;\n\n")
+        } else {
         if (t.tableType == "view")
           sb ++= s"-- ${t.name} is a VIEW in the source engine (definition not collected);\n" +
             "-- reconstructed below as a table of its resolved schema\n"
@@ -151,7 +175,10 @@ object SqlDdlDoc {
             val bounds = c.detail.stripPrefix("[").stripSuffix("]").split(",")
             s"  CHECK (${c.columns.head} BETWEEN ${bounds(0)} AND ${bounds(1)}) -- ${c.provenance}"
           case c if c.kind == "enum" && c.columns.size == 1 =>
-            val vals = c.detail.split(",", -1).map(v => s"'${v.replace("'", "''")}'")
+            // detail is a JSON string array (comma-safe: a value
+            // containing ',' can't split into bogus IN-list entries)
+            val vals = ArtifactLoad.parseStringArray(c.detail)
+              .map(v => s"'${v.replace("'", "''")}'")
             s"  CHECK (${c.columns.head} IN (${vals.mkString(", ")})) -- ${c.provenance}"
         }
         val notNullInferred = t.constraints
@@ -179,11 +206,37 @@ object SqlDdlDoc {
           sb ++= s"CREATE ${u}INDEX ${ix.name} ON ${t.name} (${ix.columns.mkString(", ")});\n"
         }
         sb ++= "\n"
+        }
       }
     }
     a.foreignKeys.filter(_.likely).foreach { f =>
+      // engine-collected referential actions render as the real clause;
+      // NO ACTION is the SQL default and stays implicit, "" = inferred
+      // edge (no engine-declared behavior to render)
+      def action(clause: String, v: String): String =
+        if (v.isEmpty || v == "no_action") ""
+        else s" $clause ${v.toUpperCase.replace('_', ' ')}"
       sb ++= s"ALTER TABLE ${f.childTable} ADD FOREIGN KEY (${f.childColumn}) " +
-        s"REFERENCES ${f.parentTable} (${f.parentColumn}); -- ${f.provenance}\n"
+        s"REFERENCES ${f.parentTable} (${f.parentColumn})" +
+        action("ON UPDATE", f.onUpdate) + action("ON DELETE", f.onDelete) +
+        s"; -- ${f.provenance}\n"
+    }
+    if (a.routines.nonEmpty) {
+      sb ++= "\n-- stored routines (collected from the engine catalog):\n"
+      a.routines.foreach { r =>
+        val ps = r.parameters.map(p =>
+          (if (r.routineType == "procedure") s"${p.mode.toUpperCase} " else "") +
+            s"${p.name} ${p.dataType}").mkString(", ")
+        val ret = if (r.returns.nonEmpty) s" RETURNS ${r.returns}" else ""
+        sb ++= s"-- ${r.routineType.toUpperCase} ${r.name}($ps)$ret\n"
+      }
+    }
+    if (a.customTypes.nonEmpty) {
+      sb ++= "\n-- custom types (collected from the engine catalog):\n"
+      a.customTypes.foreach { ct =>
+        val cls = if (ct.className.nonEmpty) s" backed by ${ct.className}" else ""
+        sb ++= s"-- TYPE ${ct.name} (${ct.kind})$cls\n"
+      }
     }
     sb.result()
   }
@@ -245,14 +298,32 @@ object HtmlDoc {
       s"<tr><td>${esc(t.name)}</td><td>${t.rowCount}</td><td>${t.columns.size}</td><td>${esc(t.sampleStatus)}</td><td>${esc(t.samplingStrategy)}</td></tr>\n")
     sb ++= "</table>\n"
     if (a.foreignKeys.nonEmpty) {
-      sb ++= "<h2>Relationships (inferred)</h2>\n<table><tr><th>Child</th><th>Parent</th><th>Coverage</th></tr>\n"
+      sb ++= "<h2>Relationships</h2>\n<table><tr><th>Child</th><th>Parent</th><th>Coverage</th><th>Provenance</th><th>On update</th><th>On delete</th></tr>\n"
       a.foreignKeys.filter(_.likely).foreach(f => sb ++=
         s"<tr><td>${esc(f.childTable)}.${esc(f.childColumn)}</td>" +
-          s"<td>${esc(f.parentTable)}.${esc(f.parentColumn)}</td><td>${f"${f.coverage}%.3f"}</td></tr>\n")
+          s"<td>${esc(f.parentTable)}.${esc(f.parentColumn)}</td><td>${f"${f.coverage}%.3f"}</td>" +
+          s"<td>${esc(f.provenance)}</td><td>${esc(f.onUpdate)}</td><td>${esc(f.onDelete)}</td></tr>\n")
+      sb ++= "</table>\n"
+    }
+    if (a.routines.nonEmpty) {
+      sb ++= "<h2>Stored routines</h2>\n<table><tr><th>Name</th><th>Type</th><th>Parameters</th><th>Returns</th></tr>\n"
+      a.routines.foreach { r =>
+        val ps = r.parameters.map(p => s"${p.mode} ${p.name} ${p.dataType}")
+          .mkString("; ")
+        sb ++= s"<tr><td>${esc(r.name)}</td><td>${esc(r.routineType)}</td><td>${esc(ps)}</td><td>${esc(r.returns)}</td></tr>\n"
+      }
+      sb ++= "</table>\n"
+    }
+    if (a.customTypes.nonEmpty) {
+      sb ++= "<h2>Custom types</h2>\n<table><tr><th>Name</th><th>Kind</th><th>Class</th></tr>\n"
+      a.customTypes.foreach(ct => sb ++=
+        s"<tr><td>${esc(ct.name)}</td><td>${esc(ct.kind)}</td><td>${esc(ct.className)}</td></tr>\n")
       sb ++= "</table>\n"
     }
     a.tables.foreach { t =>
       sb ++= s"<h2>Table: ${esc(t.name)}</h2>\n"
+      if (t.viewDefinition.nonEmpty)
+        sb ++= s"<p>View definition (collected): <code>${esc(t.viewDefinition.trim)}</code></p>\n"
       GenUtil.layoutSummary(t) match {
         case "" =>
         case s => sb ++= s"<p>Layout: ${esc(s)}</p>\n"
@@ -304,10 +375,28 @@ object MarkdownDoc {
       sb ++= s"| ${t.name} | ${t.rowCount} | ${t.columns.size} |\n")
     sb ++= "\n"
     if (a.foreignKeys.nonEmpty) {
-      sb ++= "## Relationships (inferred)\n\n"
-      sb ++= "| Child | Parent | Coverage | Likely FK |\n| --- | --- | --- | --- |\n"
+      sb ++= "## Relationships\n\n"
+      sb ++= "| Child | Parent | Coverage | Likely FK | Provenance | On update | On delete |\n"
+      sb ++= "| --- | --- | --- | --- | --- | --- | --- |\n"
       a.foreignKeys.foreach(f =>
-        sb ++= s"| ${f.childTable}.${f.childColumn} | ${f.parentTable}.${f.parentColumn} | ${f"${f.coverage}%.3f"} | ${f.likely} |\n")
+        sb ++= s"| ${f.childTable}.${f.childColumn} | ${f.parentTable}.${f.parentColumn} | ${f"${f.coverage}%.3f"} | ${f.likely} | ${f.provenance} | ${f.onUpdate} | ${f.onDelete} |\n")
+      sb ++= "\n"
+    }
+    if (a.routines.nonEmpty) {
+      sb ++= "## Stored routines\n\n"
+      sb ++= "| Name | Type | Parameters | Returns |\n| --- | --- | --- | --- |\n"
+      a.routines.foreach { r =>
+        val ps = r.parameters.map(p => s"${p.mode} ${p.name} ${p.dataType}")
+          .mkString("; ")
+        sb ++= s"| ${r.name} | ${r.routineType} | $ps | ${r.returns} |\n"
+      }
+      sb ++= "\n"
+    }
+    if (a.customTypes.nonEmpty) {
+      sb ++= "## Custom types\n\n"
+      sb ++= "| Name | Kind | Class |\n| --- | --- | --- |\n"
+      a.customTypes.foreach(ct =>
+        sb ++= s"| ${ct.name} | ${ct.kind} | ${ct.className} |\n")
       sb ++= "\n"
     }
     a.tables.foreach { t =>
@@ -320,6 +409,8 @@ object MarkdownDoc {
           else "Primary key candidates"
         sb ++= s"$label: ${t.pkCandidates.map(c => s"`$c`").mkString(", ")}\n\n"
       }
+      if (t.viewDefinition.nonEmpty)
+        sb ++= s"View definition (collected):\n\n```sql\n${t.viewDefinition.trim}\n```\n\n"
       GenUtil.layoutSummary(t) match {
         case "" =>
         case s => sb ++= s"Layout: $s\n\n"

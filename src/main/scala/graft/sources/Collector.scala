@@ -40,6 +40,15 @@ trait MetadataSource { self: TableSource =>
   def tableMetadata(table: String): Collector.CollectedTableMeta
   /** Engine-declared foreign keys across the surveyed tables. */
   def collectedForeignKeys: Seq[Collector.FkEdge]
+  /** Engine stored routines (procedures + functions) with parameters
+    * (reference models.rs:187-214 Procedure/Parameter); empty when the
+    * engine exposes none.
+    */
+  def collectedRoutines: Seq[Collector.RoutineInfo] = Nil
+  /** Engine custom/user-defined types (reference models.rs:243-259
+    * CustomType); empty when the engine exposes none.
+    */
+  def collectedCustomTypes: Seq[Collector.CustomTypeInfo] = Nil
 }
 
 /** Parquet-lake source over the `<dir>/<name>.parquet` layout. */
@@ -63,7 +72,8 @@ class ParquetSource(spark: SparkSession, dir: String) extends TableSource {
 class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     props: java.util.Properties = new java.util.Properties())
     extends TableSource with MetadataSource {
-  import Collector.{CollectedTableMeta, IndexInfo, FkEdge}
+  import Collector.{CollectedTableMeta, IndexInfo, FkEdge, RoutineInfo,
+    RoutineParam, CustomTypeInfo}
 
   /** Credential sanitization (reference guarantee: no credentials in any
     * output): masks userinfo (`user:secret@host`) and password-ish
@@ -102,17 +112,35 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     * column, whose bounds come from ONE min/max query through the same
     * connection (the reference reads single-threaded per table;
     * Spark's partitioned JDBC relation is the 1000-executor version).
+    * Identifiers are quoted with the engine's quote string (mixed-case
+    * and reserved names survive; nothing user-controlled is spliced
+    * unquoted); an empty table (NULL min/max) degrades to the plain
+    * unpartitioned read instead of fabricating [0,0] bounds.
     */
   def loadPartitioned(table: String, column: String,
       numPartitions: Int): DataFrame = {
-    val (lo, hi) = withConnection { c =>
+    val bounds = withConnection { c =>
+      val md = c.getMetaData
+      val quote = Option(md.getIdentifierQuoteString).filter(_ != " ").getOrElse("")
+      def ident(s: String): String =
+        if (quote.isEmpty) s
+        else quote + foldCase(md, s).replace(quote, quote + quote) + quote
       val st = c.createStatement()
-      val rs = st.executeQuery(s"SELECT min($column), max($column) FROM $table")
+      val rs = st.executeQuery(
+        s"SELECT min(${ident(column)}), max(${ident(column)}) FROM ${ident(table)}")
       rs.next()
-      val r = (rs.getLong(1), rs.getLong(2))
-      rs.close(); st.close(); r
+      val lo = rs.getLong(1)
+      val loNull = rs.wasNull()
+      val hi = rs.getLong(2)
+      val hiNull = rs.wasNull()
+      rs.close(); st.close()
+      if (loNull || hiNull) None else Some((lo, hi))
     }
-    spark.read.jdbc(url, table, column, lo, hi, numPartitions, props)
+    bounds match {
+      case Some((lo, hi)) =>
+        spark.read.jdbc(url, table, column, lo, hi, numPartitions, props)
+      case None => load(table)
+    }
   }
 
   private def withConnection[A](f: java.sql.Connection => A): A = {
@@ -134,9 +162,13 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     else if (md.storesLowerCaseIdentifiers) t.toLowerCase
     else t
 
-  /** Map a catalog-cased table name back to the name the caller used. */
+  /** Map a catalog-cased table name back to the name the survey uses —
+    * the caller's explicit list OR the discovered set (iterating the
+    * constructor list here silently dropped every FK in discovery mode,
+    * where that list is empty).
+    */
   private def asGiven(catalogName: String): String =
-    tables.find(_.equalsIgnoreCase(catalogName)).getOrElse(catalogName)
+    tableNames.find(_.equalsIgnoreCase(catalogName)).getOrElse(catalogName)
 
   def tableMetadata(table: String): CollectedTableMeta = withConnection { c =>
     val md = c.getMetaData
@@ -180,12 +212,55 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     val tableType = discovered.collectFirst {
       case (n, tt) if n.equalsIgnoreCase(table) => tt
     }.getOrElse("table")
-    CollectedTableMeta(pks, indexes, notNull, tableType = tableType)
+    val viewDef =
+      if (tableType == "view") viewDefinition(c, t).getOrElse("") else ""
+    CollectedTableMeta(pks, indexes, notNull, tableType = tableType,
+      viewDefinition = viewDef)
   }
 
+  /** Engine-specific view-definition lookup (reference models.rs:177-185
+    * View.definition — the defining SQL serialized into the artifact).
+    * JDBC has no neutral API for this surface, so it's a per-dialect
+    * catalog query like the reference's adapters: Derby reads
+    * SYS.SYSVIEWS; engines without a wired dialect degrade to "not
+    * collected" (empty) rather than failing the survey.
+    */
+  private def viewDefinition(c: java.sql.Connection, catalogTable: String)
+      : Option[String] =
+    if (!c.getMetaData.getDatabaseProductName.contains("Derby")) None
+    else {
+      val ps = c.prepareStatement(
+        """SELECT v.VIEWDEFINITION FROM SYS.SYSVIEWS v
+          |JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID
+          |WHERE t.TABLENAME = ?""".stripMargin)
+      try {
+        ps.setString(1, catalogTable)
+        val rs = ps.executeQuery()
+        val r = if (rs.next()) Option(rs.getString(1)) else None
+        rs.close()
+        r
+      } finally ps.close()
+    }
+
+  /** JDBC referential-action codes → the reference's ReferentialAction
+    * names (models.rs:123-130). Unknown/engine-default maps to
+    * "no_action" — the SQL default.
+    */
+  private def refAction(code: Short): String = code match {
+    case java.sql.DatabaseMetaData.importedKeyCascade => "cascade"
+    case java.sql.DatabaseMetaData.importedKeyRestrict => "restrict"
+    case java.sql.DatabaseMetaData.importedKeySetNull => "set_null"
+    case java.sql.DatabaseMetaData.importedKeySetDefault => "set_default"
+    case _ => "no_action"
+  }
+
+  /** Walks `tableNames` — the survey target set (explicit OR
+    * discovered), so auto-discovered surveys carry their engine FKs too.
+    * UPDATE_RULE/DELETE_RULE ride along as referential actions.
+    */
   def collectedForeignKeys: Seq[FkEdge] = withConnection { c =>
     val md = c.getMetaData
-    tables.flatMap { t =>
+    tableNames.flatMap { t =>
       val rs = md.getImportedKeys(null, null, foldCase(md, t))
       val buf = Seq.newBuilder[FkEdge]
       while (rs.next())
@@ -193,10 +268,107 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
           rs.getString("FKCOLUMN_NAME"),
           asGiven(rs.getString("PKTABLE_NAME")),
           rs.getString("PKCOLUMN_NAME"),
-          coverage = 1.0, likely = true, provenance = "collected")
+          coverage = 1.0, likely = true, provenance = "collected",
+          onUpdate = refAction(rs.getShort("UPDATE_RULE")),
+          onDelete = refAction(rs.getShort("DELETE_RULE")))
       rs.close()
       buf.result()
     }.distinct.sortBy(f => (f.childTable, f.childColumn))
+  }
+
+  /** Stored routines through the engine-neutral JDBC catalog API
+    * (reference models.rs:187-214 Procedure/Parameter, serialized per
+    * database by every live-DB adapter): `getProcedures` +
+    * `getFunctions` for the inventory, `get*Columns` for typed
+    * parameter lists (IN/OUT/INOUT modes, RETURN markers). System
+    * schemas are excluded the same way table discovery excludes them.
+    */
+  override def collectedRoutines: Seq[RoutineInfo] = withConnection { c =>
+    val md = c.getMetaData
+    def systemSchema(s: String): Boolean = {
+      val u = Option(s).getOrElse("").toUpperCase
+      u.startsWith("SYS") || u == "INFORMATION_SCHEMA" || u == "SQLJ"
+    }
+    def params(rs: java.sql.ResultSet, modeCol: String,
+        modes: Int => String): Seq[RoutineParam] = {
+      val buf = Seq.newBuilder[RoutineParam]
+      while (rs.next()) {
+        val n = Option(rs.getString("COLUMN_NAME")).getOrElse("")
+        buf += RoutineParam(n, Option(rs.getString("TYPE_NAME")).getOrElse(""),
+          modes(rs.getInt(modeCol)))
+      }
+      rs.close()
+      buf.result()
+    }
+    val procModes: Int => String = {
+      case java.sql.DatabaseMetaData.procedureColumnIn => "in"
+      case java.sql.DatabaseMetaData.procedureColumnOut => "out"
+      case java.sql.DatabaseMetaData.procedureColumnInOut => "inout"
+      case java.sql.DatabaseMetaData.procedureColumnReturn => "return"
+      case _ => "unknown"
+    }
+    val funcModes: Int => String = {
+      case java.sql.DatabaseMetaData.functionColumnIn => "in"
+      case java.sql.DatabaseMetaData.functionColumnOut => "out"
+      case java.sql.DatabaseMetaData.functionColumnInOut => "inout"
+      case java.sql.DatabaseMetaData.functionReturn => "return"
+      case _ => "unknown"
+    }
+    val procs = {
+      val rs = md.getProcedures(null, null, "%")
+      val names = Seq.newBuilder[(String, String)]
+      while (rs.next()) {
+        val schema = rs.getString("PROCEDURE_SCHEM")
+        if (!systemSchema(schema))
+          names += ((schema, rs.getString("PROCEDURE_NAME")))
+      }
+      rs.close()
+      names.result().map { case (schema, n) =>
+        RoutineInfo(n, "procedure",
+          params(md.getProcedureColumns(null, schema, n, "%"),
+            "COLUMN_TYPE", procModes))
+      }
+    }
+    val funcs = {
+      val rs = md.getFunctions(null, null, "%")
+      val names = Seq.newBuilder[(String, String)]
+      while (rs.next()) {
+        val schema = rs.getString("FUNCTION_SCHEM")
+        if (!systemSchema(schema))
+          names += ((schema, rs.getString("FUNCTION_NAME")))
+      }
+      rs.close()
+      names.result().map { case (schema, n) =>
+        val all = params(md.getFunctionColumns(null, schema, n, "%"),
+          "COLUMN_TYPE", funcModes)
+        val (ret, args) = all.partition(_.mode == "return")
+        RoutineInfo(n, "function", args,
+          returns = ret.headOption.map(_.dataType).getOrElse(""))
+      }
+    }
+    (procs ++ funcs).sortBy(r => (r.name, r.routineType))
+  }
+
+  /** Engine custom types via `getUDTs` (reference models.rs:243-259
+    * CustomType): distinct/struct/java_object type names with their
+    * backing class.
+    */
+  override def collectedCustomTypes: Seq[CustomTypeInfo] = withConnection { c =>
+    val rs = c.getMetaData.getUDTs(null, null, "%", null)
+    val buf = Seq.newBuilder[CustomTypeInfo]
+    while (rs.next()) {
+      val schema = Option(rs.getString("TYPE_SCHEM")).getOrElse("")
+      val kind = rs.getInt("DATA_TYPE") match {
+        case java.sql.Types.DISTINCT => "distinct"
+        case java.sql.Types.STRUCT => "struct"
+        case _ => "java_object"
+      }
+      if (!schema.toUpperCase.startsWith("SYS"))
+        buf += CustomTypeInfo(rs.getString("TYPE_NAME"), kind,
+          Option(rs.getString("CLASS_NAME")).getOrElse(""))
+    }
+    rs.close()
+    buf.result().sortBy(_.name)
   }
 }
 
@@ -234,6 +406,13 @@ class CatalogSource(spark: SparkSession, tables: Seq[String])
 
 object Collector {
 
+  /** v1.1 adds: FK referential actions, view definitions, stored
+    * routines, custom types. v1.0 artifacts still load (ArtifactLoad
+    * defaults the new fields) and validate.
+    */
+  val currentFormatVersion = "1.1"
+  val supportedFormatVersions: Set[String] = Set("1.0", "1.1")
+
   case class ColumnInfo(name: String, dataType: String, nullable: Boolean)
 
   /** Engine index metadata (reference models.rs:133-155 Index /
@@ -250,6 +429,25 @@ object Collector {
   case class ConstraintInfo(name: String, kind: String,
       columns: Seq[String], detail: String = "",
       provenance: String = "inferred")
+
+  /** Stored-routine parameter (reference models.rs:205-214 Parameter):
+    * mode is in | out | inout | return | unknown.
+    */
+  case class RoutineParam(name: String, dataType: String, mode: String)
+
+  /** Stored routine (reference models.rs:187-204 Procedure): a
+    * procedure or function with its typed parameter list; `returns` is
+    * the function return type ("" for procedures).
+    */
+  case class RoutineInfo(name: String, routineType: String,
+      parameters: Seq[RoutineParam] = Nil, returns: String = "")
+
+  /** Engine custom/user-defined type (reference models.rs:243-259
+    * CustomType): kind is distinct | struct | java_object; className
+    * the backing implementation class where the engine reports one.
+    */
+  case class CustomTypeInfo(name: String, kind: String,
+      className: String = "")
 
   /** Physical-layout metadata — the lake analogue of index metadata:
     * partition columns (directory pruning) and bucket/sort spec
@@ -273,7 +471,8 @@ object Collector {
   case class CollectedTableMeta(primaryKey: Seq[String],
       indexes: Seq[IndexInfo], notNull: Seq[String] = Nil,
       layout: Option[LayoutInfo] = None,
-      tableType: String = "table")
+      tableType: String = "table",
+      viewDefinition: String = "")
 
   /** Per-table sampling outcome (reference SampleStatus,
     * models.rs:388-429): `success` at the requested limit, `partial`
@@ -290,20 +489,27 @@ object Collector {
       indexes: Seq[IndexInfo] = Nil,
       constraints: Seq[ConstraintInfo] = Nil,
       layout: Option[LayoutInfo] = None,
-      tableType: String = "table")
+      tableType: String = "table",
+      viewDefinition: String = "")
 
   /** Relationship edge: inferred (KeyInference inclusion dependency)
     * or collected from an engine catalog (provenance = "collected",
-    * coverage pinned to 1.0 — the engine enforces it).
+    * coverage pinned to 1.0 — the engine enforces it). Referential
+    * actions (reference models.rs:123-130 ReferentialAction) are
+    * collected from UPDATE_RULE/DELETE_RULE; "" = not collected
+    * (inferred edges have no engine-declared behavior).
     */
   case class FkEdge(childTable: String, childColumn: String,
       parentTable: String, parentColumn: String, coverage: Double,
-      likely: Boolean, provenance: String = "inferred")
+      likely: Boolean, provenance: String = "inferred",
+      onUpdate: String = "", onDelete: String = "")
 
   case class Artifact(formatVersion: String, source: String,
       tables: Seq[TableInfo], foreignKeys: Seq[FkEdge] = Nil,
       server: Option[ServerInfo] = None,
-      warnings: Seq[String] = Nil)
+      warnings: Seq[String] = Nil,
+      routines: Seq[RoutineInfo] = Nil,
+      customTypes: Seq[CustomTypeInfo] = Nil)
 
   /** Sampling strategy selection (reference models.rs:349-381
     * SamplingStrategy / OrderingStrategy): which rows each table's
@@ -443,6 +649,28 @@ object Collector {
         }
       case _ => Nil
     }
+    // routine + custom-type surfaces degrade the same way: a throwing
+    // catalog read is recorded, never silently dropped
+    val routines: Seq[RoutineInfo] = source match {
+      case m: MetadataSource =>
+        try m.collectedRoutines
+        catch { case e: Exception =>
+          artifactWarnings +=
+            s"routine metadata read failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          Nil
+        }
+      case _ => Nil
+    }
+    val customTypes: Seq[CustomTypeInfo] = source match {
+      case m: MetadataSource =>
+        try m.collectedCustomTypes
+        catch { case e: Exception =>
+          artifactWarnings +=
+            s"custom-type metadata read failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          Nil
+        }
+      case _ => Nil
+    }
     val inferredFks: Seq[FkEdge] =
       if (withKeys && goodTables.nonEmpty) {
         val seen = collectedFks.map(f =>
@@ -517,7 +745,8 @@ object Collector {
             indexes = meta.indexes,
             constraints = constraintMap.getOrElse(t, Nil),
             layout = meta.layout,
-            tableType = meta.tableType)
+            tableType = meta.tableType,
+            viewDefinition = meta.viewDefinition)
         } catch {
           case e: Exception =>
             TableInfo(t, Nil, -1L, Nil, Nil, sampleStatus = "failed",
@@ -531,9 +760,11 @@ object Collector {
           s"engine identity read failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
         ("unknown", "unknown")
       }
-    Artifact("1.0", source.name, tables, collectedFks ++ inferredFks,
+    Artifact(currentFormatVersion, source.name, tables,
+      collectedFks ++ inferredFks,
       server = Some(ServerInfo(engineName, engineVersion, collectedAt, tables.size)),
-      warnings = artifactWarnings.result())
+      warnings = artifactWarnings.result(),
+      routines = routines, customTypes = customTypes)
   }
 
   /** Multi-database survey (adapters/postgres/multi_database.rs
@@ -544,7 +775,8 @@ object Collector {
 
   def collectAll(sources: Seq[TableSource], sampleSize: Int = 5,
       withKeys: Boolean = false): MultiArtifact =
-    MultiArtifact("1.0", sources.map(s => collect(s, sampleSize, withKeys)))
+    MultiArtifact(currentFormatVersion,
+      sources.map(s => collect(s, sampleSize, withKeys)))
 
   /** Enumerate parquet "databases" under a root path — each
     * subdirectory holding at least one `*.parquet` entry is one
@@ -611,7 +843,7 @@ object Collector {
     val validProvenance = Set("inferred", "collected")
     def badIdent(s: String): Boolean =
       s.isEmpty || s.length > 255 || s.exists(c => c < ' ' || c == '\u007f')
-    if (a.formatVersion != "1.0")
+    if (!supportedFormatVersions(a.formatVersion))
       errs += s"unsupported format version '${a.formatVersion}'"
     if (a.tables.isEmpty) errs += "artifact has no tables"
     a.server.foreach { s =>
@@ -633,6 +865,8 @@ object Collector {
         errs += s"table ${t.name}: unknown key provenance '${t.keyProvenance}'"
       if (!Set("table", "view")(t.tableType))
         errs += s"table ${t.name}: unknown table type '${t.tableType}'"
+      if (t.viewDefinition.nonEmpty && t.tableType != "view")
+        errs += s"table ${t.name}: view definition present on a non-view"
       if (noSample && t.sampleRows.nonEmpty)
         errs += s"table ${t.name}: ${t.sampleStatus} sample status but sample rows present"
       if (!failed) {
@@ -701,6 +935,28 @@ object Collector {
       check("parent", fk.parentTable, fk.parentColumn)
       if (fk.coverage < 0.0 || fk.coverage > 1.0)
         errs += s"foreign key ${fk.childTable}.${fk.childColumn}: coverage out of [0,1]"
+      val validAction =
+        Set("", "no_action", "cascade", "restrict", "set_null", "set_default")
+      Seq("on_update" -> fk.onUpdate, "on_delete" -> fk.onDelete).foreach {
+        case (which, v) if !validAction(v) =>
+          errs += s"foreign key ${fk.childTable}.${fk.childColumn}: unknown $which action '$v'"
+        case _ =>
+      }
+    }
+    val validMode = Set("in", "out", "inout", "return", "unknown")
+    a.routines.foreach { r =>
+      if (badIdent(r.name)) errs += s"invalid routine name '${r.name}'"
+      if (!Set("procedure", "function")(r.routineType))
+        errs += s"routine ${r.name}: unknown routine type '${r.routineType}'"
+      r.parameters.filterNot(p => validMode(p.mode)).foreach(p =>
+        errs += s"routine ${r.name}: parameter ${p.name}: unknown mode '${p.mode}'")
+      if (r.routineType == "procedure" && r.returns.nonEmpty)
+        errs += s"routine ${r.name}: procedure with a return type"
+    }
+    a.customTypes.foreach { ct =>
+      if (badIdent(ct.name)) errs += s"invalid custom type name '${ct.name}'"
+      if (!Set("distinct", "struct", "java_object")(ct.kind))
+        errs += s"custom type ${ct.name}: unknown kind '${ct.kind}'"
     }
     errs.result()
   }

@@ -116,7 +116,11 @@ object ConstraintInference {
             col(c).as("v")).filter(col("v").isNotNull)
         }.reduce(_ unionByName _)
           .groupBy(col("table_name"), col("column_name"))
-          .agg(array_join(sort_array(collect_set(col("v"))), ",").as("detail"))
+          // JSON-array encoding (not a raw comma join): a domain value
+          // containing ',' would otherwise split into bogus IN-list
+          // entries when the CHECK clause is rendered (SqlDdlDoc parses
+          // this back); byte-identical to DuckDB's to_json(list_sort(...))
+          .agg(to_json(sort_array(collect_set(col("v")))).as("detail"))
           .select(col("table_name"), col("column_name"),
             lit("enum").as("kind"), col("detail"))
         baseDf.unionByName(enumDf)
@@ -184,7 +188,7 @@ object ConstraintInference {
         else "CAST(NULL AS BIGINT) AS min_l, CAST(NULL AS BIGINT) AS max_l"
       val domain =
         if (kind == 's')
-          s"array_to_string(list_sort(list(DISTINCT $c) FILTER (WHERE $c IS NOT NULL)), ',') AS domain"
+          s"CAST(to_json(list_sort(list(DISTINCT $c) FILTER (WHERE $c IS NOT NULL))) AS VARCHAR) AS domain"
         else "CAST(NULL AS VARCHAR) AS domain"
       s"""SELECT '$t' AS table_name, '$c' AS column_name,
          |  ${kind == 'i'} AS is_int, ${kind == 's'} AS is_str,

@@ -29,7 +29,9 @@ class ConstraintSpec extends AnyFunSuite {
 
   test("enum domains are the sorted distinct values of low-cardinality strings") {
     val seg = of("customer", "c_mktsegment", "enum").get.getString(3)
-    val vals = seg.split(",").toSeq
+    // JSON-array encoding: comma-safe (a value containing ',' cannot
+    // split into bogus entries when the CHECK clause is rendered)
+    val vals = graft.output.ArtifactLoad.parseStringArray(seg)
     assert(vals.length == 5 && vals == vals.sorted)
     // 20-distinct source column is over the enum bound — no enum row
     assert(of("documents", "source", "enum").isEmpty)

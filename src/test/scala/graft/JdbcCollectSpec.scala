@@ -22,7 +22,9 @@ class JdbcCollectSpec extends AnyFunSuite {
     try {
       val st = conn.createStatement()
       // Derby has no DROP IF EXISTS — ignore first-run failures
-      Seq("DROP TABLE assign", "DROP TABLE emp", "DROP TABLE dept").foreach(s =>
+      Seq("DROP VIEW emp_pay", "DROP TABLE assign", "DROP TABLE emp",
+        "DROP TABLE dept", "DROP FUNCTION tax_of",
+        "DROP PROCEDURE grant_raise", "DROP TYPE money_t RESTRICT").foreach(s =>
         try st.execute(s) catch { case _: Exception => })
       st.execute(
         "CREATE TABLE dept(dept_id INT NOT NULL PRIMARY KEY, dept_name VARCHAR(40) NOT NULL)")
@@ -41,7 +43,23 @@ class JdbcCollectSpec extends AnyFunSuite {
           |  emp_id INT NOT NULL,
           |  project VARCHAR(20) NOT NULL,
           |  hours INT,
-          |  PRIMARY KEY (emp_id, project))""".stripMargin)
+          |  PRIMARY KEY (emp_id, project),
+          |  CONSTRAINT assign_emp_fk FOREIGN KEY (emp_id)
+          |    REFERENCES emp(emp_id) ON DELETE CASCADE)""".stripMargin)
+      // stored routines: a function and a procedure with typed params
+      // (the external procedure body is only resolved at CALL time —
+      // metadata collection never executes it)
+      st.execute(
+        """CREATE FUNCTION tax_of(amount DOUBLE) RETURNS DOUBLE
+          |PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA
+          |EXTERNAL NAME 'java.lang.Math.sqrt'""".stripMargin)
+      st.execute(
+        """CREATE PROCEDURE grant_raise(IN empid INT, IN pct DOUBLE)
+          |PARAMETER STYLE JAVA LANGUAGE JAVA NO SQL
+          |EXTERNAL NAME 'graft.NoSuchProcs.grantRaise'""".stripMargin)
+      // a custom (user-defined) type for the getUDTs surface
+      st.execute(
+        "CREATE TYPE money_t EXTERNAL NAME 'java.util.BitSet' LANGUAGE JAVA")
       st.execute("INSERT INTO dept VALUES (1, 'eng'), (2, 'sales')")
       st.execute("INSERT INTO emp VALUES (10, 1, 'ada', 120000.0), " +
         "(11, 1, 'grace', 130000.0), (12, 2, 'edsger', 90000.0)")
@@ -87,6 +105,47 @@ class JdbcCollectSpec extends AnyFunSuite {
     assert(fk.childColumn == "DEPT_ID" && fk.parentTable == "dept" &&
       fk.parentColumn == "DEPT_ID" && fk.provenance == "collected" &&
       fk.coverage == 1.0 && fk.likely)
+    // referential actions ride along: emp->dept is declared bare (SQL
+    // default), assign->emp declares ON DELETE CASCADE
+    assert(fk.onUpdate == "no_action" && fk.onDelete == "no_action")
+    val cas = artifact.foreignKeys.find(_.childTable == "assign").get
+    assert(cas.parentTable == "emp" && cas.onDelete == "cascade" &&
+      cas.onUpdate == "no_action" && cas.provenance == "collected")
+    // the CASCADE renders in the reconstructed DDL; NO ACTION stays
+    // implicit (SQL default)
+    val ddl = SqlDdlDoc.render(artifact)
+    assert(ddl.contains("ALTER TABLE assign ADD FOREIGN KEY (EMP_ID) " +
+      "REFERENCES emp (EMP_ID) ON DELETE CASCADE; -- collected"))
+  }
+
+  test("stored routines collect with typed parameters and render in docs") {
+    val fn = artifact.routines.find(_.name.equalsIgnoreCase("TAX_OF")).get
+    assert(fn.routineType == "function")
+    assert(fn.returns == "DOUBLE")
+    assert(fn.parameters.map(p => (p.name, p.dataType, p.mode)) ==
+      Seq(("AMOUNT", "DOUBLE", "in")))
+    val proc = artifact.routines.find(_.name.equalsIgnoreCase("GRANT_RAISE")).get
+    assert(proc.routineType == "procedure" && proc.returns.isEmpty)
+    assert(proc.parameters.map(p => (p.name, p.dataType, p.mode)) ==
+      Seq(("EMPID", "INTEGER", "in"), ("PCT", "DOUBLE", "in")))
+    // system routines (SYSCS_UTIL, SQLJ) are excluded like SYS tables
+    assert(artifact.routines.forall(r => !r.name.toUpperCase.startsWith("SYSCS")))
+    // rendered in every doc format + exact json round-trip
+    val md = MarkdownDoc.render(artifact)
+    assert(md.contains("## Stored routines") && md.contains("TAX_OF"))
+    assert(SqlDdlDoc.render(artifact)
+      .contains("-- FUNCTION TAX_OF(AMOUNT DOUBLE) RETURNS DOUBLE"))
+    assert(graft.output.HtmlDoc.render(artifact).contains("<h2>Stored routines</h2>"))
+    val loaded = graft.output.ArtifactLoad.load(ArtifactJson.render(artifact))
+    assert(loaded == artifact)
+    assert(Collector.validate(artifact).isEmpty)
+  }
+
+  test("engine custom types surface through getUDTs into the artifact") {
+    val ct = artifact.customTypes.find(_.name.equalsIgnoreCase("MONEY_T")).get
+    assert(ct.kind == "java_object" && ct.className == "java.util.BitSet")
+    assert(MarkdownDoc.render(artifact).contains("## Custom types"))
+    assert(SqlDdlDoc.render(artifact).contains("-- TYPE MONEY_T (java_object) backed by java.util.BitSet"))
   }
 
   test("schema + samples collect through the Spark JDBC relation") {
@@ -166,10 +225,32 @@ class JdbcCollectSpec extends AnyFunSuite {
     assert(view.columns.map(_.name) == Seq("EMP_ID", "SALARY"))
     assert(view.rowCount == 3) // views read through the same relation
     assert(a.tables.filter(_.name.equalsIgnoreCase("EMP")).head.tableType == "table")
+    // the view's DEFINING SQL is collected (SYS.SYSVIEWS), not just its
+    // resolved schema, and renders as a real CREATE VIEW in the ddl
+    assert(view.viewDefinition.toLowerCase.replaceAll("\\s+", " ")
+      .contains("select emp_id, salary from emp"))
+    val ddl = SqlDdlDoc.render(a)
+    assert(ddl.contains("definition collected"))
+    assert(ddl.toUpperCase.contains("CREATE VIEW EMP_PAY AS"))
+    // an auto-discovered survey must carry the engine's FK edges too —
+    // the discovered set (not the empty constructor list) is walked, so
+    // collected provenance + referential actions survive discovery mode
+    val empFk = a.foreignKeys.find(f =>
+      f.childTable.equalsIgnoreCase("EMP") && f.provenance == "collected").get
+    assert(empFk.parentTable.equalsIgnoreCase("DEPT") &&
+      empFk.childColumn == "DEPT_ID" && empFk.coverage == 1.0)
+    val casFk = a.foreignKeys.find(f =>
+      f.childTable.equalsIgnoreCase("ASSIGN") && f.provenance == "collected").get
+    assert(casFk.parentTable.equalsIgnoreCase("EMP") && casFk.onDelete == "cascade")
+    assert(ddl.contains("ON DELETE CASCADE"))
+    // the discovered relationship graph renders in mermaid too
+    val mm = graft.output.MermaidDoc.render(a)
+    assert(mm.contains("}o--||"))
+    assert(mm.toUpperCase.contains("EMP }O--|| DEPT") ||
+      mm.contains("EMP }o--|| DEPT"))
     // type survives json round-trip and renders in the ddl
     val loaded = graft.output.ArtifactLoad.load(graft.output.ArtifactJson.render(a))
     assert(loaded == a)
-    assert(SqlDdlDoc.render(a).contains("EMP_PAY is a VIEW"))
   }
 
   test("partitioned jdbc read slices on the key and preserves the rows") {

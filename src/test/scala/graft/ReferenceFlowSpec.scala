@@ -37,7 +37,7 @@ class ReferenceFlowSpec extends AnyFunSuite {
 
   test("json artifact renders with expected structure and escaping") {
     val json = ArtifactJson.render(artifact)
-    assert(json.contains("\"format_version\": \"1.0\""))
+    assert(json.contains("\"format_version\": \"1.1\""))
     assert(json.contains("\"table_count\": 10"))
     Tables.all.foreach(t => assert(json.contains(s"\"name\": \"$t\"")))
     // quick structural sanity: balanced braces/brackets
@@ -171,7 +171,7 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(json.contains("\"pk_candidates\"") && json.contains("\"o_orderkey\""))
     assert(json.contains("\"foreign_keys\""))
     val md = MarkdownDoc.render(keyed)
-    assert(md.contains("## Relationships (inferred)"))
+    assert(md.contains("## Relationships"))
     assert(md.contains("| orders.o_custkey | customer.c_custkey |"))
   }
 
@@ -242,7 +242,8 @@ class ReferenceFlowSpec extends AnyFunSuite {
     val region = a.tables.find(_.name == "region").get
     assert(region.constraints.exists(c => c.kind == "range" && c.columns == Seq("r_regionkey")))
     val enumC = region.constraints.find(_.kind == "enum").get
-    assert(enumC.columns == Seq("r_name") && enumC.detail.split(",").length == 5)
+    assert(enumC.columns == Seq("r_name") &&
+      graft.output.ArtifactLoad.parseStringArray(enumC.detail).length == 5)
     assert(region.constraints.exists(c => c.kind == "not_null" && c.columns == Seq("r_name")))
     assert(region.constraints.exists(c => c.kind == "unique" && c.columns == Seq("r_regionkey")))
     val ddl = SqlDdlDoc.render(a)
@@ -266,6 +267,41 @@ class ReferenceFlowSpec extends AnyFunSuite {
     // malformed input fails loudly, not silently
     intercept[IllegalArgumentException](ArtifactLoad.load("{\"format_version\": }"))
     intercept[IllegalArgumentException](ArtifactLoad.load(ArtifactJson.render(a) + "x"))
+  }
+
+  test("a v1.0 artifact (without the newer fields) still loads and validates") {
+    import graft.output.ArtifactLoad
+    // what an earlier release wrote: no table_type/sampling/indexes/
+    // constraints/layout/key_provenance (r4 fields), no view_definition/
+    // referential actions/routines/custom_types (r5 fields)
+    val legacy =
+      """{
+        |"format_version": "1.0",
+        |"source": "parquet:/old/lake",
+        |"server": null,
+        |"warnings": [],
+        |"tables": [{
+        |  "name": "t1",
+        |  "row_count": 2,
+        |  "sample_status": "success",
+        |  "warnings": [],
+        |  "pk_candidates": [],
+        |  "columns": [{"name": "a", "data_type": "int64", "nullable": true}],
+        |  "sample_header": ["a"],
+        |  "sample_rows": [["1"], ["2"]]
+        |}],
+        |"foreign_keys": []
+        |}""".stripMargin
+    val a = ArtifactLoad.load(legacy)
+    assert(a.formatVersion == "1.0")
+    val t = a.tables.head
+    // defaults fill the absent fields instead of refusing the file
+    assert(t.tableType == "table" && t.viewDefinition.isEmpty &&
+      t.keyProvenance == "inferred" && t.samplingStrategy == "most_recent" &&
+      t.indexes.isEmpty && t.constraints.isEmpty && t.layout.isEmpty)
+    assert(a.routines.isEmpty && a.customTypes.isEmpty)
+    // 1.0 remains a SUPPORTED version end-to-end
+    assert(Collector.validate(a).isEmpty)
   }
 
   test("offline secure workflow: render -> gzip -> encrypt -> decrypt -> load") {
