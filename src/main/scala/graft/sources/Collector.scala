@@ -472,7 +472,8 @@ object Collector {
       indexes: Seq[IndexInfo], notNull: Seq[String] = Nil,
       layout: Option[LayoutInfo] = None,
       tableType: String = "table",
-      viewDefinition: String = "")
+      viewDefinition: String = "",
+      constraints: Seq[ConstraintInfo] = Nil)
 
   /** Per-table sampling outcome (reference SampleStatus,
     * models.rs:388-429): `success` at the requested limit, `partial`
@@ -743,7 +744,7 @@ object Collector {
             samplingStrategy = strategy.strategyName,
             samplingKey = if (strategy == SamplingStrategy.NoSample) "" else key,
             indexes = meta.indexes,
-            constraints = constraintMap.getOrElse(t, Nil),
+            constraints = meta.constraints ++ constraintMap.getOrElse(t, Nil),
             layout = meta.layout,
             tableType = meta.tableType,
             viewDefinition = meta.viewDefinition)
@@ -906,7 +907,7 @@ object Collector {
         t.indexes.groupBy(_.name).collect { case (n, is) if is.size > 1 =>
           errs += s"table ${t.name}: duplicate index name '$n'" }
         t.constraints.foreach { c =>
-          if (!Set("not_null", "unique", "range", "enum")(c.kind))
+          if (!Set("not_null", "unique", "range", "enum", "presence")(c.kind))
             errs += s"table ${t.name}: unknown constraint kind '${c.kind}'"
           if (!validProvenance(c.provenance))
             errs += s"table ${t.name}: constraint ${c.name}: unknown provenance '${c.provenance}'"

@@ -130,9 +130,11 @@ object StreamOps {
     * fingerprint is already in the SETTLED CORPUS index (stream-static
     * left-anti join — no state, the static side is the bucketed
     * fingerprint table at scale), or (b) it already arrived within the
-    * stream (watermarked dropDuplicates on the fingerprint — state is
-    * the in-watermark fingerprint set, exactly the engine's bounded
-    * dedup state). Emits the surviving docs.
+    * stream — `dropDuplicatesWithinWatermark`, whose state the engine
+    * EVICTS at watermark age. Plain `dropDuplicates("fp")` would NOT
+    * bound state here: eviction only applies when the event-time column
+    * is part of the dedup keys, so the fingerprint set would grow
+    * forever. Emits the surviving docs.
     *
     * `docs` needs (doc_id, ts, text); `corpusFps` needs (fp).
     */
@@ -140,7 +142,7 @@ object StreamOps {
     docs
       .withColumn("fp", md5(col("text")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
       .join(corpusFps, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("ts"), col("fp"))
   }

@@ -42,15 +42,32 @@ object BpeTrainer {
 
   /** Train `merges` BPE merges; returns (rank, sym_a, sym_b, pair_count)
     * in training order.
+    *
+    * Iterative-loop discipline (the Dedup.components pattern): the
+    * initial word dict is `localCheckpoint`ed, so the ONE corpus-sized
+    * shuffle runs exactly once; each round's merge projection is
+    * checkpointed too, truncating lineage — without this, every round's
+    * `limit(1).collect()` action re-ran the whole chain (corpus explode
+    * + word groupBy + all prior merge projections): 6 merges = 6
+    * corpus-sized shuffles + an O(K²) merge-reapplication tail, the
+    * exact anti-pattern the repo bans for iterative algorithms. Rounds
+    * now scan dict-sized checkpointed blocks only; freed as they age
+    * out. On a cluster with executor-loss concerns, swap for reliable
+    * `checkpoint(dir)` — same shape.
     */
   def bpeTrain(spark: SparkSession, dir: String, merges: Int = defaultMerges): DataFrame = {
     import spark.implicits._
+    def free(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
     // the only corpus-sized aggregation: the word-frequency dict,
-    // symbolized to space-separated characters
+    // symbolized to space-separated characters — materialized ONCE
     var words = Tables.documents(spark, dir)
       .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("wc"))
       .select(concat_ws(" ", split(col("token"), "")).as("w"), col("wc"))
+      .localCheckpoint(true)
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     for (k <- 1 to merges) {
       // one bounded driver row per round — the whole mutable state.
@@ -69,11 +86,15 @@ object BpeTrainer {
         learned += ((k, a, b, cnt))
         val pat = lit(s" $a $b ")
         val rep = lit(s" $a$b ")
-        words = words.select(
+        val merged = words.select(
           trim(replace(replace(concat(lit(" "), col("w"), lit(" ")),
             pat, rep), pat, rep)).as("w"), col("wc"))
+          .localCheckpoint(true)
+        free(words)
+        words = merged
       }
     }
+    free(words)
     learned.result()
       .toDF("rank", "sym_a", "sym_b", "pair_count")
       .orderBy(col("rank"))

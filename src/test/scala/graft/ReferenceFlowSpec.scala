@@ -269,6 +269,50 @@ class ReferenceFlowSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ArtifactLoad.load(ArtifactJson.render(a) + "x"))
   }
 
+  test("document source: artifact from a JSON corpus with inferred per-key schema") {
+    import spark.implicits._
+    import graft.sources.DocumentSource
+    import graft.output.{ArtifactLoad, SqlDdlDoc}
+    // a mongodb-style "database": two collections of JSON documents
+    // with ragged keys, mixed presence, and a subdocument
+    val people = Seq(
+      """{"id": 1, "name": "ada", "age": 36, "tags": ["math"], "addr": {"city": "london"}}""",
+      """{"id": 2, "name": "grace", "age": 85}""",
+      """{"id": 3, "name": "edsger", "tags": ["sys", "proofs"]}""").toDF("doc")
+    val clicks = Seq(
+      """{"id": 10, "page": "/a", "dwell": 1.5}""",
+      """{"id": 11, "page": "/b"}""").toDF("doc")
+    val src = new DocumentSource(spark, "crm",
+      Seq("people" -> people, "clicks" -> clicks))
+    val a = Collector.collect(src, sampleSize = 2)
+    assert(Collector.validate(a).isEmpty)
+    assert(a.server.get.engine == "json-documents")
+    val p = a.tables.find(_.name == "people").get
+    // the column list IS the inferred union schema, engine-neutral types
+    val types = p.columns.map(c => c.name -> c.dataType).toMap
+    assert(types("id") == "int64" && types("name") == "string" &&
+      types("age") == "int64" && types("tags") == "array<string>")
+    assert(types("addr").startsWith("struct"))  // subdocument
+    assert(p.rowCount == 3 && p.sampleRows.nonEmpty)
+    // presence profile rides along as collected constraints: id/name in
+    // every doc (NOT NULL), age in 2/3
+    assert(!p.columns.find(_.name == "id").get.nullable)
+    assert(!p.columns.find(_.name == "name").get.nullable)
+    assert(p.columns.find(_.name == "age").get.nullable)
+    val agePresence = p.constraints.find(c =>
+      c.kind == "presence" && c.columns == Seq("age")).get
+    assert(agePresence.provenance == "collected")
+    assert(agePresence.detail.contains("0.6667") &&
+      agePresence.detail.contains("\"dominant\": \"int\""))
+    assert(p.constraints.exists(c => c.kind == "presence" &&
+      c.columns == Seq("addr") && c.detail.contains("\"dominant\": \"object\"")))
+    // docs render the inferred schema + presence; artifact round-trips
+    val md = MarkdownDoc.render(a)
+    assert(md.contains("## Table: people") && md.contains("presence"))
+    assert(SqlDdlDoc.render(a).contains("CREATE TABLE clicks ("))
+    assert(ArtifactLoad.load(ArtifactJson.render(a)) == a)
+  }
+
   test("a v1.0 artifact (without the newer fields) still loads and validates") {
     import graft.output.ArtifactLoad
     // what an earlier release wrote: no table_type/sampling/indexes/
