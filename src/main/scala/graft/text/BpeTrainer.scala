@@ -103,6 +103,58 @@ object BpeTrainer {
   def bpeTrainQuery(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(spark, dir)
 
+  /** TOKENIZE with the trained merges — the apply half of the BPE pair
+    * (train → encode), i.e. the token-counting primitive a data-mix
+    * pipeline actually budgets with (reference capability: corpus
+    * token accounting; pack_shards/mix_weights currently budget in
+    * whitespace tokens — this measures in learned-subword units).
+    *
+    * Shape: training is the bounded bpeTrain loop (driver state = K
+    * rows); encoding is PURE per-row column work — each word is
+    * symbolized and run through the same padded double-replace chain
+    * (in rank order, exactly as trained), entirely inside
+    * `transform`/`aggregate` higher-order lambdas. ZERO data shuffle:
+    * the only exchange in the plan is the presentation ORDER BY. At
+    * 100 TB the encode is embarrassingly parallel map work; the
+    * trained merge table rides along as K string literals (a real
+    * tokenizer's merge table is config-sized — same story).
+    *
+    * Per-word cost is inherent (the merge chain must visit every
+    * word); the lambda does exactly that once per word — not the
+    * PLANS.md pitfall-#2 shape (no O(elements²) re-evaluation).
+    *
+    * cpt_e4 = chars-per-token ×10⁴ via BIGINT integer division —
+    * bit-exact cross-engine (no double rounding at the boundary).
+    */
+  def bpeEncode(spark: SparkSession, dir: String, merges: Int = defaultMerges): DataFrame = {
+    val learned = bpeTrain(spark, dir, merges).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    val words = filter(split(col("text"), " "), t => t =!= lit(""))
+    def encodeWord(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val spaced = concat(lit(" "), concat_ws(" ", split(t, "")), lit(" "))
+      val merged = learned.foldLeft(spaced) { case (c, (a, b)) =>
+        val pat = lit(s" $a $b ")
+        val rep = lit(s" $a$b ")
+        replace(replace(c, pat, rep), pat, rep)
+      }
+      size(split(trim(merged), " ")).cast("long")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(transform(words, encodeWord _), lit(0L), (acc, x) => acc + x)
+          .as("n_tokens"),
+        aggregate(transform(words, t => length(t).cast("long")), lit(0L),
+          (acc, x) => acc + x).as("n_sym"))
+      .filter(col("n_words") >= 1)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        expr("CAST((n_sym * 10000) DIV n_tokens AS BIGINT)").as("cpt_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+
   /** K-level unrolled oracle: each level re-derives the round's top
     * pair with a scalar subquery and re-applies the merge with the
     * identical padded double-replace. Every CTE is MATERIALIZED —
@@ -111,9 +163,10 @@ object BpeTrainer {
     * subqueries per replace), re-evaluating the chain exponentially in
     * K: the un-materialized form pegged a core for minutes at K=6.
     */
-  val bpeTrainSql: String = {
+  /** The shared K-round training CTE chain (words0..wordsK, top1..topK). */
+  private val trainCtes: String = {
     val sb = new StringBuilder
-    sb ++= """WITH words0 AS MATERIALIZED (
+    sb ++= """words0 AS MATERIALIZED (
              |  SELECT array_to_string(string_split(token, ''), ' ') AS w,
              |    CAST(count(*) AS BIGINT) AS wc
              |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
@@ -137,12 +190,41 @@ object BpeTrainer {
                 |    ' ' || (SELECT replace(pair, ' ', '') FROM top$k) || ' ')) AS w, wc
                 |  FROM $prev)""".stripMargin
     }
-    sb ++= "\n" + (1 to defaultMerges).map(k =>
-      s"""SELECT CAST($k AS INTEGER) AS rank,
-         |  split_part(pair, ' ', 1) AS sym_a, split_part(pair, ' ', 2) AS sym_b,
-         |  CAST(cnt AS BIGINT) AS pair_count FROM top$k""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    sb ++= "\nORDER BY rank"
     sb.result()
+  }
+
+  val bpeTrainSql: String =
+    s"WITH $trainCtes\n" +
+      (1 to defaultMerges).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS rank,
+           |  split_part(pair, ' ', 1) AS sym_a, split_part(pair, ' ', 2) AS sym_b,
+           |  CAST(cnt AS BIGINT) AS pair_count FROM top$k""".stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY rank"
+
+  /** Encode oracle: the same trained chain (scalar-subquery merges from
+    * top1..topK, in rank order) applied to every document word; the
+    * identical padded double-replace contract as bpeTrain's. */
+  val bpeEncodeSql: String = {
+    val chain = (1 to defaultMerges).foldLeft(
+      "' ' || array_to_string(string_split(token, ''), ' ') || ' '") { (acc, k) =>
+      val pat = s"' ' || (SELECT pair FROM top$k) || ' '"
+      val rep = s"' ' || (SELECT replace(pair, ' ', '') FROM top$k) || ' '"
+      s"replace(replace($acc,\n    $pat, $rep),\n    $pat, $rep)"
+    }
+    s"""WITH $trainCtes,
+       |doc_words AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+       |  FROM documents),
+       |enc AS MATERIALIZED (
+       |  SELECT doc_id, len(token) AS n_sym,
+       |    len(string_split(trim(
+       |  $chain), ' ')) AS n_tok
+       |  FROM doc_words)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST((sum(n_sym) * 10000) // sum(n_tok) AS BIGINT) AS cpt_e4
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

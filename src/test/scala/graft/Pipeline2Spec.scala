@@ -109,6 +109,41 @@ class Pipeline2Spec extends AnyFunSuite {
     }
   }
 
+  test("bpe encode: token counts match a driver-side re-encode with the trained merges") {
+    import graft.text.BpeTrainer
+    val merges = BpeTrainer.bpeTrain(spark, sf).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    val rows = BpeTrainer.bpeEncode(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") >= 1)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+      // merges only ever shrink a word, so chars-per-token >= 1.0
+      assert(r.getAs[Long]("cpt_e4") >= 10000L, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // exact re-encode in plain Scala (String.replace = the same
+    // left-to-right non-overlapping contract) on a sample of docs
+    def encodeWord(w: String): Int = {
+      var s = " " + w.split("").mkString(" ") + " "
+      merges.foreach { case (a, b) =>
+        s = s.replace(s" $a $b ", s" $a$b ").replace(s" $a $b ", s" $a$b ")
+      }
+      s.trim.split(" ").length
+    }
+    val expect = Tables.documents(spark, sf).filter(col("doc_id") < 25)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).map(encodeWord).map(_.toLong).sum)
+      .toMap
+    rows.filter(_.getAs[Long]("doc_id") < 25).foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == expect(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // merges really fired somewhere: corpus-wide tokens < corpus-wide chars
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum <
+      rows.map(r => r.getAs[Long]("cpt_e4") * r.getAs[Long]("n_tokens")).sum / 10000)
+  }
+
   test("centroid outliers rank the least-aligned vectors per label") {
     val rows = Similarity.centroidOutliers(spark, sf).collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))
