@@ -189,4 +189,45 @@ object EventAnalytics {
       |  FROM ev e JOIN first_week f ON e.user_id = f.user_id)
       |GROUP BY cohort_us, week_n
       |ORDER BY cohort_us, week_n""".stripMargin
+
+  /** Markov next-event transition matrix: per user in event order,
+    * (event_type → next event_type) transition counts plus the
+    * within-source transition probability — the user-journey /
+    * "what happens after X" primitive (and a first-order behavioral
+    * LM over the event alphabet).
+    *
+    * Shape: ONE shuffle by user_id feeds the lead() window; the
+    * (src,dst) aggregation re-keys but map-side partial aggregation
+    * collapses the stream to the alphabet² key space first, and the
+    * probability window runs over those ≤ alphabet² aggregated rows —
+    * never the raw events. Probability as parts-per-million via BIGINT
+    * integer division: bit-exact cross-engine, no float rounding.
+    */
+  def qUserPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("dst_event", lead(col("event_type"), 1).over(byUser))
+      .filter(col("dst_event").isNotNull)
+      .groupBy(col("event_type").as("src_event"), col("dst_event"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .select(col("src_event"), col("dst_event"), col("n_transitions"),
+        expr("""CAST(n_transitions * 1000000 DIV
+                sum(n_transitions) OVER (PARTITION BY src_event) AS BIGINT)""")
+          .as("p_e6"))
+      .orderBy(col("src_event"), col("dst_event"))
+  }
+
+  val qUserPathsSql: String =
+    """WITH t AS (
+      |  SELECT event_type AS src_event,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst_event
+      |  FROM events),
+      |g AS (
+      |  SELECT src_event, dst_event, count(*) AS n_transitions
+      |  FROM t WHERE dst_event IS NOT NULL GROUP BY 1, 2)
+      |SELECT src_event, dst_event, n_transitions,
+      |  CAST((n_transitions * 1000000) // sum(n_transitions) OVER (PARTITION BY src_event) AS BIGINT) AS p_e6
+      |FROM g ORDER BY src_event, dst_event""".stripMargin
 }

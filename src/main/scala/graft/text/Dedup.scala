@@ -465,4 +465,55 @@ object Dedup {
       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Duplicated-SPAN detection (substring-level dedup — the
+    * suffix-array family's Spark-shaped cousin, cf. "Deduplicating
+    * Training Data Makes Language Models Better": exact substring
+    * matches across documents, not whole-doc near-dup): every W-char
+    * window at stride S is fingerprinted, and windows appearing in ≥2
+    * DISTINCT docs are surfaced with doc/occurrence counts. Catches
+    * boilerplate (headers, license blocks, navigation chrome) that
+    * whole-doc MinHash misses when the surrounding text differs.
+    *
+    * Scale shape: the explode emits one (md5, doc_id) pair per window —
+    * ~len/S rows/doc, the same order as the shingle exploders above.
+    * Aggregation is TWO keyed shuffles with map-side partial dedup
+    * ((win,doc) → win), NEVER a countDistinct (whose Expand doubles the
+    * exploded stream — PLANS.md risk #1). Output is a bounded
+    * TakeOrderedAndProject with a total tiebreak (win_md5 is unique per
+    * group). At 100 TB: swap md5 for xxhash64 to carry 8-byte shuffle
+    * keys instead of 32-char strings (md5 here is the cross-engine
+    * oracle contract), and raise the stride for the first pass.
+    */
+  def substringDup(spark: SparkSession, dir: String,
+                   window: Int = 40, stride: Int = 10): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST((length(text) - $window) DIV $stride AS INT)),
+           |  i -> substring(text, i * $stride + 1, $window))""".stripMargin)).as("win"))
+    wins.select(md5(col("win")).as("win_md5"), col("doc_id"))
+      .groupBy(col("win_md5"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("win_md5"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"),
+        min(col("doc_id")).as("sample_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("win_md5"))
+      .limit(100)
+  }
+
+  def substringDupQuery(spark: SparkSession, dir: String): DataFrame =
+    substringDup(spark, dir)
+
+  val substringDupSql: String =
+    """WITH wins AS (
+      |  SELECT doc_id, md5(substr(text, CAST(i AS INT) * 10 + 1, 40)) AS win_md5
+      |  FROM (SELECT doc_id, text, unnest(range(0, (len(text) - 40) // 10 + 1)) AS i
+      |        FROM documents WHERE len(text) >= 40)),
+      |per_doc AS (
+      |  SELECT win_md5, doc_id, count(*) AS occ FROM wins GROUP BY 1, 2)
+      |SELECT win_md5, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ,
+      |  min(doc_id) AS sample_doc
+      |FROM per_doc GROUP BY win_md5 HAVING count(*) >= 2
+      |ORDER BY n_docs DESC, n_occ DESC, win_md5 LIMIT 100""".stripMargin
 }

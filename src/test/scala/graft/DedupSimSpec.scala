@@ -15,6 +15,35 @@ class DedupSimSpec extends AnyFunSuite {
     assert(total == Tables.documents(spark, sf).count())
   }
 
+  test("substring dedup matches a driver-side brute-force window tally") {
+    val rows = Dedup.substringDup(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // brute-force: every strided 40-char window of every doc
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tally = scala.collection.mutable.Map[String, (Set[Long], Long)]()
+    Tables.documents(spark, sf).select("doc_id", "text").collect().foreach { r =>
+      val (id, t) = (r.getAs[Long]("doc_id"), r.getAs[String]("text"))
+      if (t.length >= 40)
+        (0 to (t.length - 40) / 10).foreach { i =>
+          val h = md5hex(t.substring(i * 10, i * 10 + 40))
+          val (docs, occ) = tally.getOrElse(h, (Set.empty[Long], 0L))
+          tally(h) = (docs + id, occ + 1)
+        }
+    }
+    val expect = tally.toSeq
+      .map { case (h, (docs, occ)) => (h, docs.size.toLong, occ, docs.min) }
+      .filter(_._2 >= 2)
+      .sortBy { case (h, nd, no, _) => (-nd, -no, h) }
+      .take(100)
+    val got = rows.map(r => (r.getAs[String]("win_md5"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_occ"), r.getAs[Long]("sample_doc"))).toSeq
+    assert(got == expect)
+    // exact whole-doc duplicates share spans: the top window spans >= 2 docs
+    assert(rows.head.getAs[Long]("n_docs") >= 2)
+  }
+
   test("minhash-LSH output is a subset of the exact ngram-jaccard pairs") {
     val lsh = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
     val exact = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")

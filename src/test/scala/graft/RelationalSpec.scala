@@ -49,6 +49,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("q_user_paths: transitions sum to events minus users; probs sum to ~1e6 per src") {
+    import graft.operators.EventAnalytics
+    val rows = EventAnalytics.qUserPaths(spark, sf).collect()
+    val nTrans = rows.map(_.getAs[Long]("n_transitions")).sum
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    // each user with k events contributes exactly k-1 transitions
+    assert(nTrans == nEvents - nUsers)
+    rows.groupBy(_.getAs[String]("src_event")).foreach { case (src, rs) =>
+      val pSum = rs.map(_.getAs[Long]("p_e6")).sum
+      // floor division: sum is within n_dst of exactly one million
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length, s"src $src: $pSum")
+    }
+  }
+
   test("q_asof_join picks the max qualifying order (brute-force check)") {
     val got = Relational.qAsofJoin(spark, sf)
     val ev = Tables.events(spark, sf).select(col("event_id"),
