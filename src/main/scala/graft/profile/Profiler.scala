@@ -107,4 +107,78 @@ object Profiler {
          |CAST(max($c) AS VARCHAR) AS max_str FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
+
+  /** Pairwise Pearson correlation matrix over lineitem's numeric columns
+    * — the profiling surface's relationship detector (flags derived /
+    * redundant columns a schema survey can't see; the reference's
+    * profiling stops at per-column stats, this is the cross-column
+    * extension).
+    *
+    * Exactness contract: never a double sum (order-dependent at any
+    * partition count). Inputs quantize to DECIMAL(18,4); all 21 sums
+    * (5 Σx, 5 Σx², 10 Σxy, n) are EXACT decimal aggregates in ONE
+    * aggregation over one scan — plain sums, no countDistinct, so no
+    * Expand (PLANS.md risk #1). Pearson's formula then runs in double
+    * over the decimal-exact sums with the identical operation order in
+    * both engines (IEEE *,-,/ and correctly-rounded sqrt) — bit-exact
+    * without rounding. The final unpivot explodes a 10-element struct
+    * array on the ONE aggregated row.
+    */
+  val corrCols: Seq[String] = Seq("l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_linenumber")
+
+  private val corrPairs: Seq[(Int, Int)] =
+    for { i <- corrCols.indices; j <- corrCols.indices if i < j } yield (i, j)
+
+  def profileCorrelations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d(c: String) = col(c).cast(DecimalType(18, 4))
+    val aggs =
+      Seq(count(lit(1)).cast(DoubleType).as("n")) ++
+        corrCols.zipWithIndex.map { case (c, i) =>
+          sum(d(c)).cast(DoubleType).as(s"sx_$i") } ++
+        corrCols.zipWithIndex.map { case (c, i) =>
+          sum(d(c) * d(c)).cast(DoubleType).as(s"sq_$i") } ++
+        corrPairs.map { case (i, j) =>
+          sum(d(corrCols(i)) * d(corrCols(j))).cast(DoubleType).as(s"sp_${i}_$j") }
+    val structs = corrPairs.map { case (i, j) =>
+      struct(lit(corrCols(i)).as("col_x"), lit(corrCols(j)).as("col_y"),
+        expr(s"(n * sp_${i}_$j - sx_$i * sx_$j) / " +
+          s"sqrt((n * sq_$i - sx_$i * sx_$i) * (n * sq_$j - sx_$j * sx_$j))")
+          .as("corr_r"))
+    }
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.corr_r").as("corr_r"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  val profileCorrelationsSql: String = {
+    // DECIMAL(19,4), not (18,4): DuckDB multiplies width-18 decimals in
+    // int64 and overflows on squared money values; width 19 forces
+    // int128 (product DECIMAL(38,8), still exact). Spark stays (18,4) —
+    // its (37,8) product is exact too, so the VALUES agree even though
+    // the declared widths differ.
+    def d(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    val sums =
+      corrCols.zipWithIndex.map { case (c, i) =>
+        s"CAST(sum(${d(c)}) AS DOUBLE) AS sx_$i" } ++
+        corrCols.zipWithIndex.map { case (c, i) =>
+          s"CAST(sum(${d(c)} * ${d(c)}) AS DOUBLE) AS sq_$i" } ++
+        corrPairs.map { case (i, j) =>
+          s"CAST(sum(${d(corrCols(i))} * ${d(corrCols(j))}) AS DOUBLE) AS sp_${i}_$j" }
+    val selects = corrPairs.map { case (i, j) =>
+      s"""SELECT '${corrCols(i)}' AS col_x, '${corrCols(j)}' AS col_y,
+         |  (n * sp_${i}_$j - sx_$i * sx_$j) / sqrt((n * sq_$i - sx_$i * sx_$i) * (n * sq_$j - sx_$j * sx_$j)) AS corr_r
+         |FROM s""".stripMargin
+    }
+    s"""WITH s AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM lineitem)
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
 }

@@ -467,4 +467,78 @@ object Quality {
       |  CAST(sum(psi_term) AS DOUBLE) AS psi
       |FROM terms GROUP BY column_name
       |ORDER BY column_name, bin""".stripMargin
+
+  /** Kolmogorov–Smirnov drift statistic per event_type — PSI's
+    * order-sensitive companion (PSI bins lose ordering; KS is the
+    * max ECDF gap, the standard two-sample distribution test).
+    *
+    * Scale contract: a textbook KS needs a GLOBAL sort (single-partition
+    * window — the anti-shape). This computes KS ON A FIXED GRID: 21
+    * evaluation points from the global [min,max] (1-row broadcast), each
+    * group's ECDF evaluated by conditional aggregation — ONE scan, one
+    * keyed agg, no ordered window anywhere. Grid-KS lower-bounds exact
+    * KS and converges as the grid refines; for drift MONITORING the
+    * fixed grid is standard practice (and refining it is a config
+    * change, not a reshape).
+    *
+    * Split: even/odd event_id halves (the quality_psi A/B convention).
+    * Determinism: counts are integers; ECDF ratios and |F_a−F_b| run in
+    * IEEE double with identical op order both engines; grid points are
+    * vmin + (vmax−vmin)·k/20 with the k/20 factor emitted as the
+    * shortest round-trip double literal — bit-exact cross-engine.
+    */
+  val ksGridPoints = 21
+
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val mm = ev.filter(col("value").isNotNull)
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val withMm = ev.crossJoin(broadcast(mm))
+    def side(parity: Int) = s"event_id % 2 = $parity AND value IS NOT NULL"
+    def gk(k: Int) = s"(vmin + (vmax - vmin) * ${k.toDouble / (ksGridPoints - 1)})"
+    val aggs =
+      Seq(expr(s"sum(CASE WHEN ${side(0)} THEN 1 ELSE 0 END)").as("n_ref"),
+        expr(s"sum(CASE WHEN ${side(1)} THEN 1 ELSE 0 END)").as("n_cur")) ++
+        (0 until ksGridPoints).flatMap { k =>
+          Seq(expr(s"sum(CASE WHEN ${side(0)} AND value <= ${gk(k)} THEN 1 ELSE 0 END)").as(s"r_$k"),
+            expr(s"sum(CASE WHEN ${side(1)} AND value <= ${gk(k)} THEN 1 ELSE 0 END)").as(s"c_$k"))
+        }
+    val gaps = (0 until ksGridPoints).map { k =>
+      s"""abs(CAST(r_$k AS DOUBLE) / CAST(nullif(n_ref, 0) AS DOUBLE) -
+         |    CAST(c_$k AS DOUBLE) / CAST(nullif(n_cur, 0) AS DOUBLE))""".stripMargin
+    }
+    withMm.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        expr(s"greatest(${gaps.mkString(", ")})").as("ks_d"))
+      .orderBy(col("event_type"))
+  }
+
+  val ksDriftSql: String = {
+    def side(parity: Int) = s"event_id % 2 = $parity AND value IS NOT NULL"
+    def gk(k: Int) = s"(vmin + (vmax - vmin) * ${k.toDouble / (ksGridPoints - 1)})"
+    val sums =
+      Seq(s"sum(CASE WHEN ${side(0)} THEN 1 ELSE 0 END) AS n_ref",
+        s"sum(CASE WHEN ${side(1)} THEN 1 ELSE 0 END) AS n_cur") ++
+        (0 until ksGridPoints).flatMap { k =>
+          Seq(s"sum(CASE WHEN ${side(0)} AND value <= ${gk(k)} THEN 1 ELSE 0 END) AS r_$k",
+            s"sum(CASE WHEN ${side(1)} AND value <= ${gk(k)} THEN 1 ELSE 0 END) AS c_$k")
+        }
+    val gaps = (0 until ksGridPoints).map { k =>
+      s"""abs(CAST(r_$k AS DOUBLE) / CAST(nullif(n_ref, 0) AS DOUBLE) -
+         |    CAST(c_$k AS DOUBLE) / CAST(nullif(n_cur, 0) AS DOUBLE))""".stripMargin
+    }
+    s"""WITH mm AS (
+       |  SELECT min(value) AS vmin, max(value) AS vmax
+       |  FROM events WHERE value IS NOT NULL),
+       |c AS (
+       |  SELECT event_type,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM events, mm GROUP BY event_type)
+       |SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+       |  CAST(n_cur AS BIGINT) AS n_cur,
+       |  greatest(${gaps.mkString(", ")}) AS ks_d
+       |FROM c ORDER BY event_type""".stripMargin
+  }
 }

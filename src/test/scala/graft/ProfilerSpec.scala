@@ -22,6 +22,21 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("pairwise correlations agree with Spark's built-in corr to float tolerance") {
+    val rows = Profiler.profileCorrelations(spark, sf).collect()
+    assert(rows.length == Profiler.corrCols.combinations(2).size)
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val (x, y) = (r.getAs[String]("col_x"), r.getAs[String]("col_y"))
+      val got = r.getAs[Double]("corr_r")
+      assert(got >= -1.0000001 && got <= 1.0000001, s"$x/$y out of range: $got")
+      // built-in corr uses double accumulation (order-dependent), so
+      // compare loosely — the operator's decimal-exact path is the oracle
+      val ref = li.agg(corr(col(x), col(y))).collect()(0).getDouble(0)
+      assert(math.abs(got - ref) < 1e-6, s"$x/$y: $got vs $ref")
+    }
+  }
+
   test("sql dot_product is registered via GraftExtensions") {
     val r = spark.sql(
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()(0)

@@ -63,6 +63,35 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(s - (c + u + k) / 3.0) < 1e-12)
   }
 
+  test("ks drift matches a driver-side grid-ECDF recomputation") {
+    val rows = Quality.ksDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val (vmin, vmax) = (ev.map(_._3).min, ev.map(_._3).max)
+    val grid = (0 until Quality.ksGridPoints)
+      .map(k => vmin + (vmax - vmin) * (k.toDouble / (Quality.ksGridPoints - 1)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val ref = ev.filter(e => e._2 == t && e._1 % 2 == 0).map(_._3)
+      val cur = ev.filter(e => e._2 == t && e._1 % 2 == 1).map(_._3)
+      assert(r.getAs[Long]("n_ref") == ref.length && r.getAs[Long]("n_cur") == cur.length)
+      val d = grid.map { g =>
+        math.abs(ref.count(_ <= g).toDouble / ref.length -
+          cur.count(_ <= g).toDouble / cur.length)
+      }.max
+      val got = r.getAs[Double]("ks_d")
+      assert(math.abs(got - d) < 1e-12, s"$t: $got vs $d")
+      assert(got >= 0.0 && got <= 1.0)
+      // A/B halves of the same synthetic distribution: no gross drift
+      // (bound is loose — per-type samples are small at sf0.001)
+      assert(got < 0.5, s"$t unexpectedly large drift $got")
+    }
+  }
+
   test("anomaly stddev matches Spark's stddev_pop within fp tolerance") {
     val got = Quality.anomaly(spark, sf)
       .filter(col("table_name") === "events" && col("column_name") === "value")
