@@ -230,4 +230,91 @@ object EventAnalytics {
       |SELECT src_event, dst_event, n_transitions,
       |  CAST((n_transitions * 1000000) // sum(n_transitions) OVER (PARTITION BY src_event) AS BIGINT) AS p_e6
       |FROM g ORDER BY src_event, dst_event""".stripMargin
+
+  /** Event-RATE anomaly detection: per-minute tumbling counts per
+    * event_type, z-scored against that type's own rate distribution;
+    * the top-3 most extreme windows per type are surfaced with an
+    * |z| > 3 anomaly flag — the ops-monitoring "did ingest spike/stall
+    * this minute" primitive (quality_anomaly's time-axis sibling: that
+    * one scores VALUES, this scores ARRIVAL RATES).
+    *
+    * Shape: one corpus scan → (type, minute) keyed agg; everything
+    * after runs on aggregate-sized rows (types × minutes), with the
+    * stats windows partitioned BY TYPE (never a single global
+    * partition). Determinism: μ/σ derive from exact integer window
+    * sums (Σcnt, Σcnt²) with the identical double formula both
+    * engines; zero-variance types are filtered on the same exact
+    * predicate; ranking ties break on the unique minute key.
+    */
+  def qRateAnomaly(spark: SparkSession, dir: String): DataFrame =
+    rateAnomalyOf(Tables.events(spark, dir))
+
+  /** Per-type baseline (mean/std of per-minute arrival counts) for the
+    * streaming twin (StreamOps.rateMonitor): the types-sized static
+    * side of its stream-static join, refreshed from history on
+    * whatever cadence the pipeline re-plans. */
+  def rateBaselineOf(events: DataFrame): DataFrame = {
+    events
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_w"), sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .select(col("event_type"),
+        expr("CAST(sx AS DOUBLE) / n_w").as("mean_cnt"),
+        expr("sqrt(CAST(sxx AS DOUBLE) / n_w - (CAST(sx AS DOUBLE) / n_w) * (CAST(sx AS DOUBLE) / n_w))")
+          .as("std_cnt"))
+  }
+
+  /** Same operator over any (event_type, ts) frame — spec fixtures
+    * plant synthetic spikes through this entry. */
+  def rateAnomalyOf(events: DataFrame): DataFrame = {
+    val wcnt = events
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+      .agg(count(lit(1)).as("cnt"))
+    wcnt.select(col("event_type"), col("minute_us"), col("cnt"),
+        expr("count(*) OVER (PARTITION BY event_type)").as("n_w"),
+        expr("CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE)").as("sx"),
+        expr("CAST(sum(cnt * cnt) OVER (PARTITION BY event_type) AS DOUBLE)").as("sxx"))
+      .filter(expr("sxx / n_w - (sx / n_w) * (sx / n_w) > 0"))
+      .select(col("event_type"), col("minute_us"), col("cnt"),
+        expr("CAST(n_w AS BIGINT)").as("n_windows"),
+        expr("sx / n_w").as("mean_cnt"),
+        expr("sqrt(sxx / n_w - (sx / n_w) * (sx / n_w))").as("std_cnt"),
+        expr("(CAST(cnt AS DOUBLE) - sx / n_w) / sqrt(sxx / n_w - (sx / n_w) * (sx / n_w))").as("z"))
+      .withColumn("rk",
+        expr("row_number() OVER (PARTITION BY event_type ORDER BY abs(z) DESC, minute_us)"))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("minute_us"), col("cnt"), col("n_windows"),
+        col("mean_cnt"), col("std_cnt"), col("z"),
+        expr("abs(z) > 3.0").as("is_anomaly"))
+      .orderBy(col("event_type"), col("minute_us"))
+  }
+
+  val qRateAnomalySql: String =
+    """WITH wcnt AS (
+      |  SELECT event_type, epoch_us(date_trunc('minute', ts)) AS minute_us,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, minute_us, cnt,
+      |    count(*) OVER (PARTITION BY event_type) AS n_w,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS sx,
+      |    CAST(sum(cnt * cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS sxx
+      |  FROM wcnt),
+      |z AS (
+      |  SELECT event_type, minute_us, cnt,
+      |    CAST(n_w AS BIGINT) AS n_windows,
+      |    sx / n_w AS mean_cnt,
+      |    sqrt(sxx / n_w - (sx / n_w) * (sx / n_w)) AS std_cnt,
+      |    (CAST(cnt AS DOUBLE) - sx / n_w) / sqrt(sxx / n_w - (sx / n_w) * (sx / n_w)) AS z
+      |  FROM st WHERE sxx / n_w - (sx / n_w) * (sx / n_w) > 0)
+      |SELECT event_type, minute_us, cnt, n_windows, mean_cnt, std_cnt, z,
+      |  abs(z) > 3.0 AS is_anomaly
+      |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY abs(z) DESC, minute_us) AS rk
+      |      FROM z)
+      |WHERE rk <= 3
+      |ORDER BY event_type, minute_us""".stripMargin
 }

@@ -138,6 +138,30 @@ object StreamOps {
     *
     * `docs` needs (doc_id, ts, text); `corpusFps` needs (fp).
     */
+  /** Streaming rate-anomaly monitor — events_rate_anomaly's live twin:
+    * per-minute tumbling counts per event_type (watermarked, so window
+    * state is O(active windows)) z-scored against a STATIC per-type
+    * baseline (mean/std of per-minute arrival rates from history — a
+    * types-sized frame, broadcast by AQE in the stream-static join).
+    * Emits every closing window with its z; |z| > 3 flags a spike or
+    * stall the minute it closes — the "did ingest just break" pager
+    * signal, where the batch twin is the retrospective report.
+    *
+    * `events` needs (ts, event_type); `baseline` needs
+    * (event_type, mean_cnt, std_cnt) — see
+    * EventAnalytics.rateBaselineOf.
+    */
+  def rateMonitor(events: DataFrame, baseline: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(baseline, "event_type")
+      .select(col("w.start").as("minute"), col("event_type"), col("cnt"),
+        ((col("cnt").cast(DoubleType) - col("mean_cnt")) / col("std_cnt")).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 3.0)
+  }
+
   def incrementalDedup(docs: DataFrame, corpusFps: DataFrame): DataFrame = {
     docs
       .withColumn("fp", md5(col("text")))

@@ -64,6 +64,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("events_rate_anomaly flags a planted spike; stats match brute force") {
+    import graft.operators.EventAnalytics
+    def ts(min: Int, k: Int) =
+      new java.sql.Timestamp(1700000000000L + min * 60000L + k * 100L)
+    // 19 flat-ish minutes (4/6 alternating), then a 40-event spike
+    val rows = (0 until 19).flatMap { m =>
+      (0 until (if (m % 2 == 0) 4 else 6)).map(k => (ts(m, k), "click"))
+    } ++ (0 until 40).map(k => (ts(19, k), "click"))
+    import spark.implicits._
+    val out = EventAnalytics.rateAnomalyOf(rows.toDF("ts", "event_type")).collect()
+    assert(out.length == 3) // top-3 windows for the single type
+    val spike = out.maxBy(r => math.abs(r.getAs[Double]("z")))
+    assert(spike.getAs[Long]("cnt") == 40 && spike.getAs[Boolean]("is_anomaly"))
+    // brute-force stats over the 20 windows
+    val cnts = (0 until 19).map(m => if (m % 2 == 0) 4.0 else 6.0) :+ 40.0
+    val mean = cnts.sum / cnts.length
+    val std = math.sqrt(cnts.map(c => c * c).sum / cnts.length - mean * mean)
+    assert(math.abs(spike.getAs[Double]("mean_cnt") - mean) < 1e-12)
+    assert(math.abs(spike.getAs[Double]("std_cnt") - std) < 1e-12)
+    assert(math.abs(spike.getAs[Double]("z") - (40.0 - mean) / std) < 1e-12)
+    // non-spike flat windows are not anomalous
+    out.filter(_.getAs[Long]("cnt") <= 6).foreach(r =>
+      assert(!r.getAs[Boolean]("is_anomaly")))
+  }
+
   test("q_asof_join picks the max qualifying order (brute-force check)") {
     val got = Relational.qAsofJoin(spark, sf)
     val ev = Tables.events(spark, sf).select(col("event_id"),

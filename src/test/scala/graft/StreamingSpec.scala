@@ -108,6 +108,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.map(_._5).sum == 2L)
   }
 
+  test("streaming rate monitor flags a planted per-minute spike against the baseline") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    // history: type "click", minutes 0-9, 5 events each (flat rate);
+    // ...but with mild variation so std > 0: counts 4,6 alternating
+    def ts(min: Int, k: Int) =
+      new java.sql.Timestamp(1700000000000L + min * 60000L + k * 100L)
+    val hist = (0 until 10).flatMap { m =>
+      (0 until (if (m % 2 == 0) 4 else 6)).map(k => (ts(m, k), "click"))
+    }.toDF("ts", "event_type")
+    val baseline = EventAnalytics.rateBaselineOf(hist)
+    val b = baseline.collect().head
+    assert(b.getAs[Double]("mean_cnt") == 5.0 && b.getAs[Double]("std_cnt") == 1.0)
+    // live stream: minute 20 is normal (5), minute 21 spikes to 30
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    mem.addData((0 until 5).map(k => (ts(20, k), "click")) ++
+      (0 until 30).map(k => (ts(21, k), "click")))
+    val q = StreamOps.rateMonitor(mem.toDF().toDF("ts", "event_type"), baseline)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rate_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("rate_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("minute").getTime, r.getAs[Boolean]("is_anomaly"),
+        r.getAs[Double]("z"))).sortBy(_._1)
+    assert(got.length == 2)
+    assert(!got(0)._2 && got(0)._3 == 0.0)       // minute 20: z = (5-5)/1
+    assert(got(1)._2 && got(1)._3 == 25.0)       // minute 21: z = (30-5)/1
+  }
+
   test("streaming incremental dedup drops corpus dups and in-stream dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
