@@ -157,4 +157,54 @@ object Multimodal {
       |  FROM documents)
       |WHERE frame_idx % 5 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Perceptual-hash near-dup detection over OPAQUE PAYLOADS — the
+    * media-dedup gate of a multimodal pipeline: re-uploads, re-encodes
+    * with touched metadata, and truncated copies of the same asset
+    * should collapse without any codec. The byte-stream analogue of a
+    * DCT pHash: a 60-bit SimHash over the payload's distinct sliding
+    * 4-grams (content locality — two payloads sharing most local
+    * content land within a few bits), then the 4×15-bit chunk-banded
+    * candidate equi-join (complete for hamming ≤ 3; never all-pairs).
+    * Where a real codec IS available, swap the 4-gram features for
+    * decoded-frame features in the same (doc_id, h) contract —
+    * everything downstream (signature, banding, verify) is unchanged
+    * (Dedup.simhashPairsFromHashes).
+    *
+    * Distinct from dedup_simhash the way the reference separates
+    * text-dedup from asset-dedup: that one tokenizes WORDS (natural
+    * language), this slides byte/char windows over a payload with no
+    * token structure at all.
+    */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")))
+        .as("g"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").as("h"))
+    graft.text.Dedup.simhashPairsFromHashes(grams)
+  }
+
+  val phashPairsSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, length(text) - 2),
+      |    i -> substr(text, CAST(i AS INT), 4)))) AS g
+      |  FROM documents WHERE length(text) >= 4),
+      |h AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h FROM grams),
+      |bits AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, range(60) r(b)
+      |  GROUP BY doc_id, b),
+      |sigs AS (
+      |  SELECT doc_id, sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS sig
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

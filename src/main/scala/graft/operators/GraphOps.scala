@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over the trade graph the star schema implies:
+  * customers and suppliers are nodes, an order line connects them.
+  * PageRank here is the "which entities anchor the network" primitive —
+  * the same iterative-join shape GraphX/Pregel run, expressed as
+  * DataFrame rounds so Catalyst/AQE own the physical plan.
+  *
+  * Iterative-loop discipline (PLANS.md known-risk #6, the
+  * Dedup.components / BpeTrainer pattern): the edge list (+degrees) is
+  * localCheckpointed ONCE; each round's rank frame is checkpointed and
+  * the previous round freed — K rounds = K node-sized shuffles over a
+  * persisted edge relation, never a recomputation of the lineage. On a
+  * cluster, swap localCheckpoint for reliable checkpoint(dir); at
+  * 100 TB the edge relation is a bucketed table on src so every round's
+  * rank⋈edges join co-locates (Lake.writeBucketed — zero edge reshuffle
+  * per round).
+  *
+  * Determinism contract: the ENTIRE iteration is fixed-point BIGINT
+  * arithmetic in units of 1e-9 rank mass — rank/deg is integer
+  * division, the damping update is (85·Σ) DIV 100, sums are exact
+  * longs. No double ever touches a round boundary, so there is no
+  * float-rounding seam for engines to disagree on (a first cut
+  * quantized doubles to DECIMAL(18,9) per round and the engines'
+  * double→decimal rounding disagreed by 1 ulp at the 9th digit — casts
+  * of shortest-repr-terminating doubles round differently in Spark's
+  * BigDecimal path vs DuckDB's binary path).
+  */
+object GraphOps {
+
+  /** Damping as a rational: 85/100 (never a double in the hot math). */
+  val dampingNum = 85L
+  val dampingDen = 100L
+  val unit = 1000000000L // 1e-9 rank units
+  val defaultIters = 3
+
+  /** Distinct customer↔supplier trade edges (both directions, so no
+    * node dangles: every node's rank mass has somewhere to go). */
+  private def tradePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+
+  def pageRank(spark: SparkSession, dir: String,
+               iters: Int = defaultIters): DataFrame = {
+    def free(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    val pairs = tradePairs(spark, dir)
+    val edges = pairs
+      .select(concat(lit("c:"), col("c").cast("string")).as("src"),
+        concat(lit("s:"), col("s").cast("string")).as("dst"))
+      .unionByName(pairs
+        .select(concat(lit("s:"), col("s").cast("string")).as("src"),
+          concat(lit("c:"), col("c").cast("string")).as("dst")))
+    // (src, dst, deg) materialized ONCE — the per-round join relation
+    val edgesDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    val n = edgesDeg.select(col("src")).distinct().count()
+    val initU = unit / n
+    val baseU = (unit - unit * dampingNum / dampingDen) / n
+    var rank = edgesDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(initU).as("rank_u"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = rank.join(edgesDeg, col("node") === col("src"))
+        .select(col("dst"), expr("rank_u DIV deg").as("contrib_u"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib_u")).as("sc"))
+        .select(col("dst").as("node"),
+          expr(s"CAST($baseU + ($dampingNum * sc) DIV $dampingDen AS BIGINT)")
+            .as("rank_u"))
+        .localCheckpoint(true)
+      free(rank)
+      rank = next
+    }
+    val out = rank
+      .select(col("node"), col("rank_u").as("rank_e9"))
+      .orderBy(col("rank_e9").desc, col("node"))
+      .limit(20)
+      // TakeOrdered holds only 20 rows; materializing releases the
+      // final round's checkpointed blocks for freeing below
+      .localCheckpoint(true)
+    free(rank)
+    out
+  }
+
+  def pageRankQuery(spark: SparkSession, dir: String): DataFrame =
+    pageRank(spark, dir)
+
+  /** Unrolled K-round oracle (the BpeTrainer MATERIALIZED-CTE pattern):
+    * each round re-derives the identical fixed-point update. */
+  val pageRankSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH pairs AS MATERIALIZED (
+              |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              |edges AS MATERIALIZED (
+              |  SELECT 'c:' || CAST(c AS VARCHAR) AS src, 's:' || CAST(s AS VARCHAR) AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT 's:' || CAST(s AS VARCHAR) AS src, 'c:' || CAST(c AS VARCHAR) AS dst FROM pairs),
+              |outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+              |nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM outdeg),
+              |r0 AS MATERIALIZED (
+              |  SELECT src AS node,
+              |    $unit // (SELECT n_nodes FROM nn) AS rank_u
+              |  FROM outdeg)""".stripMargin
+    for (k <- 1 to defaultIters) {
+      // the (1-d)·unit numerator is a pure constant — precomputed in
+      // Scala (DuckDB would otherwise multiply 1e9 * 85 in INT32 and
+      // overflow before widening)
+      val baseNumer = unit - unit * dampingNum / dampingDen
+      sb ++= s""",
+                |r$k AS MATERIALIZED (
+                |  SELECT e.dst AS node,
+                |    CAST($baseNumer // (SELECT n_nodes FROM nn) +
+                |         ($dampingNum * sum(r.rank_u // d.deg)) // $dampingDen AS BIGINT) AS rank_u
+                |  FROM r${k - 1} r
+                |  JOIN edges e ON r.node = e.src
+                |  JOIN outdeg d ON d.src = r.node
+                |  GROUP BY e.dst)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node, CAST(rank_u AS BIGINT) AS rank_e9 FROM r$defaultIters
+              |ORDER BY rank_e9 DESC, node LIMIT 20""".stripMargin
+    sb.result()
+  }
+}

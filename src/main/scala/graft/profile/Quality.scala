@@ -515,6 +515,56 @@ object Quality {
       .orderBy(col("event_type"))
   }
 
+  /** Benford first-significant-digit deviation over lineitem prices —
+    * the classic synthetic-data / fraud / corruption smell test for a
+    * profiling surface: naturally-occurring multi-magnitude amounts
+    * follow log10(1+1/d); a generator or truncation bug shows up as a
+    * flat (or spiked) digit histogram.
+    *
+    * Exactness: the first digit comes from the DECIMAL(12,2) string
+    * form (cross-engine stable — never from log10 of a double, whose
+    * last-ulp behavior libm does not pin down); observed shares are
+    * parts-per-million BIGINT integer division; EXPECTED shares are
+    * computed once in Scala and emitted as integer literals into BOTH
+    * plans. Every output cell is integer-exact. One scan, one 9-key
+    * agg; the grand-total window runs over the 9 aggregated rows.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val expPpm = benfordExpectedPpm
+    val caseExpr = "CASE " + expPpm.toSeq.sortBy(_._1).map { case (d, p) =>
+      s"WHEN digit = '$d' THEN CAST($p AS BIGINT) " }.mkString +
+      "ELSE CAST(0 AS BIGINT) END"
+    Tables.lineitem(spark, dir)
+      .select(substring(col("l_extendedprice").cast(DecimalType(12, 2))
+        .cast(StringType), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_rows"))
+      .select(col("digit"), col("n_rows"),
+        expr("CAST(n_rows * 1000000 DIV sum(n_rows) OVER () AS BIGINT)").as("obs_ppm"),
+        expr(caseExpr).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** log10(1+1/d) in ppm, rounded once in Scala — the shared constant
+    * table both engines receive as literals. */
+  def benfordExpectedPpm: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6)).toMap
+
+  val benfordSql: String = {
+    val caseExpr = "CASE " + benfordExpectedPpm.toSeq.sortBy(_._1).map { case (d, p) =>
+      s"WHEN digit = '$d' THEN CAST($p AS BIGINT) " }.mkString +
+      "ELSE CAST(0 AS BIGINT) END"
+    s"""WITH d AS (
+       |  SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit
+       |  FROM lineitem),
+       |g AS (SELECT digit, count(*) AS n_rows FROM d GROUP BY digit)
+       |SELECT digit, n_rows,
+       |  CAST((n_rows * 1000000) // sum(n_rows) OVER () AS BIGINT) AS obs_ppm,
+       |  $caseExpr AS exp_ppm,
+       |  CAST((n_rows * 1000000) // sum(n_rows) OVER () AS BIGINT) - $caseExpr AS dev_ppm
+       |FROM g ORDER BY digit""".stripMargin
+  }
+
   val ksDriftSql: String = {
     def side(parity: Int) = s"event_id % 2 = $parity AND value IS NOT NULL"
     def gk(k: Int) = s"(vmin + (vmax - vmin) * ${k.toDouble / (ksGridPoints - 1)})"

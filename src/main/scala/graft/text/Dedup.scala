@@ -424,6 +424,15 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
+    simhashPairsFromHashes(toks)
+  }
+
+  /** The SimHash core over any (doc_id, h) feature-hash frame: 60-bit
+    * signature from per-bit ±1 sums, then the 4×15-bit chunk-banded
+    * candidate equi-join (complete for hamming ≤ 3 by pigeonhole).
+    * Shared by the token SimHash above and the multimodal byte-gram
+    * pHash (mm.Multimodal.phashPairs). */
+  def simhashPairsFromHashes(toks: DataFrame): DataFrame = {
     val bitSums = (0 until 60).map { b =>
       sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1L).otherwise(-1L)).as(s"s_$b")
     }

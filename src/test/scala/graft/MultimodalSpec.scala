@@ -11,6 +11,37 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   def sf: String = TestSession.sf
 
+  test("phash pairs match a driver-side signature recompute; exact dups at hamming 0") {
+    val pairs = Multimodal.phashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    assert(pairs.nonEmpty)
+    // driver-side: recompute every doc's 60-bit signature from its
+    // distinct 4-grams and verify the FULL pair set (completeness of the
+    // chunk banding AND correctness of each hamming)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gramHash(g: String): Long =
+      java.lang.Long.parseLong(
+        md.digest(g.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val sigs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .filter(_.getAs[String]("text").length >= 4)
+      .map { r =>
+        val t = r.getAs[String]("text")
+        val hs = (0 to t.length - 4).map(i => t.substring(i, i + 4)).distinct.map(gramHash)
+        val sig = (0 until 60).map { b =>
+          val s = hs.map(h => if (((h >> b) & 1L) == 1L) 1L else -1L).sum
+          if (s >= 0) 1L << b else 0L
+        }.sum
+        r.getAs[Long]("doc_id") -> sig
+      }
+    val expect = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      hm = java.lang.Long.bitCount(sa ^ sb) if hm <= 3
+    } yield (a, b, hm)).sortBy(p => (p._1, p._2))
+    assert(pairs.toSeq == expect.toSeq)
+    // exact duplicate payloads collapse at hamming 0
+    assert(pairs.exists(_._3 == 0))
+  }
+
   test("embed batches are bounded by batchSize and cover every doc") {
     val out = Multimodal.embedBatched(spark, sf, batchSize = 32).cache()
     assert(out.count() == Tables.documents(spark, sf).count())

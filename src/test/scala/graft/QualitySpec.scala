@@ -92,6 +92,22 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("benford digit profile: shares sum to ~1e6, expecteds match the constant table") {
+    val rows = Quality.benford(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("digit")).toSet.subsetOf((1 to 9).map(_.toString).toSet))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == Tables.lineitem(spark, sf).count())
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum <= 1000000L && obsSum > 1000000L - rows.length)
+    rows.foreach { r =>
+      val d = r.getAs[String]("digit").toInt
+      assert(r.getAs[Long]("exp_ppm") == Quality.benfordExpectedPpm(d))
+      assert(r.getAs[Long]("dev_ppm") ==
+        r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm"))
+    }
+    // the Benford expectation table itself sums to ~1e6
+    assert(math.abs(Quality.benfordExpectedPpm.values.sum - 1000000L) <= 5)
+  }
+
   test("anomaly stddev matches Spark's stddev_pop within fp tolerance") {
     val got = Quality.anomaly(spark, sf)
       .filter(col("table_name") === "events" && col("column_name") === "value")
