@@ -1,5 +1,6 @@
 package graft.output
 
+import graft.sources.Collector
 import graft.sources.Collector.{Artifact, TableInfo}
 
 /** Shared generator helpers for the round-4 artifact surfaces. */
@@ -142,7 +143,17 @@ object SqlDdlDoc {
     a.server.foreach(s =>
       sb ++= s"-- engine: ${s.engine} ${s.version}; collected at ${s.collectedAt}; ${s.tableCount} tables\n")
     sb ++= "\n"
-    a.tables.foreach { t =>
+    // tables render in FK-dependency order (parents first, stable
+    // within a layer) so the emitted DDL is executable as-is; the
+    // trailing ALTER TABLE ... FOREIGN KEY block then always finds
+    // both ends created
+    val layers = Collector.loadOrder(a).toMap
+    val ordered = a.tables.zipWithIndex
+      .sortBy { case (t, i) => (layers.getOrElse(t.name, 0), i) }.map(_._1)
+    val multiLayer = layers.values.exists(_ > 0)
+    ordered.foreach { t =>
+      if (multiLayer && t.columns.nonEmpty)
+        sb ++= s"-- load order: layer ${layers.getOrElse(t.name, 0)}\n"
       if (t.columns.isEmpty) {
         sb ++= s"-- table ${t.name}: collection ${t.sampleStatus}, schema unavailable\n\n"
       } else {

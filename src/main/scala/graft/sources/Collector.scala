@@ -831,6 +831,41 @@ object Collector {
     }
   }
 
+  /** FK-dependency LOAD ORDER over an artifact: the layer each table
+    * occupies in the relationship DAG (parents-before-children), i.e.
+    * the order a restore/bulk-load must create and populate tables so
+    * every FK target exists first — the operational consumer of the
+    * reference's relationship model (models.rs ForeignKey; its docs
+    * render the graph, this makes it executable). Longest-path
+    * layering via |tables| rounds of edge relaxation (metadata-sized
+    * driver work, the catalog is never data-sized); a cycle simply
+    * stops relaxing at the round cap, leaving cycle members at their
+    * last stable layer — deterministic, and real engine catalogs are
+    * DAGs outside deliberate self-references (which are skipped).
+    */
+  def loadOrder(a: Artifact): Seq[(String, Int)] = {
+    val names = a.tables.map(_.name)
+    val present = names.toSet
+    val edges = a.foreignKeys
+      .filter(f => f.likely && f.childTable != f.parentTable &&
+        present(f.childTable) && present(f.parentTable))
+      .map(f => (f.childTable, f.parentTable)).distinct
+    val layer = scala.collection.mutable.Map(names.map(_ -> 0): _*)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < names.size) {
+      changed = false
+      rounds += 1
+      edges.foreach { case (child, parent) =>
+        if (layer(child) < layer(parent) + 1) {
+          layer(child) = layer(parent) + 1
+          changed = true
+        }
+      }
+    }
+    names.map(n => n -> layer(n))
+  }
+
   /** Reference's `validate` command, at the reference's depth
     * (dbsurveyor-core/src/validation.rs: identifier validation, type
     * checks, cross-references; dbsurveyor/src/output.rs:validate_schema):

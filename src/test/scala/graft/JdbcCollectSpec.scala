@@ -248,6 +248,17 @@ class JdbcCollectSpec extends AnyFunSuite {
     assert(mm.contains("}o--||"))
     assert(mm.toUpperCase.contains("EMP }O--|| DEPT") ||
       mm.contains("EMP }o--|| DEPT"))
+    // FK-dependency load order: dept(0) -> emp(1) -> assign(2), and the
+    // rendered DDL creates parents before children so it executes as-is
+    val layers = Collector.loadOrder(a)
+      .map { case (t, l) => t.toUpperCase -> l }.toMap
+    assert(layers("DEPT") == 0 && layers("EMP") == 1 && layers("ASSIGN") == 2)
+    val ddlU = ddl.toUpperCase
+    val depts = ddlU.indexOf("CREATE TABLE DEPT")
+    val emps = ddlU.indexOf("CREATE TABLE EMP ")
+    val assigns = ddlU.indexOf("CREATE TABLE ASSIGN")
+    assert(depts >= 0 && emps >= 0 && assigns >= 0 && depts < emps && emps < assigns)
+    assert(ddl.contains("-- load order: layer 2"))
     // type survives json round-trip and renders in the ddl
     val loaded = graft.output.ArtifactLoad.load(graft.output.ArtifactJson.render(a))
     assert(loaded == a)
