@@ -569,4 +569,70 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, cosine, bucket FROM ranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** ANN over a SCALAR-QUANTIZED index (SQ8) — the compressed-index leg
+    * of the similarity family: each dimension linearly quantized to
+    * [0,255] against per-dimension corpus [min,max], so the scanned
+    * index is uint8 codes (4× smaller than float32, 8× than double —
+    * at 100 TB the index that must stream through executors is the
+    * bottleneck, which is WHY production ANN quantizes). Ranking is
+    * integer squared-L2 over codes: every distance is an exact BIGINT,
+    * so ordering is bit-deterministic with no float seam; ties break on
+    * vec_id. Recall vs the exact float top-k is measured and pinned in
+    * DedupSimSpec (quantization, not search, is the only error source —
+    * the code scan is exhaustive; compose with IVF lists to cut the
+    * scan at scale, same contract as annIvf).
+    *
+    * Shape: per-dim stats are a 64-row broadcast; codes are one narrow
+    * map over the corpus; the query side is Q×64 code rows broadcast
+    * into the distance join; top-k is a bounded per-query window.
+    */
+  val sq8Queries = 20
+
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val dims = vectors(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+    val stats = dims.groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val codeExpr =
+      "CAST(CASE WHEN hi = lo THEN 0 ELSE least(floor((x - lo) / (hi - lo) * 255.0), 255.0) END AS BIGINT)"
+    val codes = dims.join(broadcast(stats), "d")
+      .select(col("vec_id"), col("d"), expr(codeExpr).as("code"))
+    val qcodes = codes.filter(col("vec_id") < sq8Queries)
+      .select(col("vec_id").as("query_id"), col("d"), col("code").as("qcode"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_q"), col("vec_id"))
+    codes.join(broadcast(qcodes), "d")
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum((col("qcode") - col("code")) * (col("qcode") - col("code")))
+        .as("dist_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("dist_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annSq8Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) - 1 AS d, v[CAST(i AS INT)] AS x
+       |  FROM e, range(1, 65) r(i)),
+       |stats AS (SELECT d, min(x) AS lo, max(x) AS hi FROM dims GROUP BY d),
+       |codes AS (
+       |  SELECT vec_id, dims.d,
+       |    CAST(CASE WHEN hi = lo THEN 0 ELSE least(floor((x - lo) / (hi - lo) * 255.0), 255.0) END AS BIGINT) AS code
+       |  FROM dims JOIN stats ON dims.d = stats.d),
+       |dist AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    sum((q.code - c.code) * (q.code - c.code)) AS dist_q
+       |  FROM codes q JOIN codes c ON q.d = c.d AND q.vec_id < $sq8Queries AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, dist_q,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_q, vec_id) AS INTEGER) AS rank
+       |  FROM dist)
+       |SELECT query_id, rank, vec_id AS neighbor_id, CAST(dist_q AS BIGINT) AS dist_q
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 }

