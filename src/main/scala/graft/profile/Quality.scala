@@ -515,6 +515,56 @@ object Quality {
       .orderBy(col("event_type"))
   }
 
+  /** Robust (median/MAD) outlier profile per event_type —
+    * quality_anomaly's heavy-tail-safe sibling: mean/stddev break down
+    * when the outliers they hunt inflate them (masking); the median and
+    * the median-absolute-deviation don't. Flags |0.6745·(x−med)/MAD| >
+    * 3.5 (the standard Iglewicz–Hoban modified z) and reports per-type
+    * counts.
+    *
+    * Two scans (medians need one, MAD needs the deviations from them)
+    * + one broadcast of the types-sized median frame; interpolated
+    * percentile is cross-engine deterministic (the q_quantiles
+    * contract: Spark percentile == DuckDB quantile_cont, both
+    * interpolate in double on the sorted values). Zero-MAD types
+    * (>50% identical values) emit NULL counts via nullif rather than
+    * an engine-divergent division-by-zero.
+    */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    ev.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CASE WHEN abs(0.6745 * (value - med) / nullif(mad, 0.0)) > 3.5 THEN 1 ELSE 0 END)")
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val outlierMadSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM ev GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM ev e JOIN med m USING (event_type) GROUP BY e.event_type)
+      |SELECT e.event_type, count(*) AS n, m.med, d.mad,
+      |  CAST(sum(CASE WHEN abs(0.6745 * (e.value - m.med) / nullif(d.mad, 0.0)) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM ev e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |GROUP BY e.event_type, m.med, d.mad
+      |ORDER BY e.event_type""".stripMargin
+
   /** Benford first-significant-digit deviation over lineitem prices —
     * the classic synthetic-data / fraud / corruption smell test for a
     * profiling surface: naturally-occurring multi-magnitude amounts

@@ -460,4 +460,47 @@ object TextStats {
       |  -(CAST(sc.sum_lp AS DOUBLE) / sc.n_tokens) AS avg_nll
       |FROM documents d LEFT JOIN sc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** Flesch reading-ease readability per document — the classic
+    * audience-level signal a curation pipeline buckets by (pair with
+    * quality gates to target a difficulty band; grade-level mixes are a
+    * standard dataset-curation axis). Syllables are the vowel-group
+    * heuristic (regex [aeiouy]+ runs per word on the lowered text —
+    * identical counts from one whole-text regexp pass); sentences are
+    * terminal-punctuation runs clamped to ≥1.
+    *
+    * Zero shuffle: all three counts are in-row regexp/array column
+    * work; the only exchange is the presentation sort. The score is
+    * IEEE double over integer counts with identical operation order
+    * both engines — bit-exact, emitted as DOUBLE (never CAST to int:
+    * Spark truncates double→BIGINT, DuckDB rounds — a cross-engine
+    * seam this family deliberately avoids).
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long")
+          .as("n_words"),
+        greatest(expr("size(regexp_extract_all(text, '[.!?]+', 0))"), lit(1))
+          .cast("long").as("n_sentences"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+          .cast("long").as("n_syllables"))
+      .filter(col("n_words") >= 1)
+      .withColumn("flesch",
+        expr("""206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               |        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)""".stripMargin))
+      .orderBy(col("doc_id"))
+  }
+
+  val readabilitySql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |          - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+      |FROM c WHERE n_words >= 1 ORDER BY doc_id""".stripMargin
 }

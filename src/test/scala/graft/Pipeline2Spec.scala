@@ -178,6 +178,29 @@ class Pipeline2Spec extends AnyFunSuite {
       rows.map(r => r.getAs[Long]("cpt_e4") * r.getAs[Long]("n_tokens")).sum / 10000)
   }
 
+  test("readability: flesch matches the formula on hand-counted fixtures") {
+    val rows = TextStats.readability(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (w, s, syl) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_syllables"))
+      assert(w >= 1 && s >= 1)
+      val expect = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (syl.toDouble / w)
+      assert(r.getAs[Double]("flesch") == expect,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // hand-checked fixture: known word/sentence/syllable counts
+    import spark.implicits._
+    val fx = Seq((1L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
+      .createOrReplaceTempView("fx_docs")
+    val c = spark.sql(
+      """SELECT size(filter(split(text, ' '), t -> t <> '')) AS w,
+        |  greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS s,
+        |  size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS syl
+        |FROM fx_docs""".stripMargin).collect().head
+    assert(c.getInt(0) == 6 && c.getInt(1) == 2 && c.getInt(2) == 6)
+  }
+
   test("centroid outliers rank the least-aligned vectors per label") {
     val rows = Similarity.centroidOutliers(spark, sf).collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))

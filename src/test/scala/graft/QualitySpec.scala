@@ -92,6 +92,31 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("mad outliers match a driver-side median/MAD recompute") {
+    val rows = Quality.outlierMad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf).select("event_type", "value").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      // interpolated (type-7) median — what percentile/quantile_cont compute
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vals = ev.filter(_._1 == t).map(_._2).toSeq
+      val med = medianOf(vals)
+      val mad = medianOf(vals.map(v => math.abs(v - med)))
+      assert(math.abs(r.getAs[Double]("med") - med) < 1e-9, s"$t med")
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 1e-9, s"$t mad")
+      val nOut = vals.count(v => math.abs(0.6745 * (v - med) / mad) > 3.5)
+      assert(r.getAs[Long]("n_outliers") == nOut, s"$t outliers")
+      assert(r.getAs[Long]("n") == vals.length)
+    }
+  }
+
   test("benford digit profile: shares sum to ~1e6, expecteds match the constant table") {
     val rows = Quality.benford(spark, sf).collect()
     assert(rows.map(_.getAs[String]("digit")).toSet.subsetOf((1 to 9).map(_.toString).toSet))
