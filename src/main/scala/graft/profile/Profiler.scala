@@ -127,6 +127,46 @@ object Profiler {
   val corrCols: Seq[String] = Seq("l_quantity", "l_extendedprice",
     "l_discount", "l_tax", "l_linenumber")
 
+  /** Temporal freshness profile of the time-bearing tables — the
+    * "is this source still flowing, and how fast" survey row (staleness
+    * and arrival-rate are the first questions against an unfamiliar
+    * warehouse; the reference's per-table metadata stops at row counts).
+    * One tiny agg per table; bounds in epoch MICROseconds (events.ts is
+    * parquet ns — both engines truncate to µs, the TESTDATA contract);
+    * span and rows/day via BIGINT integer division, integer-exact.
+    */
+  def profileFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val specs = Seq(("events", "ts"), ("lineitem", "l_shipdate"),
+      ("orders", "o_orderdate"))
+    specs.map { case (t, c) =>
+      Tables.table(spark, dir, t)
+        .agg(count(lit(1)).as("n_rows"),
+          // lineitem/orders parquet ts is NTZ; the session is pinned UTC,
+          // so the cast to instant-typed TIMESTAMP is the identity
+          unix_micros(min(col(c)).cast("timestamp")).as("min_us"),
+          unix_micros(max(col(c)).cast("timestamp")).as("max_us"))
+        .select(lit(t).as("table_name"), lit(c).as("time_column"),
+          col("n_rows"), col("min_us"), col("max_us"),
+          expr("CAST((max_us - min_us) DIV 86400000000 AS BIGINT)").as("span_days"),
+          expr("""CAST(CASE WHEN max_us > min_us
+                 |  THEN n_rows * 86400000000 DIV (max_us - min_us)
+                 |  ELSE NULL END AS BIGINT)""".stripMargin).as("rows_per_day"))
+    }.reduce(_ unionByName _).orderBy(col("table_name"))
+  }
+
+  val profileFreshnessSql: String =
+    Seq(("events", "ts"), ("lineitem", "l_shipdate"), ("orders", "o_orderdate"))
+      .map { case (t, c) =>
+        s"""SELECT '$t' AS table_name, '$c' AS time_column,
+           |  count(*) AS n_rows,
+           |  epoch_us(min($c)) AS min_us, epoch_us(max($c)) AS max_us,
+           |  CAST((epoch_us(max($c)) - epoch_us(min($c))) // 86400000000 AS BIGINT) AS span_days,
+           |  CAST(CASE WHEN epoch_us(max($c)) > epoch_us(min($c))
+           |    THEN (count(*) * 86400000000) // (epoch_us(max($c)) - epoch_us(min($c)))
+           |    ELSE NULL END AS BIGINT) AS rows_per_day
+           |FROM $t""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
   private val corrPairs: Seq[(Int, Int)] =
     for { i <- corrCols.indices; j <- corrCols.indices if i < j } yield (i, j)
 

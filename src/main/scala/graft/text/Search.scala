@@ -140,4 +140,59 @@ object Search {
       |  CAST(score_q AS DOUBLE) AS tfidf
       |FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
+
+  val phrases = Seq("table value", "fast spark")
+  val phraseTopN = 20
+
+  /** Exact-PHRASE retrieval — BM25's other half (bags of words can't
+    * answer "this exact sequence"): per fixed phrase, the top-20 docs
+    * by occurrence count. Occurrences via the replace-and-measure
+    * identity (len(text) − len(replace(text, p, ''))) / len(p) — pure
+    * integer in-row work, no tokenization, identical both engines.
+    *
+    * Ranking reuses the bounded TopKAgg aggregator keyed by phrase —
+    * k rows per (phrase × partition) ride the shuffle instead of every
+    * matching doc sorting through a per-phrase window partition (with
+    * |phrases| partitions that window would be the single-partition
+    * anti-shape at corpus scale).
+    */
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAgg
+    val occStructs = phrases.zipWithIndex.map { case (p, i) =>
+      struct(lit(i).cast("long").as("pid"),
+        expr(s"CAST((length(text) - length(replace(text, '$p', ''))) DIV ${p.length} AS BIGINT)")
+          .as("n_occ"))
+    }
+    val agg = new TopKAgg.TopK(phraseTopN)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array(occStructs: _*)).as("o"))
+      .filter(col("o.n_occ") >= 1)
+      .select(col("o.pid"), col("o.n_occ").cast("double").as("v"), col("doc_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn)
+      .flatMap { (pair: (Long, Seq[TopKAgg.Entry])) =>
+        pair._2.zipWithIndex.map { case ((v, id), i) =>
+          (phrases(pair._1.toInt), i + 1, id, v.toLong)
+        }
+      }
+      .toDF("phrase", "rank", "doc_id", "n_occ")
+      .orderBy(col("phrase"), col("rank"))
+  }
+
+  val searchPhraseSql: String = {
+    val values = phrases.map(p => s"('$p')").mkString(", ")
+    s"""WITH occ AS (
+       |  SELECT doc_id, p.phrase,
+       |    (length(text) - length(replace(text, p.phrase, ''))) // length(p.phrase) AS n_occ
+       |  FROM documents, (VALUES $values) p(phrase))
+       |SELECT phrase, CAST(rn AS INTEGER) AS rank, doc_id, CAST(n_occ AS BIGINT) AS n_occ
+       |FROM (
+       |  SELECT phrase, doc_id, n_occ,
+       |    row_number() OVER (PARTITION BY phrase ORDER BY n_occ DESC, doc_id) AS rn
+       |  FROM occ WHERE n_occ >= 1)
+       |WHERE rn <= $phraseTopN
+       |ORDER BY phrase, rank""".stripMargin
+  }
 }

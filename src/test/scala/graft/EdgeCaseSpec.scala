@@ -41,7 +41,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     // the sim_* family read events/embeddings and are out of scope here)
     "split_train_eval", "dedup_keep_best", "pack_shards", "mix_weights",
     "mix_apply", "text_pii_scan", "dedup_incremental", "text_bigram_nll",
-    "bpe_train", "text_quality_gate")
+    "bpe_train", "text_quality_gate",
+    // r5 additions on the documents path
+    "bpe_encode", "dedup_substring", "dedup_incremental_minhash",
+    "mm_dedup_phash", "text_readability")
 
   test("every document-path query survives the adversarial corpus") {
     docQueries.foreach { k =>

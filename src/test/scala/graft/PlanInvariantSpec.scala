@@ -73,4 +73,38 @@ class PlanInvariantSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges == 1 && p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("r5 zero-shuffle text ops: the only exchange is the presentation sort") {
+    // bpe_encode's ENCODE half and readability are pure per-row column
+    // work — the PLANS.md claim, asserted against the executed plan
+    for (q <- Seq("bpe_encode", "text_readability")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges == 1 && p.contains("Exchange rangepartitioning"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("r5 heavy aggregations avoid Expand (no countDistinct over exploded streams)") {
+    for (q <- Seq("dedup_substring", "profile_correlations", "q_user_paths")) {
+      val p = plan(q)
+      assert(!p.contains("Expand"), s"$q plans an Expand:\n$p")
+    }
+  }
+
+  test("ks drift is pure conditional aggregation — no window, no sort-based ECDF") {
+    val p = plan("quality_ks_drift")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sq8 broadcasts the per-dim stats and the query codes") {
+    val p = SparkEntry.queries("sim_ann_sq8")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    // the corpus code side is never broadcast: the distance join's
+    // streamed side stays partitioned
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -7,6 +7,63 @@ import graft.text.Search
   * tf/df values (cross-engine parity runs in the Verify/oracle gate).
   */
 class SearchSpec extends AnyFunSuite {
+
+  test("phrase search counts exact occurrences; ranks by count then doc") {
+    val rows = graft.text.Search.searchPhrase(TestSession.spark, TestSession.sf).collect()
+    assert(rows.nonEmpty)
+    val byPhrase = rows.groupBy(_.getAs[String]("phrase"))
+    val docs = Tables.documents(TestSession.spark, TestSession.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def countOcc(text: String, p: String): Int = {
+      var (i, n) = (text.indexOf(p), 0)
+      while (i >= 0) { n += 1; i = text.indexOf(p, i + p.length) }
+      n
+    }
+    byPhrase.foreach { case (p, rs) =>
+      assert(rs.length <= graft.text.Search.phraseTopN)
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      // counts exact vs a driver-side scan (note: replace-and-measure
+      // counts non-overlapping occurrences, same as indexOf stepping)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("n_occ") == countOcc(docs(r.getAs[Long]("doc_id")), p))
+      }
+      // ranking is (count desc, doc_id asc)
+      val key = sorted.map(r => (-r.getAs[Long]("n_occ"), r.getAs[Long]("doc_id"))).toSeq
+      assert(key == key.sorted)
+      // nothing outside the top-k beats the last ranked entry
+      val last = sorted.last
+      val cut = (last.getAs[Long]("n_occ"), last.getAs[Long]("doc_id"))
+      docs.foreach { case (id, t) =>
+        val c = countOcc(t, p).toLong
+        if (c >= 1 && !sorted.exists(_.getAs[Long]("doc_id") == id))
+          assert(c < cut._1 || (c == cut._1 && id > cut._2), s"$p doc $id")
+      }
+    }
+  }
+
+  test("freshness profile: bounds and rates reconcile with raw scans") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSession.spark
+    val rows = graft.profile.Profiler.profileFreshness(spark, TestSession.sf).collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSeq ==
+      Seq("events", "lineitem", "orders"))
+    rows.foreach { r =>
+      val t = r.getAs[String]("table_name")
+      val c = r.getAs[String]("time_column")
+      val df = Tables.table(spark, TestSession.sf, t)
+      assert(r.getAs[Long]("n_rows") == df.count())
+      val mm = df.agg(unix_micros(min(col(c)).cast("timestamp")),
+        unix_micros(max(col(c)).cast("timestamp"))).collect().head
+      assert(r.getAs[Long]("min_us") == mm.getLong(0) &&
+        r.getAs[Long]("max_us") == mm.getLong(1))
+      val span = (mm.getLong(1) - mm.getLong(0)) / 86400000000L
+      assert(r.getAs[Long]("span_days") == span)
+      if (mm.getLong(1) > mm.getLong(0))
+        assert(r.getAs[Long]("rows_per_day") ==
+          r.getAs[Long]("n_rows") * 86400000000L / (mm.getLong(1) - mm.getLong(0)))
+    }
+  }
   lazy val spark = TestSession.spark
 
   lazy val dir: String = {
