@@ -70,6 +70,63 @@ object Relational2 {
       |  FROM events GROUP BY event_type) t(event_type, n, qs)
       |ORDER BY event_type""".stripMargin
 
+  /** RFM customer segmentation — the classic warehouse mart query
+    * (recency / frequency / monetary quintiles → segment code): per
+    * customer with orders, days since last order (against the corpus
+    * max date — deterministic, no wall clock), order count, exact
+    * decimal spend; each dimension ntile(5)-scored with a custkey
+    * tiebreak so the quintile boundaries are bit-stable; output is the
+    * segment-level rollup (125 possible codes — aggregate-sized).
+    *
+    * Shape: one orders scan → per-customer agg; the three ntile windows
+    * run over the customer-sized aggregate (global windows — at true
+    * scale swap ntile for approx-percentile bucketing, same output
+    * contract; the rollup output is alphabet³-bounded either way).
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxDate = Tables.orders(spark, dir)
+      .agg(unix_micros(max(col("o_orderdate")).cast("timestamp")).as("max_us"))
+    val perCust = Tables.orders(spark, dir)
+      .crossJoin(broadcast(maxDate))
+      .groupBy(col("o_custkey"))
+      .agg(
+        expr("CAST((any_value(max_us) - unix_micros(CAST(max(o_orderdate) AS TIMESTAMP))) DIV 86400000000 AS BIGINT)")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(14, 2))).as("monetary_d"))
+    val scored = perCust
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary_d").desc, col("o_custkey"))))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_d")).cast(DoubleType).as("segment_revenue"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val qRfmSql: String =
+    """WITH mx AS (SELECT epoch_us(max(o_orderdate)) AS max_us FROM orders),
+      |per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST((any_value(mx.max_us) - epoch_us(max(o_orderdate))) // 86400000000 AS BIGINT) AS recency_days,
+      |    count(*) AS frequency,
+      |    sum(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary_d
+      |  FROM orders, mx GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT *,
+      |    CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INTEGER) AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY monetary_d DESC, o_custkey) AS INTEGER) AS m_score
+      |  FROM per_cust)
+      |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+      |  CAST(sum(monetary_d) AS DOUBLE) AS segment_revenue
+      |FROM scored GROUP BY 1, 2, 3
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   /** JSON property extraction from the events.props payload column:
     * per event_type, sum and distinct-count of the numeric `k` property.
     */

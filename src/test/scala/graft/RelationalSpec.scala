@@ -64,6 +64,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm segments partition the customer base into balanced quintiles") {
+    import graft.operators.Relational2
+    val rows = Relational2.qRfm(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // every score is 1..5 and each dimension's quintiles are balanced
+    // (ntile: sizes differ by at most 1)
+    for (dim <- Seq("r_score", "f_score", "m_score")) {
+      val perScore = rows.groupBy(_.getAs[Int](dim))
+        .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      assert(perScore.keySet == (1 to 5).toSet, dim)
+      assert(perScore.values.max - perScore.values.min <= 1, s"$dim $perScore")
+    }
+    // revenue reconciles with the raw table
+    val rev = rows.map(_.getAs[Double]("segment_revenue")).sum
+    val want = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(14,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(rev - want) < 1e-6 * math.abs(want))
+  }
+
   test("events_rate_anomaly flags a planted spike; stats match brute force") {
     import graft.operators.EventAnalytics
     def ts(min: Int, k: Int) =
