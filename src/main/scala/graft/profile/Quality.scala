@@ -515,6 +515,33 @@ object Quality {
       .orderBy(col("event_type"))
   }
 
+  /** Completeness OVER TIME — quality_completeness's temporal axis
+    * (a column that "is 2% null" may really be "was 0% null until the
+    * schema change in week 31, 40% since" — the point-in-time number
+    * hides exactly the incident drift monitoring exists to catch):
+    * per (week, event_type), event counts and the value-null rate in
+    * integer ppm. One scan, one keyed agg, every cell integer-exact.
+    */
+  def completenessTemporal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("week", col("ts"))).as("week_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"))
+      .select(col("week_us"), col("event_type"), col("n_events"),
+        col("n_null_value"),
+        expr("CAST(n_null_value * 1000000 DIV n_events AS BIGINT)").as("null_ppm"))
+      .orderBy(col("week_us"), col("event_type"))
+  }
+
+  val completenessTemporalSql: String =
+    """SELECT epoch_us(date_trunc('week', ts)) AS week_us, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+      |  CAST((sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS null_ppm
+      |FROM events GROUP BY 1, 2
+      |ORDER BY week_us, event_type""".stripMargin
+
   /** Robust (median/MAD) outlier profile per event_type —
     * quality_anomaly's heavy-tail-safe sibling: mean/stddev break down
     * when the outliers they hunt inflate them (masking); the median and

@@ -342,4 +342,77 @@ object Curation {
       |SELECT source, n_docs, n_tokens, weight, sample_share, natural_share,
       |  sample_share / natural_share AS boost
       |FROM shares ORDER BY source""".stripMargin
+
+  /** Temperature SWEEP of the source mix — how flat does the mixture
+    * get as T rises (mixWeights is the T=2 point; mix design picks T by
+    * looking at exactly this table): per source and T ∈ {1,2,4,8},
+    * weight = n_tokens^(1/T), its share, and the boost over the natural
+    * share.
+    *
+    * Determinism: 1/T powers for T = 2^k are k REPEATED sqrt calls —
+    * IEEE-correctly-rounded in both engines — never libm pow (whose
+    * last-ulp behavior is engine-specific, the same seam text_readability
+    * documents for casts). Shares divide doubles derived from exact
+    * integer token sums; the per-T share window runs over |sources|
+    * rows.
+    */
+  val mixTemperatures = Seq(1, 2, 4, 8)
+
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    def pow1OverT(t: Int): String = {
+      var e = "CAST(n_tokens AS DOUBLE)"
+      var k = t
+      while (k > 1) { e = s"sqrt($e)"; k /= 2 }
+      e
+    }
+    val g = Tables.documents(spark, dir)
+      .select(col("source"), expr(toksExpr).as("toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("n_tokens"))
+    // weights quantized to DECIMAL(24,6) BEFORE the window sum (the
+    // mixWeights device): a double window-sum is partition-order
+    // dependent and lost an ulp cross-engine on first contact
+    val perT = mixTemperatures.map { t =>
+      g.select(col("source"), lit(t).as("t"), col("n_tokens"),
+        expr(s"CAST(${pow1OverT(t)} AS DECIMAL(24,6))").as("weight_d"))
+    }.reduce(_ unionByName _)
+    val byT = Window.partitionBy(col("t"))
+    perT
+      .withColumn("sample_share",
+        col("weight_d").cast(DoubleType) /
+          sum(col("weight_d")).over(byT).cast(DoubleType))
+      .withColumn("weight", col("weight_d").cast(DoubleType))
+      .withColumn("natural_share",
+        col("n_tokens").cast(DoubleType) /
+          sum(col("n_tokens")).over(byT).cast(DoubleType))
+      .select(col("source"), col("t"), col("n_tokens"), col("weight"),
+        col("sample_share"), col("natural_share"),
+        (col("sample_share") / col("natural_share")).as("boost"))
+      .orderBy(col("source"), col("t"))
+  }
+
+  val mixTemperatureSql: String = {
+    def pow1OverT(t: Int): String = {
+      var e = "CAST(n_tokens AS DOUBLE)"
+      var k = t
+      while (k > 1) { e = s"sqrt($e)"; k /= 2 }
+      e
+    }
+    val perT = mixTemperatures.map { t =>
+      s"SELECT source, $t AS t, n_tokens, CAST(${pow1OverT(t)} AS DECIMAL(24,6)) AS weight_d FROM g"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT source,
+       |    CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |per_t AS (
+       |$perT)
+       |SELECT source, CAST(t AS INTEGER) AS t, n_tokens,
+       |  CAST(weight_d AS DOUBLE) AS weight,
+       |  CAST(weight_d AS DOUBLE) / CAST(sum(weight_d) OVER (PARTITION BY t) AS DOUBLE) AS sample_share,
+       |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER (PARTITION BY t) AS DOUBLE) AS natural_share,
+       |  (CAST(weight_d AS DOUBLE) / CAST(sum(weight_d) OVER (PARTITION BY t) AS DOUBLE)) /
+       |  (CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER (PARTITION BY t) AS DOUBLE)) AS boost
+       |FROM per_t ORDER BY source, t""".stripMargin
+  }
 }

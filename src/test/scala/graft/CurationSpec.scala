@@ -28,6 +28,24 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("temperature sweep: T=1 is the natural mix, higher T flattens it") {
+    val rows = Curation.mixTemperature(spark, dir).collect()
+    val byT = rows.groupBy(_.getAs[Int]("t"))
+    assert(byT.keySet == Curation.mixTemperatures.toSet)
+    byT.foreach { case (t, rs) =>
+      val shares = rs.map(_.getAs[Double]("sample_share"))
+      assert(math.abs(shares.sum - 1.0) < 1e-9, s"T=$t shares")
+      if (t == 1)
+        // weight == n_tokens exactly -> boost is identically 1
+        rs.foreach(r => assert(r.getAs[Double]("boost") == 1.0))
+    }
+    // flattening: the dominant source's share shrinks monotonically in T
+    val maxShare = Curation.mixTemperatures
+      .map(t => byT(t).map(_.getAs[Double]("sample_share")).max)
+    assert(maxShare.zip(maxShare.tail).forall { case (a, b) => b <= a + 1e-12 },
+      maxShare.toString)
+  }
+
   test("keepBest keeps exactly the highest-quality member per component") {
     val kept = Curation.keepBest(spark, dir).collect()
     val quality = TextStats.qualityScore(spark, dir)

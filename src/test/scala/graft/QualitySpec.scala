@@ -92,6 +92,19 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("temporal completeness reconciles with the whole-table null counts") {
+    val rows = Quality.completenessTemporal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    val totalNull = Tables.events(spark, sf).filter(col("value").isNull).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_null_value")).sum == totalNull)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("null_ppm") ==
+        r.getAs[Long]("n_null_value") * 1000000L / r.getAs[Long]("n_events"))
+    }
+  }
+
   test("mad outliers match a driver-side median/MAD recompute") {
     val rows = Quality.outlierMad(spark, sf).collect()
     assert(rows.nonEmpty)
