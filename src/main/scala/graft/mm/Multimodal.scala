@@ -158,6 +158,52 @@ object Multimodal {
       |WHERE frame_idx % 5 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize stage stub — the remaining named transform of the
+    * multimodal quartet (decode / feature-extract / RESIZE /
+    * frame-sample): each payload's decoded dimensions are fit inside a
+    * target box preserving aspect ratio (the letterbox contract every
+    * real image pipeline implements), emitting the output geometry and
+    * integer scale in parts-per-thousand. The pixel work is the
+    * stubbed part (no codec in this container); the geometry math —
+    * what the Spark plumbing actually schedules and what downstream
+    * batch shapes depend on — is real and exact: scale =
+    * min(maxW/w, maxH/h) computed in BIGINT per-mille arithmetic
+    * (floor), out dims = dim·scale_pm DIV 1000, never a float.
+    */
+  val resizeMaxW = 32
+  val resizeMaxH = 24
+
+  def resizeMeta(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(16 + octet_length(text) % 64 AS INT)").as("width"),
+        expr("CAST(16 + octet_length(text) % 48 AS INT)").as("height"))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr(s"least($resizeMaxW * 1000 DIV width, $resizeMaxH * 1000 DIV height)")
+          .cast("long").as("scale_pm"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale_pm"),
+        expr("CAST(width * scale_pm DIV 1000 AS INT)").as("out_width"),
+        expr("CAST(height * scale_pm DIV 1000 AS INT)").as("out_height"),
+        (col("scale_pm") < 1000).as("downscaled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val resizeMetaSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(16 + strlen(text) % 64 AS INT) AS width,
+       |    CAST(16 + strlen(text) % 48 AS INT) AS height
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, width, height,
+       |    CAST(least(($resizeMaxW * 1000) // width, ($resizeMaxH * 1000) // height) AS BIGINT) AS scale_pm
+       |  FROM g)
+       |SELECT doc_id, width, height, scale_pm,
+       |  CAST((width * scale_pm) // 1000 AS INT) AS out_width,
+       |  CAST((height * scale_pm) // 1000 AS INT) AS out_height,
+       |  scale_pm < 1000 AS downscaled
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** Perceptual-hash near-dup detection over OPAQUE PAYLOADS — the
     * media-dedup gate of a multimodal pipeline: re-uploads, re-encodes
     * with touched metadata, and truncated copies of the same asset

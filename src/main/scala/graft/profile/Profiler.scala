@@ -154,6 +154,61 @@ object Profiler {
     }.reduce(_ unionByName _).orderBy(col("table_name"))
   }
 
+  /** Shannon entropy of the categorical columns — the information
+    * density a schema survey uses to separate enum-like columns (low
+    * entropy), identifier-like columns (entropy ≈ log n) and candidate
+    * redaction targets; per column: distinct values, entropy in nats,
+    * and the normalized ratio against the log(distinct) maximum.
+    *
+    * Shape: one value-distribution agg per column (each scan pruned to
+    * one column), then the entropy term sum runs over the
+    * |distinct values| aggregate. Determinism: the psi contract — ln
+    * of exact integer-ratio doubles, each term quantized to
+    * DECIMAL(18,9) so the term SUM is exact and order-independent;
+    * single-valued columns emit entropy 0 exactly.
+    */
+  val entropyCols: Seq[(String, String)] = Seq(
+    ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+    ("events", "event_type"), ("documents", "lang"),
+    ("documents", "source"))
+
+  def profileEntropy(spark: SparkSession, dir: String): DataFrame = {
+    entropyCols.map { case (t, c) =>
+      Tables.table(spark, dir, t)
+        .groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+        // term computed over the |distinct|-row aggregate, THEN summed
+        // (a window can't nest inside an aggregate)
+        .select(col("n"), expr(
+          """CAST(-(CAST(n AS DOUBLE) / sum(n) OVER ()) *
+            |  ln(CAST(n AS DOUBLE) / sum(n) OVER ()) AS DECIMAL(18,9))""".stripMargin)
+          .as("term"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("n")).as("n_rows"),
+          sum(col("term")).as("ent_d"))
+        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("n_distinct"), col("n_rows"),
+          col("ent_d").cast("double").as("entropy_nats"))
+    }.reduce(_ unionByName _)
+      .withColumn("entropy_ratio",
+        expr("""CASE WHEN n_distinct <= 1 THEN CAST(0 AS DOUBLE)
+               |  ELSE CAST(CAST(entropy_nats / ln(CAST(n_distinct AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) END""".stripMargin))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val profileEntropySql: String =
+    entropyCols.map { case (t, c) =>
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  count(*) AS n_distinct, CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(sum(term) AS DOUBLE) AS entropy_nats,
+         |  CASE WHEN count(*) <= 1 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(CAST(CAST(sum(term) AS DOUBLE) / ln(CAST(count(*) AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) END AS entropy_ratio
+         |FROM (
+         |  SELECT n,
+         |    CAST(-(CAST(n AS DOUBLE) / sum(n) OVER ()) *
+         |      ln(CAST(n AS DOUBLE) / sum(n) OVER ()) AS DECIMAL(18,9)) AS term
+         |  FROM (SELECT $c AS v, count(*) AS n FROM $t GROUP BY 1))""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+
   val profileFreshnessSql: String =
     Seq(("events", "ts"), ("lineitem", "l_shipdate"), ("orders", "o_orderdate"))
       .map { case (t, c) =>

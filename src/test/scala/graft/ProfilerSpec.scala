@@ -22,6 +22,47 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("column entropy matches a driver-side recompute; bounds hold") {
+    val rows = Profiler.profileEntropy(spark, sf).collect()
+    assert(rows.length == Profiler.entropyCols.length)
+    rows.foreach { r =>
+      val (t, c) = (r.getAs[String]("table_name"), r.getAs[String]("column_name"))
+      val counts = Tables.table(spark, sf, t).groupBy(col(c)).count()
+        .collect().map(_.getLong(1))
+      val n = counts.sum.toDouble
+      // recompute with the same DECIMAL(18,9) term quantization
+      val ent = counts.map { k =>
+        BigDecimal(-(k / n) * math.log(k / n))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val got = r.getAs[Double]("entropy_nats")
+      assert(math.abs(got - ent) < 1e-9, s"$t.$c: $got vs $ent")
+      assert(r.getAs[Long]("n_distinct") == counts.length)
+      // 0 <= H <= ln(n_distinct); ratio in [0, 1]
+      // per-term HALF_UP quantization can exceed the analytic bound
+      // by ~|values|*5e-10 on uniform distributions
+      assert(got >= 0.0 && got <= math.log(counts.length.toDouble) + 1e-6)
+      val ratio = r.getAs[Double]("entropy_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0 + 1e-6, s"$t.$c ratio $ratio")
+    }
+  }
+
+  test("resize geometry: aspect preserved, never upscaled past the box") {
+    import graft.mm.Multimodal
+    val rows = Multimodal.resizeMeta(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      val pm = r.getAs[Long]("scale_pm")
+      assert(ow <= Multimodal.resizeMaxW && oh <= Multimodal.resizeMaxH)
+      assert(pm == math.min(Multimodal.resizeMaxW * 1000L / w,
+        Multimodal.resizeMaxH * 1000L / h))
+      assert(ow == w * pm / 1000 && oh == h * pm / 1000)
+      assert(r.getAs[Boolean]("downscaled") == (pm < 1000))
+    }
+  }
+
   test("pairwise correlations agree with Spark's built-in corr to float tolerance") {
     val rows = Profiler.profileCorrelations(spark, sf).collect()
     assert(rows.length == Profiler.corrCols.combinations(2).size)
