@@ -127,6 +127,59 @@ object Relational2 {
       |FROM scored GROUP BY 1, 2, 3
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** Customer-spend concentration (Lorenz deciles): how top-heavy is
+    * revenue — per spend decile, customer count, exact-decimal spend,
+    * spend share and cumulative share in ppm. The whale-vs-longtail
+    * question every marketplace/abuse/capacity analysis starts from
+    * (and RFM's aggregate complement: that one labels customers, this
+    * measures the inequality itself).
+    *
+    * Shape: one orders scan → customer-sized agg → ntile(10) over that
+    * aggregate (custkey tiebreak — bit-stable decile boundaries; same
+    * scale note as RFM: swap for approx-percentile bucketing at true
+    * scale) → 10-row rollup with a 10-row cumulative window. Shares in
+    * ppm by integer division over decimal-exact cents: every share
+    * cell integer-exact (the spend columns stay DECIMAL→DOUBLE).
+    */
+  def qSpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("spend_d"))
+    val deciled = perCust.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("spend_d"), col("o_custkey"))))
+    deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_d")).as("dec_spend"),
+        expr("CAST(sum(spend_d) * 100 AS BIGINT)").as("dec_cents"))
+      .select(col("decile"), col("n_customers"),
+        col("dec_spend").cast(DoubleType).as("decile_spend"),
+        expr("""CAST(dec_cents * 1000000 DIV
+               |  sum(dec_cents) OVER () AS BIGINT)""".stripMargin).as("share_ppm"),
+        expr("""CAST(sum(dec_cents) OVER (ORDER BY decile) * 1000000 DIV
+               |  sum(dec_cents) OVER () AS BIGINT)""".stripMargin).as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val qSpendDecilesSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend_d
+      |  FROM orders GROUP BY o_custkey),
+      |deciled AS (
+      |  SELECT spend_d,
+      |    CAST(ntile(10) OVER (ORDER BY spend_d, o_custkey) AS INTEGER) AS decile
+      |  FROM per_cust),
+      |g AS (
+      |  SELECT decile, count(*) AS n_customers,
+      |    sum(spend_d) AS dec_spend,
+      |    CAST(sum(spend_d) * 100 AS BIGINT) AS dec_cents
+      |  FROM deciled GROUP BY decile)
+      |SELECT decile, n_customers,
+      |  CAST(dec_spend AS DOUBLE) AS decile_spend,
+      |  CAST((dec_cents * 1000000) // sum(dec_cents) OVER () AS BIGINT) AS share_ppm,
+      |  CAST((sum(dec_cents) OVER (ORDER BY decile) * 1000000) // sum(dec_cents) OVER () AS BIGINT) AS cum_share_ppm
+      |FROM g ORDER BY decile""".stripMargin
+
   /** JSON property extraction from the events.props payload column:
     * per event_type, sum and distinct-count of the numeric `k` property.
     */

@@ -64,6 +64,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("spend deciles: Lorenz curve is convex-increasing and reconciles") {
+    import graft.operators.Relational2
+    val rows = Relational2.qSpendDeciles(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ==
+      Tables.orders(spark, sf).select("o_custkey").distinct().count())
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    // deciles ordered by spend: shares are non-decreasing (Lorenz convexity)
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a }, shares.toSeq.toString)
+    val cum = rows.map(_.getAs[Long]("cum_share_ppm"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a })
+    assert(cum.last == 1000000L) // the full cumulative is exactly 100%
+    // cumulative is the running sum of shares up to ppm-floor slack
+    cum.zip(shares.scanLeft(0L)(_ + _).tail).foreach { case (c, s) =>
+      assert(math.abs(c - s) <= 10, s"$c vs $s")
+    }
+  }
+
   test("rfm segments partition the customer base into balanced quintiles") {
     import graft.operators.Relational2
     val rows = Relational2.qRfm(spark, sf).collect()
