@@ -554,8 +554,9 @@ object Quality {
     * percentile is cross-engine deterministic (the q_quantiles
     * contract: Spark percentile == DuckDB quantile_cont, both
     * interpolate in double on the sorted values). Zero-MAD types
-    * (>50% identical values) emit NULL counts via nullif rather than
-    * an engine-divergent division-by-zero.
+    * (>50% identical values) count zero outliers — the nullif NULL
+    * falls out of the CASE identically in both engines, rather than an
+    * engine-divergent division-by-zero (Spark NULL vs DuckDB inf).
     */
   def outlierMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

@@ -85,4 +85,56 @@ class EdgeCaseSpec extends AnyFunSuite {
     val s = row.getAs[Double]("quality_score")
     assert(!s.isNaN && s >= 0.0 && s <= 1.0)
   }
+
+  /** Adversarial event log the generator can't produce: a zero-variance
+    * arrival rate (degenerate z denominator), an all-NULL value column
+    * (empty ECDF / absent MAD group), a constant value (zero MAD), and
+    * a single-event user (no transitions). Every events-path guard must
+    * degrade, not throw.
+    */
+  lazy val edgeEventsDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edge_ev").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val rows =
+      // "steady": exactly one event per minute -> rate variance 0
+      (0 until 10).map(m => (m.toLong, ts(m), 1L, "steady", Some(m * 1.0), """{"k": 1}""")) ++
+      // "allnull": value always NULL
+      (0 until 6).map(m => (100L + m, ts(m), 2L, "allnull", None: Option[Double], """{"k": 2}""")) ++
+      // "flat": constant value -> MAD 0, vmin == vmax within the type
+      (0 until 8).map(m => (200L + m, ts(m), 3L, "flat", Some(7.5), """{"k": 3}""")) ++
+      // single-event user, own type: one window -> rate variance 0 too
+      Seq((300L, ts(0), 999L, "solo", Some(1.0), """{"k": 4}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("events-path guards degrade on the adversarial log instead of throwing") {
+    import graft.operators.EventAnalytics
+    import graft.profile.Quality
+    // zero rate variance everywhere -> anomaly report is EMPTY, not a crash
+    assert(EventAnalytics.qRateAnomaly(spark, edgeEventsDir).count() == 0)
+    // all-NULL value type: ECDF sides are empty -> ks_d NULL via nullif
+    val ks = Quality.ksDrift(spark, edgeEventsDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        Option(r.getAs[Any]("ks_d"))).toMap
+    assert(ks("allnull").isEmpty)
+    assert(ks("flat").isDefined) // constant value: grid degenerate but defined
+    // zero MAD: the nullif NULL falls out of the CASE -> zero outliers
+    // (identical in DuckDB); the all-NULL type is dropped entirely
+    val mad = Quality.outlierMad(spark, edgeEventsDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(!mad.contains("allnull"))
+    assert(mad("flat").getAs[Double]("mad") == 0.0)
+    assert(mad("flat").getAs[Long]("n_outliers") == 0L)
+    // temporal completeness: ppm hits the exact boundaries
+    val ct = Quality.completenessTemporal(spark, edgeEventsDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("null_ppm")).toMap
+    assert(ct("allnull") == 1000000L && ct("flat") == 0L)
+    // a single-event user contributes zero transitions
+    val paths = EventAnalytics.qUserPaths(spark, edgeEventsDir).collect()
+    assert(paths.map(_.getAs[Long]("n_transitions")).sum ==
+      (10 - 1) + (6 - 1) + (8 - 1) + 0) // solo user: zero transitions
+  }
 }
