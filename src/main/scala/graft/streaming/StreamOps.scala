@@ -162,6 +162,38 @@ object StreamOps {
       .withColumn("is_anomaly", abs(col("z")) > 3.0)
   }
 
+  /** Streaming source-MIX monitor — mix_weights/mix_apply's live twin:
+    * is the ingest actually delivering the designed source mixture?
+    * Per closing window, realized per-source shares are compared to the
+    * TARGET shares (the mix design — a static, sources-sized map baked
+    * into the plan as conditional-sum columns, the q_pivot_events
+    * device; no stream-stream join of aggregates, which append mode
+    * cannot do), emitting the worst absolute share drift and the
+    * offending source. O(active windows) state; the source alphabet is
+    * config-sized by construction.
+    *
+    * `docs` needs (ts, source); `targets` maps source → designed share.
+    */
+  def mixMonitor(docs: DataFrame, targets: Map[String, Double],
+                 driftFlag: Double = 0.1): DataFrame = {
+    val sources = targets.keys.toSeq.sorted
+    val aggs = count(lit(1)).as("n_docs") +:
+      sources.map(s => sum(when(col("source") === s, 1L).otherwise(0L)).as(s"n_$s"))
+    val withShares = docs
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val drifts = sources.map(s =>
+      abs(col(s"n_$s").cast(DoubleType) / col("n_docs") - lit(targets(s))))
+    val worst = sources.zip(drifts).map { case (s, d) =>
+      struct(d.as("drift"), lit(s).as("source"))
+    }.reduce((a, b) => when(a("drift") >= b("drift"), a).otherwise(b))
+    withShares.select(col("w.start").as("hour"), col("n_docs"),
+      worst.getField("source").as("worst_source"),
+      worst.getField("drift").as("worst_drift"))
+      .withColumn("drifted", col("worst_drift") > driftFlag)
+  }
+
   def incrementalDedup(docs: DataFrame, corpusFps: DataFrame): DataFrame = {
     docs
       .withColumn("fp", md5(col("text")))

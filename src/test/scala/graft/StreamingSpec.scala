@@ -138,6 +138,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1)._2 && got(1)._3 == 25.0)       // minute 21: z = (30-5)/1
   }
 
+  test("streaming mix monitor flags the window where a source goes missing") {
+    import spark.implicits._
+    def ts(hour: Int, k: Int) =
+      new java.sql.Timestamp(1700000000000L + hour * 3600000L + k * 1000L)
+    val targets = Map("web" -> 0.5, "books" -> 0.5)
+    // hour 0 on-target (5/5); hour 1 books drops out (8 web, 2 books)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    mem.addData(
+      (0 until 5).map(k => (ts(0, k), "web")) ++
+        (0 until 5).map(k => (ts(0, k), "books")) ++
+        (0 until 8).map(k => (ts(1, k), "web")) ++
+        (0 until 2).map(k => (ts(1, k), "books")))
+    val q = StreamOps.mixMonitor(mem.toDF().toDF("ts", "source"), targets)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mix_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("mix_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").getTime,
+        r.getAs[Long]("n_docs"), r.getAs[Double]("worst_drift"),
+        r.getAs[Boolean]("drifted"))).sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0)._2 == 10 && got(0)._3 == 0.0 && !got(0)._4)
+    assert(got(1)._2 == 10 && math.abs(got(1)._3 - 0.3) < 1e-12 && got(1)._4)
+  }
+
   test("streaming incremental dedup drops corpus dups and in-stream dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
