@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed global ranking — the scale-safe replacement for
+  * `ntile(k).over(Window.orderBy(...))`. An empty-partitionBy window plans
+  * a SINGLE-partition WindowExec: every row of a data-sized frame funnels
+  * through one task's sort — the canonical scale-killer (the reference's
+  * sampling layer enforces the same "never sort the world" discipline,
+  * dbsurveyor postgres/sampling.rs).
+  *
+  * Shape here: `repartitionByRange` on the sort key — the SAME sampled,
+  * fully parallel range exchange a global ORDER BY uses — then a
+  * per-partition sort, then `zipWithIndex`, which runs one lightweight
+  * count-job over the partitions and assigns contiguous per-partition
+  * offsets (bounded driver state: one Long per partition). Ranks are a
+  * pure function of the total order, so the sampled boundary placement
+  * cannot change the answer — callers must include a unique tiebreak
+  * column so the order IS total. The result is `localCheckpoint`ed (the
+  * repo's lineage discipline, as in BpeTrainer/GraphOps) so chained
+  * rankings and the downstream aggregate don't recompute the range
+  * exchange once per action.
+  *
+  * This is one of the rare justified `.rdd` drops: Spark exposes no
+  * declarative "global contiguous rank without a single-partition window"
+  * (SPARK-? zipWithIndex remains the idiomatic answer); everything before
+  * and after stays DataFrame/codegen.
+  */
+object GlobalRank {
+
+  /** Adds a 1-based contiguous global rank column under the given total
+    * order. `keys` must include a unique tiebreak (e.g. the entity key).
+    */
+  def withGlobalRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
+    val schema = StructType(sorted.schema :+ StructField(rankCol, LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(ranked, schema).localCheckpoint()
+  }
+
+  /** SQL-standard NTILE(k) as a closed-form expression over a contiguous
+    * 1-based rank: with q = n DIV k and r = n MOD k, tiles 1..r hold q+1
+    * rows and tiles r+1..k hold q — exactly Spark's and DuckDB's `ntile`
+    * semantics, so parity with a real ntile window over the same total
+    * order is bit-exact. All bounds are folded literals (n comes from a
+    * single driver-side count — one Long of driver state), so the score
+    * assignment is pure codegen'd arithmetic, no window at all.
+    */
+  def ntileFromRank(k: Int, n: Long, rankCol: String): Column = {
+    require(k > 0, "ntile bucket count must be positive")
+    val q = n / k
+    val r = n % k
+    // rows whose (rank-1) falls below r*(q+1) land in the first r (fat)
+    // tiles; the rest spread over the remaining thin tiles of size q.
+    // q==0 (n < k) keeps the ELSE branch unreachable; max(q,1) guards the
+    // division anyway.
+    expr(
+      s"""CAST(CASE WHEN ($rankCol - 1) < ${r * (q + 1)}
+         |  THEN ($rankCol - 1) DIV ${q + 1}
+         |  ELSE $r + (($rankCol - 1) - ${r * (q + 1)}) DIV ${math.max(q, 1L)}
+         |END + 1 AS INT)""".stripMargin)
+  }
+}

@@ -74,17 +74,19 @@ object Relational2 {
     * (recency / frequency / monetary quintiles → segment code): per
     * customer with orders, days since last order (against the corpus
     * max date — deterministic, no wall clock), order count, exact
-    * decimal spend; each dimension ntile(5)-scored with a custkey
-    * tiebreak so the quintile boundaries are bit-stable; output is the
+    * decimal spend; each dimension quintile-scored with a custkey
+    * tiebreak so the boundaries are bit-stable; output is the
     * segment-level rollup (125 possible codes — aggregate-sized).
     *
-    * Shape: one orders scan → per-customer agg; the three ntile windows
-    * run over the customer-sized aggregate (global windows — at true
-    * scale swap ntile for approx-percentile bucketing, same output
-    * contract; the rollup output is alphabet³-bounded either way).
+    * Shape: one orders scan → per-customer agg (localCheckpointed:
+    * counted once, ranked three ways); each dimension gets a
+    * DISTRIBUTED global rank (GlobalRank: parallel range exchange +
+    * zipWithIndex — never a single-partition window) and the quintile
+    * falls out of the closed-form ntile(rank, n) arithmetic. Bit-exact
+    * ntile semantics — the oracle keeps the literal `ntile` window —
+    * with no data-sized WindowExec anywhere in the plan.
     */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val maxDate = Tables.orders(spark, dir)
       .agg(unix_micros(max(col("o_orderdate")).cast("timestamp")).as("max_us"))
     val perCust = Tables.orders(spark, dir)
@@ -95,13 +97,18 @@ object Relational2 {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast(DecimalType(14, 2))).as("monetary_d"))
-    val scored = perCust
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("monetary_d").desc, col("o_custkey"))))
+      .localCheckpoint()
+    val n = perCust.count()
+    val ranked = GlobalRank.withGlobalRank(
+      GlobalRank.withGlobalRank(
+        GlobalRank.withGlobalRank(perCust,
+          "r_rank", col("recency_days"), col("o_custkey")),
+        "f_rank", col("frequency").desc, col("o_custkey")),
+      "m_rank", col("monetary_d").desc, col("o_custkey"))
+    val scored = ranked
+      .withColumn("r_score", GlobalRank.ntileFromRank(5, n, "r_rank"))
+      .withColumn("f_score", GlobalRank.ntileFromRank(5, n, "f_rank"))
+      .withColumn("m_score", GlobalRank.ntileFromRank(5, n, "m_rank"))
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("monetary_d")).cast(DoubleType).as("segment_revenue"))
@@ -134,20 +141,23 @@ object Relational2 {
     * (and RFM's aggregate complement: that one labels customers, this
     * measures the inequality itself).
     *
-    * Shape: one orders scan → customer-sized agg → ntile(10) over that
-    * aggregate (custkey tiebreak — bit-stable decile boundaries; same
-    * scale note as RFM: swap for approx-percentile bucketing at true
-    * scale) → 10-row rollup with a 10-row cumulative window. Shares in
+    * Shape: one orders scan → customer-sized agg → DISTRIBUTED decile
+    * assignment (GlobalRank: parallel range exchange + zipWithIndex +
+    * closed-form ntile arithmetic, custkey tiebreak — bit-stable decile
+    * boundaries, no single-partition window) → 10-row rollup with a
+    * 10-row cumulative window (aggregate-sized: benign). Shares in
     * ppm by integer division over decimal-exact cents: every share
     * cell integer-exact (the spend columns stay DECIMAL→DOUBLE).
     */
   def qSpendDeciles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("spend_d"))
-    val deciled = perCust.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("spend_d"), col("o_custkey"))))
+      .localCheckpoint()
+    val n = perCust.count()
+    val deciled = GlobalRank
+      .withGlobalRank(perCust, "c_rank", col("spend_d"), col("o_custkey"))
+      .withColumn("decile", GlobalRank.ntileFromRank(10, n, "c_rank"))
     deciled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend_d")).as("dec_spend"),

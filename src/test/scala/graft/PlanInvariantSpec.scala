@@ -93,6 +93,48 @@ class PlanInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("class guard: no empty-partitionBy WindowExec over non-aggregate-sized input") {
+    // An empty-partitionBy window plans a SINGLE-partition WindowExec —
+    // every input row sorted through one task. That is only tolerable when
+    // the input frame is aggregate-sized: the output of a groupBy whose
+    // keys all have fixed, data-independent domains. This sweep is the
+    // CLASS guard (VERDICT r5 next-steps #8): any future query that puts a
+    // global window over a data-sized frame fails here, by construction.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // Fixed-domain grouping keys (domain size in parens) — a groupBy on a
+    // subset of these is bounded regardless of data volume:
+    val boundedDims = Set(
+      "decile",      // ntile(10) bucket id (10)
+      "p_brand",     // part brand domain (25)
+      "digit",       // benford leading digit (9)
+      "source",      // documents source mixture lanes (4)
+      "lang",        // documents language tags (bounded tag set)
+      "event_type",  // events type alphabet (5)
+      "bucket",      // fixed histogram/grid bucket ids
+      "week"         // bounded reporting horizon of the temporal ops
+    ) ++
+      // the profiler's declared bounded-categorical registry (the entropy
+      // profile exists exactly because these have fixed small domains)
+      profile.Profiler.entropyCols.map(_._2)
+    val violations = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      p.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          val grouping = w.child.collectFirst {
+            case a: BaseAggregateExec => a.groupingExpressions.map(_.name).toSet
+          }
+          if (!grouping.exists(g => g.nonEmpty && g.subsetOf(boundedDims)))
+            violations += s"$name (grouping=$grouping)"
+        case _ => ()
+      }
+    }
+    assert(violations.isEmpty,
+      s"global (empty-partitionBy) WindowExec over non-bounded input — " +
+        s"use GlobalRank instead:\n${violations.mkString("\n")}")
+  }
+
   test("ks drift is pure conditional aggregation — no window, no sort-based ECDF") {
     val p = plan("quality_ks_drift")
     assert(!p.contains("Window"), p)
