@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output must reach stdout RAW — sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks the
+// driver's parse of Bench's one-JSON-line contract (BENCH_r04/r05:
+// "parsed": null).
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
