@@ -185,6 +185,12 @@ object ArtifactLoad {
           strs(field(c, "columns")), str(field(c, "detail")),
           str(field(c, "provenance")))
       }
+      val trigs = arr(optField(t, "triggers", JArr(Vector.empty))).map { trj =>
+        val tr = obj(trj)
+        TriggerInfo(str(field(tr, "name")), str(field(tr, "event")),
+          str(field(tr, "timing")), str(field(tr, "orientation")),
+          str(field(tr, "definition")))
+      }
       val layout = optField(t, "layout", JNull) match {
         case JNull => None
         case lj =>
@@ -210,7 +216,8 @@ object ArtifactLoad {
         samplingKey = sampling.get("key").map(str).getOrElse(""),
         indexes = idx,
         constraints = cons,
-        layout = layout)
+        layout = layout,
+        triggers = trigs)
     }
     val fks = arr(field(root, "foreign_keys")).map { fj =>
       val f = obj(fj)
@@ -241,7 +248,10 @@ object ArtifactLoad {
       case sj =>
         val sm = obj(sj)
         Some(ServerInfo(str(field(sm, "engine")), str(field(sm, "version")),
-          str(field(sm, "collected_at")), long(field(sm, "table_count")).toInt))
+          str(field(sm, "collected_at")), long(field(sm, "table_count")).toInt,
+          collectionDurationMs =
+            sm.get("collection_duration_ms").map(long).getOrElse(-1L),
+          accessLevel = optStr(sm, "access_level", "")))
     }
     Artifact(str(field(root, "format_version")), str(field(root, "source")),
       tables, fks, server, strs(field(root, "warnings")),

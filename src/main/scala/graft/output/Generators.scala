@@ -61,6 +61,11 @@ object ArtifactJson {
           s""""num_buckets": ${l.numBuckets}, """ +
           s""""sort_columns": ${l.sortColumns.map(q).mkString("[", ", ", "]")}}""")
         .getOrElse("null")
+      val trigs = t.triggers.map(tr =>
+        s"""{"name": ${q(tr.name)}, "event": ${q(tr.event)}, """ +
+          s""""timing": ${q(tr.timing)}, "orientation": ${q(tr.orientation)}, """ +
+          s""""definition": ${q(tr.definition)}}""")
+        .mkString("[", ", ", "]")
       s"""{
          |  "name": ${q(t.name)},
          |  "table_type": ${q(t.tableType)},
@@ -73,6 +78,7 @@ object ArtifactJson {
          |  "key_provenance": ${q(t.keyProvenance)},
          |  "indexes": $idx,
          |  "constraints": $cons,
+         |  "triggers": $trigs,
          |  "layout": $layout,
          |  "columns": $cols,
          |  "sample_header": ${t.sampleHeader.map(q).mkString("[", ", ", "]")},
@@ -97,7 +103,9 @@ object ArtifactJson {
       .mkString("[", ",\n", "]")
     val server = a.server.map(s =>
       s"""{"engine": ${q(s.engine)}, "version": ${q(s.version)}, """ +
-        s""""collected_at": ${q(s.collectedAt)}, "table_count": ${s.tableCount}}""")
+        s""""collected_at": ${q(s.collectedAt)}, "table_count": ${s.tableCount}, """ +
+        s""""collection_duration_ms": ${s.collectionDurationMs}, """ +
+        s""""access_level": ${q(s.accessLevel)}}""")
       .getOrElse("null")
     s"""{
        |"format_version": ${q(a.formatVersion)},
@@ -179,9 +187,15 @@ object SqlDdlDoc {
           if (t.keyProvenance == "collected") t.pkCandidates
           else t.pkCandidates.take(1)
         val inlinePk = pkCols.size == 1
-        // data-inferred range/enum constraints render as CHECK clauses
-        // (the reference's check-constraint surface, models.rs:156-175)
+        // constraints render as CHECK clauses (the reference's
+        // check-constraint surface, models.rs:156-175): engine-COLLECTED
+        // clauses verbatim under their constraint name, data-inferred
+        // range/enum candidates as reconstructed predicates
         val checks = t.constraints.collect {
+          case c if c.kind == "check" =>
+            val d = c.detail.trim
+            val clause = if (d.startsWith("(")) d else s"($d)"
+            s"  CONSTRAINT ${c.name} CHECK $clause -- ${c.provenance}"
           case c if c.kind == "range" && c.columns.size == 1 =>
             val bounds = c.detail.stripPrefix("[").stripSuffix("]").split(",")
             s"  CHECK (${c.columns.head} BETWEEN ${bounds(0)} AND ${bounds(1)}) -- ${c.provenance}"
@@ -215,6 +229,15 @@ object SqlDdlDoc {
         t.indexes.filterNot(ix => ix.columns == pkCols).foreach { ix =>
           val u = if (ix.unique) "UNIQUE " else ""
           sb ++= s"CREATE ${u}INDEX ${ix.name} ON ${t.name} (${ix.columns.mkString(", ")});\n"
+        }
+        // collected triggers render as comments: the metadata is surveyed
+        // (models.rs:216-241), never executed by a batch lake engine
+        t.triggers.foreach { tr =>
+          val orient =
+            if (tr.orientation.nonEmpty) s" FOR EACH ${tr.orientation.toUpperCase}" else ""
+          val defn = tr.definition.replaceAll("\\s+", " ").trim
+          sb ++= s"-- TRIGGER ${tr.name} ${tr.timing.toUpperCase.replace('_', ' ')} " +
+            s"${tr.event.toUpperCase} ON ${t.name}$orient: $defn\n"
         }
         sb ++= "\n"
         }
@@ -302,8 +325,14 @@ object HtmlDoc {
     sb ++= "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"
     sb ++= s"<title>${esc(a.source)}</title></head>\n<body>\n"
     sb ++= s"<h1>Database Documentation: ${esc(a.source)}</h1>\n"
-    a.server.foreach(s => sb ++=
-      s"<p>Engine: ${esc(s.engine)} ${esc(s.version)} &mdash; collected at ${esc(s.collectedAt)} &mdash; ${s.tableCount} tables</p>\n")
+    a.server.foreach { s =>
+      sb ++=
+        s"<p>Engine: ${esc(s.engine)} ${esc(s.version)} &mdash; collected at ${esc(s.collectedAt)} &mdash; ${s.tableCount} tables</p>\n"
+      val run = Seq(
+        if (s.collectionDurationMs >= 0) Some(s"duration ${s.collectionDurationMs} ms") else None,
+        if (s.accessLevel.nonEmpty) Some(s"access level ${esc(s.accessLevel)}") else None).flatten
+      if (run.nonEmpty) sb ++= s"<p>Collection run: ${run.mkString(", ")}</p>\n"
+    }
     sb ++= "<h2>Overview</h2>\n<table><tr><th>Table</th><th>Rows</th><th>Columns</th><th>Status</th><th>Sampling</th></tr>\n"
     a.tables.foreach(t => sb ++=
       s"<tr><td>${esc(t.name)}</td><td>${t.rowCount}</td><td>${t.columns.size}</td><td>${esc(t.sampleStatus)}</td><td>${esc(t.samplingStrategy)}</td></tr>\n")
@@ -355,6 +384,12 @@ object HtmlDoc {
           s"<tr><td>${esc(c.kind)}</td><td>${esc(c.columns.mkString(", "))}</td><td>${esc(c.detail)}</td><td>${esc(c.provenance)}</td></tr>\n")
         sb ++= "</table>\n"
       }
+      if (t.triggers.nonEmpty) {
+        sb ++= "<h3>Triggers</h3>\n<table><tr><th>Name</th><th>Timing</th><th>Event</th><th>Orientation</th><th>Definition</th></tr>\n"
+        t.triggers.foreach(tr => sb ++=
+          s"<tr><td>${esc(tr.name)}</td><td>${esc(tr.timing)}</td><td>${esc(tr.event)}</td><td>${esc(tr.orientation)}</td><td>${esc(tr.definition)}</td></tr>\n")
+        sb ++= "</table>\n"
+      }
       if (t.sampleRows.nonEmpty) {
         sb ++= s"<h3>Sample (${t.sampleRows.size} rows)</h3>\n<table>"
         sb ++= t.sampleHeader.map(esc).mkString("<tr><th>", "</th><th>", "</th></tr>\n")
@@ -378,8 +413,13 @@ object MarkdownDoc {
     val sb = new StringBuilder
     sb ++= s"# Database Documentation: ${a.source}\n\n"
     sb ++= s"Format version: ${a.formatVersion}\n\n"
-    a.server.foreach(s => sb ++=
-      s"Engine: ${s.engine} ${s.version} — collected at ${s.collectedAt} — ${s.tableCount} tables\n\n")
+    a.server.foreach { s =>
+      sb ++= s"Engine: ${s.engine} ${s.version} — collected at ${s.collectedAt} — ${s.tableCount} tables\n\n"
+      val run = Seq(
+        if (s.collectionDurationMs >= 0) Some(s"duration ${s.collectionDurationMs} ms") else None,
+        if (s.accessLevel.nonEmpty) Some(s"access level ${s.accessLevel}") else None).flatten
+      if (run.nonEmpty) sb ++= s"Collection run: ${run.mkString(", ")}\n\n"
+    }
     sb ++= "## Overview\n\n"
     sb ++= "| Table | Rows | Columns |\n| --- | --- | --- |\n"
     a.tables.foreach(t =>
@@ -438,6 +478,11 @@ object MarkdownDoc {
         sb ++= "\n### Constraints\n\n| Kind | Columns | Detail | Provenance |\n| --- | --- | --- | --- |\n"
         t.constraints.foreach(c =>
           sb ++= s"| ${c.kind} | ${c.columns.mkString(", ")} | ${c.detail.replace("|", "\\|")} | ${c.provenance} |\n")
+      }
+      if (t.triggers.nonEmpty) {
+        sb ++= "\n### Triggers\n\n| Name | Timing | Event | Orientation | Definition |\n| --- | --- | --- | --- | --- |\n"
+        t.triggers.foreach(tr =>
+          sb ++= s"| ${tr.name} | ${tr.timing} | ${tr.event} | ${tr.orientation} | ${tr.definition.replaceAll("\\s+", " ").replace("|", "\\|")} |\n")
       }
       if (t.sampleRows.nonEmpty) {
         sb ++= s"\n### Sample (${t.sampleRows.size} rows)\n\n"

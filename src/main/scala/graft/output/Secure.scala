@@ -7,12 +7,18 @@ import javax.crypto.{Cipher, SecretKeyFactory}
 import javax.crypto.spec.{GCMParameterSpec, PBEKeySpec, SecretKeySpec}
 
 /** Secure artifact output — the reference's `--compress` / `--encrypt`
-  * flags (dbsurveyor-collect: zstd compression, AES-GCM with Argon2id
-  * KDF). Re-expressed on the JDK's primitives: GZIP for compression and
-  * AES-256-GCM with PBKDF2-HMAC-SHA256 (the JDK has no zstd/Argon2;
-  * the container format and security properties — authenticated
-  * encryption, random salt + nonce per file, no credentials in output —
-  * are preserved).
+  * flags (dbsurveyor-collect: zstd compression producing
+  * `.dbsurveyor.json.zst`, AES-GCM with Argon2id KDF).
+  *
+  * Compression: REAL zstd via zstd-jni (the same public native codec
+  * Spark itself ships for shuffle/parquet — already on the classpath),
+  * byte-compatible with the reference's `.zst` artifacts; GZIP remains
+  * as the zero-dependency JDK fallback. Encryption: AES-256-GCM with
+  * PBKDF2-HMAC-SHA256 — the ONE declared substitution left (the JVM has
+  * no Argon2id): the container format and security properties
+  * (authenticated encryption, random salt + nonce per file, no
+  * credentials in output) are preserved; only the KDF hardness profile
+  * differs (PBKDF2@120k iterations is compute-hard but not memory-hard).
   *
   * File layout: magic "GRFT1" | 16-byte salt | 12-byte nonce | GCM
   * ciphertext(+tag). Compression is applied before encryption when both
@@ -33,6 +39,26 @@ object Secure {
 
   def gunzip(data: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(data))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Real zstd (reference main.rs:44 writes `.dbsurveyor.json.zst`):
+    * standard zstd frames via zstd-jni's streaming API — readable by any
+    * zstd tool, and any `.zst` artifact the reference wrote reads back.
+    */
+  def zstd(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zs = new com.github.luben.zstd.ZstdOutputStream(bos, 3)
+    zs.write(data); zs.close()
+    bos.toByteArray
+  }
+
+  def unzstd(data: Array[Byte]): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(new ByteArrayInputStream(data))
     val out = new ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     var n = in.read(buf)

@@ -215,7 +215,9 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     val viewDef =
       if (tableType == "view") viewDefinition(c, t).getOrElse("") else ""
     CollectedTableMeta(pks, indexes, notNull, tableType = tableType,
-      viewDefinition = viewDef)
+      viewDefinition = viewDef,
+      constraints = checkConstraints(c, t),
+      triggers = triggers(c, t))
   }
 
   /** Engine-specific view-definition lookup (reference models.rs:177-185
@@ -239,6 +241,83 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
         val r = if (rs.next()) Option(rs.getString(1)) else None
         rs.close()
         r
+      } finally ps.close()
+    }
+
+  /** Engine-declared CHECK constraints (reference models.rs:156-175
+    * Constraint.check_clause, ConstraintType::Check). JDBC has no
+    * neutral API for check clauses, so this is a per-dialect catalog
+    * query like viewDefinition: Derby reads SYS.SYSCHECKS joined to
+    * SYS.SYSCONSTRAINTS (TYPE 'C'); engines without a wired dialect
+    * degrade to "not collected" (empty). Collected-beats-inferred:
+    * these land with provenance = "collected" alongside the
+    * ConstraintInference candidates.
+    */
+  private def checkConstraints(c: java.sql.Connection, catalogTable: String)
+      : Seq[Collector.ConstraintInfo] =
+    if (!c.getMetaData.getDatabaseProductName.contains("Derby")) Nil
+    else {
+      val ps = c.prepareStatement(
+        """SELECT co.CONSTRAINTNAME, ck.CHECKDEFINITION
+          |FROM SYS.SYSCHECKS ck
+          |JOIN SYS.SYSCONSTRAINTS co ON ck.CONSTRAINTID = co.CONSTRAINTID
+          |JOIN SYS.SYSTABLES t ON co.TABLEID = t.TABLEID
+          |WHERE t.TABLENAME = ? AND co.TYPE = 'C'""".stripMargin)
+      try {
+        ps.setString(1, catalogTable)
+        val rs = ps.executeQuery()
+        val buf = Seq.newBuilder[Collector.ConstraintInfo]
+        while (rs.next())
+          buf += Collector.ConstraintInfo(rs.getString(1), "check",
+            Nil, detail = Option(rs.getString(2)).getOrElse(""),
+            provenance = "collected")
+        rs.close()
+        buf.result().sortBy(_.name)
+      } finally ps.close()
+    }
+
+  /** Engine DML trigger metadata (reference models.rs:216-241): Derby
+    * reads SYS.SYSTRIGGERS through the same dialect seam as
+    * viewDefinition/checkConstraints; the single-char catalog codes map
+    * to the reference's TriggerEvent ('I'/'U'/'D') and TriggerTiming
+    * ('B'/'A') enums, TYPE 'R'/'S' to the row/statement orientation.
+    */
+  private def triggers(c: java.sql.Connection, catalogTable: String)
+      : Seq[Collector.TriggerInfo] =
+    if (!c.getMetaData.getDatabaseProductName.contains("Derby")) Nil
+    else {
+      val ps = c.prepareStatement(
+        """SELECT tr.TRIGGERNAME, tr.EVENT, tr.FIRINGTIME, tr.TYPE,
+          |       tr.TRIGGERDEFINITION
+          |FROM SYS.SYSTRIGGERS tr
+          |JOIN SYS.SYSTABLES t ON tr.TABLEID = t.TABLEID
+          |WHERE t.TABLENAME = ?""".stripMargin)
+      try {
+        ps.setString(1, catalogTable)
+        val rs = ps.executeQuery()
+        val buf = Seq.newBuilder[Collector.TriggerInfo]
+        while (rs.next()) {
+          val event = rs.getString(2) match {
+            case "I" => "insert"
+            case "U" => "update"
+            case "D" => "delete"
+            case other => other.toLowerCase
+          }
+          val timing = rs.getString(3) match {
+            case "B" => "before"
+            case "A" => "after"
+            case other => other.toLowerCase
+          }
+          val orientation = rs.getString(4) match {
+            case "R" => "row"
+            case "S" => "statement"
+            case _ => ""
+          }
+          buf += Collector.TriggerInfo(rs.getString(1), event, timing,
+            orientation, Option(rs.getString(5)).getOrElse(""))
+        }
+        rs.close()
+        buf.result().sortBy(_.name)
       } finally ps.close()
     }
 
@@ -406,12 +485,14 @@ class CatalogSource(spark: SparkSession, tables: Seq[String])
 
 object Collector {
 
-  /** v1.1 adds: FK referential actions, view definitions, stored
-    * routines, custom types. v1.0 artifacts still load (ArtifactLoad
-    * defaults the new fields) and validate.
+  /** v1.1 added: FK referential actions, view definitions, stored
+    * routines, custom types. v1.2 adds: trigger metadata, collected
+    * CHECK constraints, collection-run metadata (duration + access
+    * level). Earlier artifacts still load (ArtifactLoad defaults every
+    * post-1.0 field) and validate.
     */
-  val currentFormatVersion = "1.1"
-  val supportedFormatVersions: Set[String] = Set("1.0", "1.1")
+  val currentFormatVersion = "1.2"
+  val supportedFormatVersions: Set[String] = Set("1.0", "1.1", "1.2")
 
   case class ColumnInfo(name: String, dataType: String, nullable: Boolean)
 
@@ -449,6 +530,17 @@ object Collector {
   case class CustomTypeInfo(name: String, kind: String,
       className: String = "")
 
+  /** Engine DML trigger metadata (reference models.rs:216-241 Trigger /
+    * TriggerEvent / TriggerTiming, serialized per table): event is
+    * insert | update | delete, timing before | after | instead_of,
+    * orientation row | statement ("" when the engine doesn't say),
+    * definition the triggered action SQL. Triggers are COLLECTED schema
+    * metadata — executing them stays out of scope for a batch lake
+    * engine, exactly like view definitions are collected but never run.
+    */
+  case class TriggerInfo(name: String, event: String, timing: String,
+      orientation: String = "", definition: String = "")
+
   /** Physical-layout metadata — the lake analogue of index metadata:
     * partition columns (directory pruning) and bucket/sort spec
     * (co-located joins), as recorded in the catalog that materialized
@@ -460,9 +552,15 @@ object Collector {
 
   /** Engine identity block (reference models.rs:272-326 DatabaseInfo:
     * engine/version/collection metadata serialized with the schema).
+    * v1.2 adds the reference's collection-run metadata
+    * (models.rs:261-310): collectionDurationMs (wall-clock of the
+    * collect() run, -1 = not recorded) and accessLevel — full when
+    * every table sampled successfully, limited when any degraded,
+    * schema_only under SamplingStrategy.NoSample ("" = not recorded).
     */
   case class ServerInfo(engine: String, version: String,
-      collectedAt: String, tableCount: Int)
+      collectedAt: String, tableCount: Int,
+      collectionDurationMs: Long = -1L, accessLevel: String = "")
 
   /** Collected (engine-catalog) per-table metadata from a
     * MetadataSource; any field may be empty when the engine doesn't
@@ -473,7 +571,8 @@ object Collector {
       layout: Option[LayoutInfo] = None,
       tableType: String = "table",
       viewDefinition: String = "",
-      constraints: Seq[ConstraintInfo] = Nil)
+      constraints: Seq[ConstraintInfo] = Nil,
+      triggers: Seq[TriggerInfo] = Nil)
 
   /** Per-table sampling outcome (reference SampleStatus,
     * models.rs:388-429): `success` at the requested limit, `partial`
@@ -491,7 +590,8 @@ object Collector {
       constraints: Seq[ConstraintInfo] = Nil,
       layout: Option[LayoutInfo] = None,
       tableType: String = "table",
-      viewDefinition: String = "")
+      viewDefinition: String = "",
+      triggers: Seq[TriggerInfo] = Nil)
 
   /** Relationship edge: inferred (KeyInference inclusion dependency)
     * or collected from an engine catalog (provenance = "collected",
@@ -607,6 +707,7 @@ object Collector {
       strategy: SamplingStrategy = SamplingStrategy.MostRecent,
       withConstraints: Boolean = false,
       collectedAt: String = java.time.Instant.now().toString): Artifact = {
+    val startNs = System.nanoTime()
     val loaded: Seq[(String, Option[DataFrame], Seq[String])] =
       source.tableNames.map { t =>
         try { val df = source.load(t); (t, Some(df), Nil) }
@@ -747,7 +848,8 @@ object Collector {
             constraints = meta.constraints ++ constraintMap.getOrElse(t, Nil),
             layout = meta.layout,
             tableType = meta.tableType,
-            viewDefinition = meta.viewDefinition)
+            viewDefinition = meta.viewDefinition,
+            triggers = meta.triggers)
         } catch {
           case e: Exception =>
             TableInfo(t, Nil, -1L, Nil, Nil, sampleStatus = "failed",
@@ -761,9 +863,19 @@ object Collector {
           s"engine identity read failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
         ("unknown", "unknown")
       }
+    // collection-run metadata (reference models.rs:261-310): wall-clock
+    // duration + the access-level classification the reference derives
+    // from what the run actually managed to read
+    val accessLevel =
+      if (strategy == SamplingStrategy.NoSample) "schema_only"
+      else if (tables.forall(_.sampleStatus == "success")) "full"
+      else "limited"
+    val durationMs = (System.nanoTime() - startNs) / 1000000L
     Artifact(currentFormatVersion, source.name, tables,
       collectedFks ++ inferredFks,
-      server = Some(ServerInfo(engineName, engineVersion, collectedAt, tables.size)),
+      server = Some(ServerInfo(engineName, engineVersion, collectedAt,
+        tables.size, collectionDurationMs = durationMs,
+        accessLevel = accessLevel)),
       warnings = artifactWarnings.result(),
       routines = routines, customTypes = customTypes)
   }
@@ -886,6 +998,10 @@ object Collector {
       if (s.engine.trim.isEmpty) errs += "server info: empty engine name"
       if (s.tableCount != a.tables.size)
         errs += s"server info: table count ${s.tableCount} != ${a.tables.size} tables"
+      if (!Set("", "full", "limited", "schema_only")(s.accessLevel))
+        errs += s"server info: unknown access level '${s.accessLevel}'"
+      if (s.collectionDurationMs < -1L)
+        errs += s"server info: negative collection duration ${s.collectionDurationMs}"
     }
     a.tables.groupBy(_.name).collect { case (n, ts) if ts.size > 1 =>
       errs += s"duplicate table name '$n'" }
@@ -942,7 +1058,7 @@ object Collector {
         t.indexes.groupBy(_.name).collect { case (n, is) if is.size > 1 =>
           errs += s"table ${t.name}: duplicate index name '$n'" }
         t.constraints.foreach { c =>
-          if (!Set("not_null", "unique", "range", "enum", "presence")(c.kind))
+          if (!Set("not_null", "unique", "range", "enum", "presence", "check")(c.kind))
             errs += s"table ${t.name}: unknown constraint kind '${c.kind}'"
           if (!validProvenance(c.provenance))
             errs += s"table ${t.name}: constraint ${c.name}: unknown provenance '${c.provenance}'"
@@ -956,6 +1072,17 @@ object Collector {
           if (l.bucketColumns.nonEmpty != (l.numBuckets > 0))
             errs += s"table ${t.name}: bucket columns and bucket count disagree"
         }
+        t.triggers.foreach { tr =>
+          if (badIdent(tr.name)) errs += s"table ${t.name}: invalid trigger name '${tr.name}'"
+          if (!Set("insert", "update", "delete")(tr.event))
+            errs += s"table ${t.name}: trigger ${tr.name}: unknown event '${tr.event}'"
+          if (!Set("before", "after", "instead_of")(tr.timing))
+            errs += s"table ${t.name}: trigger ${tr.name}: unknown timing '${tr.timing}'"
+          if (!Set("", "row", "statement")(tr.orientation))
+            errs += s"table ${t.name}: trigger ${tr.name}: unknown orientation '${tr.orientation}'"
+        }
+        t.triggers.groupBy(_.name).collect { case (n, ts) if ts.size > 1 =>
+          errs += s"table ${t.name}: duplicate trigger name '$n'" }
       }
     }
     val tableCols = a.tables.map(t => t.name -> t.columns.map(_.name).toSet).toMap

@@ -22,7 +22,8 @@ class JdbcCollectSpec extends AnyFunSuite {
     try {
       val st = conn.createStatement()
       // Derby has no DROP IF EXISTS — ignore first-run failures
-      Seq("DROP VIEW emp_pay", "DROP TABLE assign", "DROP TABLE emp",
+      Seq("DROP VIEW emp_pay", "DROP TRIGGER emp_upd_audit",
+        "DROP TRIGGER emp_del_gate", "DROP TABLE assign", "DROP TABLE emp",
         "DROP TABLE dept", "DROP FUNCTION tax_of",
         "DROP PROCEDURE grant_raise", "DROP TYPE money_t RESTRICT").foreach(s =>
         try st.execute(s) catch { case _: Exception => })
@@ -33,7 +34,16 @@ class JdbcCollectSpec extends AnyFunSuite {
           |  emp_id INT NOT NULL PRIMARY KEY,
           |  dept_id INT NOT NULL REFERENCES dept(dept_id),
           |  emp_name VARCHAR(60),
-          |  salary DOUBLE)""".stripMargin)
+          |  salary DOUBLE,
+          |  CONSTRAINT emp_sal_ck CHECK (salary > 0))""".stripMargin)
+      // DML triggers: an AFTER/row and a BEFORE/statement one (Derby
+      // forbids DML actions in NO CASCADE BEFORE triggers — VALUES is
+      // the engine's own no-op action form). Collection reads the
+      // catalog; nothing ever fires them.
+      st.execute(
+        "CREATE TRIGGER emp_upd_audit AFTER UPDATE ON emp FOR EACH ROW VALUES 1")
+      st.execute(
+        "CREATE TRIGGER emp_del_gate NO CASCADE BEFORE DELETE ON emp FOR EACH STATEMENT VALUES 1")
       st.execute("CREATE UNIQUE INDEX dept_name_ux ON dept(dept_name)")
       // NB: an index on emp(dept_id) would be absorbed into Derby's
       // FK backing index — index a non-constrained column instead
@@ -141,6 +151,37 @@ class JdbcCollectSpec extends AnyFunSuite {
     assert(Collector.validate(artifact).isEmpty)
   }
 
+  test("engine triggers and CHECK constraints are collected end-to-end (r6)") {
+    val emp = artifact.tables.find(_.name == "emp").get
+    // trigger metadata: event/timing enums + orientation + action SQL
+    val upd = emp.triggers.find(_.name == "EMP_UPD_AUDIT").get
+    assert(upd.event == "update" && upd.timing == "after" &&
+      upd.orientation == "row")
+    assert(upd.definition.toUpperCase.contains("VALUES 1"))
+    val del = emp.triggers.find(_.name == "EMP_DEL_GATE").get
+    assert(del.event == "delete" && del.timing == "before" &&
+      del.orientation == "statement")
+    // engine CHECK clause: collected provenance, real clause text
+    val ck = emp.constraints.find(_.kind == "check").get
+    assert(ck.name == "EMP_SAL_CK" && ck.provenance == "collected")
+    assert(ck.detail.toLowerCase.contains("salary"))
+    // renders in every doc format
+    val ddl = SqlDdlDoc.render(artifact)
+    assert(ddl.contains("CONSTRAINT EMP_SAL_CK CHECK"))
+    assert(ddl.contains("-- collected"))
+    assert(ddl.contains(
+      "-- TRIGGER EMP_UPD_AUDIT AFTER UPDATE ON emp FOR EACH ROW"))
+    assert(ddl.contains(
+      "-- TRIGGER EMP_DEL_GATE BEFORE DELETE ON emp FOR EACH STATEMENT"))
+    val md = MarkdownDoc.render(artifact)
+    assert(md.contains("### Triggers") && md.contains("EMP_UPD_AUDIT"))
+    assert(graft.output.HtmlDoc.render(artifact).contains("<h3>Triggers</h3>"))
+    // exact json round-trip + validation
+    val loaded = graft.output.ArtifactLoad.load(ArtifactJson.render(artifact))
+    assert(loaded == artifact)
+    assert(Collector.validate(artifact).isEmpty)
+  }
+
   test("engine custom types surface through getUDTs into the artifact") {
     val ct = artifact.customTypes.find(_.name.equalsIgnoreCase("MONEY_T")).get
     assert(ct.kind == "java_object" && ct.className == "java.util.BitSet")
@@ -202,6 +243,8 @@ class JdbcCollectSpec extends AnyFunSuite {
     val ghost = a.tables.find(_.name == "ghost").get
     assert(ghost.sampleStatus == "failed" && ghost.warnings.nonEmpty)
     assert(a.tables.find(_.name == "dept").get.sampleStatus == "success")
+    // a degraded table downgrades the run's access level (r6)
+    assert(a.server.get.accessLevel == "limited")
     assert(Collector.validate(a).isEmpty)
   }
 

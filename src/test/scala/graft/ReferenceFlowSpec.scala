@@ -37,12 +37,32 @@ class ReferenceFlowSpec extends AnyFunSuite {
 
   test("json artifact renders with expected structure and escaping") {
     val json = ArtifactJson.render(artifact)
-    assert(json.contains("\"format_version\": \"1.1\""))
+    assert(json.contains("\"format_version\": \"1.2\""))
     assert(json.contains("\"table_count\": 10"))
     Tables.all.foreach(t => assert(json.contains(s"\"name\": \"$t\"")))
     // quick structural sanity: balanced braces/brackets
     assert(json.count(_ == '{') == json.count(_ == '}'))
     assert(json.count(_ == '[') == json.count(_ == ']'))
+  }
+
+  test("collection-run metadata rides the artifact, docs, and round-trip (r6)") {
+    import graft.output.ArtifactLoad
+    val s = artifact.server.get
+    // wall-clock duration recorded; every table sampled fine -> full
+    assert(s.collectionDurationMs >= 0)
+    assert(s.accessLevel == "full")
+    val md = MarkdownDoc.render(artifact)
+    assert(md.contains(
+      s"Collection run: duration ${s.collectionDurationMs} ms, access level full"))
+    assert(graft.output.HtmlDoc.render(artifact).contains("access level full"))
+    // both fields survive render -> load
+    assert(ArtifactLoad.load(ArtifactJson.render(artifact)).server
+      .contains(s))
+    // metadata-only collection classifies as schema_only
+    val noSample = Collector.collect(new ParquetSource(spark, sf),
+      sampleSize = 3, strategy = Collector.SamplingStrategy.NoSample)
+    assert(noSample.server.get.accessLevel == "schema_only")
+    assert(Collector.validate(noSample).isEmpty)
   }
 
   test("artifact diff reports schema evolution and rowcount drift") {
