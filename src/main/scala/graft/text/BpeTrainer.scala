@@ -126,19 +126,45 @@ object BpeTrainer {
     * cpt_e4 = chars-per-token ×10⁴ via BIGINT integer division —
     * bit-exact cross-engine (no double rounding at the boundary).
     */
+  private val wordsCol: org.apache.spark.sql.Column =
+    filter(split(col("text"), " "), t => t =!= lit(""))
+
+  /** The per-word encode fold over a trained merge list: symbolize, run
+    * the padded double-replace chain in rank order, count symbols left.
+    */
+  private def encodeWordWith(learned: Array[(String, String)])(
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val spaced = concat(lit(" "), concat_ws(" ", split(t, "")), lit(" "))
+    val merged = learned.foldLeft(spaced) { case (c, (a, b)) =>
+      val pat = lit(s" $a $b ")
+      val rep = lit(s" $a$b ")
+      replace(replace(c, pat, rep), pat, rep)
+    }
+    size(split(trim(merged), " ")).cast("long")
+  }
+
+  /** `documents` with a learned-subword `toks` column — the BPE
+    * accounting unit the curation ops (pack_shards/mix_weights/
+    * mix_temperature) can budget with instead of whitespace tokens.
+    * Same zero-shuffle per-row fold as bpeEncode; a wordless document
+    * gets toks = 0 (aggregate over an empty array).
+    */
+  def withBpeTokens(spark: SparkSession, dir: String,
+      merges: Int = defaultMerges): DataFrame = {
+    val learned = bpeTrain(spark, dir, merges).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    Tables.documents(spark, dir)
+      .withColumn("toks",
+        aggregate(transform(wordsCol, encodeWordWith(learned) _), lit(0L),
+          (acc, x) => acc + x))
+  }
+
   def bpeEncode(spark: SparkSession, dir: String, merges: Int = defaultMerges): DataFrame = {
     val learned = bpeTrain(spark, dir, merges).collect()
       .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
-    val words = filter(split(col("text"), " "), t => t =!= lit(""))
-    def encodeWord(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val spaced = concat(lit(" "), concat_ws(" ", split(t, "")), lit(" "))
-      val merged = learned.foldLeft(spaced) { case (c, (a, b)) =>
-        val pat = lit(s" $a $b ")
-        val rep = lit(s" $a$b ")
-        replace(replace(c, pat, rep), pat, rep)
-      }
-      size(split(trim(merged), " ")).cast("long")
-    }
+    val words = wordsCol
+    def encodeWord(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      encodeWordWith(learned)(t)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(words).cast("long").as("n_words"),
@@ -202,16 +228,18 @@ object BpeTrainer {
         .mkString("\nUNION ALL\n") +
       "\nORDER BY rank"
 
-  /** Encode oracle: the same trained chain (scalar-subquery merges from
-    * top1..topK, in rank order) applied to every document word; the
-    * identical padded double-replace contract as bpeTrain's. */
-  val bpeEncodeSql: String = {
-    val chain = (1 to defaultMerges).foldLeft(
+  private val encodeChainSql: String =
+    (1 to defaultMerges).foldLeft(
       "' ' || array_to_string(string_split(token, ''), ' ') || ' '") { (acc, k) =>
       val pat = s"' ' || (SELECT pair FROM top$k) || ' '"
       val rep = s"' ' || (SELECT replace(pair, ' ', '') FROM top$k) || ' '"
       s"replace(replace($acc,\n    $pat, $rep),\n    $pat, $rep)"
     }
+
+  /** Encode oracle: the same trained chain (scalar-subquery merges from
+    * top1..topK, in rank order) applied to every document word; the
+    * identical padded double-replace contract as bpeTrain's. */
+  val bpeEncodeSql: String =
     s"""WITH $trainCtes,
        |doc_words AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
@@ -219,12 +247,26 @@ object BpeTrainer {
        |enc AS MATERIALIZED (
        |  SELECT doc_id, len(token) AS n_sym,
        |    len(string_split(trim(
-       |  $chain), ' ')) AS n_tok
+       |  $encodeChainSql), ' ')) AS n_tok
        |  FROM doc_words)
        |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  CAST((sum(n_sym) * 10000) // sum(n_tok) AS BIGINT) AS cpt_e4
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
+
+  /** The training chain + a per-document learned-subword token count
+    * (`doc_toks(doc_id, toks)`) — the oracle twin of withBpeTokens,
+    * shared by the BPE-budgeted curation oracles so the accounting unit
+    * can never drift between the ops and their oracles.
+    */
+  val docTokensCtes: String =
+    s"""$trainCtes,
+       |doc_words AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+       |  FROM documents),
+       |doc_toks AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(len(string_split(trim(
+       |  $encodeChainSql), ' '))) AS BIGINT) AS toks
+       |  FROM doc_words GROUP BY doc_id)""".stripMargin
 }

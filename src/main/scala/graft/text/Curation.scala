@@ -28,6 +28,42 @@ object Curation {
     "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
   private val toksExpr = "size(filter(split(text, ' '), t -> t <> ''))"
 
+  /** Token accounting units for the budgeted ops (pack_shards /
+    * mix_weights / mix_temperature): `whitespace` (the default; cheap
+    * single-scan) or `bpe` — learned subwords from the trained
+    * tokenizer (BpeTrainer.withBpeTokens), the unit a trainer's context
+    * window actually consumes. Both sides of each oracle pair derive
+    * the unit from the SAME shared definition (toksExpr here,
+    * BpeTrainer.docTokensCtes there), so the accounting can't drift.
+    */
+  val tokenSources: Seq[String] = Seq("whitespace", "bpe")
+
+  private def docsWithToks(spark: SparkSession, dir: String,
+      tokenSource: String): DataFrame = tokenSource match {
+    case "bpe" => BpeTrainer.withBpeTokens(spark, dir)
+    case "whitespace" => Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksExpr))
+    case other =>
+      throw new IllegalArgumentException(s"unknown token source '$other'")
+  }
+
+  /** The whitespace d-CTE (DuckDB) and its BPE twin — each feeds the
+    * shared packing SQL tail below.
+    */
+  private val whitespaceDocCte: String =
+    """d AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents)""".stripMargin
+  private val bpeDocCte: String =
+    s"""${BpeTrainer.docTokensCtes},
+       |d AS (
+       |  SELECT doc.doc_id, doc.source,
+       |    coalesce(dt.toks, 0) AS toks,
+       |    ('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents doc LEFT JOIN doc_toks dt ON doc.doc_id = dt.doc_id)""".stripMargin
+
   /** 98/1/1 train/valid/test assignment + per-(split, source, lang)
     * balance report. A hash split (rather than a positional one) keeps
     * membership stable under re-ingestion and appends — exactly why
@@ -153,10 +189,20 @@ object Curation {
     * md5-derived bucket is content-keyed, so lanes stay balanced even
     * when one source dominates the corpus.
     */
-  def packShards(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(
-      col("doc_id"), col("source"),
-      expr(toksExpr).as("toks"),
+  def packShards(spark: SparkSession, dir: String): DataFrame =
+    packShardsWith(spark, dir, "whitespace")
+
+  /** pack_shards in learned-subword units — the budget a trainer's
+    * context window actually fills (same plan; only the `toks` column
+    * derivation differs: the zero-shuffle BPE encode fold).
+    */
+  def packShardsBpe(spark: SparkSession, dir: String): DataFrame =
+    packShardsWith(spark, dir, "bpe")
+
+  def packShardsWith(spark: SparkSession, dir: String,
+      tokenSource: String): DataFrame = {
+    val d = docsWithToks(spark, dir, tokenSource).select(
+      col("doc_id"), col("source"), col("toks"),
       expr(bucketExpr).as("h"))
     val lanes = d.groupBy(col("source"))
       .agg(sum(col("toks")).as("src_tokens"))
@@ -178,12 +224,8 @@ object Curation {
       .orderBy(col("source"), col("bucket"), col("shard_id"))
   }
 
-  val packShardsSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, source,
-       |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks,
-       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-       |  FROM documents),
+  private def packShardsSqlFrom(docCte: String): String =
+    s"""WITH $docCte,
        |lanes AS (
        |  SELECT source, GREATEST(1, (CAST(sum(toks) AS BIGINT)
        |    + ${laneTokenTarget - 1}) // $laneTokenTarget) AS n_lanes
@@ -204,6 +246,9 @@ object Curation {
        |  CAST(sum(toks) AS DOUBLE) / ${shardCapacity.toDouble} AS fill_ratio
        |FROM sharded GROUP BY 1, 2, 3 ORDER BY source, bucket, shard_id""".stripMargin
 
+  val packShardsSql: String = packShardsSqlFrom(whitespaceDocCte)
+  val packShardsBpeSql: String = packShardsSqlFrom(bpeDocCte)
+
   /** Temperature-based source mixing weights: sample_share ∝
     * n_tokens^0.5 (alpha = 0.5, the sqrt flattening GPT-3 §2.2 / The
     * Pile apply so giant web crawls don't drown curated sources). Emits
@@ -220,9 +265,21 @@ object Curation {
     * Scale shape: one corpus aggregation to |sources| rows; the windows
     * run over those rows only.
     */
-  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
-      .select(col("source"), expr(toksExpr).as("toks"))
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    mixWeightsWith(spark, dir, "whitespace")
+
+  /** mix_weights in learned-subword units: the temperature re-weighting
+    * of what the trainer actually samples, not of whitespace proxy
+    * counts (a source of short words is under-weighted by whitespace
+    * accounting exactly when its subword-per-word ratio is low).
+    */
+  def mixWeightsBpe(spark: SparkSession, dir: String): DataFrame =
+    mixWeightsWith(spark, dir, "bpe")
+
+  def mixWeightsWith(spark: SparkSession, dir: String,
+      tokenSource: String): DataFrame = {
+    val g = docsWithToks(spark, dir, tokenSource)
+      .select(col("source"), col("toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
       .withColumn("weight",
@@ -324,24 +381,40 @@ object Curation {
       |FROM kept k JOIN rates2 r USING (source)
       |ORDER BY source""".stripMargin
 
-  val mixWeightsSql: String =
-    """WITH g AS (
+  /** The whitespace g-CTE and its BPE twin — each feeds the shared
+    * mixing SQL tail below.
+    */
+  private val whitespaceSourceCte: String =
+    """g AS (
       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY 1),
-      |w AS (
-      |  SELECT source, n_docs, n_tokens,
-      |    CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,6)) AS weight
-      |  FROM g),
-      |shares AS (
-      |  SELECT source, n_docs, n_tokens,
-      |    CAST(weight AS DOUBLE) AS weight,
-      |    CAST(weight AS DOUBLE) / CAST(sum(weight) OVER () AS DOUBLE) AS sample_share,
-      |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS natural_share
-      |  FROM w)
-      |SELECT source, n_docs, n_tokens, weight, sample_share, natural_share,
-      |  sample_share / natural_share AS boost
-      |FROM shares ORDER BY source""".stripMargin
+      |  FROM documents GROUP BY 1)""".stripMargin
+  private val bpeSourceCte: String =
+    s"""${BpeTrainer.docTokensCtes},
+       |g AS (
+       |  SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(coalesce(dt.toks, 0)) AS BIGINT) AS n_tokens
+       |  FROM documents doc LEFT JOIN doc_toks dt ON doc.doc_id = dt.doc_id
+       |  GROUP BY 1)""".stripMargin
+
+  private def mixWeightsSqlFrom(sourceCte: String): String =
+    s"""WITH $sourceCte,
+       |w AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,6)) AS weight
+       |  FROM g),
+       |shares AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(weight AS DOUBLE) AS weight,
+       |    CAST(weight AS DOUBLE) / CAST(sum(weight) OVER () AS DOUBLE) AS sample_share,
+       |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS natural_share
+       |  FROM w)
+       |SELECT source, n_docs, n_tokens, weight, sample_share, natural_share,
+       |  sample_share / natural_share AS boost
+       |FROM shares ORDER BY source""".stripMargin
+
+  val mixWeightsSql: String = mixWeightsSqlFrom(whitespaceSourceCte)
+  val mixWeightsBpeSql: String = mixWeightsSqlFrom(bpeSourceCte)
 
   /** Temperature SWEEP of the source mix — how flat does the mixture
     * get as T rises (mixWeights is the T=2 point; mix design picks T by
@@ -358,15 +431,19 @@ object Curation {
     */
   val mixTemperatures = Seq(1, 2, 4, 8)
 
-  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperatureWith(spark, dir, "whitespace")
+
+  def mixTemperatureWith(spark: SparkSession, dir: String,
+      tokenSource: String): DataFrame = {
     def pow1OverT(t: Int): String = {
       var e = "CAST(n_tokens AS DOUBLE)"
       var k = t
       while (k > 1) { e = s"sqrt($e)"; k /= 2 }
       e
     }
-    val g = Tables.documents(spark, dir)
-      .select(col("source"), expr(toksExpr).as("toks"))
+    val g = docsWithToks(spark, dir, tokenSource)
+      .select(col("source"), col("toks"))
       .groupBy(col("source"))
       .agg(sum(col("toks")).as("n_tokens"))
     // weights quantized to DECIMAL(24,6) BEFORE the window sum (the

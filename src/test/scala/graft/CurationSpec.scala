@@ -139,6 +139,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE token budgeting wires through pack/mix and agrees with bpe_encode (r6)") {
+    import graft.text.BpeTrainer
+    // the BPE accounting unit: total subwords across all shards must
+    // equal the sum of bpe_encode's per-doc n_tokens (two independent
+    // derivations of the same trained-tokenizer count)
+    val encTotal = BpeTrainer.bpeEncode(spark, dir).agg(sum(col("n_tokens")))
+      .collect().head.getLong(0)
+    val shardTotal = Curation.packShardsBpe(spark, dir)
+      .agg(sum(col("shard_tokens"))).collect().head.getLong(0)
+    assert(shardTotal == encTotal, s"shards $shardTotal vs encode $encTotal")
+    // mix_weights_bpe budgets in the same unit...
+    val mixTotal = Curation.mixWeightsBpe(spark, dir)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    assert(mixTotal == encTotal)
+    // ...and the subword unit genuinely differs from whitespace counting
+    val wsTotal = Curation.mixWeights(spark, dir)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    assert(mixTotal > wsTotal, s"bpe $mixTotal vs whitespace $wsTotal")
+    // the temperature sweep honors the selector too: its T=2 point is
+    // exactly mix_weights_bpe's sqrt weighting
+    val sweep = Curation.mixTemperatureWith(spark, dir, "bpe")
+      .filter(col("t") === 2).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("sample_share"))).toMap
+    Curation.mixWeightsBpe(spark, dir).collect().foreach { r =>
+      val (nt, share) = sweep(r.getAs[String]("source"))
+      assert(nt == r.getAs[Long]("n_tokens"))
+      assert(math.abs(share - r.getAs[Double]("sample_share")) < 1e-12)
+    }
+    // an unknown selector fails loudly, not silently-whitespace
+    intercept[IllegalArgumentException](
+      Curation.packShardsWith(spark, dir, "bytes"))
+  }
+
   test("mixApply realizes the target shares within hash-sampling noise") {
     val rows = Curation.mixApply(spark, dir).collect()
     val weights = Curation.mixWeights(spark, dir).collect()
