@@ -474,12 +474,16 @@ object Quality {
     *
     * Scale contract: a textbook KS needs a GLOBAL sort (single-partition
     * window — the anti-shape). This computes KS ON A FIXED GRID: 21
-    * evaluation points from the global [min,max] (1-row broadcast), each
-    * group's ECDF evaluated by conditional aggregation — ONE scan, one
-    * keyed agg, no ordered window anywhere. Grid-KS lower-bounds exact
-    * KS and converges as the grid refines; for drift MONITORING the
-    * fixed grid is standard practice (and refining it is a config
-    * change, not a reshape).
+    * evaluation points from each event_type's OWN [min,max] (a
+    * types-sized aggregate broadcast back — r6: the r5 grid used the
+    * global range, so a type whose values occupy a narrow slice got
+    * 1-2 effective grid points and its drift was badly understated),
+    * each group's ECDF evaluated by conditional aggregation — ONE scan,
+    * one keyed agg, no ordered window anywhere. Grid-KS lower-bounds
+    * exact KS and converges as the grid refines; for drift MONITORING
+    * the fixed grid is standard practice (and refining it is a config
+    * change, not a reshape). A type with no non-null values keeps its
+    * row (left join): zero counts, NULL ks_d.
     *
     * Split: even/odd event_id halves (the quality_psi A/B convention).
     * Determinism: counts are integers; ECDF ratios and |F_a−F_b| run in
@@ -493,8 +497,9 @@ object Quality {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
     val mm = ev.filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
-    val withMm = ev.crossJoin(broadcast(mm))
+    val withMm = ev.join(broadcast(mm), Seq("event_type"), "left")
     def side(parity: Int) = s"event_id % 2 = $parity AND value IS NOT NULL"
     def gk(k: Int) = s"(vmin + (vmax - vmin) * ${k.toDouble / (ksGridPoints - 1)})"
     val aggs =
@@ -606,6 +611,12 @@ object Quality {
     * computed once in Scala and emitted as integer literals into BOTH
     * plans. Every output cell is integer-exact. One scan, one 9-key
     * agg; the grand-total window runs over the 9 aggregated rows.
+    *
+    * Robustness (r6): the first SIGNIFICANT digit of abs(value), and
+    * only digits 1-9 enter the histogram — a negative sign or a sub-1
+    * value's leading '0' (impossible for l_extendedprice, but the
+    * column choice is config) would otherwise land in the ELSE-0
+    * exp_ppm branch and silently dilute the real digits' obs_ppm.
     */
   def benford(spark: SparkSession, dir: String): DataFrame = {
     val expPpm = benfordExpectedPpm
@@ -613,8 +624,9 @@ object Quality {
       s"WHEN digit = '$d' THEN CAST($p AS BIGINT) " }.mkString +
       "ELSE CAST(0 AS BIGINT) END"
     Tables.lineitem(spark, dir)
-      .select(substring(col("l_extendedprice").cast(DecimalType(12, 2))
+      .select(substring(abs(col("l_extendedprice")).cast(DecimalType(12, 2))
         .cast(StringType), 1, 1).as("digit"))
+      .filter(col("digit").between("1", "9"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_rows"))
       .select(col("digit"), col("n_rows"),
         expr("CAST(n_rows * 1000000 DIV sum(n_rows) OVER () AS BIGINT)").as("obs_ppm"),
@@ -633,9 +645,10 @@ object Quality {
       s"WHEN digit = '$d' THEN CAST($p AS BIGINT) " }.mkString +
       "ELSE CAST(0 AS BIGINT) END"
     s"""WITH d AS (
-       |  SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit
+       |  SELECT substr(CAST(CAST(abs(l_extendedprice) AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit
        |  FROM lineitem),
-       |g AS (SELECT digit, count(*) AS n_rows FROM d GROUP BY digit)
+       |g AS (SELECT digit, count(*) AS n_rows FROM d
+       |      WHERE digit BETWEEN '1' AND '9' GROUP BY digit)
        |SELECT digit, n_rows,
        |  CAST((n_rows * 1000000) // sum(n_rows) OVER () AS BIGINT) AS obs_ppm,
        |  $caseExpr AS exp_ppm,
@@ -658,12 +671,13 @@ object Quality {
          |    CAST(c_$k AS DOUBLE) / CAST(nullif(n_cur, 0) AS DOUBLE))""".stripMargin
     }
     s"""WITH mm AS (
-       |  SELECT min(value) AS vmin, max(value) AS vmax
-       |  FROM events WHERE value IS NOT NULL),
+       |  SELECT event_type, min(value) AS vmin, max(value) AS vmax
+       |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
        |c AS (
-       |  SELECT event_type,
+       |  SELECT e.event_type,
        |  ${sums.mkString(",\n  ")}
-       |  FROM events, mm GROUP BY event_type)
+       |  FROM events e LEFT JOIN mm USING (event_type)
+       |  GROUP BY e.event_type)
        |SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
        |  CAST(n_cur AS BIGINT) AS n_cur,
        |  greatest(${gaps.mkString(", ")}) AS ks_d

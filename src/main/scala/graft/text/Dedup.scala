@@ -505,8 +505,16 @@ object Dedup {
     * keys instead of 32-char strings (md5 here is the cross-engine
     * oracle contract), and raise the stride for the first pass.
     */
+  /** Default span-fingerprint geometry — the SQL oracle renders from
+    * these same constants (ADVICE r5: a hard-coded 40/10 in the SQL
+    * silently diverged from non-default Scala args).
+    */
+  val substringWindow = 40
+  val substringStride = 10
+
   def substringDup(spark: SparkSession, dir: String,
-                   window: Int = 40, stride: Int = 10): DataFrame = {
+                   window: Int = substringWindow,
+                   stride: Int = substringStride): DataFrame = {
     val wins = Tables.documents(spark, dir)
       .filter(length(col("text")) >= window)
       .select(col("doc_id"), explode(expr(
@@ -525,15 +533,17 @@ object Dedup {
   def substringDupQuery(spark: SparkSession, dir: String): DataFrame =
     substringDup(spark, dir)
 
-  val substringDupSql: String =
-    """WITH wins AS (
-      |  SELECT doc_id, md5(substr(text, CAST(i AS INT) * 10 + 1, 40)) AS win_md5
-      |  FROM (SELECT doc_id, text, unnest(range(0, (len(text) - 40) // 10 + 1)) AS i
-      |        FROM documents WHERE len(text) >= 40)),
-      |per_doc AS (
-      |  SELECT win_md5, doc_id, count(*) AS occ FROM wins GROUP BY 1, 2)
-      |SELECT win_md5, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ,
-      |  min(doc_id) AS sample_doc
-      |FROM per_doc GROUP BY win_md5 HAVING count(*) >= 2
-      |ORDER BY n_docs DESC, n_occ DESC, win_md5 LIMIT 100""".stripMargin
+  val substringDupSql: String = {
+    val (w, s) = (substringWindow, substringStride)
+    s"""WITH wins AS (
+       |  SELECT doc_id, md5(substr(text, CAST(i AS INT) * $s + 1, $w)) AS win_md5
+       |  FROM (SELECT doc_id, text, unnest(range(0, (len(text) - $w) // $s + 1)) AS i
+       |        FROM documents WHERE len(text) >= $w)),
+       |per_doc AS (
+       |  SELECT win_md5, doc_id, count(*) AS occ FROM wins GROUP BY 1, 2)
+       |SELECT win_md5, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ,
+       |  min(doc_id) AS sample_doc
+       |FROM per_doc GROUP BY win_md5 HAVING count(*) >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, win_md5 LIMIT 100""".stripMargin
+  }
 }

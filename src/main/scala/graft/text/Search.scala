@@ -144,6 +144,14 @@ object Search {
   val phrases = Seq("table value", "fast spark")
   val phraseTopN = 20
 
+  /** SQL string-literal escape for a phrase constant — phrases are
+    * interpolated into BOTH the Spark expr string and the DuckDB VALUES
+    * list, so a future phrase containing a quote must render as a legal
+    * literal in each (ADVICE r5: '$p' raw interpolation broke both
+    * plans at parse time on the first quoted phrase).
+    */
+  private def sqlLit(p: String): String = "'" + p.replace("'", "''") + "'"
+
   /** Exact-PHRASE retrieval — BM25's other half (bags of words can't
     * answer "this exact sequence"): per fixed phrase, the top-20 docs
     * by occurrence count. Occurrences via the replace-and-measure
@@ -161,7 +169,7 @@ object Search {
     import graft.functions.TopKAgg
     val occStructs = phrases.zipWithIndex.map { case (p, i) =>
       struct(lit(i).cast("long").as("pid"),
-        expr(s"CAST((length(text) - length(replace(text, '$p', ''))) DIV ${p.length} AS BIGINT)")
+        expr(s"CAST((length(text) - length(replace(text, ${sqlLit(p)}, ''))) DIV ${p.length} AS BIGINT)")
           .as("n_occ"))
     }
     val agg = new TopKAgg.TopK(phraseTopN)
@@ -182,7 +190,7 @@ object Search {
   }
 
   val searchPhraseSql: String = {
-    val values = phrases.map(p => s"('$p')").mkString(", ")
+    val values = phrases.map(p => s"(${sqlLit(p)})").mkString(", ")
     s"""WITH occ AS (
        |  SELECT doc_id, p.phrase,
        |    (length(text) - length(replace(text, p.phrase, ''))) // length(p.phrase) AS n_occ
