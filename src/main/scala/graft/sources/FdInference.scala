@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Functional-dependency discovery — the third leg of the metadata
+  * inference family (PKs: uniqueness, FKs: inclusion, FDs: determination).
+  * A column A functionally determines B when every A value maps to exactly
+  * one B value; violated FDs with few offending values are the classic
+  * "almost-FD" data-quality smell (a denormalized dimension drifting), and
+  * holding FDs are normalization candidates a schema surveyor reports
+  * (reference models.rs constraint surface stops at declared constraints;
+  * this infers the undeclared ones, like KeyInference does for keys).
+  *
+  * Per candidate (determinant → dependent) pair: distinct determinant
+  * values, distinct (det, dep) pairs, violating determinants (those with
+  * >1 dependent value), the worst fan-out, and the holds verdict
+  * (n_pairs == n_det). A unique-determinant FD holds trivially — the
+  * `det_is_keylike` flag (n_det == n_rows) separates those from real
+  * structure, so the consumer can rank discoveries.
+  *
+  * Scale shape, per pair: a two-column pruned scan → DISTINCT (det, dep)
+  * (map-side partial dedup — the shuffle carries distinct pairs, bounded
+  * by |domain(det)| × fan-out, not rows) → per-det count → one-row
+  * summary. Pairs are declared from the SCHEMA (catalog width², bounded),
+  * never data; each pair is an independent branch, so no Expand and no
+  * cross-pair shuffle. At 100 TB the same branches run over bucketed
+  * scans; an `approx_count_distinct` pre-filter can skip pairs whose
+  * determinant cardinality already exceeds the dependent's upper bound.
+  */
+object FdInference {
+
+  /** Candidate pairs: every ordered pair over the low-cardinality
+    * descriptive columns of each dimension (schema-declared, data-free).
+    */
+  val fdPairs: Seq[(String, String, String)] = Seq(
+    ("part", "p_name", "p_brand"), ("part", "p_name", "p_type"),
+    ("part", "p_brand", "p_type"), ("part", "p_type", "p_brand"),
+    ("part", "p_brand", "p_size"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("nation", "n_name", "n_regionkey"), ("nation", "n_regionkey", "n_name"),
+    ("supplier", "s_name", "s_nationkey"))
+
+  def inferFunctionalDeps(spark: SparkSession, dir: String): DataFrame = {
+    fdPairs.map { case (t, det, dep) =>
+      val base = Tables.table(spark, dir, t)
+        .select(col(det).cast("string").as("det"), col(dep).cast("string").as("dep"))
+        .filter(col("det").isNotNull)
+      val nRows = base.agg(count(lit(1)).as("n_rows"))
+      val perDet = base.distinct()
+        .groupBy(col("det")).agg(count(lit(1)).as("n_dep"))
+        .agg(count(lit(1)).as("n_det"),
+          sum(col("n_dep")).as("n_pairs"),
+          sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating_dets"),
+          max(col("n_dep")).as("max_fanout"))
+      perDet.crossJoin(nRows) // two 1-row frames
+        .select(lit(t).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_rows"), col("n_det"),
+          col("n_pairs"), col("n_violating_dets"), col("max_fanout"),
+          (col("n_pairs") === col("n_det")).as("holds"),
+          (col("n_det") === col("n_rows")).as("det_is_keylike"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("determinant"), col("dependent"))
+  }
+
+  val inferFunctionalDepsSql: String =
+    fdPairs.map { case (t, det, dep) =>
+      s"""SELECT '$t' AS table_name, '$det' AS determinant, '$dep' AS dependent,
+         |  (SELECT count(*) FROM $t WHERE $det IS NOT NULL) AS n_rows,
+         |  count(*) AS n_det,
+         |  CAST(sum(n_dep) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_dets,
+         |  CAST(max(n_dep) AS BIGINT) AS max_fanout,
+         |  CAST(sum(n_dep) AS BIGINT) = count(*) AS holds,
+         |  count(*) = (SELECT count(*) FROM $t WHERE $det IS NOT NULL) AS det_is_keylike
+         |FROM (
+         |  SELECT det, count(*) AS n_dep FROM (
+         |    SELECT DISTINCT CAST($det AS VARCHAR) AS det, CAST($dep AS VARCHAR) AS dep
+         |    FROM $t WHERE $det IS NOT NULL)
+         |  GROUP BY det)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, determinant, dependent")
+}

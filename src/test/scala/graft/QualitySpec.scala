@@ -71,11 +71,13 @@ class QualitySpec extends AnyFunSuite {
       .filter(!_.isNullAt(2))
       .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
         r.getAs[Double]("value")))
-    val (vmin, vmax) = (ev.map(_._3).min, ev.map(_._3).max)
-    val grid = (0 until Quality.ksGridPoints)
-      .map(k => vmin + (vmax - vmin) * (k.toDouble / (Quality.ksGridPoints - 1)))
     rows.foreach { r =>
       val t = r.getAs[String]("event_type")
+      // r6: grid from the type's OWN [min,max] (per-type sensitivity fix)
+      val tv = ev.filter(_._2 == t).map(_._3)
+      val (vmin, vmax) = (tv.min, tv.max)
+      val grid = (0 until Quality.ksGridPoints)
+        .map(k => vmin + (vmax - vmin) * (k.toDouble / (Quality.ksGridPoints - 1)))
       val ref = ev.filter(e => e._2 == t && e._1 % 2 == 0).map(_._3)
       val cur = ev.filter(e => e._2 == t && e._1 % 2 == 1).map(_._3)
       assert(r.getAs[Long]("n_ref") == ref.length && r.getAs[Long]("n_cur") == cur.length)
