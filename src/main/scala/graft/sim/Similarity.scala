@@ -635,4 +635,67 @@ object Similarity {
        |  FROM dist)
        |SELECT query_id, rank, vec_id AS neighbor_id, CAST(dist_q AS BIGINT) AS dist_q
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------------- SemDeDup
+  //
+  // Cluster-scoped semantic dedup (Abbas et al., SemDeDup): partition the
+  // embedding space into clusters, compare pairs ONLY within a cluster,
+  // and keep one representative per near-duplicate group. The cluster
+  // scoping is what makes semantic dedup tractable — candidate work is
+  // Σ|cluster|² instead of n², and each cluster's pair join is an
+  // independent equi-join shard.
+  //
+  // Clusters here are the 6-bit hyperplane buckets (the annLsh geometry —
+  // deterministic, literal-shared with the oracle). At production scale
+  // the cluster map is the IVF k-means quantizer (annIvf) with k grown
+  // ~n/target_cluster_size, which keeps per-cluster work bounded and the
+  // cid join key space wide; the contract downstream of the cluster
+  // column is identical. Drop rule, deterministic: a vector is dropped
+  // iff some same-cluster neighbor with cosine >= semTau has a SMALLER
+  // vec_id (keep-first greedy — the kept set is exactly the vectors with
+  // no retained smaller-id near-duplicate, no iteration needed).
+
+  val semTau = 0.45
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: feeds the keyed self-join (both sides) + the per-cluster base count
+    val idx = vectors(spark, dir).withColumn("cid", bucketExpr("v")).persist()
+    val aSide = idx.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val bSide = idx.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val hits = aSide.join(bSide, "cid")
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine("v_a", "v_b", col("nrm_a"), col("nrm_b")) >= semTau)
+      .select(col("cid"), col("a_id"), col("b_id"))
+    val base = idx.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val nPairs = hits.groupBy(col("cid")).agg(count(lit(1)).as("n_dup_pairs"))
+    val dropped = hits.select(col("cid"), col("b_id")).distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
+    base.join(nPairs, Seq("cid"), "left").join(dropped, Seq("cid"), "left")
+      .select(col("cid"), col("n_vecs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        expr("CAST(coalesce(n_dropped, 0) * 1000000 DIV n_vecs AS BIGINT)")
+          .as("drop_ppm"))
+      .orderBy(col("cid"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH $vectorsSql,
+       |idx AS (SELECT vec_id, v, nrm, CAST(${bucketSqlExpr("v")} AS BIGINT) AS cid FROM e),
+       |hits AS (
+       |  SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $semTau),
+       |base AS (SELECT cid, count(*) AS n_vecs FROM idx GROUP BY cid),
+       |np AS (SELECT cid, count(*) AS n_dup_pairs FROM hits GROUP BY cid),
+       |nd AS (SELECT cid, count(*) AS n_dropped FROM
+       |         (SELECT DISTINCT cid, b_id FROM hits) GROUP BY cid)
+       |SELECT base.cid, base.n_vecs,
+       |  CAST(coalesce(np.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       |  CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  CAST((coalesce(nd.n_dropped, 0) * 1000000) // base.n_vecs AS BIGINT) AS drop_ppm
+       |FROM base LEFT JOIN np USING (cid) LEFT JOIN nd USING (cid)
+       |ORDER BY cid""".stripMargin
 }

@@ -44,21 +44,36 @@ object FdInference {
     ("supplier", "s_name", "s_nationkey"))
 
   def inferFunctionalDeps(spark: SparkSession, dir: String): DataFrame = {
-    fdPairs.map { case (t, det, dep) =>
-      val base = Tables.table(spark, dir, t)
-        .select(col(det).cast("string").as("det"), col(dep).cast("string").as("dep"))
+    // ONE scan per table (not per pair): each table's candidate pairs ride
+    // a narrow in-row explode tagged by pair id, then one three-level
+    // aggregation chain — (pair, det, dep) cells → (pair, det) → pair
+    // summary. n_rows folds into the same chain as the cell-count sum, so
+    // there is no second scan and no 1-row cross join per pair (the first
+    // cut's 20 scans + 10 BroadcastNestedLoopJoins measured 8.5 s warm at
+    // sf0.1; this shape is 5 scans + 3 tiny exchanges per table).
+    fdPairs.groupBy(_._1).toSeq.map { case (t, pairs) =>
+      val structs = pairs.zipWithIndex.map { case ((_, det, dep), i) =>
+        struct(lit(i).as("pid"), lit(det).as("determinant"), lit(dep).as("dependent"),
+          col(det).cast("string").as("det"), col(dep).cast("string").as("dep"))
+      }
+      Tables.table(spark, dir, t)
+        .select(explode(array(structs: _*)).as("p"))
+        .select(col("p.pid").as("pid"), col("p.determinant").as("determinant"),
+          col("p.dependent").as("dependent"), col("p.det").as("det"), col("p.dep").as("dep"))
         .filter(col("det").isNotNull)
-      val nRows = base.agg(count(lit(1)).as("n_rows"))
-      val perDet = base.distinct()
-        .groupBy(col("det")).agg(count(lit(1)).as("n_dep"))
+        .groupBy(col("pid"), col("determinant"), col("dependent"), col("det"), col("dep"))
+        .agg(count(lit(1)).as("n_cell"))
+        .groupBy(col("pid"), col("determinant"), col("dependent"), col("det"))
+        .agg(count(lit(1)).as("n_dep"), sum(col("n_cell")).as("n_rows_det"))
+        .groupBy(col("pid"), col("determinant"), col("dependent"))
         .agg(count(lit(1)).as("n_det"),
           sum(col("n_dep")).as("n_pairs"),
+          sum(col("n_rows_det")).as("n_rows"),
           sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating_dets"),
           max(col("n_dep")).as("max_fanout"))
-      perDet.crossJoin(nRows) // two 1-row frames
-        .select(lit(t).as("table_name"), lit(det).as("determinant"),
-          lit(dep).as("dependent"), col("n_rows"), col("n_det"),
-          col("n_pairs"), col("n_violating_dets"), col("max_fanout"),
+        .select(lit(t).as("table_name"), col("determinant"), col("dependent"),
+          col("n_rows"), col("n_det"), col("n_pairs"), col("n_violating_dets"),
+          col("max_fanout"),
           (col("n_pairs") === col("n_det")).as("holds"),
           (col("n_det") === col("n_rows")).as("det_is_keylike"))
     }.reduce(_ unionByName _)

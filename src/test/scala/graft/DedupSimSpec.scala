@@ -223,6 +223,45 @@ class DedupSimSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Long]("dist_q") >= 0))
   }
 
+  test("semdedup: drop verdicts match a driver-side greedy within clusters") {
+    import graft.sim.Similarity
+    val rows = Similarity.semDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side recompute: bucket by the same hyperplane signs, then
+    // mark b dropped iff some same-bucket a < b has cosine >= tau
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+    def bucket(v: Array[Double]): Long =
+      (0 until Similarity.nPlanes).map { j =>
+        val d = Similarity.hyperplanes(j).zip(v).map { case (a, b) => a * b }
+          .foldLeft(0.0)(_ + _)
+        if (d >= 0.0) 1L << j else 0L
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCid = vecs.groupBy(v => bucket(v._2))
+    val expect = byCid.map { case (cid, vs) =>
+      val sorted = vs.sortBy(_._1)
+      val pairs = for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        if cos(sorted(i)._2, sorted(j)._2) >= Similarity.semTau
+      } yield (sorted(i)._1, sorted(j)._1)
+      cid -> (vs.length.toLong, pairs.length.toLong, pairs.map(_._2).distinct.length.toLong)
+    }
+    assert(rows.length == byCid.size)
+    rows.foreach { r =>
+      val (nv, np, nd) = expect(r.getAs[Long]("cid"))
+      assert(r.getAs[Long]("n_vecs") == nv)
+      assert(r.getAs[Long]("n_dup_pairs") == np, s"cid ${r.getAs[Long]("cid")} pairs")
+      assert(r.getAs[Long]("n_dropped") == nd)
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_vecs"))
+    }
+  }
+
   test("topk returns exactly 10 ranked neighbors per query") {
     val t = Similarity.topkBruteforce(spark, sf)
     val perQuery = t.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
