@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profile.{Histogram, Referential}
+
+class ReferentialHistSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("referential audit: clean lake reports zero orphans, totals reconcile") {
+    val rows = Referential.qualityReferential(spark, sf).collect()
+    assert(rows.length == Referential.edges.length)
+    rows.foreach { r =>
+      val ct = r.getAs[String]("child_table")
+      val cc = r.getAs[String]("child_column")
+      val n = Tables.table(spark, sf, ct).filter(col(cc).isNotNull).count()
+      assert(r.getAs[Long]("n_child_rows") == n, s"$ct.$cc rows")
+      assert(r.getAs[Long]("n_orphan_keys") == 0L, s"$ct.$cc unexpectedly orphaned")
+      assert(r.getAs[Long]("n_orphan_rows") == 0L)
+      assert(r.getAs[Long]("orphan_row_ppm") == 0L)
+    }
+  }
+
+  test("referential audit: planted orphans are counted exactly") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"), (9L, "e"), (9L, "f"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Referential.auditEdge(child, "fk", parent, "pk").collect()(0)
+    assert(r.getAs[Long]("n_child_rows") == 6L)
+    assert(r.getAs[Long]("n_child_keys") == 3L)
+    assert(r.getAs[Long]("n_orphan_keys") == 1L) // key 9
+    assert(r.getAs[Long]("n_orphan_rows") == 3L)
+  }
+
+  test("equi-depth histogram: ~10% per bucket on continuous columns, counts reconcile") {
+    val rows = Histogram.profileHistogram(spark, sf).collect()
+    val byCol = rows.groupBy(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")))
+    assert(byCol.keySet == Histogram.histCols.map(tc => (tc._1, tc._2)).toSet)
+    byCol.foreach { case ((t, c), bs) =>
+      val n = Tables.table(spark, sf, t).filter(col(c).isNotNull).count()
+      assert(bs.map(_.getAs[Long]("n_rows")).sum == n, s"$t.$c total")
+      // bucket bounds: lo of bucket b+1 >= lo of bucket b; min/max inside bounds
+      bs.foreach { r =>
+        val lo = Option(r.getAs[java.lang.Double]("lo_bound"))
+        val hi = Option(r.getAs[java.lang.Double]("hi_bound"))
+        lo.foreach(l => assert(r.getAs[Double]("min_v") >= l))
+        hi.foreach(h => assert(r.getAs[Double]("max_v") <= h + 1e-9))
+      }
+      // continuous money columns: every decile within 2x of the ideal tenth
+      if (c == "c_acctbal" || c == "l_extendedprice" || c == "o_totalprice") {
+        assert(bs.length == Histogram.nBuckets, s"$t.$c buckets")
+        bs.foreach { r =>
+          val share = r.getAs[Long]("n_rows").toDouble / n
+          assert(share > 0.02 && share < 0.25, s"$t.$c bucket share $share")
+        }
+      }
+    }
+  }
+}
