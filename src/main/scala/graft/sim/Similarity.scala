@@ -657,6 +657,140 @@ object Similarity {
 
   val semTau = 0.45
 
+  // ------------------------------------------------------------------ MMR
+  //
+  // Maximal-marginal-relevance re-ranking (Carbonell & Goldstein) — the
+  // retrieval step AFTER candidate generation: from each query's top-N
+  // relevance pool, greedily pick k results trading relevance against
+  // redundancy (score = λ·rel − (1−λ)·max sim to anything already picked).
+  // A RAG stack runs exactly this between ANN and the prompt window.
+  //
+  // Scale shape: candidate scoring is the brute-force pass over a
+  // BOUNDED query set (swap the ANN probe in for the scorer at scale —
+  // the pool contract downstream is identical); the pool is cut by the
+  // bounded TopKAgg aggregator (k rows per query×partition ride the
+  // shuffle, never a per-query window over the corpus); the greedy
+  // selection runs INSIDE flatMapGroups per query over pool-sized groups
+  // — embarrassingly parallel across queries, zero driver state, state
+  // per group = pool² rounded sims. Determinism: rel and pairwise sims
+  // round to 6 (the cosine contract), λ = 0.5 is exact binary, score
+  // arithmetic is the same op order in Scala and SQL, ties break to the
+  // smaller cand_id. Oracle: the greedy loop unrolled as k CTE steps
+  // (the BpeTrainer pattern).
+
+  val mmrQueries = 8
+  val mmrPool = 12
+  val mmrK = 5
+
+  def simMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAgg
+    val vecs = vectors(spark, dir).persist()
+    val qs = vecs.filter(col("vec_id") < mmrQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val scored = vecs.crossJoin(broadcast(qs)) // queries-sized broadcast
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        cosine("v_q", "v", col("nrm_q"), col("nrm")).as("rel"), col("vec_id"))
+    val agg = new TopKAgg.TopK(mmrPool)
+    val pool = scored.as[(Long, Double, Long)]
+      .groupByKey(_._1).agg(agg.toColumn)
+      .flatMap { (p: (Long, Seq[TopKAgg.Entry])) =>
+        p._2.map { case (rel, id) => (p._1, id, rel) }
+      }.toDF("query_id", "cand_id", "rel")
+    val poolV = pool.join(
+      vecs.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), "cand_id")
+      .select(col("query_id"), col("cand_id"), col("rel"), col("v"), col("nrm"))
+    poolV.as[(Long, Long, Double, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Seq[Double], Double)]) =>
+        val cands = it.map(c => (c._2, c._3, c._4.toArray, c._5)).toArray
+          .sortBy(c => (-c._2, c._1))
+        // pairwise sims, rounded like the cosine contract (strict
+        // index-order dot — the list_dot_product left fold)
+        def sim(a: Int, b: Int): Double = {
+          val (va, vb) = (cands(a)._3, cands(b)._3)
+          var d = 0.0; var i = 0
+          while (i < va.length) { d += va(i) * vb(i); i += 1 }
+          BigDecimal(d / (cands(a)._4 * cands(b)._4))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        val remaining = scala.collection.mutable.LinkedHashSet(cands.indices: _*)
+        while (selected.length < mmrK && remaining.nonEmpty) {
+          var bestI = -1; var bestScore = Double.NegativeInfinity
+          for (i <- remaining) {
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => sim(i, s._1)).max
+            val score = 0.5 * cands(i)._2 - 0.5 * maxSim
+            // ties break to the smaller cand_id: remaining iterates in
+            // (rel desc, id) order, so strict > keeps the first best —
+            // but equal scores at different ids must pick the SMALLER id
+            if (score > bestScore ||
+              (score == bestScore && cands(i)._1 < cands(bestI)._1)) {
+              bestI = i; bestScore = score
+            }
+          }
+          selected += ((bestI, bestScore))
+          remaining -= bestI
+        }
+        selected.zipWithIndex.map { case ((i, score), r) =>
+          (q, r + 1, cands(i)._1, score)
+        }
+      }
+      .toDF("query_id", "rank", "cand_id", "score")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The greedy loop unrolled: pool → pairwise sims → k argmax steps,
+    * each step a 1-row-per-query QUALIFY over (score DESC, cand_id). */
+  lazy val simMmrSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $vectorsSql,
+              |q AS (SELECT vec_id AS query_id, v AS v_q, nrm AS nrm_q FROM e WHERE vec_id < $mmrQueries),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id AS cand_id,
+              |    round(list_dot_product(v_q, e.v) / (nrm_q * e.nrm), 6) AS rel
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+              |pool AS (
+              |  SELECT query_id, cand_id, rel FROM scored
+              |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) <= $mmrPool),
+              |pv AS (
+              |  SELECT p.query_id, p.cand_id, p.rel, e.v, e.nrm
+              |  FROM pool p JOIN e ON p.cand_id = e.vec_id),
+              |sims AS (
+              |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+              |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+              |  FROM pv a JOIN pv b
+              |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+              |s1 AS (
+              |  SELECT query_id, cand_id, 0.5 * rel - 0.5 * 0.0 AS score FROM pv
+              |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) = 1),
+              |sel1 AS (SELECT query_id, cand_id FROM s1)""".stripMargin
+    for (k <- 2 to mmrK) {
+      sb ++= s""",
+                |s$k AS (
+                |  SELECT query_id, cand_id, score FROM (
+                |    SELECT p.query_id, p.cand_id,
+                |      0.5 * p.rel - 0.5 * max(s.sim) AS score
+                |    FROM pv p
+                |    LEFT JOIN sel${k - 1} x
+                |      ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+                |    JOIN sims s ON s.query_id = p.query_id AND s.a_id = p.cand_id
+                |    JOIN sel${k - 1} y ON y.query_id = s.query_id AND y.cand_id = s.b_id
+                |    WHERE x.cand_id IS NULL
+                |    GROUP BY p.query_id, p.cand_id, p.rel)
+                |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) = 1),
+                |sel$k AS (SELECT query_id, cand_id FROM sel${k - 1}
+                |          UNION ALL SELECT query_id, cand_id FROM s$k)""".stripMargin
+    }
+    sb ++= (1 to mmrK).map(k =>
+      s"\nSELECT query_id, $k AS rank, cand_id, score FROM s$k")
+      .mkString("", "\nUNION ALL", "\nORDER BY query_id, rank")
+    sb.result()
+  }
+
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     // persisted: feeds the keyed self-join (both sides) + the per-cluster base count
     val idx = vectors(spark, dir).withColumn("cid", bucketExpr("v")).persist()

@@ -262,6 +262,41 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("mmr: selection sequence matches an independent driver-side greedy") {
+    import graft.sim.Similarity
+    val rows = Similarity.simMmr(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until Similarity.mmrQueries).toSet)
+    byQ.foreach { case (q, got) =>
+      val pool = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy(c => (-c._2, c._1)).take(Similarity.mmrPool)
+      var selected = Vector.empty[(Long, Double)]
+      var remaining = pool
+      while (selected.length < Similarity.mmrK) {
+        val best = remaining.map { case (id, rel) =>
+          val maxSim = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(vecs(id), vecs(s._1))).max
+          (id, 0.5 * rel - 0.5 * maxSim)
+        }.minBy { case (id, sc) => (-sc, id) }
+        selected :+= best
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      val gotSeq = got.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("cand_id"), r.getAs[Double]("score")))
+      assert(gotSeq.toVector == selected, s"query $q: $gotSeq vs $selected")
+    }
+  }
+
   test("topk returns exactly 10 ranked neighbors per query") {
     val t = Similarity.topkBruteforce(spark, sf)
     val perQuery = t.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
