@@ -194,6 +194,33 @@ object StreamOps {
       .withColumn("drifted", col("worst_drift") > driftFlag)
   }
 
+  /** Live referential-integrity monitor — quality_referential's streaming
+    * twin (the batch op audits a lake at rest; ingest wants the orphan
+    * rate THE WINDOW IT SPIKES — a producer deploying with a broken join
+    * key is exactly this alarm): events stream-static LEFT-joined against
+    * the parent dimension's distinct key set (reference-data enrichment,
+    * no state on the static side), per closing hourly window emit total
+    * rows, orphan rows and orphan ppm + flag. O(active windows) state.
+    *
+    * At scale the parent key set is a broadcast dim (or a bucketed table
+    * for fact-sized parents) refreshed per microbatch by the source —
+    * the join contract here is identical.
+    */
+  def referentialMonitor(events: DataFrame, parentKeys: DataFrame,
+                         alarmPpm: Long = 1000L): DataFrame = {
+    val parents = parentKeys.select(col("k").cast("long").as("k"),
+      lit(true).as("known"))
+    events
+      .withWatermark("ts", "1 hour")
+      .join(parents, col("user_id") === col("k"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_orphan_rows"))
+      .select(col("w.start").as("hour"), col("n_rows"), col("n_orphan_rows"),
+        expr("CAST(n_orphan_rows * 1000000 DIV n_rows AS BIGINT)").as("orphan_ppm"))
+      .withColumn("alarm", col("orphan_ppm") > alarmPpm)
+  }
+
   def incrementalDedup(docs: DataFrame, corpusFps: DataFrame): DataFrame = {
     docs
       .withColumn("fp", md5(col("text")))

@@ -141,6 +141,35 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("r6 ops: chunking is shuffle-free; fact joins broadcast; no stray windows") {
+    // chunk_overlap is pure per-row work — only the presentation sort
+    val chunk = SparkEntry.queries("chunk_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(chunk).length == 1 &&
+      chunk.contains("Exchange rangepartitioning"), chunk)
+    // q14/q7: every dimension side broadcast, the lineitem fact never
+    // hash-exchanges on a join key before aggregation
+    for (q <- Seq("q14_promo_revenue", "q7_volume_shipping")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(l_partkey") &&
+        !p.contains("Exchange hashpartitioning(l_suppkey") &&
+        !p.contains("Exchange hashpartitioning(l_orderkey"), s"$q:\n$p")
+    }
+    // q18 cuts the fact FIRST: the quantity aggregate sits under the
+    // order join, and the bounded output is TakeOrdered, not a sort
+    val q18 = plan("q18_large_volume")
+    assert(q18.contains("TakeOrderedAndProject"), q18)
+    // histogram + referential + FD inference: aggregation-only plans
+    for (q <- Seq("profile_histogram", "quality_referential", "infer_functional_deps")) {
+      val p = plan(q)
+      assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // semdedup joins on the cluster id, never all-pairs
+    val sd = plan("dedup_semantic")
+    assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"), sd)
+  }
+
   test("sq8 broadcasts the per-dim stats and the query codes") {
     val p = SparkEntry.queries("sim_ann_sq8")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -164,6 +164,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1)._2 == 10 && math.abs(got(1)._3 - 0.3) < 1e-12 && got(1)._4)
   }
 
+  test("streaming referential monitor alarms the window the orphans arrive") {
+    import spark.implicits._
+    def ts(hour: Int, k: Int) =
+      new java.sql.Timestamp(1700000000000L + hour * 3600000L + k * 1000L)
+    implicit val sqlCtx = spark.sqlContext
+    val parents = Seq(1L, 2L, 3L).toDF("k")
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    // hour 0: all known keys; hour 1: 4 of 10 rows orphaned (key 99)
+    mem.addData(
+      (0 until 10).map(k => (ts(0, k), (k % 3 + 1).toLong)) ++
+        (0 until 6).map(k => (ts(1, k), (k % 3 + 1).toLong)) ++
+        (0 until 4).map(k => (ts(1, 6 + k), 99L)))
+    val q = StreamOps.referentialMonitor(mem.toDF().toDF("ts", "user_id"), parents)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ref_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ref_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").getTime,
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_orphan_rows"),
+        r.getAs[Long]("orphan_ppm"), r.getAs[Boolean]("alarm"))).sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0)._2 == 10 && got(0)._3 == 0 && got(0)._4 == 0 && !got(0)._5)
+    assert(got(1)._2 == 10 && got(1)._3 == 4 && got(1)._4 == 400000 && got(1)._5)
+  }
+
   test("streaming incremental dedup drops corpus dups and in-stream dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
