@@ -172,7 +172,11 @@ object ArtifactLoad {
       val cols = arr(field(t, "columns")).map { cj =>
         val c = obj(cj)
         ColumnInfo(str(field(c, "name")), str(field(c, "data_type")),
-          bool(field(c, "nullable")))
+          bool(field(c, "nullable")),
+          // post-1.2 fields: optional-with-defaults so older artifacts load
+          autoIncrement = c.get("is_auto_increment").exists(bool),
+          defaultValue = optStr(c, "default_value", ""),
+          ordinal = c.get("ordinal_position").map(j => long(j).toInt).getOrElse(0))
       }
       val idx = arr(optField(t, "indexes", JArr(Vector.empty))).map { ij =>
         val ix = obj(ij)

@@ -43,7 +43,9 @@ object ArtifactJson {
   def render(a: Artifact): String = {
     def table(t: TableInfo): String = {
       val cols = t.columns.map(c =>
-        s"""{"name": ${q(c.name)}, "data_type": ${q(c.dataType)}, "nullable": ${c.nullable}}""")
+        s"""{"name": ${q(c.name)}, "data_type": ${q(c.dataType)}, "nullable": ${c.nullable}, """ +
+          s""""is_auto_increment": ${c.autoIncrement}, "default_value": ${q(c.defaultValue)}, """ +
+          s""""ordinal_position": ${c.ordinal}}""")
         .mkString("[", ", ", "]")
       val sample = t.sampleRows.map(r =>
         r.map(q).mkString("[", ", ", "]")).mkString("[", ", ", "]")
@@ -215,7 +217,13 @@ object SqlDdlDoc {
           val pk = if (inlinePk && pkCols.headOption.contains(c.name)) " PRIMARY KEY" else ""
           val uq = if (pk.isEmpty && uniqueInferred(c.name) &&
             !t.indexes.exists(ix => ix.unique && ix.columns == Seq(c.name))) " UNIQUE" else ""
-          s"  ${c.name} ${sqlType(c.dataType)}$nn$pk$uq"
+          // collected column catalog details (models.rs:71-77): identity
+          // columns reconstruct as GENERATED; a collected default renders
+          // as a real DEFAULT clause (identity wins — engines reject both)
+          val gen = if (c.autoIncrement) " GENERATED ALWAYS AS IDENTITY" else ""
+          val dflt = if (!c.autoIncrement && c.defaultValue.nonEmpty)
+            s" DEFAULT ${c.defaultValue}" else ""
+          s"  ${c.name} ${sqlType(c.dataType)}$gen$dflt$nn$pk$uq"
         }
         val compositePk =
           if (!inlinePk && pkCols.nonEmpty)
@@ -368,9 +376,11 @@ object HtmlDoc {
         case "" =>
         case s => sb ++= s"<p>Layout: ${esc(s)}</p>\n"
       }
-      sb ++= "<table><tr><th>Column</th><th>Type</th><th>Nullable</th></tr>\n"
-      t.columns.foreach(c => sb ++=
-        s"<tr><td>${esc(c.name)}</td><td>${esc(c.dataType)}</td><td>${c.nullable}</td></tr>\n")
+      sb ++= "<table><tr><th>Column</th><th>Type</th><th>Nullable</th><th>Default</th></tr>\n"
+      t.columns.foreach { c =>
+        val d = if (c.autoIncrement) "IDENTITY" else c.defaultValue
+        sb ++= s"<tr><td>${esc(c.name)}</td><td>${esc(c.dataType)}</td><td>${c.nullable}</td><td>${esc(d)}</td></tr>\n"
+      }
       sb ++= "</table>\n"
       if (t.indexes.nonEmpty) {
         sb ++= "<h3>Indexes</h3>\n<table><tr><th>Name</th><th>Columns</th><th>Unique</th></tr>\n"
@@ -466,9 +476,11 @@ object MarkdownDoc {
         case "" =>
         case s => sb ++= s"Layout: $s\n\n"
       }
-      sb ++= "| Column | Type | Nullable |\n| --- | --- | --- |\n"
-      t.columns.foreach(c =>
-        sb ++= s"| ${c.name} | ${c.dataType} | ${c.nullable} |\n")
+      sb ++= "| Column | Type | Nullable | Default |\n| --- | --- | --- | --- |\n"
+      t.columns.foreach { c =>
+        val d = if (c.autoIncrement) "IDENTITY" else c.defaultValue
+        sb ++= s"| ${c.name} | ${c.dataType} | ${c.nullable} | $d |\n"
+      }
       if (t.indexes.nonEmpty) {
         sb ++= "\n### Indexes\n\n| Name | Columns | Unique |\n| --- | --- | --- |\n"
         t.indexes.foreach(ix =>

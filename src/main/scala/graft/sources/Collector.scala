@@ -200,14 +200,23 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     // NOT NULL is part of the engine catalog too — Spark's JDBC schema
     // defensively marks every remote column nullable, so nullability is
     // collected here from column metadata instead
-    val notNull = {
+    val (notNull, colDetails) = {
       val rs = md.getColumns(null, null, t, null)
-      val buf = Seq.newBuilder[String]
-      while (rs.next())
+      val nn = Seq.newBuilder[String]
+      val det = Seq.newBuilder[Collector.ColumnDetail]
+      while (rs.next()) {
+        val name = rs.getString("COLUMN_NAME")
         if (rs.getInt("NULLABLE") == java.sql.DatabaseMetaData.columnNoNulls)
-          buf += rs.getString("COLUMN_NAME")
+          nn += name
+        // reference models.rs:71-77: is_auto_increment + default_value +
+        // ordinal_position ride the same catalog row
+        det += Collector.ColumnDetail(name,
+          "YES".equalsIgnoreCase(rs.getString("IS_AUTOINCREMENT")),
+          Option(rs.getString("COLUMN_DEF")).map(_.trim).getOrElse(""),
+          rs.getInt("ORDINAL_POSITION"))
+      }
       rs.close()
-      buf.result()
+      (nn.result(), det.result())
     }
     val tableType = discovered.collectFirst {
       case (n, tt) if n.equalsIgnoreCase(table) => tt
@@ -217,7 +226,8 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     CollectedTableMeta(pks, indexes, notNull, tableType = tableType,
       viewDefinition = viewDef,
       constraints = checkConstraints(c, t),
-      triggers = triggers(c, t))
+      triggers = triggers(c, t),
+      columnDetails = colDetails)
   }
 
   /** Engine-specific view-definition lookup (reference models.rs:177-185
@@ -491,10 +501,27 @@ object Collector {
     * level). Earlier artifacts still load (ArtifactLoad defaults every
     * post-1.0 field) and validate.
     */
-  val currentFormatVersion = "1.2"
-  val supportedFormatVersions: Set[String] = Set("1.0", "1.1", "1.2")
+  val currentFormatVersion = "1.3"
+  val supportedFormatVersions: Set[String] = Set("1.0", "1.1", "1.2", "1.3")
 
-  case class ColumnInfo(name: String, dataType: String, nullable: Boolean)
+  /** Column description at reference models.rs:65-78 depth: beyond
+    * name/type/nullability, the engine-declared auto-increment flag
+    * (SERIAL / AUTO_INCREMENT / IDENTITY), the catalog-reported default
+    * expression ("" = none), and the 1-based ordinal position (0 = not
+    * collected; lake sources fill it from schema order). Collected via
+    * the engine-neutral JDBC column metadata (IS_AUTOINCREMENT /
+    * COLUMN_DEF / ORDINAL_POSITION) — the same catalog row the NOT NULL
+    * collection already reads.
+    */
+  case class ColumnInfo(name: String, dataType: String, nullable: Boolean,
+      autoIncrement: Boolean = false, defaultValue: String = "",
+      ordinal: Int = 0)
+
+  /** Engine-collected per-column catalog details, keyed back into
+    * ColumnInfo by name during collect.
+    */
+  case class ColumnDetail(name: String, autoIncrement: Boolean,
+      defaultValue: String, ordinal: Int)
 
   /** Engine index metadata (reference models.rs:133-155 Index /
     * IndexColumn): name, ordered column list, uniqueness.
@@ -572,7 +599,8 @@ object Collector {
       tableType: String = "table",
       viewDefinition: String = "",
       constraints: Seq[ConstraintInfo] = Nil,
-      triggers: Seq[TriggerInfo] = Nil)
+      triggers: Seq[TriggerInfo] = Nil,
+      columnDetails: Seq[ColumnDetail] = Nil)
 
   /** Per-table sampling outcome (reference SampleStatus,
     * models.rs:388-429): `success` at the requested limit, `partial`
@@ -801,9 +829,16 @@ object Collector {
           val (meta, metaWarns) =
             collectedMeta.getOrElse(t, (CollectedTableMeta(Nil, Nil), Nil))
           val notNull = meta.notNull.toSet
-          val cols = df.schema.fields.toSeq.map(f =>
+          val detailByName = meta.columnDetails.map(d => d.name -> d).toMap
+          val cols = df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+            val d = detailByName.get(f.name)
             ColumnInfo(f.name, normalizeType(f.dataType),
-              f.nullable && !notNull(f.name)))
+              f.nullable && !notNull(f.name),
+              autoIncrement = d.exists(_.autoIncrement),
+              defaultValue = d.map(_.defaultValue).getOrElse(""),
+              // schema position stands in when the engine didn't report one
+              ordinal = d.map(_.ordinal).filter(_ > 0).getOrElse(i + 1))
+          }
           // sampling-key ladder (reference sampling.rs strategy
           // preference): collected primary key > inferred primary key >
           // first timestamp column (recency) > first column (rowid

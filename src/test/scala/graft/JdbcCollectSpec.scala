@@ -189,6 +189,39 @@ class JdbcCollectSpec extends AnyFunSuite {
     assert(SqlDdlDoc.render(artifact).contains("-- TYPE MONEY_T (java_object) backed by java.util.BitSet"))
   }
 
+  test("column catalog details: identity + defaults collect, render, round-trip (r6)") {
+    val url2 = "jdbc:derby:memory:graftcols;create=true"
+    val conn = java.sql.DriverManager.getConnection(url2)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE audit_log") catch { case _: Exception => }
+      st.execute(
+        """CREATE TABLE audit_log(
+          |  log_id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          |  note VARCHAR(30) DEFAULT 'none',
+          |  amount DOUBLE)""".stripMargin)
+      st.execute("INSERT INTO audit_log(note, amount) VALUES ('a', 1.5), ('b', 2.5)")
+      st.close()
+    } finally conn.close()
+    val a = Collector.collect(new JdbcSource(spark, url2, Seq("audit_log")), sampleSize = 2)
+    val cols = a.tables.head.columns.map(c => c.name -> c).toMap
+    // identity flag + catalog ordinals (models.rs:71-77 parity)
+    assert(cols("LOG_ID").autoIncrement && cols("LOG_ID").ordinal == 1)
+    assert(!cols("NOTE").autoIncrement && cols("NOTE").ordinal == 2)
+    assert(cols("AMOUNT").ordinal == 3)
+    // the engine-reported default expression, verbatim
+    assert(cols("NOTE").defaultValue == "'none'", cols("NOTE").defaultValue)
+    assert(cols("AMOUNT").defaultValue == "")
+    // identity defaults are Derby's AUTOINCREMENT bookkeeping, not a
+    // user DEFAULT — the DDL renders GENERATED, not DEFAULT
+    val ddl = SqlDdlDoc.render(a)
+    assert(ddl.contains("LOG_ID INTEGER GENERATED ALWAYS AS IDENTITY"), ddl)
+    assert(ddl.contains("DEFAULT 'none'"), ddl)
+    assert(MarkdownDoc.render(a).contains("IDENTITY"))
+    // exact artifact round-trip with the new fields
+    assert(graft.output.ArtifactLoad.load(ArtifactJson.render(a)) == a)
+  }
+
   test("schema + samples collect through the Spark JDBC relation") {
     val emp = artifact.tables.find(_.name == "emp").get
     assert(emp.rowCount == 3)

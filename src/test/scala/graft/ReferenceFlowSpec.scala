@@ -17,7 +17,8 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(artifact.tables.map(_.name).sorted == Tables.all.sorted)
     val li = artifact.tables.find(_.name == "lineitem").get
     assert(li.columns.size == 11)
-    assert(li.columns.head == Collector.ColumnInfo("l_orderkey", "int64", nullable = true))
+    assert(li.columns.head ==
+      Collector.ColumnInfo("l_orderkey", "int64", nullable = true, ordinal = 1))
     assert(li.rowCount == Tables.lineitem(spark, sf).count())
     assert(li.sampleRows.size == 3)
     assert(li.sampleRows.forall(_.size == 11))
@@ -37,7 +38,7 @@ class ReferenceFlowSpec extends AnyFunSuite {
 
   test("json artifact renders with expected structure and escaping") {
     val json = ArtifactJson.render(artifact)
-    assert(json.contains("\"format_version\": \"1.2\""))
+    assert(json.contains("\"format_version\": \"1.3\""))
     assert(json.contains("\"table_count\": 10"))
     Tables.all.foreach(t => assert(json.contains(s"\"name\": \"$t\"")))
     // quick structural sanity: balanced braces/brackets
