@@ -1,8 +1,9 @@
 package graft.profile
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.GlobalRank
 
 /** Equi-depth (decile) histograms of the numeric profile columns — the
   * statistic a query optimizer and a drift monitor both want where
@@ -10,17 +11,29 @@ import graft.Tables
   * columns: boundaries at the exact p10..p90 so every bucket holds ~10%
   * of rows, then per-bucket counts.
   *
-  * Shape per column: ONE boundary aggregation (a 1-row array of the nine
-  * interpolated percentiles — the exact-percentile cross-engine contract
-  * from q_quantiles) broadcast back into ONE conditional-count scan;
-  * bucket id is `|{b : value ≥ b}|` via an in-row array filter over the
-  * broadcast boundaries, so there is no sort and no window anywhere. At
-  * 100 TB swap the exact percentile for `approx_percentile` (same plan,
-  * sketch merge instead of sort-based exact) — documented, the
-  * profile_table_approx precedent. Duplicate-heavy columns can produce
-  * repeated boundaries and therefore empty buckets: that IS the
-  * equi-depth answer for a stepped distribution, both engines agree
-  * bit-for-bit on it.
+  * Shape per column: the boundary percentiles come from a DISTRIBUTED
+  * exact order statistic — GlobalRank's sampled range exchange +
+  * per-partition sort + zipWithIndex — not from Spark's `percentile`
+  * aggregate. The builtin is exact but funnels a per-partition
+  * value→count map of every distinct value into ONE final merge task: a
+  * data-sized single-task reduce on a mostly-distinct double column (it
+  * measured 29 s at sf0.1, 6x the next-slowest query in the round-6
+  * bench, and at 100 TB it would simply not finish). Here the full sort
+  * work is spread across all partitions; only the ≤2·(nBuckets−1) rows
+  * sitting AT the interpolation ranks are collected (bounded driver
+  * state), and the interpolated boundaries are folded back into the
+  * bucket-assignment scan as plain literals — no crossJoin, and the
+  * boundary array no longer rides every row through the shuffle. The
+  * checkpointed ranked frame doubles as the bucket-pass input, so the
+  * parquet column is scanned once. Interpolation reproduces the builtin's
+  * arithmetic term-for-term ((ceil−pos)·lo + (pos−floor)·hi at
+  * pos = p·(n−1)), so the hash contract with DuckDB's quantile_cont is
+  * unchanged. Ties across the rank boundary are benign: equal ranks can
+  * permute only equal values, and interpolation depends on values alone.
+  *
+  * Duplicate-heavy columns can produce repeated boundaries and therefore
+  * empty buckets: that IS the equi-depth answer for a stepped
+  * distribution, both engines agree bit-for-bit on it.
   */
 object Histogram {
 
@@ -36,18 +49,38 @@ object Histogram {
     histCols.map { case (t, c) =>
       val vals = Tables.table(spark, dir, t)
         .select(col(c).cast("double").as("x")).filter(col("x").isNotNull)
-      val bounds = vals.agg(
-        expr(s"percentile(x, array(${pcts.mkString(", ")}))").as("bs"))
-      vals.crossJoin(broadcast(bounds)) // 1-row bounded broadcast
-        .select(expr("CAST(size(filter(bs, b -> x >= b)) AS INT)").as("bucket"),
-          col("x"), col("bs"))
+      // distributed exact order statistics: rank the column once, pull
+      // only the rows at the interpolation positions
+      val ranked = GlobalRank.withGlobalRank(vals, "rk", col("x"))
+      val n = ranked.count()
+      val bs: Seq[Double] =
+        if (n == 0) Seq.fill(pcts.size)(0.0)
+        else {
+          val positions = pcts.map(_ * (n - 1))
+          val wanted = positions
+            .flatMap(p => Seq(p.floor.toLong + 1, p.ceil.toLong + 1)).distinct
+          val atRank: Map[Long, Double] = ranked
+            .filter(col("rk").isin(wanted: _*))
+            .select(col("rk"), col("x")).collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          positions.map { pos =>
+            val (fl, cl) = (pos.floor.toLong, pos.ceil.toLong)
+            if (fl == cl) atRank(fl + 1)
+            else (cl - pos) * atRank(fl + 1) + (pos - fl) * atRank(cl + 1)
+          }
+        }
+      val bsLit: Column = array(bs.map(lit): _*)
+      ranked
+        .select(size(filter(bsLit, b => col("x") >= b)).cast("int").as("bucket"),
+          col("x"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"), min(col("x")).as("min_v"),
-          max(col("x")).as("max_v"), first(col("bs")).as("bs"))
+          max(col("x")).as("max_v"))
         .select(lit(t).as("table_name"), lit(c).as("column_name"), col("bucket"),
-          expr("CASE WHEN bucket = 0 THEN NULL ELSE bs[bucket - 1] END").as("lo_bound"),
-          expr(s"CASE WHEN bucket = ${nBuckets - 1} THEN NULL ELSE bs[bucket] END")
-            .as("hi_bound"),
+          when(col("bucket") === 0, lit(null).cast("double"))
+            .otherwise(element_at(bsLit, col("bucket"))).as("lo_bound"),
+          when(col("bucket") === nBuckets - 1, lit(null).cast("double"))
+            .otherwise(element_at(bsLit, col("bucket") + 1)).as("hi_bound"),
           col("n_rows"), col("min_v"), col("max_v"))
     }.reduce(_ unionByName _)
       .orderBy(col("table_name"), col("column_name"), col("bucket"))
