@@ -13,9 +13,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS); without this conf ANY read of
-    // that file throws. Set unconditionally so access order never matters.
+    // events.ts is parquet TIMESTAMP(NANOS) in some testdata generations;
+    // without this conf ANY read of that file throws. Set unconditionally
+    // so access order never matters.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Other generations write timestamps as un-adjusted int64 micros,
+    // which Spark 4 infers as TIMESTAMP_NTZ — breaking every
+    // unix_micros/window call downstream. Read them as session-TZ
+    // timestamps (sessions pin UTC, so the stored micros pass through
+    // unchanged — same value DuckDB's epoch_us sees).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -34,6 +41,7 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = s.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -832,4 +832,51 @@ object Similarity {
        |  CAST((coalesce(nd.n_dropped, 0) * 1000000) // base.n_vecs AS BIGINT) AS drop_ppm
        |FROM base LEFT JOIN np USING (cid) LEFT JOIN nd USING (cid)
        |ORDER BY cid""".stripMargin
+
+  // --------------------------------------------------------------- k-NN graph
+  //
+  // The neighborhood graph a curation pipeline builds once and reuses
+  // everywhere (SemDeDup cluster seeding, label propagation, diversity
+  // sampling, duplicate-cluster discovery): for every vector, its top-k
+  // most-cosine-similar neighbors AMONG THE BANDED LSH CANDIDATES. The
+  // candidate generator is the same recall-bounded 16x6 hyperplane
+  // banding as the pair operators (equi-join, never all-pairs); the
+  // per-node top-k is a window PARTITIONED BY the node — per-node
+  // bounded work, no global sort. At 100 TB: candidates stream out of
+  // the band join hash-partitioned by src, and the rank never sees more
+  // than one node's candidate list at a time.
+
+  val knnK = 5
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(spark, dir).filter(col("cosine").isNotNull)
+    // symmetrize: each undirected candidate pair feeds both endpoints
+    val directed = pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"),
+        col("cosine"))
+      .unionByName(pairs.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"),
+        col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    directed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= knnK)
+      .select(col("src"), col("rank"), col("dst"), col("cosine"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH $lshPairsSql,
+       |directed AS (
+       |  SELECT vec_id_a AS src, vec_id_b AS dst, cosine FROM lsh_pairs
+       |  WHERE cosine IS NOT NULL
+       |  UNION ALL
+       |  SELECT vec_id_b AS src, vec_id_a AS dst, cosine FROM lsh_pairs
+       |  WHERE cosine IS NOT NULL)
+       |SELECT src, rank, dst, cosine FROM (
+       |  SELECT src, dst, cosine,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
+       |      AS INTEGER) AS rank
+       |  FROM directed)
+       |WHERE rank <= $knnK
+       |ORDER BY src, rank""".stripMargin
 }
