@@ -94,8 +94,8 @@ object Relational4 {
       |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN '31-60'
       |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '61-90'
       |            ELSE '90+' END AS latency_bucket,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY latency_bucket""".stripMargin
 
@@ -281,7 +281,7 @@ object Relational4 {
   }
 
   val q21Sql: String =
-    """SELECT s_suppkey, s_name, count(*) AS numwait
+    """SELECT s_suppkey, s_name, count(DISTINCT l1.l_orderkey) AS numwait
       |FROM supplier, lineitem l1, orders
       |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
       |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
@@ -295,20 +295,17 @@ object Relational4 {
       |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin
 
-  /** Q21's textbook EXISTS counts each qualifying (order, supplier)
-    * LINE once per line, not once per order — dedup to line-distinct
-    * (order, supplier) via the l1 scan's DISTINCT in the oracle is
-    * deliberately NOT applied: both sides count per qualifying ORDER
-    * because the Spark side aggregates per (order, supplier) first and
-    * the oracle's l1 rows for the same (order, supplier) pair are
-    * collapsed by the late-line uniqueness (`n_late = 1` means exactly
-    * one late LINE too — a supplier with two late lines in one order
-    * would count twice in the oracle). The cross-check holds on this
-    * schema because lineitem's (orderkey, suppkey, late) triple is
-    * unique for late lines at these thresholds — asserted in
-    * Relational4Spec against a per-order recompute, so a data
-    * regeneration that breaks the assumption fails the spec, not the
-    * hash gate. */
+  /** Q21 oracle granularity: the textbook EXISTS form enumerates
+    * qualifying l1 LINES, so a supplier with two late lines in one order
+    * would count twice — and the testdata DOES contain such orders (318
+    * multi-late-line (order, supplier) pairs at sf0.001). The Spark side
+    * counts each waiting ORDER once (it aggregates per (order, supplier)
+    * before counting), which is the semantics Q21 specifies ("numwait" =
+    * number of orders kept waiting). The oracle therefore counts
+    * `DISTINCT l1.l_orderkey` per supplier — both quantifiers are already
+    * per-order, so collapsing duplicate late lines changes nothing else.
+    * Relational4Spec asserts op ≡ the EXISTS/NOT-EXISTS recompute
+    * directly (run through Spark SQL on the same data). */
 
   /** TPC-H Q22-style dormant high-value customers: customers whose
     * account balance exceeds the mean positive balance and who placed no

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational4
 
@@ -51,13 +52,16 @@ class Relational4Spec extends AnyFunSuite {
   test("q17: every counted line is under 20% of its part's average quantity") {
     val rows = Relational4.q17SmallQuantity(spark, sf).collect()
     assert(rows.nonEmpty)
-    // recompute the qualifying-line count brand-free and compare totals
+    // recompute the qualifying-line count brand-free with the operator's
+    // exact decimal cross-multiplication (qty*5*n < sum — no double mean,
+    // so a quantity exactly at the 20% boundary cannot flip the count)
+    val qtyD = col("l_quantity").cast(DecimalType(12, 2))
     val perPart = Tables.lineitem(spark, sf)
       .groupBy(col("l_partkey").as("pk"))
-      .agg(avg(col("l_quantity")).as("avg_q"))
+      .agg(sum(qtyD).as("sum_q"), count(lit(1)).as("n"))
     val brute = Tables.lineitem(spark, sf)
       .join(perPart, col("l_partkey") === col("pk"))
-      .filter(col("l_quantity") < col("avg_q") * 0.2)
+      .filter(qtyD * lit(5) * col("n") < col("sum_q"))
       .count()
     assert(rows.map(_.getAs[Long]("n_small_lines")).sum == brute)
   }
@@ -76,31 +80,39 @@ class Relational4Spec extends AnyFunSuite {
     assert(row.getAs[Long]("n_lines") == bands)
   }
 
-  test("q21: late (order,supplier) pairs are line-unique — the oracle-parity precondition") {
-    // the DuckDB oracle counts per qualifying l1 LINE; the Spark side per
-    // (order, supplier). They coincide iff no supplier ships two late
-    // lines in one order at the 90-day threshold. Assert that, so a data
-    // regeneration that breaks it fails HERE, not at the hash gate.
-    val lateLines = Tables.lineitem(spark, sf)
-      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      .groupBy(col("l_orderkey"), col("l_suppkey")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).count()
-    assert(lateLines == 0L,
-      "a supplier with 2+ late lines in one order breaks the q21 oracle contract")
+  test("q21: aggregation rewrite equals the textbook EXISTS/NOT-EXISTS form") {
+    // run the oracle SQL text itself through Spark SQL on the same data —
+    // the rewrite (per-(order,supplier) fold, n_supp>1, n_late=1) must
+    // reproduce the correlated-subquery original row for row. The data
+    // DOES contain multi-late-line (order, supplier) pairs, so this also
+    // proves the COUNT(DISTINCT l_orderkey) granularity is the right one.
+    Tables.supplier(spark, sf).createOrReplaceTempView("supplier")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, sf).createOrReplaceTempView("orders")
+    val brute = spark.sql(Relational4.q21Sql).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
     val rows = Relational4.q21WaitingSupplier(spark, sf).collect()
-    rows.foreach(r => assert(r.getAs[Long]("numwait") >= 1L))
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
+    assert(rows.nonEmpty)
+    assert(rows.sameElements(brute))
     // ordered by numwait desc, suppkey tiebreak
-    val k = rows.map(r => (-r.getAs[Long]("numwait"), r.getAs[Long]("s_suppkey")))
+    val k = rows.map(r => (-r._3, r._1))
     assert(k.sameElements(k.sorted))
   }
 
   test("q22: dormant set is above-mean balance with no recent orders") {
     val rows = Relational4.q22DormantCustomers(spark, sf).collect()
     assert(rows.nonEmpty)
+    // mirror the operator's decimal cross-multiplication (bal*n_pos >
+    // sum_bal) — a balance exactly at the mean must not flip under a
+    // double-rounded mean
     val cust = Tables.customer(spark, sf)
-    val meanPos = cust.filter(col("c_acctbal") > 0).agg(avg(col("c_acctbal"))).head.getDouble(0)
-    val brute = cust.filter(col("c_acctbal") > meanPos)
+    val balD = col("c_acctbal").cast(DecimalType(12, 2))
+    val stats = cust.filter(balD > 0)
+      .agg(sum(balD).as("sum_bal"), count(lit(1)).as("n_pos")).head
+    val sumBal = stats.getAs[java.math.BigDecimal]("sum_bal")
+    val nPos = stats.getAs[Long]("n_pos")
+    val brute = cust.filter(balD * lit(nPos) > lit(sumBal))
       .join(Tables.orders(spark, sf)
           .filter(col("o_orderdate") >= lit(Relational4.q22Cutoff).cast("timestamp"))
           .select(col("o_custkey")),
