@@ -117,10 +117,14 @@ object Relational3 {
     * trades on a small corpus, and the matrix is what a trade analyst
     * pivots anyway).
     *
-    * Shape: all four dimension sides (supplier, customer→orders path,
-    * both nation lookups) broadcast — the lineitem fact never shuffles
-    * before the final keyed aggregation whose key space is bounded by
-    * nations² × years (the q5 plan discipline); the year comes from the
+    * Shape: the TRUE dimensions (supplier, customer, both nation
+    * lookups) broadcast; lineitem ⋈ orders is the q12 fact×fact
+    * discipline — a co-shuffle on the order key, because orders is the
+    * schema's second fact and broadcasting it is a driver/executor OOM
+    * at 100 TB (AQE still broadcasts at runtime iff the filtered side
+    * actually fits; a bucketed layout removes the exchange entirely —
+    * lake_bucketed is that demonstration). The final keyed aggregation's
+    * key space is bounded by nations² × years; the year comes from the
     * fact row itself.
     */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
@@ -130,13 +134,17 @@ object Relational3 {
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
     val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
     Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey")) // fact×fact co-shuffle
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n_lines"))

@@ -147,14 +147,26 @@ class PlanInvariantSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(chunk).length == 1 &&
       chunk.contains("Exchange rangepartitioning"), chunk)
-    // q14/q7: every dimension side broadcast, the lineitem fact never
+    // q14: every dimension side broadcast, the lineitem fact never
     // hash-exchanges on a join key before aggregation
-    for (q <- Seq("q14_promo_revenue", "q7_volume_shipping")) {
-      val p = plan(q)
-      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    locally {
+      val p = plan("q14_promo_revenue")
+      assert(p.contains("BroadcastHashJoin"), s"q14_promo_revenue:\n$p")
       assert(!p.contains("Exchange hashpartitioning(l_partkey") &&
         !p.contains("Exchange hashpartitioning(l_suppkey") &&
-        !p.contains("Exchange hashpartitioning(l_orderkey"), s"$q:\n$p")
+        !p.contains("Exchange hashpartitioning(l_orderkey"), s"q14_promo_revenue:\n$p")
+    }
+    // q7: true dims (supplier/customer/nation) broadcast, but the
+    // lineitem ⋈ orders edge is a fact×fact CO-SHUFFLE on the order key —
+    // orders is the second fact and must never ride a broadcast (r6
+    // "wrong" #3); the static plan must show the keyed exchange
+    locally {
+      val p = plan("q7_volume_shipping")
+      assert(p.contains("BroadcastHashJoin"), s"q7_volume_shipping:\n$p")
+      // the static plan shows the co-shuffle as a sort-merge join on the
+      // order key (exchanges materialize only in the executed plan); at
+      // runtime AQE may still downgrade it to broadcast iff orders fits
+      assert(p.contains("SortMergeJoin [l_orderkey"), s"q7_volume_shipping:\n$p")
     }
     // q18 cuts the fact FIRST: the quantity aggregate sits under the
     // order join, and the bounded output is TakeOrdered, not a sort
@@ -168,6 +180,41 @@ class PlanInvariantSpec extends AnyFunSuite {
     // semdedup joins on the cluster id, never all-pairs
     val sd = plan("dedup_semantic")
     assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"), sd)
+  }
+
+  test("class guard: no explicit broadcast() of an unaggregated fact scan") {
+    // broadcast(orders-or-lineitem-derived frame) is a driver/executor
+    // OOM at 100 TB — the r6 q7 defect. The accepted convention: a fact
+    // may ride a broadcast ONLY after an Aggregate has reduced it to a
+    // bounded key space (q17's per-part stats, q15/q22's 1-row scalars).
+    // Sweep every query's ANALYZED plan: a broadcast hint whose subtree
+    // reaches a raw orders/lineitem parquet scan without passing through
+    // an Aggregate is a violation, by construction.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scansRawFact(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false // fact reduced to its grouping-key space
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.exists { rp =>
+          val s = rp.toString
+          s.endsWith("orders.parquet") || s.endsWith("lineitem.parquet")
+        }
+        case _ => false
+      }
+      case other => other.children.exists(scansRawFact)
+    }
+    val violations = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val analyzed = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+          if (scansRawFact(h.child)) violations += name
+        case _ => ()
+      }
+    }
+    assert(violations.isEmpty,
+      s"explicit broadcast() over an unaggregated orders/lineitem scan — " +
+        s"co-shuffle on the key and let AQE decide:\n${violations.mkString("\n")}")
   }
 
   test("sq8 broadcasts the per-dim stats and the query codes") {
