@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the hot loop of every cosine-similarity
   * operator: an ordered left-to-right dot product over two ARRAY<DOUBLE>
@@ -68,8 +68,108 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All multi-band hyperplane LSH keys in ONE expression: for each of
+  * `bands` bands, the `bits`-bit sign key of the vector against that
+  * band's hyperplanes, returned as ARRAY<BIGINT>(bands).
+  *
+  * Why: the first cut composed 96 independent `DotProduct` expressions
+  * (16 bands × 6 bits, each with its own 64-literal plane array) — the
+  * generated whole-stage code was enormous and codegen+JIT dominated the
+  * operator's cold path (11.8 s to first result on a 2k×64-d corpus;
+  * r6 VERDICT perf item #5). One expression over a single flattened
+  * plane matrix compiles to three tight loops, loads the vector once,
+  * and emits bit-identical keys: same left-to-right accumulation, same
+  * `>= 0` sign rule, same `1L << j` weights as the fold it replaces.
+  *
+  * `right` is the flattened row-major plane matrix (bands·bits planes ×
+  * stride dims); the per-plane stride is derived from its length so the
+  * matrix literal stays self-describing.
+  */
+case class HyperplaneBandKeys(left: Expression, right: Expression,
+    bands: Int, bits: Int) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"band_keys expects array<double>, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val p = b.asInstanceOf[ArrayData]
+    val stride = p.numElements() / (bands * bits)
+    val n = math.min(v.numElements(), stride)
+    val keys = new Array[Long](bands)
+    var b0 = 0
+    while (b0 < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (b0 * bits + j) * stride
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += v.getDouble(i) * p.getDouble(base + i)
+          i += 1
+        }
+        if (acc >= 0.0) key |= (1L << j)
+        j += 1
+      }
+      keys(b0) = key
+      b0 += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) => {
+      val stride = ctx.freshName("stride")
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val key = ctx.freshName("key")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $stride = $p.numElements() / ${bands * bits};
+         |int $n = java.lang.Math.min($v.numElements(), $stride);
+         |long[] $keys = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    int $base = ($b * $bits + $j) * $stride;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $v.getDouble($i) * $p.getDouble($base + $i);
+         |    }
+         |    if ($acc >= 0.0) $key |= (1L << $j);
+         |  }
+         |  $keys[$b] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Column-API entry point: `dot_product(a, b)` over ARRAY<DOUBLE>. */
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  /** Column-API entry point: all `bands` LSH band keys of `v` against the
+    * flattened `planes` matrix in one pass — ARRAY<BIGINT>(bands). */
+  def band_keys(v: Column, planes: Column, bands: Int, bits: Int): Column =
+    ColumnBridge.column(HyperplaneBandKeys(
+      ColumnBridge.expr(v), ColumnBridge.expr(planes), bands, bits))
 }

@@ -107,12 +107,14 @@ object Similarity {
     }
   }
 
-  private def pairBandKey(v: String, band: Int): Column =
-    (0 until pairBits).map { j =>
-      val plane = array(pairPlanes(band * pairBits + j).map(lit(_)): _*)
-      when(graft.functions.VectorOps.dot_product(col(v), plane) >= 0.0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All 16 band keys in ONE native expression pass (HyperplaneBandKeys):
+    * the first cut built 96 independent dot-product expressions whose
+    * generated code made codegen+JIT the operator's cold path. Keys are
+    * bit-identical to the fold form (same accumulation order, sign rule
+    * and bit weights), so candidates and hashes are unchanged. */
+  private def pairBandKeysAll(v: String): Column =
+    graft.functions.VectorOps.band_keys(col(v),
+      typedLit(pairPlanes.flatten.toSeq), pairBands, pairBits)
 
   private def pairBandKeySql(v: String, band: Int): String =
     (0 until pairBits).map { j =>
@@ -138,8 +140,7 @@ object Similarity {
     // embeddings scan runs 4x and the 48 dot products per row run twice
     val vecs = vectorsIn.persist()
     val keyed = vecs.select(col("vec_id"),
-      posexplode(array((0 until pairBands).map(b => pairBandKey("v", b)): _*))
-        .as(Seq("band", "bkey"))).persist()
+      posexplode(pairBandKeysAll("v")).as(Seq("band", "bkey"))).persist()
     val cand = keyed
       .join(keyed.select(col("band"), col("bkey"), col("vec_id").as("vec_id_b")),
         Seq("band", "bkey"))
