@@ -849,8 +849,14 @@ object Similarity {
 
   val knnK = 5
 
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = lshPairs(spark, dir).filter(col("cosine").isNotNull)
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphFor(lshPairs(spark, dir))
+
+  /** Same top-k ranking over an arbitrary lshPairsFor-shaped frame —
+    * lets DedupSimSpec assert planted high-cosine duplicates surface as
+    * rank-1 neighbors. */
+  private[graft] def knnGraphFor(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.filter(col("cosine").isNotNull)
     // symmetrize: each undirected candidate pair feeds both endpoints
     val directed = pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"),
         col("cosine"))

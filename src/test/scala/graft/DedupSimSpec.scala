@@ -302,4 +302,51 @@ class DedupSimSpec extends AnyFunSuite {
     val perQuery = t.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
     assert(perQuery.filter(col("n") =!= 10 || col("mr") =!= 10).count() == 0)
   }
+
+  test("knn graph: contiguous ranks, non-increasing cosines, planted dup is rank 1") {
+    // structural invariants on the real corpus
+    val rows = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank"),
+        r.getAs[Long]("dst"), r.getAs[Double]("cosine")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to g.length), s"src $src ranks not contiguous")
+      assert(byRank.forall(_._3 != src), s"src $src lists itself as a neighbor")
+      assert(g.length <= Similarity.knnK)
+      // ordered by (cosine desc, dst) — the window's exact tiebreak
+      val key = byRank.map(t => (-t._4, t._3))
+      assert(key.sameElements(key.sorted), s"src $src cosine order broken")
+    }
+    // planted: each high-cosine duplicate must surface as its base's
+    // rank-1 neighbor (the fixture's random cosines sit far below 0.9)
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val base = Array.fill(200)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val fixtureRows = base.zipWithIndex.flatMap { case (v, i) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val scale = (0.15 + 0.35 * rnd.nextDouble()) * nrm / math.sqrt(dim.toDouble)
+      val dup = v.map(x => x + (rnd.nextDouble() * 2 - 1) * scale)
+      Seq((i.toLong, i, v.toSeq), ((i + 10000).toLong, i, dup.toSeq))
+    }.toSeq
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    import spark.implicits._
+    val vecs = fixtureRows.toDF("vec_id", "label", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+    val g = Similarity.knnGraphFor(Similarity.lshPairsFor(vecs)).collect()
+      .map(r => ((r.getAs[Long]("src"), r.getAs[Int]("rank")), r.getAs[Long]("dst")))
+      .toMap
+    val planted = base.indices
+      .map(i => (i.toLong, (i + 10000).toLong,
+        cos(fixtureRows(2 * i)._3, fixtureRows(2 * i + 1)._3)))
+      .filter(_._3 >= 0.9)
+    assert(planted.size >= 150)
+    val rank1Hits = planted.count(p => g.get((p._1, 1)).contains(p._2))
+    assert(rank1Hits >= (planted.size * 0.99).toInt,
+      s"only $rank1Hits/${planted.size} planted dups surfaced at rank 1")
+  }
 }
