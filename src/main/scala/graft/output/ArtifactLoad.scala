@@ -251,11 +251,20 @@ object ArtifactLoad {
       case JNull => None
       case sj =>
         val sm = obj(sj)
+        // v1.3 optional: absent collection_mode = single-database run
+        val mode = sm.get("collection_mode").collect {
+          case mj if mj != JNull =>
+            val mm = obj(mj)
+            MultiDbCounts(long(field(mm, "discovered")).toInt,
+              long(field(mm, "collected")).toInt,
+              long(field(mm, "failed")).toInt)
+        }
         Some(ServerInfo(str(field(sm, "engine")), str(field(sm, "version")),
           str(field(sm, "collected_at")), long(field(sm, "table_count")).toInt,
           collectionDurationMs =
             sm.get("collection_duration_ms").map(long).getOrElse(-1L),
-          accessLevel = optStr(sm, "access_level", "")))
+          accessLevel = optStr(sm, "access_level", ""),
+          collectionMode = mode))
     }
     Artifact(str(field(root, "format_version")), str(field(root, "source")),
       tables, fks, server, strs(field(root, "warnings")),

@@ -103,12 +103,18 @@ object ArtifactJson {
     val customTypes = a.customTypes.map(ct =>
       s"""{"name": ${q(ct.name)}, "kind": ${q(ct.kind)}, "class_name": ${q(ct.className)}}""")
       .mkString("[", ",\n", "]")
-    val server = a.server.map(s =>
+    val server = a.server.map { s =>
+      // v1.3 optional field: absent = a single-database run (the
+      // reference's CollectionMode::SingleDatabase carries no counts)
+      val mode = s.collectionMode.map(m =>
+        s""", "collection_mode": {"mode": "multi_database", """ +
+          s""""discovered": ${m.discovered}, "collected": ${m.collected}, """ +
+          s""""failed": ${m.failed}}""").getOrElse("")
       s"""{"engine": ${q(s.engine)}, "version": ${q(s.version)}, """ +
         s""""collected_at": ${q(s.collectedAt)}, "table_count": ${s.tableCount}, """ +
         s""""collection_duration_ms": ${s.collectionDurationMs}, """ +
-        s""""access_level": ${q(s.accessLevel)}}""")
-      .getOrElse("null")
+        s""""access_level": ${q(s.accessLevel)}$mode}"""
+    }.getOrElse("null")
     s"""{
        |"format_version": ${q(a.formatVersion)},
        |"source": ${q(a.source)},
@@ -338,7 +344,9 @@ object HtmlDoc {
         s"<p>Engine: ${esc(s.engine)} ${esc(s.version)} &mdash; collected at ${esc(s.collectedAt)} &mdash; ${s.tableCount} tables</p>\n"
       val run = Seq(
         if (s.collectionDurationMs >= 0) Some(s"duration ${s.collectionDurationMs} ms") else None,
-        if (s.accessLevel.nonEmpty) Some(s"access level ${esc(s.accessLevel)}") else None).flatten
+        if (s.accessLevel.nonEmpty) Some(s"access level ${esc(s.accessLevel)}") else None,
+        s.collectionMode.map(m => s"mode multi_database " +
+          s"(${m.discovered} discovered / ${m.collected} collected / ${m.failed} failed)")).flatten
       if (run.nonEmpty) sb ++= s"<p>Collection run: ${run.mkString(", ")}</p>\n"
     }
     sb ++= "<h2>Overview</h2>\n<table><tr><th>Table</th><th>Rows</th><th>Columns</th><th>Status</th><th>Sampling</th></tr>\n"
@@ -427,7 +435,9 @@ object MarkdownDoc {
       sb ++= s"Engine: ${s.engine} ${s.version} — collected at ${s.collectedAt} — ${s.tableCount} tables\n\n"
       val run = Seq(
         if (s.collectionDurationMs >= 0) Some(s"duration ${s.collectionDurationMs} ms") else None,
-        if (s.accessLevel.nonEmpty) Some(s"access level ${s.accessLevel}") else None).flatten
+        if (s.accessLevel.nonEmpty) Some(s"access level ${s.accessLevel}") else None,
+        s.collectionMode.map(m => s"mode multi_database " +
+          s"(${m.discovered} discovered / ${m.collected} collected / ${m.failed} failed)")).flatten
       if (run.nonEmpty) sb ++= s"Collection run: ${run.mkString(", ")}\n\n"
     }
     sb ++= "## Overview\n\n"

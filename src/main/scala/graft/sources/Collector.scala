@@ -585,9 +585,19 @@ object Collector {
     * every table sampled successfully, limited when any degraded,
     * schema_only under SamplingStrategy.NoSample ("" = not recorded).
     */
+  /** Multi-database run counts (reference models.rs:327-337
+    * CollectionMode::MultiDatabase{discovered, collected, failed}): how
+    * many databases the server enumeration found, how many collected
+    * cleanly, how many failed. Rides ServerInfo the way the reference's
+    * collection_mode rides its ServerInfo; None = a single-database run
+    * (CollectionMode::SingleDatabase carries no counts).
+    */
+  case class MultiDbCounts(discovered: Int, collected: Int, failed: Int)
+
   case class ServerInfo(engine: String, version: String,
       collectedAt: String, tableCount: Int,
-      collectionDurationMs: Long = -1L, accessLevel: String = "")
+      collectionDurationMs: Long = -1L, accessLevel: String = "",
+      collectionMode: Option[MultiDbCounts] = None)
 
   /** Collected (engine-catalog) per-table metadata from a
     * MetadataSource; any field may be empty when the engine doesn't
@@ -917,14 +927,31 @@ object Collector {
 
   /** Multi-database survey (adapters/postgres/multi_database.rs
     * analogue): one artifact per enumerated database, collected with the
-    * same per-table machinery.
+    * same per-table machinery. `counts` is the run's CollectionMode
+    * triple; `failures` records (source, error) for every database whose
+    * collection threw — one broken database degrades the run, never
+    * aborts it (the reference counts failures and keeps going).
     */
-  case class MultiArtifact(formatVersion: String, databases: Seq[Artifact])
+  case class MultiArtifact(formatVersion: String, databases: Seq[Artifact],
+      counts: Option[MultiDbCounts] = None,
+      failures: Seq[(String, String)] = Nil)
 
   def collectAll(sources: Seq[TableSource], sampleSize: Int = 5,
-      withKeys: Boolean = false): MultiArtifact =
-    MultiArtifact(currentFormatVersion,
-      sources.map(s => collect(s, sampleSize, withKeys)))
+      withKeys: Boolean = false): MultiArtifact = {
+    val attempts = sources.map { s =>
+      s.name -> scala.util.Try(collect(s, sampleSize, withKeys))
+    }
+    val ok = attempts.collect { case (_, scala.util.Success(a)) => a }
+    val failures = attempts.collect {
+      case (n, scala.util.Failure(e)) =>
+        (n, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
+    val counts = MultiDbCounts(sources.size, ok.size, failures.size)
+    // every per-database artifact records the run it was collected under
+    val stamped = ok.map(a => a.copy(server =
+      a.server.map(_.copy(collectionMode = Some(counts)))))
+    MultiArtifact(currentFormatVersion, stamped, Some(counts), failures)
+  }
 
   /** Enumerate parquet "databases" under a root path — each
     * subdirectory holding at least one `*.parquet` entry is one

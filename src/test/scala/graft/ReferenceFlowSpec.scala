@@ -66,6 +66,45 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(Collector.validate(noSample).isEmpty)
   }
 
+  test("multi-db run counts (CollectionMode) ride artifacts, docs, and round-trip (r7)") {
+    // reference models.rs:327-337 CollectionMode::MultiDatabase
+    // {discovered, collected, failed}: the run triple a server-wide
+    // collection reports. One broken database must degrade the run
+    // (counted as failed), never abort it.
+    val base = new ParquetSource(spark, sf)
+    def slim(nm: String) = new graft.sources.TableSource {
+      def name = nm
+      def tableNames = Seq("region", "nation")
+      def load(t: String) = base.load(t)
+    }
+    val broken = new graft.sources.TableSource {
+      def name = "broken"
+      def tableNames = throw new RuntimeException("connection refused")
+      def load(t: String) = base.load(t)
+    }
+    val multi = Collector.collectAll(Seq(slim("db1"), broken, slim("db2")),
+      sampleSize = 1)
+    val triple = Collector.MultiDbCounts(discovered = 3, collected = 2, failed = 1)
+    assert(multi.counts.contains(triple))
+    assert(multi.failures.map(_._1) == Seq("broken") &&
+      multi.failures.head._2.contains("connection refused"))
+    assert(multi.databases.map(_.source) == Seq("db1", "db2"))
+    // every surviving artifact is stamped with the run it was collected under
+    multi.databases.foreach(a =>
+      assert(a.server.flatMap(_.collectionMode).contains(triple)))
+    // rendered in both doc headers
+    val head = multi.databases.head
+    val line = "mode multi_database (3 discovered / 2 collected / 1 failed)"
+    assert(MarkdownDoc.render(head).contains(line))
+    assert(graft.output.HtmlDoc.render(head).contains(line))
+    // v1.3 optional field: exact render→load round-trip; a single-db
+    // artifact (no collection_mode) still round-trips without it
+    import graft.output.ArtifactLoad
+    assert(ArtifactLoad.load(ArtifactJson.render(head)) == head)
+    assert(ArtifactLoad.load(ArtifactJson.render(artifact)) == artifact &&
+      artifact.server.flatMap(_.collectionMode).isEmpty)
+  }
+
   test("artifact diff reports schema evolution and rowcount drift") {
     val after = artifact.copy(tables = artifact.tables.collect {
       case t if t.name == "orders" =>
