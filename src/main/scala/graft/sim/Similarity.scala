@@ -871,19 +871,121 @@ object Similarity {
       .orderBy(col("src"), col("rank"))
   }
 
-  val knnGraphSql: String =
-    s"""WITH $lshPairsSql,
+  /** Shared CTE chain deriving the k-NN graph — knn_graph's oracle AND
+    * the base of knn_label_prop's, so the two cannot drift (the
+    * BpeTrainer/pack_shards_bpe shared-derivation discipline). */
+  private lazy val knnGraphCtes: String =
+    s"""$lshPairsSql,
        |directed AS (
        |  SELECT vec_id_a AS src, vec_id_b AS dst, cosine FROM lsh_pairs
        |  WHERE cosine IS NOT NULL
        |  UNION ALL
        |  SELECT vec_id_b AS src, vec_id_a AS dst, cosine FROM lsh_pairs
-       |  WHERE cosine IS NOT NULL)
-       |SELECT src, rank, dst, cosine FROM (
-       |  SELECT src, dst, cosine,
-       |    CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
-       |      AS INTEGER) AS rank
-       |  FROM directed)
-       |WHERE rank <= $knnK
+       |  WHERE cosine IS NOT NULL),
+       |knn AS (
+       |  SELECT src, rank, dst, cosine FROM (
+       |    SELECT src, dst, cosine,
+       |      CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
+       |        AS INTEGER) AS rank
+       |    FROM directed)
+       |  WHERE rank <= $knnK)""".stripMargin
+
+  val knnGraphSql: String =
+    s"""WITH $knnGraphCtes
+       |SELECT src, rank, dst, cosine FROM knn
        |ORDER BY src, rank""".stripMargin
+
+  // ------------------------------------------------------ label propagation
+  //
+  // Semi-supervised LABEL PROPAGATION over the k-NN graph (Zhu &
+  // Ghahramani's LPA in its clamped discrete form) — the canonical
+  // knn_graph consumer: spread scarce gold labels (20% seeds here)
+  // through the neighborhood structure to label the rest of the corpus.
+  // Per round, every non-seed node adopts the MAJORITY label among its
+  // k neighbors' current labels (unlabeled neighbors abstain, ties break
+  // to the smallest label, no votes keeps the previous state); seeds are
+  // CLAMPED to their gold label. Exact integer/label arithmetic
+  // end-to-end — no float seam anywhere, so op and oracle must agree
+  // bit-for-bit. Scale shape: each round is one (dst-keyed join + src
+  // majority aggregation) over the k·n edge list — the GraphOps
+  // iterative-join discipline with per-round localCheckpoint; rounds are
+  // a fixed small constant (LPA converges in a few hops on knn graphs).
+
+  val lpRounds = 3
+  val lpSeedMod = 5 // vec_id % 5 == 0 → seed (20% gold labels)
+
+  def knnLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    def free(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    // (src, dst) edge list materialized ONCE — the per-round join relation
+    val g = knnGraph(spark, dir).select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    var cur = vectors(spark, dir)
+      .select(col("vec_id"), (col("vec_id") % lpSeedMod === 0).as("is_seed"),
+        col("label"),
+        when(col("vec_id") % lpSeedMod === 0, col("label")).as("cur"))
+      .localCheckpoint(true)
+    for (_ <- 1 to lpRounds) {
+      val votes = g
+        .join(cur.select(col("vec_id").as("nid"), col("cur").as("nlbl")),
+          col("dst") === col("nid"))
+        .filter(col("nlbl").isNotNull)
+        .groupBy(col("src"), col("nlbl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("c").desc, col("nlbl"))
+      val pick = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("nlbl").as("pick"))
+      val next = cur.join(pick, col("vec_id") === col("src"), "left_outer")
+        .select(col("vec_id"), col("is_seed"), col("label"),
+          when(col("is_seed"), col("label"))
+            .otherwise(coalesce(col("pick"), col("cur"))).as("cur"))
+        .localCheckpoint(true) // per-round checkpoint/free (GraphOps discipline)
+      free(cur)
+      cur = next
+    }
+    val out = cur.select(col("vec_id"), col("label"), col("is_seed"),
+        col("cur").as("prop_label"),
+        coalesce(col("cur") === col("label"), lit(false)).as("agrees"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint(true) // materialize so the last round's blocks free
+    free(cur)
+    free(g)
+    out
+  }
+
+  val knnLabelPropSql: String = {
+    val rounds = (1 to lpRounds).map { r =>
+      s"""v$r AS (
+         |  SELECT knn.src, a.cur AS lbl, count(*) AS c
+         |  FROM knn JOIN a${r - 1} a ON knn.dst = a.vec_id
+         |  WHERE a.cur IS NOT NULL
+         |  GROUP BY knn.src, a.cur),
+         |p$r AS (
+         |  SELECT src, lbl FROM (
+         |    SELECT src, lbl,
+         |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |    FROM v$r)
+         |  WHERE rn = 1),
+         |a$r AS (
+         |  SELECT a.vec_id,
+         |    CASE WHEN a.vec_id % $lpSeedMod = 0 THEN a.gold
+         |         ELSE coalesce(p$r.lbl, a.cur) END AS cur,
+         |    a.gold
+         |  FROM a${r - 1} a LEFT JOIN p$r ON a.vec_id = p$r.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |a0 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % $lpSeedMod = 0 THEN label END AS cur,
+       |    label AS gold
+       |  FROM e),
+       |$rounds
+       |SELECT vec_id, gold AS label, vec_id % $lpSeedMod = 0 AS is_seed,
+       |  cur AS prop_label, coalesce(cur = gold, FALSE) AS agrees
+       |FROM a$lpRounds
+       |ORDER BY vec_id""".stripMargin
+  }
 }

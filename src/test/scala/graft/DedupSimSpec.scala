@@ -349,4 +349,44 @@ class DedupSimSpec extends AnyFunSuite {
     assert(rank1Hits >= (planted.size * 0.99).toInt,
       s"only $rank1Hits/${planted.size} planted dups surfaced at rank 1")
   }
+
+  test("knn label propagation matches a driver-side clamped-LPA recompute") {
+    val out = Similarity.knnLabelProp(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Boolean]("is_seed"),
+        Option(r.getAs[Any]("prop_label")).map(_.asInstanceOf[Int]),
+        r.getAs[Boolean]("agrees")))
+    assert(out.nonEmpty)
+    // seeds are clamped; propagation labels a real share of the rest
+    out.filter(_._3).foreach(t => assert(t._4.contains(t._2)))
+    val nonSeed = out.filterNot(_._3)
+    assert(nonSeed.count(_._4.nonEmpty) > nonSeed.length / 2,
+      "propagation should label most non-seeds through a knn graph")
+    // full equivalence against an independent driver-side simulation
+    val edges = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+      .groupBy(_._1).map { case (s, es) => (s, es.map(_._2).toSeq) }
+    val gold = out.map(t => (t._1, t._2)).toMap
+    var cur: Map[Long, Option[Int]] = gold.map { case (id, l) =>
+      (id, if (id % Similarity.lpSeedMod == 0) Some(l) else None)
+    }
+    for (_ <- 1 to Similarity.lpRounds) {
+      val next = cur.map { case (id, prev) =>
+        if (id % Similarity.lpSeedMod == 0) (id, Some(gold(id)))
+        else {
+          val votes = edges.getOrElse(id, Nil).flatMap(cur(_))
+          if (votes.isEmpty) (id, prev)
+          else {
+            val counts = votes.groupBy(identity).map { case (l, v) => (l, v.size) }
+            (id, Some(counts.toSeq.minBy { case (l, c) => (-c, l) }._1))
+          }
+        }
+      }
+      cur = next
+    }
+    out.foreach { case (id, _, _, prop, agrees) =>
+      assert(prop == cur(id), s"vec $id: op $prop vs recompute ${cur(id)}")
+      assert(agrees == prop.contains(gold(id)))
+    }
+  }
 }
