@@ -44,6 +44,44 @@ object GlobalRank {
     spark.createDataFrame(ranked, schema).localCheckpoint()
   }
 
+  /** Adds an inclusive global PREFIX SUM of `valueCol` (must be LONG)
+    * under the given total order — the scale-safe replacement for
+    * `sum(x).over(Window.orderBy(...))`, which plans the same
+    * single-partition WindowExec the rank case does. `keys` must include
+    * a unique tiebreak so the order is total.
+    *
+    * Shape: the identical sampled range exchange + per-partition sort as
+    * withGlobalRank, then the zipWithIndex two-pass device applied to
+    * SUMS instead of counts: pass 1 folds one Long per partition
+    * (bounded driver state — #partitions Longs), pass 2 streams each
+    * partition once adding its offset. Both passes read the SAME shuffle
+    * output (Spark reuses the exchange's files), so the data moves once.
+    * This is the primitive that makes exact global sequence packing /
+    * Lorenz accumulation legal at 100 TB: no task ever holds more than
+    * its partition, and the only driver state is the per-partition sum
+    * vector.
+    */
+  def withGlobalCumsum(df: DataFrame, valueCol: String, cumCol: String,
+      keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = Σ earlier partitions
+    val schema = StructType(sorted.schema :+ StructField(cumCol, LongType, nullable = false))
+    val summed = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var run = offsets(pid)
+      it.map { r => run += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ run) }
+    }
+    spark.createDataFrame(summed, schema).localCheckpoint()
+  }
+
   /** SQL-standard NTILE(k) as a closed-form expression over a contiguous
     * 1-based rank: with q = n DIV k and r = n MOD k, tiles 1..r hold q+1
     * rows and tiles r+1..k hold q — exactly Spark's and DuckDB's `ntile`

@@ -249,6 +249,86 @@ object Curation {
   val packShardsSql: String = packShardsSqlFrom(whitespaceDocCte)
   val packShardsBpeSql: String = packShardsSqlFrom(bpeDocCte)
 
+  /** Sequence length for pack_sequences. Same scale logic as
+    * shardCapacity: the synthetic docs average ~54 tokens, so 512
+    * exercises multi-doc sequences AND multi-sequence docs at every test
+    * SF; a production run uses the model's context length (2^11..2^17).
+    */
+  val seqLen = 512L
+
+  /** GPT-style SEQUENCE PACKING (concatenate-and-chunk): the whole
+    * corpus is laid out as ONE contiguous token stream in a
+    * deterministic content-keyed order (md5(doc_id), doc_id — the
+    * sampler device, append-stable) and cut every `seqLen` tokens into
+    * the fixed-length training sequences a dataloader actually feeds the
+    * model. Documents span sequence boundaries (that's the point —
+    * zero padding waste); emitted per sequence: docs overlapping, docs
+    * STARTING here (attention-reset boundaries), token fill (= seqLen
+    * everywhere but the tail) and fill ppm. Complements pack_shards:
+    * that op buckets docs into parallel budget lanes (file layout);
+    * this one produces the exact global window stream (batch layout).
+    *
+    * Scale shape: the global running offset is GlobalRank.
+    * withGlobalCumsum — the sampled range exchange + two-pass partition
+    * offset device, NEVER an empty-partitionBy window (the single-task
+    * sort the class guard bans; pack_shards' "classic packing
+    * scale-killer" comment is exactly this trap). Each doc then explodes
+    * to its overlapped sequence ids (≤ toks/seqLen + 1 rows) and one
+    * keyed aggregation finishes — shuffle bounded by corpus_tokens/
+    * seqLen + n_docs. Every output cell is BIGINT-exact integer
+    * arithmetic; the oracle runs the literal window cumsum over the same
+    * total order, proving the distributed prefix sum IS the cumsum.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithToks(spark, dir, "whitespace")
+      .select(col("doc_id"), col("toks").cast("long").as("toks"),
+        expr(bucketExpr).as("h"))
+      .filter(col("toks") > 0)
+    val cum = graft.operators.GlobalRank
+      .withGlobalCumsum(d, "toks", "cum", col("h"), col("doc_id"))
+      .withColumn("start", col("cum") - col("toks"))
+    val perSeq = cum
+      .select(col("doc_id"), col("toks"), col("start"), col("cum"),
+        explode(sequence(expr(s"start DIV $seqLen"), expr(s"(cum - 1) DIV $seqLen")))
+          .as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"start DIV $seqLen") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_doc_starts"),
+        sum(least(col("cum"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("start"), col("seq_id") * seqLen)).as("seq_tokens"))
+    perSeq
+      .select(col("seq_id"), col("n_docs"), col("n_doc_starts"), col("seq_tokens"),
+        expr(s"CAST((seq_tokens * 1000000) DIV $seqLen AS BIGINT)").as("fill_ppm"))
+      .orderBy(col("seq_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH $whitespaceDocCte,
+       |ord AS (
+       |  SELECT doc_id, toks,
+       |    sum(toks) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d WHERE toks > 0),
+       |spans AS (
+       |  SELECT doc_id, toks, CAST(cum - toks AS BIGINT) AS start,
+       |    CAST(cum AS BIGINT) AS cum
+       |  FROM ord),
+       |ex AS (
+       |  SELECT doc_id, toks, start, cum,
+       |    unnest(range(start // $seqLen, (cum - 1) // $seqLen + 1)) AS seq_id
+       |  FROM spans)
+       |SELECT seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN start // $seqLen = seq_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_doc_starts,
+       |  CAST(sum(least(cum, (seq_id + 1) * $seqLen)
+       |    - greatest(start, seq_id * $seqLen)) AS BIGINT) AS seq_tokens,
+       |  CAST((CAST(sum(least(cum, (seq_id + 1) * $seqLen)
+       |    - greatest(start, seq_id * $seqLen)) AS BIGINT) * 1000000)
+       |    // $seqLen AS BIGINT) AS fill_ppm
+       |FROM ex GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   /** Temperature-based source mixing weights: sample_share ∝
     * n_tokens^0.5 (alpha = 0.5, the sqrt flattening GPT-3 §2.2 / The
     * Pile apply so giant web crawls don't drown curated sources). Emits

@@ -102,6 +102,49 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences reproduces a driver-side concatenate-and-chunk exactly") {
+    val out = Curation.packSequences(spark, dir).collect()
+      .map(r => r.getAs[Long]("seq_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_doc_starts"),
+          r.getAs[Long]("seq_tokens"), r.getAs[Long]("fill_ppm")))
+    // driver recompute: same content-keyed total order, one token stream
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").as("toks"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+      .filter(_._2 > 0)
+      .sortBy(t => (t._3, t._1))
+    val L = Curation.seqLen
+    val expected = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    var off = 0L
+    for ((_, toks, _) <- docs) {
+      val start = off; val end = off + toks
+      for (seq <- start / L to (end - 1) / L) {
+        val (n, st, tk) = expected.getOrElse(seq, (0L, 0L, 0L))
+        val overlap = math.min(end, (seq + 1) * L) - math.max(start, seq * L)
+        expected(seq) = (n + 1, st + (if (start / L == seq) 1L else 0L), tk + overlap)
+      }
+      off = end
+    }
+    assert(out.length == expected.size)
+    out.foreach { case (seq, (n, st, tk, ppm)) =>
+      val (en, est, etk) = expected(seq)
+      assert((n, st, tk) == (en, est, etk), s"seq $seq")
+      assert(ppm == tk * 1000000L / L)
+    }
+    // the stream is gapless: contiguous seq ids, full sequences except the
+    // tail, token mass conserved
+    val ids = out.map(_._1).sorted
+    assert(ids.sameElements(0L until ids.length))
+    out.filter(_._1 < ids.length - 1).foreach { case (seq, (_, _, tk, _)) =>
+      assert(tk == L, s"interior seq $seq not full")
+    }
+    assert(out.map(_._2._3).sum == docs.map(_._2).sum)
+    assert(out.map(_._2._2).sum == docs.length)
+  }
+
   test("packShards lane count scales with token mass and stays deterministic") {
     def laneCounts(d: String): Map[String, Int] =
       Curation.packShards(spark, d).collect()
