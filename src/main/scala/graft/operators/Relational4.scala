@@ -57,6 +57,34 @@ object Relational4 {
       |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q6: forecast revenue change — the pushdown showcase. One
+    * filtered scan, one 1-row aggregate, no join, no shuffle beyond the
+    * two-phase agg. The date/quantity/discount predicates are plain
+    * double/timestamp comparisons so ALL of them reach the parquet scan
+    * (PushedFilters); money math is decimal-exact only inside the sum
+    * (discount literals compare identically as doubles in both engines —
+    * the same binary constants — so the filter stays pushable).
+    */
+  val q6Window = ("1996-01-01", "1997-01-01")
+
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(q6Window._1).cast(TimestampType) &&
+        col("l_shipdate") < lit(q6Window._2).cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q6Sql: String =
+    s"""SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '${q6Window._1}'
+       |  AND l_shipdate < TIMESTAMP '${q6Window._2}'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   /** TPC-H Q12-style shipping-latency accounting (shipmode replaced by
     * the ship-latency bucket the schema can express): lines bucketed by
     * days from order to ship, counting critical- vs normal-priority

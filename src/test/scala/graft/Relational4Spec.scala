@@ -21,6 +21,29 @@ class Relational4Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("order_count")).sum == brute)
   }
 
+  test("q6: revenue equals an exact driver-side BigDecimal recompute; filters push down") {
+    val row = Relational4.q6ForecastRevenue(spark, sf).collect().head
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(Relational4.q6Window._1).cast("timestamp") &&
+        col("l_shipdate") < lit(Relational4.q6Window._2).cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_extendedprice"), col("l_discount")).collect()
+    val exact = rows.map { r =>
+      BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(row.getAs[Long]("n_lines") == rows.length)
+    assert(row.getAs[Double]("revenue") == exact.toDouble)
+    // every predicate reaches the parquet scan (formatted mode prints the
+    // full PushedFilters list; toString truncates it)
+    val plan = Relational4.q6ForecastRevenue(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("GreaterThanOrEqual(l_discount") &&
+      plan.contains("LessThanOrEqual(l_discount") &&
+      plan.contains("LessThan(l_quantity"), plan)
+  }
+
   test("q12: buckets partition the joined fact; high+low = total lines") {
     val rows = Relational4.q12ShipLatency(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 4)
