@@ -69,6 +69,86 @@ object Relational3 {
       |  FROM lineitem JOIN part ON l_partkey = p_partkey)
       |GROUP BY 1 ORDER BY month_us""".stripMargin
 
+  /** TPC-H Q8-style national market share: within one market (customers
+    * of one region) and one part type, the share of yearly revenue
+    * supplied by one target nation — the two-level conditional-share
+    * aggregation over the deepest join tree in the set (lineitem ⋈ part
+    * ⋈ supplier ⋈ nation ⋈ orders ⋈ customer ⋈ nation ⋈ region).
+    *
+    * Shape: the part-type filter broadcasts into the fact FIRST (cuts
+    * ~4/5 of lines before anything else), supplier⋈nation broadcasts,
+    * the customer→nation→region market filter broadcasts into orders,
+    * and lineitem ⋈ orders is the q7/q12 fact×fact co-shuffle on the
+    * order key. One conditional aggregation keyed by year; share in
+    * integer ppm via the q14 decimal IntegralDivide device.
+    */
+  val q8Region = "ASIA"
+  val q8Nation = "NATION_12"
+  val q8PartType = "ECONOMY"
+
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val partT = Tables.part(spark, dir)
+      .filter(col("p_type") === q8PartType).select(col("p_partkey"))
+    val suppN = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val marketCust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === q8Region).select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(broadcast(marketCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(partT), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey")) // fact×fact co-shuffle
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === q8Nation, revenue)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).as("nation_d"),
+        sum(revenue).as("total_d"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_year"),
+        col("nation_d").cast(DoubleType).as("nation_revenue"),
+        col("total_d").cast(DoubleType).as("total_revenue"),
+        expr("CAST(CAST(nation_d * 1000000 AS DECIMAL(38,4)) DIV total_d AS BIGINT)")
+          .as("nation_ppm"),
+        col("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Same HUGEINT-floor-division equivalence as q14Sql. */
+  val q8Sql: String =
+    s"""SELECT CAST(o_year AS INTEGER) AS o_year,
+       |  CAST(sum(CASE WHEN supp_nation = '$q8Nation' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
+       |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+       |  CAST((CAST(sum(CASE WHEN supp_nation = '$q8Nation' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS HUGEINT) * 1000000)
+       |    // CAST(sum(rev) * 10000 AS HUGEINT) AS BIGINT) AS nation_ppm,
+       |  count(*) AS n_lines
+       |FROM (
+       |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |         CAST(1.00 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS rev
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey AND p_type = '$q8PartType'
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '$q8Region')
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   /** TPC-H Q18-style large-volume orders: orders whose total line
     * quantity exceeds the threshold, with their customer.
     *

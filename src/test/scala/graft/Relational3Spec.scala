@@ -65,4 +65,49 @@ class Relational3Spec extends AnyFunSuite {
       .count()
     assert(f.getAs[Long]("n_lines") == brute)
   }
+
+  test("q8: market-share ppm equals an exact driver-side decimal recompute") {
+    val rows = Relational3.q8MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recompute of the qualifying-line universe
+    val nk = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    val lines = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_type") === Relational3.q8PartType),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(nk.select(col("n_nationkey").as("snk"), col("n_name").as("sn")),
+        col("s_nationkey") === col("snk"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf).select(col("n_nationkey").as("cnk"),
+        col("n_regionkey").as("crk")), col("c_nationkey") === col("cnk"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === Relational3.q8Region),
+        col("crk") === col("r_regionkey"))
+      .select(year(col("o_orderdate")).as("y"), col("sn"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+    def money(ext: Double, disc: Double): BigDecimal =
+      BigDecimal(ext).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        (BigDecimal(1.00) - BigDecimal(disc).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val byYear = lines.groupBy(_.getAs[Int]("y"))
+    assert(rows.map(_.getAs[Int]("o_year")).toSet == byYear.keySet)
+    rows.foreach { r =>
+      val g = byYear(r.getAs[Int]("o_year"))
+      val tot = g.map(x => money(x.getDouble(2), x.getDouble(3))).sum
+      val nat = g.filter(_.getAs[String]("sn") == Relational3.q8Nation)
+        .map(x => money(x.getDouble(2), x.getDouble(3))).sum
+      assert(r.getAs[Long]("n_lines") == g.length)
+      assert(r.getAs[Double]("total_revenue") == tot.toDouble)
+      assert(r.getAs[Double]("nation_revenue") == nat.toDouble)
+      // ppm is the exact integer floor quotient (the HUGEINT device:
+      // both sums are exact in 1e-4 units)
+      val natU = (nat * 10000).toBigIntExact.get
+      val totU = (tot * 10000).toBigIntExact.get
+      val ppm = natU * 1000000 / totU
+      assert(BigInt(r.getAs[Long]("nation_ppm")) == ppm,
+        s"year ${r.getAs[Int]("o_year")}: ${r.getAs[Long]("nation_ppm")} vs $ppm")
+    }
+    // at least one year carries target-nation signal on every test SF
+    assert(rows.exists(_.getAs[Long]("nation_ppm") > 0L))
+  }
 }
