@@ -329,6 +329,117 @@ object Curation {
        |    // $seqLen AS BIGINT) AS fill_ppm
        |FROM ex GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  /** Duplication-INFLATION report per source — the corpus-level rollup
+    * of dedup_exact the curation review actually reads ("source X is
+    * 30% duplicated tokens"): fingerprint groups are GLOBAL md5(text)
+    * (dedup_exact's contract — a copy pasted across sources still
+    * counts), the keeper is the global min doc_id, and every non-keeper
+    * doc charges its doc + token mass to ITS OWN source. inflation_ppm
+    * = duplicated-token mass per million tokens of the source.
+    *
+    * Scale shape: one fingerprint aggregation (map-side partial on
+    * md5), a fingerprint-keyed join back (the fingerprint-index shape
+    * ingest dedup already uses), one |sources|-keyed agg. All cells
+    * BIGINT-exact.
+    */
+  def dedupInflation(spark: SparkSession, dir: String): DataFrame =
+    dedupInflationFrom(docsWithToks(spark, dir, "whitespace")
+      .select(col("doc_id"), col("source"), col("toks").cast("long").as("toks"),
+        md5(col("text")).as("fp")))
+
+  /** Same report over an arbitrary (doc_id, source, toks, fp) frame —
+    * lets CurationSpec plant cross-source duplicate groups (the real
+    * corpus has exact dups only at sf0.1). */
+  private[graft] def dedupInflationFrom(t: DataFrame): DataFrame = {
+    val keepers = t.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    t.join(keepers, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), col("toks")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("dup_docs"), col("dup_tokens"),
+        expr("CAST((dup_tokens * 1000000) DIV n_tokens AS BIGINT)")
+          .as("inflation_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val dedupInflationSql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS toks,
+      |    md5(text) AS fp
+      |  FROM documents),
+      |k AS (SELECT fp, min(doc_id) AS keeper FROM d0 GROUP BY fp)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+      |  CAST(sum(CASE WHEN doc_id <> keeper THEN toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+      |  CAST((CAST(sum(CASE WHEN doc_id <> keeper THEN toks ELSE 0 END) AS BIGINT)
+      |    * 1000000) // CAST(sum(toks) AS BIGINT) AS BIGINT) AS inflation_ppm
+      |FROM d0 JOIN k USING (fp) GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-source EPOCH schedule for a token budget — the table a trainer
+    * reads to set repeat factors (the step after mix_weights picks
+    * shares): target_tokens = budget·share and epochs = target/source
+    * tokens, in exact integer ppm (2.35 epochs = 2350000). epochs > 1
+    * ⇔ the source repeats (needs_repeat) — the Chinchilla-style "how
+    * many passes over each source does this mix imply" check.
+    *
+    * Exactness: the sqrt weight is the DECIMAL(24,6) quantization
+    * mix_weights already pins cross-engine; converted to exact integer
+    * micro-units u_w = w·1e6, every downstream cell is integer floor
+    * arithmetic in DECIMAL(38,0) (Spark) ≡ HUGEINT (DuckDB) — the q14
+    * device, no double division anywhere. Scale shape: one corpus agg
+    * to |sources| rows; the normalizing window runs over those rows
+    * only.
+    */
+  val mixEpochBudget = 2000000L
+
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val g = docsWithToks(spark, dir, "whitespace")
+      .select(col("source"), col("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("n_tokens"))
+      // NOT "u_w"/"u_W": Spark's resolver is case-insensitive by default,
+      // so two columns differing only in case silently shadow each other
+      .withColumn("u_src",
+        expr("CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,6)) * 1000000 AS BIGINT)"))
+    val all = Window.partitionBy()
+    g.withColumn("u_total", sum(col("u_src")).over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"CAST(CAST(CAST($mixEpochBudget AS DECIMAL(38,0)) * u_src AS DECIMAL(38,0)) DIV u_total AS BIGINT)")
+          .as("target_tokens"),
+        expr(s"CAST(CAST(CAST($mixEpochBudget AS DECIMAL(38,0)) * u_src * 1000000 AS DECIMAL(38,0)) DIV CAST(CAST(u_total AS DECIMAL(38,0)) * n_tokens AS DECIMAL(38,0)) AS BIGINT)")
+          .as("epochs_ppm"))
+      .withColumn("epochs_full", expr("epochs_ppm DIV 1000000"))
+      .withColumn("needs_repeat", col("epochs_ppm") > 1000000L)
+      .orderBy(col("source"))
+  }
+
+  // lazy: whitespaceSourceCte is declared further down the object.
+  // u_src/u_total (never u_w/u_W): both engines resolve column names
+  // case-insensitively, so case-only distinctions silently collide.
+  lazy val mixEpochsSql: String =
+    s"""WITH $whitespaceSourceCte,
+       |w AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS u_src
+       |  FROM g),
+       |t AS (SELECT CAST(sum(u_src) AS BIGINT) AS u_total FROM w)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST((CAST($mixEpochBudget AS HUGEINT) * u_src) // u_total AS BIGINT) AS target_tokens,
+       |  CAST((CAST($mixEpochBudget AS HUGEINT) * u_src * 1000000)
+       |    // (CAST(u_total AS HUGEINT) * n_tokens) AS BIGINT) AS epochs_ppm,
+       |  CAST((CAST($mixEpochBudget AS HUGEINT) * u_src * 1000000)
+       |    // (CAST(u_total AS HUGEINT) * n_tokens) // 1000000 AS BIGINT) AS epochs_full,
+       |  (CAST($mixEpochBudget AS HUGEINT) * u_src * 1000000)
+       |    // (CAST(u_total AS HUGEINT) * n_tokens) > 1000000 AS needs_repeat
+       |FROM w, t ORDER BY source""".stripMargin
+
   /** Temperature-based source mixing weights: sample_share ∝
     * n_tokens^0.5 (alpha = 0.5, the sqrt flattening GPT-3 §2.2 / The
     * Pile apply so giant web crawls don't drown curated sources). Emits

@@ -145,6 +145,73 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_._2._2).sum == docs.length)
   }
 
+  test("dedupInflation charges every non-keeper's mass to its own source") {
+    val out = Curation.dedupInflation(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("dup_docs"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("inflation_ppm"))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").as("toks"),
+        md5(col("text")).as("fp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getString(3)))
+    val keeper = docs.groupBy(_._4).map { case (fp, g) => fp -> g.map(_._1).min }
+    val expected = docs.groupBy(_._2).map { case (src, g) =>
+      val dups = g.filter(d => keeper(d._4) != d._1)
+      val nTok = g.map(_._3).sum
+      src -> (g.length.toLong, nTok, dups.length.toLong, dups.map(_._3).sum,
+        dups.map(_._3).sum * 1000000L / nTok)
+    }
+    assert(out == expected)
+    // the small-SF corpus has no exact dups (first dups appear at sf0.1),
+    // so the duplicate accounting is proven on a PLANTED cross-source
+    // fixture: fp "x" keeper is doc 1 in source a; docs 2 (a) and 3 (b)
+    // are its copies; doc 4 (b) is unique
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a", 10L, "x"), (2L, "a", 10L, "x"),
+      (3L, "b", 10L, "x"), (4L, "b", 7L, "y"))
+      .toDF("doc_id", "source", "toks", "fp")
+    val p = Curation.dedupInflationFrom(planted).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("dup_docs"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("inflation_ppm"))).toMap
+    assert(p("a") == (2L, 20L, 1L, 10L, 500000L)) // doc 2 duplicates doc 1
+    assert(p("b") == (2L, 17L, 1L, 10L, 588235L)) // doc 3's mass charged to b
+  }
+
+  test("mixEpochs: targets partition the budget; epochs_ppm is the exact floor quotient") {
+    val rows = Curation.mixEpochs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val B = Curation.mixEpochBudget
+    // recompute from the same quantized weights
+    val g = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), expr("size(filter(split(text, ' '), t -> t <> ''))").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).cast("long").as("n_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uw = g.map { case (s, n) =>
+      s -> BigDecimal(math.sqrt(n.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toBigIntExact.get
+    }
+    val uW = uw.values.sum
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_tokens") == g(s))
+      assert(BigInt(r.getAs[Long]("target_tokens")) == BigInt(B) * uw(s) / uW)
+      val ppm = BigInt(B) * uw(s) * 1000000 / (uW * BigInt(g(s)))
+      assert(BigInt(r.getAs[Long]("epochs_ppm")) == ppm, s"$s")
+      assert(r.getAs[Long]("epochs_full") == (ppm / 1000000).toLong)
+      assert(r.getAs[Boolean]("needs_repeat") == (ppm > 1000000))
+    }
+    // floor targets can each drop < 1 token vs the exact share
+    val targetSum = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(targetSum <= B && targetSum > B - rows.length)
+  }
+
   test("packShards lane count scales with token mass and stays deterministic") {
     def laneCounts(d: String): Map[String, Int] =
       Curation.packShards(spark, d).collect()
