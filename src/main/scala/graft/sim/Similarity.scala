@@ -535,6 +535,203 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------- PQ ANN
+  //
+  // Product-quantization ANN — the third compressed-index leg beside
+  // IVF (list pruning) and SQ8 (scalar codes): the 64-d vector splits
+  // into 16 subspaces of 4 dims, each subspace trains its own
+  // 16-centroid codebook (the annIvf deterministic Lloyd device on
+  // subvectors), and every vector stores only 16 nibble codes — 8 bytes
+  // against 256 for float32, the compression that makes billion-vector
+  // indexes fit in RAM (Jégou et al.; FAISS's PQ). Queries rank by ADC
+  // (asymmetric distance): per query a 16×16 lookup table of subspace
+  // distances computed ONCE, then each candidate costs 16 array lookups
+  // + 15 adds — never a full dot product. The exhaustive code scan is
+  // the SQ8 contract; at scale it composes with the IVF lists to prune
+  // candidates first (same note as SQ8). Recall at 64 bits/vector is
+  // information-bounded on this STRUCTURELESS random corpus (measured
+  // + pinned in spec, the dedup_embedding discipline); on planted
+  // near-duplicate structure — the regime dedup/retrieval actually
+  // queries — the same index recalls the planted neighbor at rank 1
+  // (also pinned).
+
+  val pqM = 16
+  val pqSubDim = dim / pqM // 4
+  val pqK = 16
+  val pqIters = 2
+  val pqQueries = 20
+
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqFor(vectors(spark, dir))
+
+  /** Same index + ADC rank over an arbitrary (vec_id, label, v, nrm)
+    * frame — lets DedupSimSpec measure recall on planted near-duplicate
+    * structure, the regime a dedup/retrieval query actually hits. */
+  private[graft] def annPqFor(vecsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val vecs = vecsIn.persist()
+    val nVec = vecs.count()
+    // deterministic seeds: the SAME evenly spaced vec_ids for every
+    // subspace (the annIvf seeding), sliced per subspace driver-side
+    val seeds: Array[Array[Double]] = vecs
+      .filter(col("vec_id") % lit(math.max(nVec / pqK, 1)) === 0)
+      .orderBy(col("vec_id")).limit(pqK)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[(Int, Array[Double])]] = Array.tabulate(pqM)(s =>
+      seeds.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(s * pqSubDim, (s + 1) * pqSubDim))
+      })
+
+    def subCol(s: Int): Column = slice(col("v"), s * pqSubDim + 1, pqSubDim)
+    def assignSub(s: Int, cents: Array[(Int, Array[Double])]): Column = {
+      val scored = cents.map { case (i, c) =>
+        val dot = graft.functions.VectorOps.dot_product(subCol(s),
+          array(c.map(lit(_)): _*))
+        val cNorm2 = c.map(x => x * x).sum
+        struct((lit(cNorm2) - dot * 2).as("d"), lit(i).as("cid"))
+      }
+      if (scored.length < 2) lit(0) else least(scored: _*).getField("cid")
+    }
+
+    for (_ <- 1 to pqIters) {
+      // ALL 16 subspace assignments + decimal-quantized means in ONE
+      // job per iteration (not one per subspace): every dim row carries
+      // its subspace id s = j DIV subDim and that subspace's assigned
+      // cid, then a single (s, cid, k) aggregation updates every
+      // codebook. The mean is the annIvf/labelCentroids exact
+      // order-independent decimal device; driver state = m·k·subDim
+      // doubles (the codebooks themselves).
+      val assigned = vecs.select(col("v") +:
+        (0 until pqM).map(s => assignSub(s, books(s)).as(s"cid$s")): _*)
+      val cidOfS = element_at(
+        array((0 until pqM).map(s => col(s"cid$s")): _*), col("s") + 1)
+      val updated = assigned
+        .select(posexplode(col("v")).as(Seq("j", "x")) +:
+          (0 until pqM).map(s => col(s"cid$s")): _*)
+        .withColumn("s", (col("j") / pqSubDim).cast("int"))
+        .select(col("s"), cidOfS.as("cid"), (col("j") % pqSubDim).as("k"),
+          col("x").cast(DecimalType(24, 6)).as("xd"))
+        .groupBy(col("s"), col("cid"), col("k"))
+        .agg((sum(col("xd")).cast(DoubleType) / count(lit(1))).as("m"))
+        .collect()
+        .map(r => ((r.getAs[Int]("s"), r.getAs[Int]("cid")),
+          (r.getAs[Int]("k"), r.getAs[Double]("m"))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(_._1).map(_._2).toArray).toMap
+      books = Array.tabulate(pqM)(s => books(s).map { case (i, c) =>
+        (i, updated.getOrElse((s, i), c))
+      })
+    }
+
+    // the whole index: 4 small code ids per vector (16x compression)
+    val codes = vecs.select(col("vec_id") +:
+      (0 until pqM).map(s => assignSub(s, books(s)).as(s"c$s")): _*)
+    // per-query ADC lookup tables: distance to every codebook centroid,
+    // computed once per (query, subspace)
+    val luts = vecs.filter(col("vec_id") < pqQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until pqM).map { s =>
+          array(books(s).map { case (_, c) =>
+            val dot = graft.functions.VectorOps.dot_product(subCol(s),
+              array(c.map(lit(_)): _*))
+            lit(c.map(x => x * x).sum) - dot * 2
+          }: _*).as(s"lut$s")
+        }: _*)
+    val adc = (0 until pqM).map(s =>
+      element_at(col(s"lut$s"), col(s"c$s") + 1)).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_d"), col("neighbor_id"))
+    codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc, 6).as("adc_d"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_d"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The identical per-subspace Lloyd chain + codes + ADC rank unrolled
+    * as DuckDB CTEs (the annIvfSql pattern × 16 subspaces). Subvectors
+    * are 1-based inclusive list slices. Codes and LUTs collapse to ONE
+    * ordered list per vector / per query (a 33-way equi-join formulation
+    * sent DuckDB's planner into the weeds), and the ADC sum is written
+    * as 16 explicit list-index terms in the Spark fold order — the sum
+    * stays order-pinned, no aggregate over doubles.
+    */
+  lazy val annPqSql: String = {
+    def lo(s: Int) = s * pqSubDim + 1
+    def hi(s: Int) = (s + 1) * pqSubDim
+    def dist(vexpr: String, cexpr: String): String =
+      s"list_dot_product($cexpr, $cexpr) - list_dot_product($vexpr, $cexpr) * 2"
+    def assign(name: String, s: Int, cents: String): String =
+      s"""$name AS (
+         |  SELECT e.vec_id, e.v[${lo(s)}:${hi(s)}] AS vs, c.cid
+         |  FROM e CROSS JOIN $cents c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dist(s"e.v[${lo(s)}:${hi(s)}]", "c.v")}, c.cid) = 1)""".stripMargin
+    def mean(name: String, assigned: String, prev: String): String =
+      s"""${name}_m AS (
+         |  SELECT cid, t.i AS k,
+         |    CAST(sum(CAST(vs[t.i + 1] AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS m
+         |  FROM $assigned, range($pqSubDim) t(i) GROUP BY cid, t.i),
+         |$name AS (
+         |  SELECT p.cid, coalesce(mv.v, p.v) AS v
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY k) AS v FROM ${name}_m GROUP BY cid) mv
+         |  USING (cid))""".stripMargin
+    val perSub = (0 until pqM).map { s =>
+      s"""c0_$s AS (SELECT cid, v[${lo(s)}:${hi(s)}] AS v FROM cseed),
+         |${assign(s"a1_$s", s, s"c0_$s")},
+         |${mean(s"c1_$s", s"a1_$s", s"c0_$s")},
+         |${assign(s"a2_$s", s, s"c1_$s")},
+         |${mean(s"c2_$s", s"a2_$s", s"c1_$s")},
+         |code_$s AS (
+         |  SELECT e.vec_id, c.cid
+         |  FROM e CROSS JOIN c2_$s c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dist(s"e.v[${lo(s)}:${hi(s)}]", "c.v")}, c.cid) = 1),
+         |lut_$s AS (
+         |  SELECT q.vec_id AS query_id, c.cid,
+         |    ${dist(s"q.v[${lo(s)}:${hi(s)}]", "c.v")} AS d
+         |  FROM e q CROSS JOIN c2_$s c WHERE q.vec_id < $pqQueries)""".stripMargin
+    }.mkString(",\n")
+    // one ordered code list per vector, one ordered lut-of-lists per query
+    val codeUnion = (0 until pqM)
+      .map(s => s"SELECT vec_id, $s AS s, cid FROM code_$s").mkString("\nUNION ALL\n")
+    val lutUnion = (0 until pqM)
+      .map(s => s"SELECT query_id, $s AS s, cid, d FROM lut_$s").mkString("\nUNION ALL\n")
+    val adcTerms = (0 until pqM)
+      .map(s => s"q.ll[${s + 1}][co.codes[${s + 1}] + 1]").mkString(" + ")
+    s"""WITH $vectorsSql,
+       |s AS (SELECT greatest(count(*) // $pqK, 1) AS stride FROM e),
+       |cseed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM (
+       |    SELECT vec_id, v FROM e
+       |    WHERE vec_id % (SELECT stride FROM s) = 0
+       |    ORDER BY vec_id LIMIT $pqK)),
+       |$perSub,
+       |codes AS (
+       |  SELECT vec_id, list(cid ORDER BY s) AS codes FROM (
+       |$codeUnion) GROUP BY vec_id),
+       |luts AS (
+       |  SELECT query_id, list(dl ORDER BY s) AS ll FROM (
+       |    SELECT query_id, s, list(d ORDER BY cid) AS dl FROM (
+       |$lutUnion) GROUP BY query_id, s) GROUP BY query_id),
+       |cand AS (
+       |  SELECT q.query_id, co.vec_id AS neighbor_id,
+       |    round($adcTerms, 6) AS adc_d
+       |  FROM codes co CROSS JOIN luts q
+       |  WHERE co.vec_id <> q.query_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS INTEGER) AS rank,
+       |  neighbor_id, adc_d
+       |FROM cand
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** ANN via random-hyperplane LSH: vectors bucketed by sign bits, each
     * query probes only its own bucket, exact cosine rank within bucket.
     */

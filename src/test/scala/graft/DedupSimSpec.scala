@@ -350,6 +350,60 @@ class DedupSimSpec extends AnyFunSuite {
       s"only $rank1Hits/${planted.size} planted dups surfaced at rank 1")
   }
 
+  test("pq ann: structure, pinned recall on the random corpus, planted-dup recall") {
+    val out = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_d")))
+    // 10 ranked neighbors per query, ADC non-decreasing with rank
+    val perQ = out.groupBy(_._1)
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (q, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to 10), s"query $q")
+      assert(byRank.forall(_._3 != q))
+      val ds = byRank.map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, s"query $q ADC order")
+    }
+    // recall@10 vs the exact float L2 top-10: 64-bit codes on a
+    // STRUCTURELESS random corpus are information-bounded — this pin is
+    // the honest adversarial-regime floor (dedup_embedding discipline)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byId = vecs.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val hits = perQ.toSeq.map { case (q, g) =>
+      val exact = vecs.filter(_._1 != q)
+        .map { case (id, v) => (l2(byId(q), v), id) }.sorted.take(10).map(_._2).toSet
+      g.map(_._3).count(exact)
+    }.sum
+    val recall = hits.toDouble / (perQ.size * 10)
+    info(f"pq recall@10 on random corpus: $recall%.2f")
+    assert(recall >= 0.30, f"recall $recall%.2f under the pinned floor")
+    // planted near-duplicates — the regime PQ retrieval actually serves:
+    // each base's perturbed copy must surface in its ADC top-10
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val base = Array.fill(200)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val fixtureRows = base.zipWithIndex.flatMap { case (v, i) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val scale = (0.15 + 0.35 * rnd.nextDouble()) * nrm / math.sqrt(dim.toDouble)
+      val dup = v.map(x => x + (rnd.nextDouble() * 2 - 1) * scale)
+      Seq((i.toLong, i, v.toSeq), ((i + 10000).toLong, i, dup.toSeq))
+    }.toSeq
+    import spark.implicits._
+    val fixture = fixtureRows.toDF("vec_id", "label", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+    val planted = Similarity.annPqFor(fixture).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dupHits = planted.count { case (q, ns) => ns(q + 10000) }
+    info(s"pq planted-dup top-10 hits: $dupHits/${planted.size}")
+    assert(dupHits >= (planted.size * 0.9).toInt,
+      s"planted duplicates must surface: $dupHits/${planted.size}")
+  }
+
   test("knn label propagation matches a driver-side clamped-LPA recompute") {
     val out = Similarity.knnLabelProp(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
