@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the hot loop of every cosine-similarity
   * operator: an ordered left-to-right dot product over two ARRAY<DOUBLE>
@@ -162,6 +162,186 @@ case class HyperplaneBandKeys(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** All product-quantization subspace code assignments in ONE expression:
+  * for each of `m` subspaces, the argmin-squared-distance codebook id of
+  * the subvector against that subspace's `k` centroids, returned as
+  * ARRAY<INT>(m). `right` is the flattened row-major codebook tensor
+  * (m·k centroids × subDim each; subDim derived from its length).
+  *
+  * Same motivation as HyperplaneBandKeys: the composed form (m×k
+  * struct-least expressions, each with its own literal centroid array)
+  * makes codegen+JIT the operator's dominant cost. Distances mirror the
+  * composed form exactly — cnorm² (left-fold sum of squares) − 2·dot
+  * (left fold), strict-less argmin so ties keep the smaller cid — so
+  * assignments are bit-identical.
+  */
+case class PqCodes(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"pq_codes expects array<double>, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val p = b.asInstanceOf[ArrayData]
+    val stride = p.numElements() / (m * k)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * stride
+        var cn = 0.0
+        var dot = 0.0
+        var i = 0
+        while (i < stride) {
+          val pv = p.getDouble(base + i)
+          cn += pv * pv
+          dot += v.getDouble(s * stride + i) * pv
+          i += 1
+        }
+        val d = cn - dot * 2
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) => {
+      val stride = ctx.freshName("stride")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val cn = ctx.freshName("cn")
+      val dot = ctx.freshName("dot")
+      val pv = ctx.freshName("pv")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $stride = $p.numElements() / ${m * k};
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    int $base = ($s * $k + $c) * $stride;
+         |    double $cn = 0.0;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $stride; $i++) {
+         |      double $pv = $p.getDouble($base + $i);
+         |      $cn += $pv * $pv;
+         |      $dot += $v.getDouble($s * $stride + $i) * $pv;
+         |    }
+         |    double $d = $cn - $dot * 2;
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The flat ADC lookup table in ONE expression: distance of the vector's
+  * subvectors to EVERY codebook centroid, ARRAY<DOUBLE>(m·k) in (s, cid)
+  * order — `lut[s*k + cid]`. Same distance formula and fold order as
+  * PqCodes. */
+case class PqDists(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"pq_dists expects array<double>, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val p = b.asInstanceOf[ArrayData]
+    val stride = p.numElements() / (m * k)
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * stride
+        var cn = 0.0
+        var dot = 0.0
+        var i = 0
+        while (i < stride) {
+          val pv = p.getDouble(base + i)
+          cn += pv * pv
+          dot += v.getDouble(s * stride + i) * pv
+          i += 1
+        }
+        out(s * k + c) = cn - dot * 2
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) => {
+      val stride = ctx.freshName("stride")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val cn = ctx.freshName("cn")
+      val dot = ctx.freshName("dot")
+      val pv = ctx.freshName("pv")
+      s"""
+         |int $stride = $p.numElements() / ${m * k};
+         |double[] $out = new double[${m * k}];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    int $base = ($s * $k + $c) * $stride;
+         |    double $cn = 0.0;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $stride; $i++) {
+         |      double $pv = $p.getDouble($base + $i);
+         |      $cn += $pv * $pv;
+         |      $dot += $v.getDouble($s * $stride + $i) * $pv;
+         |    }
+         |    $out[$s * $k + $c] = $cn - $dot * 2;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Column-API entry point: `dot_product(a, b)` over ARRAY<DOUBLE>. */
   def dot_product(a: Column, b: Column): Column =
@@ -172,4 +352,16 @@ object VectorOps {
   def band_keys(v: Column, planes: Column, bands: Int, bits: Int): Column =
     ColumnBridge.column(HyperplaneBandKeys(
       ColumnBridge.expr(v), ColumnBridge.expr(planes), bands, bits))
+
+  /** All m PQ subspace codes of `v` against the flattened codebook
+    * tensor — ARRAY<INT>(m). */
+  def pq_codes(v: Column, books: Column, m: Int, k: Int): Column =
+    ColumnBridge.column(PqCodes(
+      ColumnBridge.expr(v), ColumnBridge.expr(books), m, k))
+
+  /** The flat ADC lookup table of `v` — ARRAY<DOUBLE>(m·k), (s, cid)
+    * order. */
+  def pq_dists(v: Column, books: Column, m: Int, k: Int): Column =
+    ColumnBridge.column(PqDists(
+      ColumnBridge.expr(v), ColumnBridge.expr(books), m, k))
 }

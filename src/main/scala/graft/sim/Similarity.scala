@@ -583,34 +583,29 @@ object Similarity {
         (i, v.slice(s * pqSubDim, (s + 1) * pqSubDim))
       })
 
-    def subCol(s: Int): Column = slice(col("v"), s * pqSubDim + 1, pqSubDim)
-    def assignSub(s: Int, cents: Array[(Int, Array[Double])]): Column = {
-      val scored = cents.map { case (i, c) =>
-        val dot = graft.functions.VectorOps.dot_product(subCol(s),
-          array(c.map(lit(_)): _*))
-        val cNorm2 = c.map(x => x * x).sum
-        struct((lit(cNorm2) - dot * 2).as("d"), lit(i).as("cid"))
-      }
-      if (scored.length < 2) lit(0) else least(scored: _*).getField("cid")
-    }
+    // flattened codebook tensor (m·k centroids × subDim, row-major) fed
+    // to the native PqCodes/PqDists expressions — ONE expression per
+    // projection instead of m·k composed struct-least chains (the
+    // HyperplaneBandKeys codegen lesson; distances and tiebreaks are
+    // bit-identical to the composed form)
+    def flatBooks: Column =
+      typedLit(books.flatMap(_.flatMap(_._2)).toSeq)
+    def allCodes: Column =
+      graft.functions.VectorOps.pq_codes(col("v"), flatBooks, pqM, pqK)
 
     for (_ <- 1 to pqIters) {
       // ALL 16 subspace assignments + decimal-quantized means in ONE
-      // job per iteration (not one per subspace): every dim row carries
-      // its subspace id s = j DIV subDim and that subspace's assigned
-      // cid, then a single (s, cid, k) aggregation updates every
-      // codebook. The mean is the annIvf/labelCentroids exact
-      // order-independent decimal device; driver state = m·k·subDim
-      // doubles (the codebooks themselves).
-      val assigned = vecs.select(col("v") +:
-        (0 until pqM).map(s => assignSub(s, books(s)).as(s"cid$s")): _*)
-      val cidOfS = element_at(
-        array((0 until pqM).map(s => col(s"cid$s")): _*), col("s") + 1)
+      // job per iteration: every dim row carries its subspace id
+      // s = j DIV subDim and that subspace's assigned cid, then a
+      // single (s, cid, k) aggregation updates every codebook. The mean
+      // is the annIvf/labelCentroids exact order-independent decimal
+      // device; driver state = m·k·subDim doubles (the codebooks).
+      val assigned = vecs.withColumn("pc", allCodes)
       val updated = assigned
-        .select(posexplode(col("v")).as(Seq("j", "x")) +:
-          (0 until pqM).map(s => col(s"cid$s")): _*)
+        .select(col("pc"), posexplode(col("v")).as(Seq("j", "x")))
         .withColumn("s", (col("j") / pqSubDim).cast("int"))
-        .select(col("s"), cidOfS.as("cid"), (col("j") % pqSubDim).as("k"),
+        .select(col("s"), element_at(col("pc"), col("s") + 1).as("cid"),
+          (col("j") % pqSubDim).as("k"),
           col("x").cast(DecimalType(24, 6)).as("xd"))
         .groupBy(col("s"), col("cid"), col("k"))
         .agg((sum(col("xd")).cast(DoubleType) / count(lit(1))).as("m"))
@@ -624,22 +619,18 @@ object Similarity {
       })
     }
 
-    // the whole index: 4 small code ids per vector (16x compression)
-    val codes = vecs.select(col("vec_id") +:
-      (0 until pqM).map(s => assignSub(s, books(s)).as(s"c$s")): _*)
-    // per-query ADC lookup tables: distance to every codebook centroid,
-    // computed once per (query, subspace)
+    // the whole index: 16 nibble codes per vector (32x compression)
+    val codes = vecs.withColumn("pc", allCodes)
+      .select(col("vec_id") +:
+        (0 until pqM).map(s => element_at(col("pc"), s + 1).as(s"c$s")): _*)
+    // per-query flat ADC lookup table — every (subspace, centroid)
+    // distance computed once per query
     val luts = vecs.filter(col("vec_id") < pqQueries)
-      .select(col("vec_id").as("query_id") +:
-        (0 until pqM).map { s =>
-          array(books(s).map { case (_, c) =>
-            val dot = graft.functions.VectorOps.dot_product(subCol(s),
-              array(c.map(lit(_)): _*))
-            lit(c.map(x => x * x).sum) - dot * 2
-          }: _*).as(s"lut$s")
-        }: _*)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorOps.pq_dists(col("v"), flatBooks, pqM, pqK)
+          .as("lutflat"))
     val adc = (0 until pqM).map(s =>
-      element_at(col(s"lut$s"), col(s"c$s") + 1)).reduce(_ + _)
+      element_at(col("lutflat"), lit(s * pqK) + col(s"c$s") + 1)).reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc_d"), col("neighbor_id"))
     codes.crossJoin(broadcast(luts))
