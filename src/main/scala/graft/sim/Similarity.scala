@@ -368,6 +368,24 @@ object Similarity {
     w.mkString("[", ", ", "]::DOUBLE[]")
 
   /** Random-hyperplane LSH bucket id (0..63) as a column expression. */
+  /** The 6-bit hyperplane bucket as a Column op — shared with the
+    * streaming lookup twin (StreamOps.annLookup), whose live queries
+    * must bucket EXACTLY like the static index. */
+  private[graft] def bucketColumn(v: Column): Column =
+    (0 until nPlanes).map { j =>
+      val plane = array(hyperplanes(j).map(lit(_)): _*)
+      when(graft.functions.VectorOps.dot_product(v, plane) >= 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Static LSH bucket index of the embeddings corpus — the settled-side
+    * input to the streaming ANN lookup (the embedding-space analogue of
+    * dedup_incremental's fingerprint index). */
+  def corpusBucketIndex(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .select(bucketColumn(col("v")).as("bucket"), col("vec_id"),
+        col("v").as("v_c"), col("nrm").as("nrm_c"))
+
   private def bucketExpr(v: String): Column =
     (0 until nPlanes).map { j =>
       val plane = array(hyperplanes(j).map(lit(_)): _*)

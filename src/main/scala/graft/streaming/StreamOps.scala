@@ -327,4 +327,45 @@ object StreamOps {
           }
         })
   }
+
+  /** Live ANN lookup — the embedding-space ingest gate (the similarity
+    * twin of stream_incremental_dedup's fingerprint probe): each
+    * incoming query vector buckets with the SAME 6-bit hyperplane
+    * device as the static corpus index (Similarity.corpusBucketIndex),
+    * probes its bucket through a stream-static equi-join (no state on
+    * the static side), scores candidates by exact cosine, and each
+    * closing window emits the nearest indexed neighbor, its cosine, the
+    * candidate count and a near-dup flag (cosine ≥ tau). Queries whose
+    * bucket holds no candidates emit nothing — a production gate left-
+    * joins and routes those as novel.
+    *
+    * Determinism: nearest_id via max_by ordered by (cosine, -vec_id) —
+    * ties resolve to the smaller corpus id. State: O(active windows ×
+    * active queries), watermark-evicted; the bucket index itself is a
+    * broadcastable static relation (64 buckets here; at 100 TB the
+    * index is a bucketed table and the join is storage-partitioned).
+    */
+  def annLookup(queries: DataFrame, index: DataFrame,
+      tau: Double = 0.9): DataFrame = {
+    val dot = graft.functions.VectorOps.dot_product(col("v"), col("v_c"))
+    val cand = queries
+      .withWatermark("ts", "1 hour")
+      .withColumn("nrm_q",
+        sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+      .withColumn("bucket", graft.sim.Similarity.bucketColumn(col("v")))
+      .join(index, Seq("bucket")) // stream-static: stateless probe
+      .withColumn("cosine",
+        when(col("nrm_q") * col("nrm_c") === 0.0, lit(null).cast("double"))
+          .otherwise(round(dot / (col("nrm_q") * col("nrm_c")), 6)))
+      .filter(col("cosine").isNotNull)
+    cand
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("query_id"))
+      .agg(max_by(col("vec_id"), struct(col("cosine"), -col("vec_id")))
+          .as("nearest_id"),
+        max(col("cosine")).as("best_cosine"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("w.start").as("hour"), col("query_id"), col("nearest_id"),
+        col("best_cosine"), col("n_candidates"),
+        (col("best_cosine") >= tau).as("is_near_dup"))
+  }
 }

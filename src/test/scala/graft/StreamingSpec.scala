@@ -262,4 +262,36 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("n_events") =!= col("want")).count()
     assert(diff == 0)
   }
+
+  test("streaming ann lookup flags a re-ingested corpus vector; a random one stays clean") {
+    import spark.implicits._
+    import graft.sim.Similarity
+    val index = Similarity.corpusBucketIndex(spark, sf)
+    // query 1: an exact copy of corpus vector 7 — must come back as its
+    // own nearest neighbor at cosine 1.0 and trip the near-dup gate
+    val v7 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 7L).collect().head
+      .getSeq[Float](1).map(_.toDouble)
+    // query 2: a seeded random vector — whatever bucket it probes, no
+    // corpus cosine approaches the 0.9 gate
+    val rnd = new scala.util.Random(7)
+    val noise = Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    mem.addData(Seq((1L, ts(0), v7), (2L, ts(1), noise)))
+    val q = StreamOps.annLookup(mem.toDF().toDF("query_id", "ts", "v"), index)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ann_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ann_out").collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("nearest_id"), r.getAs[Double]("best_cosine"),
+          r.getAs[Long]("n_candidates"), r.getAs[Boolean]("is_near_dup"))).toMap
+    val (nid, cos, nCand, flagged) = got(1L)
+    assert(nid == 7L && cos == 1.0 && nCand >= 1 && flagged)
+    // the random query either found no candidates (no row) or nothing
+    // near the gate
+    got.get(2L).foreach { case (_, c, _, f) => assert(!f && c < 0.9) }
+  }
 }
