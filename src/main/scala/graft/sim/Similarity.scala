@@ -553,6 +553,76 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Embedding-space DRIFT monitor — the encoder-regression check a
+    * pipeline runs between ingest batches (did a model/preprocessing
+    * change move the representation?): the corpus splits into two
+    * deterministic slices (even/odd vec_id — the stand-in for two
+    * ingest batches), each slice's per-label centroid is computed with
+    * the labelCentroids exact decimal device, and the report emits the
+    * cosine between the two slices' centroids per label + a drift flag.
+    * On a healthy corpus slice centroids agree; after an encoder swap
+    * they diverge label by label — quality_psi's embedding-space
+    * sibling.
+    *
+    * Scale shape: two labels×dims aggregates off one scan (slice id is
+    * a column, not a second pass), label-keyed join of two tiny
+    * centroid frames. Every mean goes through DECIMAL(24,6)
+    * quantization; the cosine is one rounded double per label.
+    */
+  val driftTau = 0.9
+
+  def qualityEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val cells = vectors(spark, dir)
+      .select(col("label"), (col("vec_id") % 2 === 0).as("slice_a"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("slice_a"), col("dim"),
+        col("x").cast(DecimalType(24, 6)).as("xd"))
+      .groupBy(col("label"), col("slice_a"), col("dim"))
+      .agg((sum(col("xd")).cast(DoubleType) / count(lit(1))).as("c"),
+        count(lit(1)).as("n"))
+    val cents = cells.groupBy(col("label"), col("slice_a"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+          .as("cv"),
+        max(col("n")).as("n_vecs"))
+    val a = cents.filter(col("slice_a"))
+      .select(col("label"), col("cv").as("cv_a"), col("n_vecs").as("n_a"))
+    val b = cents.filter(!col("slice_a"))
+      .select(col("label"), col("cv").as("cv_b"), col("n_vecs").as("n_b"))
+    val dotAb = graft.functions.VectorOps.dot_product(col("cv_a"), col("cv_b"))
+    val nrmA = sqrt(graft.functions.VectorOps.dot_product(col("cv_a"), col("cv_a")))
+    val nrmB = sqrt(graft.functions.VectorOps.dot_product(col("cv_b"), col("cv_b")))
+    a.join(b, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(nrmA * nrmB === 0.0, lit(null).cast("double"))
+          .otherwise(round(dotAb / (nrmA * nrmB), 6)).as("centroid_cosine"))
+      .withColumn("is_drifted", coalesce(col("centroid_cosine") < driftTau, lit(true)))
+      .orderBy(col("label"))
+  }
+
+  val qualityEmbeddingDriftSql: String =
+    s"""WITH $vectorsSql,
+       |cells AS (
+       |  SELECT label, vec_id % 2 = 0 AS slice_a, CAST(t.i AS INTEGER) AS dim,
+       |    CAST(sum(CAST(v[t.i + 1] AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS c,
+       |    count(*) AS n
+       |  FROM e, range($dim) t(i) GROUP BY label, slice_a, t.i),
+       |cents AS (
+       |  SELECT label, slice_a, list(c ORDER BY dim) AS cv,
+       |    CAST(max(n) AS BIGINT) AS n_vecs
+       |  FROM cells GROUP BY label, slice_a)
+       |SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+       |  CASE WHEN sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)) = 0
+       |    THEN NULL
+       |    ELSE round(list_dot_product(a.cv, b.cv) /
+       |      (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 6)
+       |  END AS centroid_cosine,
+       |  coalesce(round(list_dot_product(a.cv, b.cv) /
+       |      (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 6)
+       |    < $driftTau, TRUE) AS is_drifted
+       |FROM cents a JOIN cents b ON a.label = b.label AND a.slice_a AND NOT b.slice_a
+       |ORDER BY a.label""".stripMargin
+
   // -------------------------------------------------------------- PQ ANN
   //
   // Product-quantization ANN — the third compressed-index leg beside

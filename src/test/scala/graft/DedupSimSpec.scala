@@ -404,6 +404,41 @@ class DedupSimSpec extends AnyFunSuite {
       s"planted duplicates must surface: $dupHits/${planted.size}")
   }
 
+  test("embedding drift: slice centroids match an exact driver recompute; identical slices don't drift") {
+    val rows = Similarity.qualityEmbeddingDrift(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("centroid_cosine"), r.getAs[Boolean]("is_drifted"))).toMap
+    assert(rows.nonEmpty)
+    // exact recompute: decimal-quantized per-slice centroid means, then
+    // the same rounded cosine
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def centroid(g: Seq[Array[Double]]): Array[Double] = {
+      val dim = g.head.length
+      Array.tabulate(dim) { k =>
+        val s = g.map(v => BigDecimal(v(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        s.toDouble / g.length
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    vecs.groupBy(_._3).foreach { case (label, g) =>
+      val (ga, gb) = g.partition(_._1 % 2 == 0)
+      val (na, nb, c, drifted) = rows(label)
+      assert(na == ga.length && nb == gb.length)
+      val want = cos(centroid(ga.map(_._2).toSeq), centroid(gb.map(_._2).toSeq))
+      assert(c == want, s"label $label: $c vs $want")
+      assert(drifted == (c < Similarity.driftTau))
+    }
+    // sanity of the instrument: two IDENTICAL slices have cosine exactly 1
+    assert(cos(centroid(vecs.take(50).map(_._2).toSeq),
+      centroid(vecs.take(50).map(_._2).toSeq)) == 1.0)
+  }
+
   test("knn label propagation matches a driver-side clamped-LPA recompute") {
     val out = Similarity.knnLabelProp(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
