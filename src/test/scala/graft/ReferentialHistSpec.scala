@@ -34,6 +34,39 @@ class ReferentialHistSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_orphan_rows") == 3L)
   }
 
+  test("join-cardinality profile: planted fan-out exact; real edges reconcile with brute counts") {
+    import spark.implicits._
+    // planted: parent 1 has 3 children, parent 2 has 1, parent 3 childless,
+    // orphan child key 9 excluded by construction
+    val child = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (9L, "e"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val f = Referential.fanoutEdge(child, "fk", parent, "pk").collect()(0)
+    assert(f.getAs[Long]("n_parents") == 3L)
+    assert(f.getAs[Long]("n_matched_parents") == 2L)
+    assert(f.getAs[Long]("n_child_rows") == 4L) // orphan row not counted
+    assert(f.getAs[Long]("min_f") == 1L && f.getAs[Long]("max_f") == 3L)
+    // real lake: per-edge max fan-out equals a brute recompute
+    val rows = Referential.profileJoinCardinality(spark, sf).collect()
+    assert(rows.length == Referential.edges.length)
+    rows.foreach { r =>
+      val (ct, cc) = (r.getAs[String]("child_table"), r.getAs[String]("child_column"))
+      val (pt, pc) = (r.getAs[String]("parent_table"), r.getAs[String]("parent_column"))
+      val brute = Tables.table(spark, sf, ct)
+        .join(Tables.table(spark, sf, pt),
+          col(cc).cast("long") === col(pc).cast("long"), "left_semi")
+        .groupBy(col(cc)).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")), sum(col("n")), count(lit(1))).collect()(0)
+      assert(r.getAs[Long]("max_fanout") == brute.getLong(0), s"$ct.$cc max")
+      // avg ppm is the exact floor of matched child rows over matched parents
+      val want = BigInt(brute.getLong(1)) * 1000000 / brute.getLong(2)
+      assert(BigInt(r.getAs[Long]("avg_fanout_ppm")) == want, s"$ct.$cc avg")
+      assert(r.getAs[Long]("childless_ppm") ==
+        (r.getAs[Long]("n_parents") - r.getAs[Long]("n_matched_parents")) * 1000000L /
+          r.getAs[Long]("n_parents"))
+    }
+  }
+
   test("equi-depth histogram: ~10% per bucket on continuous columns, counts reconcile") {
     val rows = Histogram.profileHistogram(spark, sf).collect()
     val byCol = rows.groupBy(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")))
