@@ -45,7 +45,8 @@ object ConstraintInference {
     * 100 TB) is a driver/executor memory hazard, so domains are a
     * second, candidate-only pass in constraintsDf.
     */
-  private def statsFor(tables: Seq[(String, DataFrame)]): DataFrame = {
+  private def statsFor(tables: Seq[(String, DataFrame)],
+      approx: Boolean): DataFrame = {
     val branches = tables.flatMap { case (t, df) =>
       df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
         val c = col(f.name)
@@ -54,7 +55,8 @@ object ConstraintInference {
         val aggs = Seq(
           count(lit(1)).as("n_rows"),
           count(c).as("n_nonnull"),
-          countDistinct(c).as("n_distinct"),
+          (if (approx) approx_count_distinct(c, 0.02) else countDistinct(c))
+            .as("n_distinct"),
           (if (isInt) min(c).cast(LongType) else lit(null).cast(LongType)).as("min_l"),
           (if (isInt) max(c).cast(LongType) else lit(null).cast(LongType)).as("max_l"))
         df.select(c).agg(aggs.head, aggs.tail: _*)
@@ -76,7 +78,8 @@ object ConstraintInference {
     * enum-candidate columns (cardinality already known <= 10, so
     * collect_set is bounded) for the sorted domains.
     */
-  def constraintsDf(tables: Seq[(String, DataFrame)]): DataFrame = {
+  def constraintsDf(tables: Seq[(String, DataFrame)],
+      approx: Boolean = false): DataFrame = {
     val spark = tables.head._2.sparkSession
     import spark.implicits._
     // degrade-don't-abort: a catalog with no scalar columns yields an
@@ -85,25 +88,33 @@ object ConstraintInference {
     if (eligible.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType.fromDDL("table_name STRING, column_name STRING, kind STRING, detail STRING"))
-    val stats = statsFor(eligible).collect().toSeq
+    val stats = statsFor(eligible, approx).collect().toSeq
     val base: Seq[(String, String, String, String)] = stats.flatMap { r =>
       val t = r.getAs[String]("table_name")
       val c = r.getAs[String]("column_name")
       val nRows = r.getAs[Long]("n_rows")
       val nn = r.getAs[Long]("n_nonnull")
       val nd = r.getAs[Long]("n_distinct")
+      // exact mode: unique iff distinct == nonnull. approx mode: the HLL
+      // estimate carries ±2% error, so the uniqueness test takes the
+      // candidate form (nd within 5% of nn) — candidates feed an exact
+      // shortlist verification at scale, the classic two-phase
+      val uniq = if (approx) nd.toDouble >= nn * 0.95 else nd == nn
       Seq(
         if (nRows > 0 && nn == nRows) Some((t, c, "not_null", "")) else None,
-        if (nn > 0 && nd == nn) Some((t, c, "unique", "")) else None,
+        if (nn > 0 && uniq) Some((t, c, "unique", "")) else None,
         if (r.getAs[Boolean]("is_int") && nn > 0)
           Some((t, c, "range",
             s"[${r.getAs[Long]("min_l")},${r.getAs[Long]("max_l")}]"))
         else None).flatten
     }
+    // enum candidates: approx admits a small overshoot; the exact domain
+    // pass below restores exactness by dropping oversized domains
+    val enumSlack = if (approx) (enumMaxDistinct * 1.2).toInt else enumMaxDistinct
     val enumCols: Seq[(String, String)] = stats
       .filter { r =>
         val nd = r.getAs[Long]("n_distinct")
-        r.getAs[Boolean]("is_str") && nd >= 1 && nd <= enumMaxDistinct
+        r.getAs[Boolean]("is_str") && nd >= 1 && nd <= enumSlack
       }
       .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")))
     val baseDf = base.toDF("table_name", "column_name", "kind", "detail")
@@ -120,9 +131,11 @@ object ConstraintInference {
           // containing ',' would otherwise split into bogus IN-list
           // entries when the CHECK clause is rendered (SqlDdlDoc parses
           // this back); byte-identical to DuckDB's to_json(list_sort(...))
-          .agg(to_json(sort_array(collect_set(col("v")))).as("detail"))
+          .agg(sort_array(collect_set(col("v"))).as("domain"))
+          // exact cardinality cut (restores exactness under approx slack)
+          .filter(size(col("domain")) <= enumMaxDistinct)
           .select(col("table_name"), col("column_name"),
-            lit("enum").as("kind"), col("detail"))
+            lit("enum").as("kind"), to_json(col("domain")).as("detail"))
         baseDf.unionByName(enumDf)
       }
     out.orderBy(col("table_name"), col("column_name"), col("kind"))
@@ -131,6 +144,20 @@ object ConstraintInference {
   /** SparkEntry operator: constraint candidates over the whole catalog. */
   def inferConstraints(spark: SparkSession, dir: String): DataFrame =
     constraintsDf(Tables.all.map(t => t -> Tables.table(spark, dir, t)))
+
+  /** The 100 TB swap-in, registered for real (rows-only gate — HLL
+    * sketches are not cross-engine reproducible, the
+    * profile_table_approx precedent): identical plan shape with
+    * approx_count_distinct(2%) replacing the exact distinct in every
+    * per-column branch. `unique` becomes a CANDIDATE (nd within 5% of
+    * nonnull) for exact shortlist verification; enum domains stay exact
+    * (the candidate-only collect_set pass re-checks cardinality), as do
+    * not_null and range. Spec asserts the approx run finds every exact
+    * not_null/range row and a superset-of-exact unique candidate set.
+    */
+  def inferConstraintsApprox(spark: SparkSession, dir: String): DataFrame =
+    constraintsDf(Tables.all.map(t => t -> Tables.table(spark, dir, t)),
+      approx = true)
 
   /** Artifact embedding: per-table ConstraintInfo lists with
     * deterministic names (`<kind>_<table>_<column>`).

@@ -54,4 +54,22 @@ class ConstraintSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("table_name", "column_name", "kind", "detail"))
     assert(out.count() == 0)
   }
+
+  test("approx variant: exact not_null/range/enum rows preserved; unique candidates superset") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val exact = rows(ConstraintInference.inferConstraints(spark, sf))
+    val approx = rows(ConstraintInference.inferConstraintsApprox(spark, sf))
+    // not_null and range don't touch the sketch — identical
+    for (k <- Seq("not_null", "range"))
+      assert(exact.filter(_._3 == k) == approx.filter(_._3 == k), k)
+    // enum domains are computed exactly in both modes (the candidate-only
+    // collect_set pass re-checks cardinality under approx slack)
+    assert(exact.filter(_._3 == "enum") == approx.filter(_._3 == "enum"))
+    // uniqueness: the HLL candidate set must contain every true unique
+    val exactU = exact.filter(_._3 == "unique")
+    val approxU = approx.filter(_._3 == "unique")
+    assert(exactU.subsetOf(approxU),
+      s"missed true uniques: ${exactU -- approxU}")
+  }
 }
