@@ -200,15 +200,20 @@ case class PqCodes(left: Expression, right: Expression, m: Int, k: Int)
       var c = 0
       while (c < k) {
         val base = (s * k + c) * stride
+        // clamp to the vector's real length (the DotProduct/band-keys
+        // min-length contract): missing dims contribute 0, never an
+        // out-of-bounds ArrayData read
+        val lim = math.min(stride, math.max(0, v.numElements() - s * stride))
         var cn = 0.0
         var dot = 0.0
         var i = 0
-        while (i < stride) {
+        while (i < lim) {
           val pv = p.getDouble(base + i)
           cn += pv * pv
           dot += v.getDouble(s * stride + i) * pv
           i += 1
         }
+        while (i < stride) { val pv = p.getDouble(base + i); cn += pv * pv; i += 1 }
         val d = cn - dot * 2
         if (d < bestD) { bestD = d; best = c }
         c += 1
@@ -233,20 +238,28 @@ case class PqCodes(left: Expression, right: Expression, m: Int, k: Int)
       val d = ctx.freshName("d")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      val lim = ctx.freshName("lim")
       s"""
          |int $stride = $p.numElements() / ${m * k};
          |int[] $codes = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $best = 0;
          |  double $bestD = Double.POSITIVE_INFINITY;
+         |  int $lim = java.lang.Math.min($stride,
+         |    java.lang.Math.max(0, $v.numElements() - $s * $stride));
          |  for (int $c = 0; $c < $k; $c++) {
          |    int $base = ($s * $k + $c) * $stride;
          |    double $cn = 0.0;
          |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $stride; $i++) {
+         |    int $i = 0;
+         |    for (; $i < $lim; $i++) {
          |      double $pv = $p.getDouble($base + $i);
          |      $cn += $pv * $pv;
          |      $dot += $v.getDouble($s * $stride + $i) * $pv;
+         |    }
+         |    for (; $i < $stride; $i++) {
+         |      double $pv = $p.getDouble($base + $i);
+         |      $cn += $pv * $pv;
          |    }
          |    double $d = $cn - $dot * 2;
          |    if ($d < $bestD) { $bestD = $d; $best = $c; }
@@ -289,15 +302,17 @@ case class PqDists(left: Expression, right: Expression, m: Int, k: Int)
       var c = 0
       while (c < k) {
         val base = (s * k + c) * stride
+        val lim = math.min(stride, math.max(0, v.numElements() - s * stride))
         var cn = 0.0
         var dot = 0.0
         var i = 0
-        while (i < stride) {
+        while (i < lim) {
           val pv = p.getDouble(base + i)
           cn += pv * pv
           dot += v.getDouble(s * stride + i) * pv
           i += 1
         }
+        while (i < stride) { val pv = p.getDouble(base + i); cn += pv * pv; i += 1 }
         out(s * k + c) = cn - dot * 2
         c += 1
       }
@@ -317,18 +332,26 @@ case class PqDists(left: Expression, right: Expression, m: Int, k: Int)
       val cn = ctx.freshName("cn")
       val dot = ctx.freshName("dot")
       val pv = ctx.freshName("pv")
+      val lim = ctx.freshName("lim")
       s"""
          |int $stride = $p.numElements() / ${m * k};
          |double[] $out = new double[${m * k}];
          |for (int $s = 0; $s < $m; $s++) {
+         |  int $lim = java.lang.Math.min($stride,
+         |    java.lang.Math.max(0, $v.numElements() - $s * $stride));
          |  for (int $c = 0; $c < $k; $c++) {
          |    int $base = ($s * $k + $c) * $stride;
          |    double $cn = 0.0;
          |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $stride; $i++) {
+         |    int $i = 0;
+         |    for (; $i < $lim; $i++) {
          |      double $pv = $p.getDouble($base + $i);
          |      $cn += $pv * $pv;
          |      $dot += $v.getDouble($s * $stride + $i) * $pv;
+         |    }
+         |    for (; $i < $stride; $i++) {
+         |      double $pv = $p.getDouble($base + $i);
+         |      $cn += $pv * $pv;
          |    }
          |    $out[$s * $k + $c] = $cn - $dot * 2;
          |  }

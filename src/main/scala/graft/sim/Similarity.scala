@@ -386,12 +386,7 @@ object Similarity {
       .select(bucketColumn(col("v")).as("bucket"), col("vec_id"),
         col("v").as("v_c"), col("nrm").as("nrm_c"))
 
-  private def bucketExpr(v: String): Column =
-    (0 until nPlanes).map { j =>
-      val plane = array(hyperplanes(j).map(lit(_)): _*)
-      when(graft.functions.VectorOps.dot_product(col(v), plane) >= 0.0, lit(1L << j))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def bucketExpr(v: String): Column = bucketColumn(col(v))
 
   private def bucketSqlExpr(v: String): String =
     (0 until nPlanes).map { j =>
@@ -564,10 +559,12 @@ object Similarity {
     * they diverge label by label — quality_psi's embedding-space
     * sibling.
     *
-    * Scale shape: two labels×dims aggregates off one scan (slice id is
-    * a column, not a second pass), label-keyed join of two tiny
-    * centroid frames. Every mean goes through DECIMAL(24,6)
-    * quantization; the cosine is one rounded double per label.
+    * Scale shape: ONE scan, ONE (label, dim) conditional aggregation
+    * (each slice's sum/count as a when-branch — no self-join, no second
+    * pass), one labels-sized assembly. Every mean goes through
+    * DECIMAL(24,6) quantization; the cosine is one rounded double per
+    * label, computed ONCE and reused by the drift flag (a NULL cosine —
+    * zero-norm centroid — flags as drifted on both engines).
     */
   val driftTau = 0.9
 
@@ -578,21 +575,24 @@ object Similarity {
         posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("label"), col("slice_a"), col("dim"),
         col("x").cast(DecimalType(24, 6)).as("xd"))
-      .groupBy(col("label"), col("slice_a"), col("dim"))
-      .agg((sum(col("xd")).cast(DoubleType) / count(lit(1))).as("c"),
-        count(lit(1)).as("n"))
-    val cents = cells.groupBy(col("label"), col("slice_a"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-          .as("cv"),
-        max(col("n")).as("n_vecs"))
-    val a = cents.filter(col("slice_a"))
-      .select(col("label"), col("cv").as("cv_a"), col("n_vecs").as("n_a"))
-    val b = cents.filter(!col("slice_a"))
-      .select(col("label"), col("cv").as("cv_b"), col("n_vecs").as("n_b"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (sum(when(col("slice_a"), col("xd"))).cast(DoubleType) /
+          sum(when(col("slice_a"), 1L).otherwise(0L))).as("ca"),
+        (sum(when(!col("slice_a"), col("xd"))).cast(DoubleType) /
+          sum(when(!col("slice_a"), 1L).otherwise(0L))).as("cb"),
+        sum(when(col("slice_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("slice_a"), 1L).otherwise(0L)).as("nb"))
+    val cents = cells.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, ca))), s -> s.ca)")
+          .as("cv_a"),
+        expr("transform(array_sort(collect_list(struct(dim, cb))), s -> s.cb)")
+          .as("cv_b"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
     val dotAb = graft.functions.VectorOps.dot_product(col("cv_a"), col("cv_b"))
     val nrmA = sqrt(graft.functions.VectorOps.dot_product(col("cv_a"), col("cv_a")))
     val nrmB = sqrt(graft.functions.VectorOps.dot_product(col("cv_b"), col("cv_b")))
-    a.join(b, "label")
+    cents
       .select(col("label"), col("n_a"), col("n_b"),
         when(nrmA * nrmB === 0.0, lit(null).cast("double"))
           .otherwise(round(dotAb / (nrmA * nrmB), 6)).as("centroid_cosine"))
@@ -603,25 +603,29 @@ object Similarity {
   val qualityEmbeddingDriftSql: String =
     s"""WITH $vectorsSql,
        |cells AS (
-       |  SELECT label, vec_id % 2 = 0 AS slice_a, CAST(t.i AS INTEGER) AS dim,
-       |    CAST(sum(CAST(v[t.i + 1] AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS c,
-       |    count(*) AS n
-       |  FROM e, range($dim) t(i) GROUP BY label, slice_a, t.i),
+       |  SELECT label, CAST(t.i AS INTEGER) AS dim,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN CAST(v[t.i + 1] AS DECIMAL(24,6)) END) AS DOUBLE)
+       |      / sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+       |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN CAST(v[t.i + 1] AS DECIMAL(24,6)) END) AS DOUBLE)
+       |      / sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS cb,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |  FROM e, range($dim) t(i) GROUP BY label, t.i),
        |cents AS (
-       |  SELECT label, slice_a, list(c ORDER BY dim) AS cv,
-       |    CAST(max(n) AS BIGINT) AS n_vecs
-       |  FROM cells GROUP BY label, slice_a)
-       |SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
-       |  CASE WHEN sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)) = 0
-       |    THEN NULL
-       |    ELSE round(list_dot_product(a.cv, b.cv) /
-       |      (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 6)
-       |  END AS centroid_cosine,
-       |  coalesce(round(list_dot_product(a.cv, b.cv) /
-       |      (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 6)
-       |    < $driftTau, TRUE) AS is_drifted
-       |FROM cents a JOIN cents b ON a.label = b.label AND a.slice_a AND NOT b.slice_a
-       |ORDER BY a.label""".stripMargin
+       |  SELECT label, list(ca ORDER BY dim) AS cv_a, list(cb ORDER BY dim) AS cv_b,
+       |    max(na) AS n_a, max(nb) AS n_b
+       |  FROM cells GROUP BY label),
+       |scored AS (
+       |  SELECT label, n_a, n_b,
+       |    CASE WHEN sqrt(list_dot_product(cv_a, cv_a)) * sqrt(list_dot_product(cv_b, cv_b)) = 0
+       |      THEN NULL
+       |      ELSE round(list_dot_product(cv_a, cv_b) /
+       |        (sqrt(list_dot_product(cv_a, cv_a)) * sqrt(list_dot_product(cv_b, cv_b))), 6)
+       |    END AS centroid_cosine
+       |  FROM cents)
+       |SELECT label, n_a, n_b, centroid_cosine,
+       |  coalesce(centroid_cosine < $driftTau, TRUE) AS is_drifted
+       |FROM scored ORDER BY label""".stripMargin
 
   // -------------------------------------------------------------- PQ ANN
   //
@@ -666,6 +670,10 @@ object Similarity {
       .orderBy(col("vec_id")).limit(pqK)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    // a short codebook would shrink flatBooks and silently corrupt the
+    // stride PqCodes/PqDists derive from its length — fail loudly
+    require(seeds.length == pqK,
+      s"pq needs >= $pqK seed vectors, got ${seeds.length}")
     var books: Array[Array[(Int, Array[Double])]] = Array.tabulate(pqM)(s =>
       seeds.zipWithIndex.map { case (v, i) =>
         (i, v.slice(s * pqSubDim, (s + 1) * pqSubDim))
@@ -707,16 +715,22 @@ object Similarity {
       })
     }
 
-    // the whole index: 16 nibble codes per vector (32x compression)
+    // the whole index: 16 nibble codes per vector (32x compression).
+    // Both downstream frames checkpoint eagerly so the corpus cache can
+    // be RELEASED here instead of leaking one pinned copy per invocation
+    // (codes is n×17 ints, luts queries×257 doubles — both tiny).
     val codes = vecs.withColumn("pc", allCodes)
       .select(col("vec_id") +:
         (0 until pqM).map(s => element_at(col("pc"), s + 1).as(s"c$s")): _*)
+      .localCheckpoint(true)
     // per-query flat ADC lookup table — every (subspace, centroid)
     // distance computed once per query
     val luts = vecs.filter(col("vec_id") < pqQueries)
       .select(col("vec_id").as("query_id"),
         graft.functions.VectorOps.pq_dists(col("v"), flatBooks, pqM, pqK)
           .as("lutflat"))
+      .localCheckpoint(true)
+    vecs.unpersist(false)
     val adc = (0 until pqM).map(s =>
       element_at(col("lutflat"), lit(s * pqK) + col(s"c$s") + 1)).reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window

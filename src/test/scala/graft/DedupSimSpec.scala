@@ -9,6 +9,42 @@ class DedupSimSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   def sf: String = TestSession.sf
 
+  /** Shared planted-near-duplicate fixture (seed 42): 200 random 64-d
+    * base vectors + one perturbed copy each (ids +10000, planted cosines
+    * spread across ~[0.90, 0.99]) — the LSH-recall, knn-graph and PQ
+    * tests all measure against this single plant, so a change to the
+    * planting scheme hits every consumer at once.
+    */
+  private lazy val plantedRows: Seq[(Long, Int, Seq[Double])] = {
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val base = Array.fill(200)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // relative perturbation ~0.3 -> cosine ~ 1/sqrt(1+0.09) ~ 0.957
+    base.zipWithIndex.flatMap { case (v, i) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val scale = (0.15 + 0.35 * rnd.nextDouble()) * nrm / math.sqrt(dim.toDouble)
+      val dup = v.map(x => x + (rnd.nextDouble() * 2 - 1) * scale)
+      Seq((i.toLong, i, v.toSeq), ((i + 10000).toLong, i, dup.toSeq))
+    }.toSeq
+  }
+
+  private def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+  }
+
+  /** (base_id, dup_id, true cosine) for every planted pair. */
+  private lazy val plantedPairs: Seq[(Long, Long, Double)] = (0 until 200)
+    .map(i => (i.toLong, (i + 10000).toLong,
+      cosSeq(plantedRows(2 * i)._3, plantedRows(2 * i + 1)._3)))
+
+  private def plantedDF = {
+    import spark.implicits._
+    plantedRows.toDF("vec_id", "label", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+  }
+
   test("dedup_exact groups partition the corpus") {
     val g = Dedup.exact(spark, sf)
     val total = g.agg(sum("n_docs")).collect()(0).getLong(0)
@@ -116,30 +152,9 @@ class DedupSimSpec extends AnyFunSuite {
     // the 16x6 banding's >99.9% recall claim applies at dedup-typical
     // cosine >= 0.9 — plant REAL perturbed duplicates there and measure
     // (round-3 verdict: the high-regime number was analytic only).
-    val rnd = new scala.util.Random(42)
-    val dim = 64
-    val base = Array.fill(200)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
-    // relative perturbation ~0.3 -> cosine ~ 1/sqrt(1+0.09) ~ 0.957;
-    // jitter the scale so planted cosines spread across ~[0.90, 0.99]
-    val rows = base.zipWithIndex.flatMap { case (v, i) =>
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      val scale = (0.15 + 0.35 * rnd.nextDouble()) * nrm / math.sqrt(dim.toDouble)
-      val dup = v.map(x => x + (rnd.nextDouble() * 2 - 1) * scale)
-      Seq((i.toLong, i, v.toSeq), ((i + 10000).toLong, i, dup.toSeq))
-    }.toSeq
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
-    }
-    val planted = base.indices
-      .map(i => (i.toLong, (i + 10000).toLong, cos(rows(2 * i)._3, rows(2 * i + 1)._3)))
-      .filter(_._3 >= 0.9)
+    val planted = plantedPairs.filter(_._3 >= 0.9)
     assert(planted.size >= 150, s"bad plant: only ${planted.size} pairs at cosine >= 0.9")
-    import spark.implicits._
-    val vecs = rows.toDF("vec_id", "label", "v")
-      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
-        graft.functions.VectorOps.dot_product(col("v"), col("v"))))
-    val found = Similarity.lshPairsFor(vecs)
+    val found = Similarity.lshPairsFor(plantedDF)
       .filter(col("cosine") >= 0.9)
       .select("vec_id_a", "vec_id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -320,30 +335,10 @@ class DedupSimSpec extends AnyFunSuite {
     }
     // planted: each high-cosine duplicate must surface as its base's
     // rank-1 neighbor (the fixture's random cosines sit far below 0.9)
-    val rnd = new scala.util.Random(42)
-    val dim = 64
-    val base = Array.fill(200)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
-    val fixtureRows = base.zipWithIndex.flatMap { case (v, i) =>
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      val scale = (0.15 + 0.35 * rnd.nextDouble()) * nrm / math.sqrt(dim.toDouble)
-      val dup = v.map(x => x + (rnd.nextDouble() * 2 - 1) * scale)
-      Seq((i.toLong, i, v.toSeq), ((i + 10000).toLong, i, dup.toSeq))
-    }.toSeq
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
-    }
-    import spark.implicits._
-    val vecs = fixtureRows.toDF("vec_id", "label", "v")
-      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
-        graft.functions.VectorOps.dot_product(col("v"), col("v"))))
-    val g = Similarity.knnGraphFor(Similarity.lshPairsFor(vecs)).collect()
+    val g = Similarity.knnGraphFor(Similarity.lshPairsFor(plantedDF)).collect()
       .map(r => ((r.getAs[Long]("src"), r.getAs[Int]("rank")), r.getAs[Long]("dst")))
       .toMap
-    val planted = base.indices
-      .map(i => (i.toLong, (i + 10000).toLong,
-        cos(fixtureRows(2 * i)._3, fixtureRows(2 * i + 1)._3)))
-      .filter(_._3 >= 0.9)
+    val planted = plantedPairs.filter(_._3 >= 0.9)
     assert(planted.size >= 150)
     val rank1Hits = planted.count(p => g.get((p._1, 1)).contains(p._2))
     assert(rank1Hits >= (planted.size * 0.99).toInt,
@@ -382,20 +377,7 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.30, f"recall $recall%.2f under the pinned floor")
     // planted near-duplicates — the regime PQ retrieval actually serves:
     // each base's perturbed copy must surface in its ADC top-10
-    val rnd = new scala.util.Random(42)
-    val dim = 64
-    val base = Array.fill(200)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
-    val fixtureRows = base.zipWithIndex.flatMap { case (v, i) =>
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      val scale = (0.15 + 0.35 * rnd.nextDouble()) * nrm / math.sqrt(dim.toDouble)
-      val dup = v.map(x => x + (rnd.nextDouble() * 2 - 1) * scale)
-      Seq((i.toLong, i, v.toSeq), ((i + 10000).toLong, i, dup.toSeq))
-    }.toSeq
-    import spark.implicits._
-    val fixture = fixtureRows.toDF("vec_id", "label", "v")
-      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
-        graft.functions.VectorOps.dot_product(col("v"), col("v"))))
-    val planted = Similarity.annPqFor(fixture).collect()
+    val planted = Similarity.annPqFor(plantedDF).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val dupHits = planted.count { case (q, ns) => ns(q + 10000) }
