@@ -317,4 +317,52 @@ object EventAnalytics {
       |      FROM z)
       |WHERE rk <= 3
       |ORDER BY event_type, minute_us""".stripMargin
+
+  // --------------------------------------------------- sliding distinct
+  //
+  // Trailing-window distinct users per day (DAU over WAU — "stickiness"):
+  // for every observed day, the distinct users active that day and over
+  // the trailing 7 days, plus DAU/WAU in ppm. The naive form — a sliding
+  // RANGE window with a per-frame COUNT(DISTINCT) — rescans each user
+  // row up to 7x AND plans an Expand; the scale shape here is the
+  // standard expand-the-dedup trick: dedup to (day, user) FIRST (bounds
+  // everything downstream by active-user-days, not events), then each
+  // deduped pair contributes to exactly 7 target days (a bounded 7x
+  // in-row explode of the ALREADY-deduped set), dedup again on
+  // (target_day, user), and count. Three keyed shuffles, no Expand, no
+  // per-window rescans; day keys ride as unix-micros BIGINTs (the repo's
+  // timestamp parity device).
+
+  val slideDays = 7
+
+  def qSlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val du = Tables.events(spark, dir)
+      .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"), col("user_id"))
+      .distinct()
+    val daily = du.groupBy(col("day_us")).agg(count(lit(1)).as("users_1d"))
+    val wau = du
+      .select(explode(expr(s"sequence(0, ${slideDays - 1})")).as("i"),
+        col("day_us"), col("user_id"))
+      .select((col("day_us") + col("i") * dayUs).as("day_us"), col("user_id"))
+      .distinct()
+      .groupBy(col("day_us")).agg(count(lit(1)).as("users_7d"))
+    daily.join(wau, "day_us") // inner: only observed days surface
+      .withColumn("dau_wau_ppm", expr("users_1d * 1000000 div users_7d"))
+      .orderBy(col("day_us"))
+  }
+
+  val qSlidingDistinctSql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id
+       |  FROM events),
+       |daily AS (SELECT day_us, count(*) AS users_1d FROM du GROUP BY day_us),
+       |contrib AS (
+       |  SELECT DISTINCT day_us + i * 86400000000 AS day_us, user_id
+       |  FROM du, range(0, $slideDays) t(i)),
+       |wau AS (SELECT day_us, count(*) AS users_7d FROM contrib GROUP BY day_us)
+       |SELECT daily.day_us, users_1d, users_7d,
+       |  (users_1d * 1000000) // users_7d AS dau_wau_ppm
+       |FROM daily JOIN wau USING (day_us)
+       |ORDER BY day_us""".stripMargin
 }

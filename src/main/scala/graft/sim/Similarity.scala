@@ -1278,4 +1278,101 @@ object Similarity {
        |FROM a$lpRounds
        |ORDER BY vec_id""".stripMargin
   }
+
+  // ----------------------------------------------------- triangle counting
+  //
+  // Per-node triangle counts + local clustering coefficient over the
+  // k-NN graph — the neighborhood-density diagnostic for embedding
+  // spaces (tight duplicate clusters close their triangles; a node whose
+  // neighbors are mutual neighbors sits inside a near-dup clique, while
+  // a hub with zero closure bridges unrelated regions — exactly the
+  // SemDeDup/diversity-sampling signal).
+  //
+  // Algorithm: the degree-ordered wedge-closure counting of Suri &
+  // Vassilvitskii ("Counting Triangles and the Curse of the Last
+  // Reducer", WWW 2011): orient every undirected edge from its
+  // lower-(degree, id) endpoint to the higher; each triangle then has
+  // exactly ONE node with out-edges to the other two, so wedges
+  // (u→v, u→w) joined against the oriented edge (v, w) count each
+  // triangle once, and the out-degree of any node is O(sqrt(m)) — the
+  // wedge join's fan-out is bounded regardless of hub skew. All steps
+  // are node-keyed equi-joins; exact integer ppm at the end.
+
+  def knnTriangles(spark: SparkSession, dir: String): DataFrame =
+    knnTrianglesFor(knnGraph(spark, dir))
+
+  /** Same counting over an arbitrary (src, dst, …) edge frame — lets
+    * DedupSimSpec assert exact counts on planted cliques. */
+  private[graft] def knnTrianglesFor(knn: DataFrame): DataFrame = {
+    val und = knn.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("degree").as("db")), "b")
+    val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("u"),
+      when(aLower, col("b")).otherwise(col("a")).as("v"),
+      when(aLower, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = o
+      .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    // oriented edge (v, w) closes the wedge
+    val oClose = o.select(col("u").as("cv"), col("v").as("cw"))
+    val tris = wedges.join(oClose,
+      col("v") === col("cv") && col("w") === col("cw"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, col("v") === col("node"), "left_outer")
+      .withColumn("n_triangles", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("clustering_ppm",
+        expr("CASE WHEN degree >= 2 THEN n_triangles * 2000000 div (degree * (degree - 1)) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .select(col("v").as("vec_id"), col("degree"), col("n_triangles"),
+        col("clustering_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnTrianglesSql: String =
+    s"""WITH $knnGraphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn),
+       |deg AS (
+       |  SELECT v, count(*) AS degree FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+       |o AS (
+       |  SELECT CASE WHEN da.degree < db.degree
+       |                OR (da.degree = db.degree AND und.a < und.b)
+       |           THEN und.a ELSE und.b END AS u,
+       |         CASE WHEN da.degree < db.degree
+       |                OR (da.degree = db.degree AND und.a < und.b)
+       |           THEN und.b ELSE und.a END AS v,
+       |         CASE WHEN da.degree < db.degree
+       |                OR (da.degree = db.degree AND und.a < und.b)
+       |           THEN db.degree ELSE da.degree END AS dv
+       |  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+       |wedges AS (
+       |  SELECT o1.u, o1.v, o2.v AS w
+       |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+       |  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+       |tris AS (
+       |  SELECT wedges.u, wedges.v, wedges.w
+       |  FROM wedges JOIN o oc ON wedges.v = oc.u AND wedges.w = oc.v),
+       |pernode AS (
+       |  SELECT node, count(*) AS n_tri FROM (
+       |    SELECT u AS node FROM tris
+       |    UNION ALL SELECT v AS node FROM tris
+       |    UNION ALL SELECT w AS node FROM tris) GROUP BY node)
+       |SELECT deg.v AS vec_id, deg.degree,
+       |  coalesce(p.n_tri, 0) AS n_triangles,
+       |  CASE WHEN deg.degree >= 2
+       |       THEN (coalesce(p.n_tri, 0) * 2000000) // (deg.degree * (deg.degree - 1))
+       |       ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+       |FROM deg LEFT JOIN pernode p ON deg.v = p.node
+       |ORDER BY vec_id""".stripMargin
 }

@@ -546,4 +546,82 @@ object Dedup {
        |FROM per_doc GROUP BY win_md5 HAVING count(*) >= 2
        |ORDER BY n_docs DESC, n_occ DESC, win_md5 LIMIT 100""".stripMargin
   }
+
+  // ------------------------------------------------- cross-doc n-gram dup
+  //
+  // Per-DOCUMENT duplicate n-gram fraction (the Gopher/RefinedWeb
+  // "dup_ngram" quality axis, token-level): for every doc, the share of
+  // its DISTINCT token 8-grams that also occur in at least one OTHER
+  // document. substringDup surfaces the shared spans themselves (a
+  // corpus-level top list); this is the per-doc rollup a quality gate
+  // filters on — a doc whose n-grams are mostly corpus-duplicated is
+  // boilerplate even when no single whole-doc near-dup exists.
+  //
+  // Scale shape: grams are md5-fingerprinted and per-doc deduped IN-ROW
+  // (array_distinct before the explode), so the exploded stream is
+  // distinct (doc, gram) pairs — one groupBy gram for corpus doc-counts,
+  // one join back on gram, one per-doc rollup. No countDistinct/Expand,
+  // no all-pairs shape; the gram join is an equi-join whose key space is
+  // the distinct-gram universe. The final ppm is exact integer division.
+  // At 100 TB: same xxhash64-for-md5 swap as substringDup.
+
+  val dupGramN = 8
+
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("int").as("n_tokens"), col("toks"))
+      .withColumn("n_grams", greatest(col("n_tokens") - (dupGramN - 1), lit(0)))
+    val pairs = base
+      .filter(col("n_grams") > 0)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${dupGramN - 1}), " +
+          s"i -> md5(array_join(slice(toks, i, $dupGramN), ' '))))")).as("g"))
+    val byGram = pairs.groupBy(col("g")).agg(count(lit(1)).as("n_docs_g"))
+    val perDoc = pairs.join(byGram, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("d_grams"),
+        sum(when(col("n_docs_g") >= 2, 1L).otherwise(0L)).as("d_dup"))
+    base.select(col("doc_id"), col("source"), col("n_tokens"), col("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .withColumn("n_grams_distinct", coalesce(col("d_grams"), lit(0L)))
+      .withColumn("n_dup_grams", coalesce(col("d_dup"), lit(0L)))
+      .withColumn("dup_gram_ppm",
+        expr("CASE WHEN n_grams_distinct = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_dup_grams * 1000000 div n_grams_distinct END"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_grams"),
+        col("n_grams_distinct"), col("n_dup_grams"), col("dup_gram_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupNgramCoverageSql: String = {
+    val n = dupGramN
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |b2 AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(greatest(len(toks) - ${n - 1}, 0) AS INT) AS n_grams, toks
+       |  FROM base),
+       |pairs AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> md5(array_to_string(toks[i:i+${n - 1}], ' '))))) AS g
+       |  FROM b2 WHERE n_grams > 0),
+       |bygram AS (SELECT g, count(*) AS n_docs_g FROM pairs GROUP BY g),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams_distinct,
+       |    CAST(sum(CASE WHEN n_docs_g >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+       |  FROM pairs JOIN bygram USING (g) GROUP BY doc_id)
+       |SELECT b2.doc_id, b2.source, b2.n_tokens, b2.n_grams,
+       |  coalesce(p.n_grams_distinct, 0) AS n_grams_distinct,
+       |  coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+       |  CASE WHEN coalesce(p.n_grams_distinct, 0) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE (coalesce(p.n_dup_grams, 0) * 1000000) // p.n_grams_distinct
+       |  END AS dup_gram_ppm
+       |FROM b2 LEFT JOIN perdoc p ON b2.doc_id = p.doc_id
+       |ORDER BY b2.doc_id""".stripMargin
+  }
 }

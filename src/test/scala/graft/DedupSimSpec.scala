@@ -460,4 +460,61 @@ class DedupSimSpec extends AnyFunSuite {
       assert(agrees == prop.contains(gold(id)))
     }
   }
+
+  test("triangles: planted clique exact; real knn graph matches brute recompute") {
+    import spark.implicits._
+    // 5-clique (ids 0-4) + pendant path 4-5-6
+    val clique = for { i <- 0 until 5; j <- i + 1 until 5 } yield (i.toLong, j.toLong)
+    val edges = clique ++ Seq((4L, 5L), (5L, 6L))
+    val out = Similarity.knnTrianglesFor(edges.toDF("src", "dst")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"), r.getAs[Long]("clustering_ppm")))
+      .toMap
+    (0L to 3L).foreach { i => assert(out(i) == ((4L, 6L, 1000000L)), s"clique node $i") }
+    assert(out(4L) == ((5L, 6L, 600000L)))   // clique node + pendant edge
+    assert(out(5L) == ((2L, 0L, 0L)))        // path interior: open wedge
+    assert(out(6L) == ((1L, 0L, 0L)))        // leaf
+    assert(out.values.map(_._2).sum == 30L)  // C(5,3)=10 triangles x 3 nodes
+
+    // real knn graph: per-node counts match a brute neighbor-set recompute
+    val knn = Similarity.knnGraph(spark, sf)
+    val und = knn.collect()
+      .map(r => { val s = r.getAs[Long]("src"); val d = r.getAs[Long]("dst")
+        (math.min(s, d), math.max(s, d)) }).distinct
+    val nbrs = (und.map(e => (e._1, e._2)) ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => (v, es.map(_._2).toSet) }
+    val got = Similarity.knnTrianglesFor(knn).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val ns = nbrs(v).toSeq
+      val expT = (for { i <- ns.indices; j <- i + 1 until ns.length
+        if nbrs(ns(i)).contains(ns(j)) } yield 1).size.toLong
+      assert(r.getAs[Long]("degree") == ns.length.toLong, s"node $v degree")
+      assert(r.getAs[Long]("n_triangles") == expT, s"node $v triangles")
+    }
+  }
+
+  test("dup-ngram coverage matches a driver-side cross-doc 8-gram tally") {
+    val rows = Dedup.dupNgramCoverage(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val n = Dedup.dupGramN
+    val gramsByDoc: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).filter(_.nonEmpty)
+      (id, toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet)
+    }.toMap
+    val docCount: Map[String, Int] = gramsByDoc.values.flatten
+      .groupBy(identity).map { case (g, v) => (g, v.size) }
+    assert(rows.length == docs.length) // zero-gram docs kept
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val gs = gramsByDoc(id)
+      val dup = gs.count(docCount(_) >= 2).toLong
+      assert(r.getAs[Long]("n_grams_distinct") == gs.size.toLong, s"doc $id distinct")
+      assert(r.getAs[Long]("n_dup_grams") == dup, s"doc $id dup")
+      val ppm = if (gs.isEmpty) 0L else dup * 1000000L / gs.size
+      assert(r.getAs[Long]("dup_gram_ppm") == ppm, s"doc $id ppm")
+    }
+  }
 }

@@ -101,4 +101,41 @@ class ProfilerSpec extends AnyFunSuite {
     val nEvents = sessions.agg(sum("n_events")).collect()(0).getLong(0)
     assert(nEvents == ev.count())
   }
+
+  test("sample_weighted: priority sample matches a driver-side DLT recompute") {
+    import graft.profile.Sampler
+    val rows = Sampler.weightedPriority(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars")))
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    def key(docId: Long, w: Long): Long = {
+      val hex = mdt.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) + 1) * 1000 / math.max(w, 1L)
+    }
+    val k = Sampler.prioK
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val ranked = ds.map { case (_, id, w) => (key(id, w), id, math.max(w, 1L)) }
+        .sortBy(t => (t._1, t._2))
+      val expect = ranked.take(k)
+      val tauKey = if (ranked.length > k) Some(ranked(k)._1) else None
+      val got = rows.filter(_.getAs[String]("source") == src)
+        .sortBy(_.getAs[Int]("rank"))
+      assert(got.map(_.getAs[Long]("doc_id")).toSeq == expect.map(_._2).toSeq,
+        s"source $src sample membership/order")
+      got.zip(expect).foreach { case (r, (ek, _, ew)) =>
+        assert(r.getAs[Long]("sample_key") == ek)
+        assert(r.getAs[Long]("weight") == ew)
+        val wHat = tauKey match {
+          case Some(t) => math.max(ew, 281474976710656000L / t)
+          case None    => ew
+        }
+        assert(r.getAs[Long]("w_hat") == wHat, s"source $src doc ${r.getAs[Long]("doc_id")} w_hat")
+      }
+      // DLT unbiasedness device: every kept w_hat >= its own weight
+      assert(got.forall(r => r.getAs[Long]("w_hat") >= r.getAs[Long]("weight")))
+    }
+  }
 }

@@ -156,4 +156,25 @@ class RelationalSpec extends AnyFunSuite {
         abs(col("t_b") - col("t_us")) <= 60L * 1000000).count()
     assert(got == brute)
   }
+
+  test("q_sliding_distinct matches a brute per-day trailing-window recompute") {
+    import graft.operators.EventAnalytics
+    val rows = EventAnalytics.qSlidingDistinct(spark, sf).collect()
+    val dayUs = 86400000000L
+    val pairs = Tables.events(spark, sf)
+      .select(unix_micros(date_trunc("day", col("ts"))).as("d"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("user_id")))
+    val days = pairs.map(_._1).distinct.sorted
+    assert(rows.map(_.getAs[Long]("day_us")).toSeq == days.toSeq)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day_us")
+      val dau = pairs.filter(_._1 == d).map(_._2).distinct.length.toLong
+      val wau = pairs.filter(p => p._1 > d - EventAnalytics.slideDays * dayUs && p._1 <= d)
+        .map(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("users_1d") == dau, s"day $d dau")
+      assert(r.getAs[Long]("users_7d") == wau, s"day $d wau")
+      assert(r.getAs[Long]("dau_wau_ppm") == dau * 1000000L / wau)
+    }
+  }
 }
