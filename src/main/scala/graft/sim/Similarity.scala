@@ -418,7 +418,31 @@ object Similarity {
   val ivfProbe = 2
   val ivfIters = 2
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Argmin-squared-distance assignment over literal centroids; least()
+    * needs >= 2 args, so degenerate catalogs (< 2 centroids seeded)
+    * assign everything to cluster 0.
+    */
+  private def ivfAssignExpr(cents: Array[(Int, Array[Double])]): Column = {
+    val scored = ivfScoredStructs(cents)
+    if (scored.length < 2) lit(0) else least(scored: _*).getField("cid")
+  }
+
+  /** (d, cid) structs per centroid — shared by assignment (argmin via
+    * least) and the kmeans profile's distance-to-assigned-centroid. */
+  private def ivfScoredStructs(cents: Array[(Int, Array[Double])]): Array[Column] =
+    cents.map { case (i, c) =>
+      val dot = graft.functions.VectorOps.dot_product(col("v"),
+        array(c.map(lit(_)): _*))
+      val cNorm2 = c.map(x => x * x).sum
+      struct((lit(cNorm2) - dot * 2).as("d"), lit(i).as("cid"))
+    }
+
+  /** The trained IVF coarse quantizer: (persisted vector frame, final
+    * Lloyd centroids). Shared by annIvf and clusterKmeans so the two
+    * operators cannot train different quantizers.
+    */
+  private def ivfTrain(spark: SparkSession,
+                       dir: String): (DataFrame, Array[(Int, Array[Double])]) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     // cached: the subplan feeds seeding, every Lloyd iteration, and both
     // sides of the probe join (5+ recomputations otherwise)
@@ -434,21 +458,8 @@ object Similarity {
       .select(col("v")).collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
 
-    def assignExpr(cents: Array[(Int, Array[Double])]): Column = {
-      // argmin squared distance via dot products with literal centroids;
-      // least() needs >= 2 args, so degenerate catalogs (< 2 centroids
-      // seeded) assign everything to cluster 0
-      val scored = cents.map { case (i, c) =>
-        val dot = graft.functions.VectorOps.dot_product(col("v"),
-          array(c.map(lit(_)): _*))
-        val cNorm2 = c.map(x => x * x).sum
-        struct((lit(cNorm2) - dot * 2).as("d"), lit(i).as("cid"))
-      }
-      if (scored.length < 2) lit(0) else least(scored: _*).getField("cid")
-    }
-
     for (_ <- 1 to ivfIters) {
-      val assigned = vecs.withColumn("cid", assignExpr(centroids))
+      val assigned = vecs.withColumn("cid", ivfAssignExpr(centroids))
       // decimal-quantized mean (labelCentroids pattern): exact,
       // order-independent, and identical to the SQL oracle's re-derivation
       val updated = assigned
@@ -463,18 +474,17 @@ object Similarity {
       // keep centroids whose cluster emptied unchanged
       centroids = centroids.map { case (i, c) => (i, updated.getOrElse(i, c)) }
     }
+    (vecs, centroids)
+  }
 
-    val indexed = vecs.withColumn("cid", assignExpr(centroids))
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (vecs, centroids) = ivfTrain(spark, dir)
+    val indexed = vecs.withColumn("cid", ivfAssignExpr(centroids))
     val queries = indexed.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"),
         col("nrm").as("nrm_q"), col("v"))
     // nprobe nearest centroids per query
-    val probeCols = centroids.map { case (i, c) =>
-      val dot = graft.functions.VectorOps.dot_product(col("v"),
-        array(c.map(lit(_)): _*))
-      val cNorm2 = c.map(x => x * x).sum
-      struct((lit(cNorm2) - dot * 2).as("d"), lit(i).as("cid"))
-    }
+    val probeCols = ivfScoredStructs(centroids)
     val probed = queries
       .withColumn("probes", slice(array_sort(array(probeCols: _*)), 1, ivfProbe))
       .select(col("query_id"), col("v_q"), col("nrm_q"),
@@ -497,15 +507,21 @@ object Similarity {
     * mirrors the Spark expression order, so distances, centroids, and
     * therefore assignments agree bit-for-bit.
     */
-  lazy val annIvfSql: String = {
-    def dist(vexpr: String, cexpr: String): String =
-      s"list_dot_product($cexpr, $cexpr) - list_dot_product($vexpr, $cexpr) * 2"
+  private def ivfDistSql(vexpr: String, cexpr: String): String =
+    s"list_dot_product($cexpr, $cexpr) - list_dot_product($vexpr, $cexpr) * 2"
+
+  /** Shared CTE chain deriving the trained quantizer (seed → two Lloyd
+    * rounds → final assignment `idx` + centroids `c2`) — annIvf's oracle
+    * AND the base of clusterKmeans's, so the two cannot train different
+    * quantizers (the knnGraphCtes discipline).
+    */
+  private lazy val ivfCtes: String = {
     def assign(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT e.vec_id, e.v, c.cid
          |  FROM e CROSS JOIN $cents c
          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${dist("e.v", "c.v")}, c.cid) = 1)""".stripMargin
+         |    ORDER BY ${ivfDistSql("e.v", "c.v")}, c.cid) = 1)""".stripMargin
     def mean(name: String, assigned: String, prev: String): String =
       s"""${name}_m AS (
          |  SELECT cid, t.i AS k,
@@ -516,7 +532,7 @@ object Similarity {
          |  FROM $prev p LEFT JOIN (
          |    SELECT cid, list(m ORDER BY k) AS v FROM ${name}_m GROUP BY cid) mv
          |  USING (cid))""".stripMargin
-    s"""WITH $vectorsSql,
+    s"""$vectorsSql,
        |s AS (SELECT greatest(count(*) // $ivfK, 1) AS stride FROM e),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM (
@@ -527,7 +543,12 @@ object Similarity {
        |${mean("c1", "a1", "c0")},
        |${assign("a2", "c1")},
        |${mean("c2", "a2", "c1")},
-       |${assign("idx", "c2")},
+       |${assign("idx", "c2")}""".stripMargin
+  }
+
+  lazy val annIvfSql: String = {
+    def dist(vexpr: String, cexpr: String): String = ivfDistSql(vexpr, cexpr)
+    s"""WITH $ivfCtes,
        |probes AS (
        |  SELECT e.vec_id AS query_id, c.cid
        |  FROM e CROSS JOIN c2 c WHERE e.vec_id < 20
@@ -547,6 +568,55 @@ object Similarity {
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------------- kmeans profile
+  //
+  // Per-cluster diagnostics of the trained k-means coarse quantizer —
+  // the health check every IVF/SemDeDup consumer runs before trusting
+  // the partition (a cluster holding half the corpus means the probe
+  // prunes nothing; an empty one wastes a list; a huge radius means the
+  // quantizer hasn't converged): cluster sizes, inertia (within-cluster
+  // sum of squared distance — THE k-means objective), mean and max
+  // distance to the assigned centroid.
+  //
+  // Reuses ivfTrain verbatim, so the profile describes EXACTLY the
+  // quantizer annIvf serves. Distances are rounded to 6 decimals and
+  // quantized through DECIMAL(24,6) before summing (exact,
+  // order-independent — the labelCentroids device), so inertia is
+  // bit-identical across partitionings and engines. One assignment scan
+  // + one 8-key aggregation; centroids ride as literals (broadcast-free).
+
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val (vecs, centroids) = ivfTrain(spark, dir)
+    val scored = ivfScoredStructs(centroids)
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+    val vv = graft.functions.VectorOps.dot_product(col("v"), col("v"))
+    vecs
+      .withColumn("best", best)
+      .select(col("best").getField("cid").as("cid"),
+        round(vv + col("best").getField("d"), 6)
+          .cast(DecimalType(24, 6)).as("dq"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dq")).cast(DoubleType).as("inertia"),
+        (sum(col("dq")).cast(DoubleType) / count(lit(1))).as("mean_dist"),
+        max(col("dq")).cast(DoubleType).as("max_dist"))
+      .orderBy(col("cid"))
+  }
+
+  val clusterKmeansSql: String =
+    s"""WITH $ivfCtes,
+       |dists AS (
+       |  SELECT CAST(i.cid AS INTEGER) AS cid,
+       |    CAST(round(list_dot_product(i.v, i.v)
+       |      + (${ivfDistSql("i.v", "c.v")}), 6) AS DECIMAL(24,6)) AS dq
+       |  FROM idx i JOIN c2 c ON i.cid = c.cid)
+       |SELECT cid, count(*) AS n_vecs,
+       |  CAST(sum(dq) AS DOUBLE) AS inertia,
+       |  CAST(sum(dq) AS DOUBLE) / count(*) AS mean_dist,
+       |  CAST(max(dq) AS DOUBLE) AS max_dist
+       |FROM dists GROUP BY cid ORDER BY cid""".stripMargin
 
   /** Embedding-space DRIFT monitor — the encoder-regression check a
     * pipeline runs between ingest batches (did a model/preprocessing

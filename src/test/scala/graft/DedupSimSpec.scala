@@ -461,6 +461,62 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster_kmeans profile matches a driver-side Lloyd replication") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = Similarity.clusterKmeans(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val k = Similarity.ivfK
+    val stride = math.max(vecs.length.toLong / k, 1L)
+    var cents: Array[Array[Double]] = vecs.filter(_._1 % stride == 0)
+      .take(k).map(_._2)
+    def dist(v: Array[Double], c: Array[Double]): Double = {
+      val cc = c.map(x => x * x).sum
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * c(i); i += 1 }
+      cc - dot * 2
+    }
+    def assign(v: Array[Double]): Int =
+      cents.indices.minBy(i => (dist(v, cents(i)), i))
+    def q6(x: Double): JBD = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP)
+    for (_ <- 1 to Similarity.ivfIters) {
+      val byC = vecs.groupBy(t => assign(t._2))
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        byC.get(i) match {
+          case Some(vs) =>
+            Array.tabulate(c.length) { d =>
+              val s = vs.map(t => q6(t._2(d))).reduce(_ add _)
+              s.doubleValue / vs.length
+            }
+          case None => c
+        }
+      }
+    }
+    val byC = vecs.groupBy(t => assign(t._2))
+    val expect = byC.map { case (cid, vs) =>
+      val dqs = vs.map { t =>
+        val vv = t._2.foldLeft(0.0)((a, x) => a + x * x)
+        q6(vv + dist(t._2, cents(cid)))
+      }
+      val inertia = dqs.reduce(_ add _)
+      (cid, (vs.length.toLong, inertia.doubleValue,
+        inertia.doubleValue / vs.length, dqs.max.doubleValue))
+    }
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == vecs.length.toLong)
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val cid = r.getAs[Int]("cid")
+      val (n, in, mean, mx) = expect(cid)
+      assert(r.getAs[Long]("n_vecs") == n, s"cluster $cid size")
+      assert(r.getAs[Double]("inertia") == in, s"cluster $cid inertia")
+      assert(r.getAs[Double]("mean_dist") == mean, s"cluster $cid mean")
+      assert(r.getAs[Double]("max_dist") == mx, s"cluster $cid max")
+    }
+  }
+
   test("triangles: planted clique exact; real knn graph matches brute recompute") {
     import spark.implicits._
     // 5-clique (ids 0-4) + pendant path 4-5-6
