@@ -49,6 +49,38 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout: day-box queries skip files a linear sort must read") {
+    val zDir = Files.createTempDirectory("graft_z").toString
+    val lDir = Files.createTempDirectory("graft_lin").toString
+    Lake.writeZOrdered(spark, sf, zDir)
+    Lake.writeZOrdered(spark, sf, lDir, linear = true)
+    // same rows in both layouts
+    val n = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(zDir).count() == n)
+    assert(spark.read.parquet(lDir).count() == n)
+    val zb = Lake.fileBounds(spark, zDir).collect()
+    val lb = Lake.fileBounds(spark, lDir).collect()
+    assert(zb.length >= 8 && lb.length >= 8, "enough files to measure skipping")
+    def reads(bs: Array[org.apache.spark.sql.Row],
+              uLo: Long, uHi: Long, dLo: Long, dHi: Long): Int =
+      bs.count(b => b.getAs[Long]("u_lo") <= uHi && b.getAs[Long]("u_hi") >= uLo &&
+        b.getAs[Long]("d_lo") <= dHi && b.getAs[Long]("d_hi") >= dLo)
+    val dayUs = 86400000000L
+    val d0 = Tables.events(spark, sf)
+      .agg(min(unix_micros(date_trunc("day", col("ts"))))).collect()(0).getLong(0)
+    // single-day predicates over the full user range: the user-sorted
+    // linear layout must read every file (each file spans all days);
+    // z-order bounds the day dimension per file
+    val days = (5 until 25 by 5).map(i => d0 + i * dayUs)
+    val zReads = days.map(d => reads(zb, Long.MinValue, Long.MaxValue, d, d)).sum
+    val lReads = days.map(d => reads(lb, Long.MinValue, Long.MaxValue, d, d)).sum
+    assert(zReads < lReads, s"z-order should skip: z=$zReads linear=$lReads")
+    // 2-d box (half the users x one week): z-order never worse
+    val zBox = reads(zb, 0, 7, d0 + 10 * dayUs, d0 + 16 * dayUs)
+    val lBox = reads(lb, 0, 7, d0 + 10 * dayUs, d0 + 16 * dayUs)
+    assert(zBox <= lBox, s"2-d box: z=$zBox linear=$lBox")
+  }
+
   test("catalog-collected layout metadata round-trips through the artifact") {
     import graft.sources.{CatalogSource, Collector}
     import graft.output.{ArtifactJson, SqlDdlDoc, HtmlDoc}
