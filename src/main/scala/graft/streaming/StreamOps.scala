@@ -368,4 +368,36 @@ object StreamOps {
         col("best_cosine"), col("n_candidates"),
         (col("best_cosine") >= tau).as("is_near_dup"))
   }
+
+  case class TopEv(event_id: Long, user_id: Long, event_type: String, value: Double)
+  case class TopOut(event_type: String, rank: Int, event_id: Long, value: Double)
+
+  val streamTopN = 3
+
+  /** Continuous top-k leaderboard per event_type (the streaming twin of
+    * functions.TopKAgg): each trigger merges the batch's events into a
+    * per-type top-k state and re-emits the current leaderboard for every
+    * updated type (Update mode). The state is k (value, id) entries per
+    * type — O(k·|types|) TOTAL regardless of stream length, the rare
+    * stateful operator that needs no watermark/TTL to stay bounded
+    * (merging is associative + idempotent-on-ties, so replays converge
+    * to the same board). Tie-break (value desc, id asc) matches the
+    * batch aggregator exactly.
+    */
+  def streamTopK(events: Dataset[TopEv]): Dataset[TopOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (typ: String, evs: Iterator[TopEv], state: GroupState[Seq[(Double, Long)]]) => {
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            evs.map(e => (e.value, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(streamTopN)
+          state.update(merged)
+          merged.zipWithIndex.map { case ((v, id), i) =>
+            TopOut(typ, i + 1, id, v)
+          }.iterator
+        })
+  }
 }

@@ -294,4 +294,43 @@ class StreamingSpec extends AnyFunSuite {
     // near the gate
     got.get(2L).foreach { case (_, c, _, f) => assert(!f && c < 0.9) }
   }
+
+  test("streaming top-k leaderboard converges to the batch top-k across triggers") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.{TopEv, TopOut}
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)].collect()
+      .map(t => TopEv(t._1, t._2, t._3, t._4))
+    val (chunk1, chunk2) = all.splitAt(all.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TopEv]
+    val q = StreamOps.streamTopK(mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("tk_out").start()
+    mem.addData(chunk1.toSeq)
+    q.processAllAvailable()
+    val snap1 = spark.table("tk_out").as[TopOut].collect()
+    mem.addData(chunk2.toSeq)
+    q.processAllAvailable(); q.stop()
+    val snap2 = spark.table("tk_out").as[TopOut].collect()
+
+    def topk(evs: Seq[TopEv]): Map[String, Seq[(Int, Long, Double)]] =
+      evs.groupBy(_.event_type).map { case (t, es) =>
+        (t, es.map(e => (e.value, e.event_id))
+          .sortBy { case (v, id) => (-v, id) }.take(StreamOps.streamTopN)
+          .zipWithIndex.map { case ((v, id), i) => (i + 1, id, v) })
+      }
+    // trigger 1 emitted exactly the chunk-1 leaderboard
+    val got1 = snap1.groupBy(_.event_type).map { case (t, rs) =>
+      (t, rs.sortBy(_.rank).map(r => (r.rank, r.event_id, r.value)).toSeq) }
+    assert(got1 == topk(chunk1.toSeq))
+    // final state per type: its last-trigger rows (types untouched by
+    // chunk 2 keep their trigger-1 board) == batch top-k over everything
+    val added = snap2.drop(snap1.length)
+    val finalBoard = got1 ++ added.groupBy(_.event_type).map { case (t, rs) =>
+      (t, rs.sortBy(_.rank).map(r => (r.rank, r.event_id, r.value)).toSeq) }
+    assert(finalBoard == topk(all.toSeq))
+    // bounded state: never more than k rows per type per trigger
+    assert(snap1.groupBy(_.event_type).values.forall(_.length <= StreamOps.streamTopN))
+  }
 }
