@@ -352,6 +352,67 @@ object EventAnalytics {
       .orderBy(col("day_us"))
   }
 
+  // ------------------------------------------------------- SCD2 history
+  //
+  // Slowly-changing-dimension (type 2) history built from the event log
+  // — the warehouse primitive that turns an append-only stream into a
+  // queryable "state of user X at time T" dimension (as-of joins, point-
+  // in-time training features and audit queries all consume this shape):
+  // per user, consecutive runs of the same state (event_type here)
+  // collapse into one validity interval [valid_from, valid_to), the open
+  // current run flagged. Classic gaps-and-islands: change flag vs lag →
+  // running-sum run ids → per-run rollup → lead() closes each interval.
+  //
+  // Scale shape: every window is PARTITIONED BY user (keyed shuffle,
+  // per-user bounded work — never a global window); the rollup is one
+  // (user, run) aggregation. Time rides as unix-micros BIGINT.
+
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"))
+    val runs = ev
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(w).isNull ||
+          col("state") =!= lag(col("state"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(run))
+    val agg = runs.groupBy(col("user_id"), col("run_id"))
+      .agg(max(col("state")).as("state"), min(col("t_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    agg
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("run_id"), col("state"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type AS state, epoch_us(ts) AS t_us, event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+      |                   OR state <> lag(state) OVER w THEN 1 ELSE 0 END AS chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      |r2 AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      |  FROM r),
+      |a AS (
+      |  SELECT user_id, run_id, max(state) AS state, min(t_us) AS valid_from_us,
+      |    count(*) AS n_events
+      |  FROM r2 GROUP BY 1, 2)
+      |SELECT user_id, run_id, state, valid_from_us,
+      |  lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+      |  (lead(valid_from_us) OVER w2 IS NULL) AS is_current
+      |FROM a WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+      |ORDER BY user_id, run_id""".stripMargin
+
   val qSlidingDistinctSql: String =
     s"""WITH du AS (
        |  SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id

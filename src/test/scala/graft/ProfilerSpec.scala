@@ -102,6 +102,29 @@ class ProfilerSpec extends AnyFunSuite {
     assert(nEvents == ev.count())
   }
 
+  test("profile_incremental: slice-merged stats equal direct stats, proof bit set") {
+    import graft.profile.IncrementalProfile
+    val rows = IncrementalProfile.profileIncremental(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("column_name")).toSeq ==
+      IncrementalProfile.profCols.sorted)
+    val li = Tables.lineitem(spark, sf)
+    val nRows = li.count()
+    val nSlices = li.select(date_trunc("month", col("l_shipdate"))).distinct().count()
+    rows.foreach { r =>
+      val c = r.getAs[String]("column_name")
+      assert(r.getAs[Boolean]("merge_ok"), s"$c merge proof")
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Long]("n_slices") == nSlices)
+      // merged decimal sum equals a driver-side exact recompute
+      val vals = li.select(col(c)).collect().map(_.getDouble(0))
+      val want = vals.map(v => java.math.BigDecimal.valueOf(v)
+          .setScale(4, java.math.RoundingMode.HALF_UP))
+        .reduce(_ add _).doubleValue
+      assert(r.getAs[Double]("sum_v") == want, s"$c sum")
+      assert(r.getAs[Double]("min_v") == vals.min && r.getAs[Double]("max_v") == vals.max)
+    }
+  }
+
   test("sample_weighted: priority sample matches a driver-side DLT recompute") {
     import graft.profile.Sampler
     val rows = Sampler.weightedPriority(spark, sf).collect()

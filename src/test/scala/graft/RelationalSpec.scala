@@ -157,6 +157,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("scd2 history: intervals tile each user's timeline; runs match a driver fold") {
+    import graft.operators.EventAnalytics
+    val rows = EventAnalytics.scd2History(spark, sf).collect()
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("t"), r.getAs[Long]("event_id")))
+    val byUser = evs.groupBy(_._1)
+    val gotByUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(gotByUser.keySet == byUser.keySet)
+    byUser.foreach { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      // driver-side run-length fold over (state) changes
+      val runs = sorted.foldLeft(Vector.empty[(String, Long, Long)]) {
+        case (acc, (_, st, t, _)) =>
+          if (acc.nonEmpty && acc.last._1 == st)
+            acc.init :+ ((st, acc.last._2, acc.last._3 + 1))
+          else acc :+ ((st, t, 1L))
+      }
+      val got = gotByUser(u).sortBy(_.getAs[Long]("run_id"))
+      assert(got.length == runs.length, s"user $u run count")
+      got.zip(runs).zipWithIndex.foreach { case ((r, (st, from, n)), i) =>
+        assert(r.getAs[Long]("run_id") == i + 1)
+        assert(r.getAs[String]("state") == st, s"user $u run ${i + 1}")
+        assert(r.getAs[Long]("valid_from_us") == from)
+        assert(r.getAs[Long]("n_events") == n)
+        // intervals tile: valid_to == next run's valid_from; last is open
+        if (i < runs.length - 1)
+          assert(r.getAs[Long]("valid_to_us") == runs(i + 1)._2)
+        else {
+          assert(r.isNullAt(r.fieldIndex("valid_to_us")))
+          assert(r.getAs[Boolean]("is_current"))
+        }
+      }
+      assert(got.count(_.getAs[Boolean]("is_current")) == 1, s"user $u one open run")
+    }
+  }
+
   test("q_sliding_distinct matches a brute per-day trailing-window recompute") {
     import graft.operators.EventAnalytics
     val rows = EventAnalytics.qSlidingDistinct(spark, sf).collect()
