@@ -369,6 +369,39 @@ object StreamOps {
         (col("best_cosine") >= tau).as("is_near_dup"))
   }
 
+  /** Stream-STREAM interval join with watermarks on both sides — the
+    * canonical attribution shape (view → purchase within 30 minutes, per
+    * user) and the one §2F capability the stream-static twins don't
+    * exercise: BOTH inputs are unbounded, so Spark buffers each side in
+    * state and the join-time-range condition + watermarks are what let
+    * it EVICT — a view older than the watermark minus the 30-minute
+    * range can never match a future purchase and is dropped. State is
+    * O(events inside the watermark horizon), not O(stream).
+    *
+    * Inner join on (user, purchase within [view, view+30min)); output
+    * carries both event ids + the attribution lag. Semantics are exactly
+    * the batch time-range join (StreamingSpec replays and compares).
+    */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") < col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 60000000")
+          .as("lag_minutes"))
+  }
+
   case class TopEv(event_id: Long, user_id: Long, event_type: String, value: Double)
   case class TopOut(event_type: String, rank: Int, event_id: Long, value: Double)
 

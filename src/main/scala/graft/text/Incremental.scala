@@ -164,4 +164,55 @@ object Incremental {
        |WHERE j.jaccard >= 0.5
        |ORDER BY c.doc_id, c.kind, c.match_doc""".stripMargin
   }
+
+  // ------------------------------------------------------- bloom gate
+  //
+  // The pre-join membership gate in front of the exact incremental
+  // dedup: a Bloom filter of the corpus fingerprint index rides to every
+  // executor as a few-KB broadcast, and only batch docs that PASS it
+  // ever reach the (shuffling) confirm join. At 100 TB this is the
+  // difference between joining every ingested doc against the index and
+  // joining ~dup_rate + fpp of them — the standard big-small ingest
+  // trick (Spark itself injects the same construct as runtime row-level
+  // filters on shuffle joins). Bloom guarantees NO false negatives:
+  // every true corpus dup passes; the measured false-positive rate is
+  // the only cost, and each FP costs one extra probe, never a wrong
+  // verdict (the exact join confirms).
+  //
+  // The filter is Spark's util.sketch.BloomFilter (deterministic for a
+  // given item set/params, but not reproducible in DuckDB → registered
+  // rows-only, the profile_table_approx precedent; the spec pins
+  // equivalence to dedup_incremental's verdicts). The per-row probe is
+  // a broadcast-closure UDF over the BATCH ONLY — at scale swap in the
+  // native BloomFilterMightContain expression Spark uses for its own
+  // runtime filters.
+
+  val bloomFpp = 0.03
+
+  def dedupBloomGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        (expr(bucketExpr) === 0).as("is_batch"))
+    val corpus = docs.filter(!col("is_batch"))
+    val nCorpus = corpus.count()
+    val bloom = corpus.stat.bloomFilter("fp", math.max(nCorpus, 100L), bloomFpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val pass = udf((fp: String) => bc.value.mightContainString(fp))
+    val corpusIdx = corpus.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("corpus_canonical"))
+    val batch = docs.filter(col("is_batch"))
+      .withColumn("bloom_pass", pass(col("fp")))
+    // only the gated sliver enters the confirm join; non-passers bypass
+    // it entirely (they carry the bloom's no-false-negative guarantee)
+    val gated = batch.filter(col("bloom_pass"))
+      .join(corpusIdx, Seq("fp"), "left")
+    val bypass = batch.filter(!col("bloom_pass"))
+      .withColumn("corpus_canonical", lit(null).cast("long"))
+    gated.unionByName(bypass)
+      .select(col("doc_id"), col("bloom_pass"),
+        col("corpus_canonical").isNotNull.as("corpus_dup"),
+        col("corpus_canonical"),
+        (col("bloom_pass") && col("corpus_canonical").isNull).as("false_positive"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -66,6 +66,37 @@ class Pipeline2Spec extends AnyFunSuite {
     assert(inc.count(_.getAs[Boolean]("keep")) + nDupBatch == inc.length)
   }
 
+  test("bloom gate: zero false negatives, fp rate within bound, verdicts match exact") {
+    val gate = Incremental.dedupBloomGate(spark, sf).collect()
+    val exact = Incremental.dedupIncremental(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("corpus_dup"),
+          Option(r.getAs[Any]("corpus_canonical")).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(gate.map(_.getAs[Long]("doc_id")).toSet == exact.keySet) // every batch doc
+    var fps = 0; var nonDups = 0
+    gate.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (isDup, canon) = exact(id)
+      // Bloom guarantee: every true corpus dup passes the gate, and the
+      // confirm join reaches the same canonical doc as the ungated path
+      if (isDup) {
+        assert(r.getAs[Boolean]("bloom_pass"), s"doc $id false negative")
+        assert(r.getAs[Boolean]("corpus_dup"))
+        assert(Option(r.getAs[Any]("corpus_canonical"))
+          .map(_.asInstanceOf[Long]) == canon)
+      } else {
+        assert(!r.getAs[Boolean]("corpus_dup"))
+        nonDups += 1
+        if (r.getAs[Boolean]("false_positive")) fps += 1
+        assert(r.getAs[Boolean]("false_positive") == r.getAs[Boolean]("bloom_pass"))
+      }
+    }
+    // fpp=0.03 nominal; allow generous slack on a small batch
+    assert(nonDups == 0 || fps.toDouble / nonDups < 0.15,
+      s"false-positive rate $fps/$nonDups")
+  }
+
   test("incremental minhash pairs = whole-corpus LSH pairs touching the batch") {
     // sf0.01: the 0.001 corpus has no near-dup pairs straddling the
     // batch split, which would make this an empty-vs-empty check

@@ -295,6 +295,30 @@ class StreamingSpec extends AnyFunSuite {
     got.get(2L).foreach { case (_, c, _, f) => assert(!f && c < 0.9) }
   }
 
+  test("stream-stream attribution join equals the batch interval join on a replay") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    mem.addData(batch.as[(Long, java.sql.Timestamp, Long, String, Double)].collect().toSeq)
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.attributionJoin(streamDf).writeStream
+      .outputMode("append").format("memory").queryName("attr_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attr_out")
+    // batch recompute: same API runs in batch mode (watermarks are no-ops)
+    val want = StreamOps.attributionJoin(batch)
+    assert(got.count() > 0, "the replay must produce attributions")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // semantics: every pair is same-user, within [0, 30) minutes
+    got.collect().foreach { r =>
+      val lag = r.getAs[Long]("purchase_us") - r.getAs[Long]("view_us")
+      assert(lag >= 0 && lag < 30L * 60 * 1000000)
+      assert(r.getAs[Long]("lag_minutes") == lag / 60000000L)
+    }
+  }
+
   test("streaming top-k leaderboard converges to the batch top-k across triggers") {
     import spark.implicits._
     import graft.streaming.StreamOps.{TopEv, TopOut}
