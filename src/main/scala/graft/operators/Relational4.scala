@@ -380,4 +380,46 @@ object Relational4 {
        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
        |      AND o_orderdate >= TIMESTAMP '$q22Cutoff')
        |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q16-style supplier variety: how many DISTINCT (non-excluded)
+    * suppliers have shipped each (brand, type, size) part family. The
+    * testdata has no partsupp, so the part-supplier relation is derived
+    * from lineitem — the canonical Q16 plan survives: a NOT IN
+    * exclusion list (here: suppliers with s_acctbal < 1000, the
+    * deterministic stand-in for the comment-LIKE complaints filter), a
+    * distinct part-supplier projection, and a per-family distinct count.
+    *
+    * Shape discipline: the DISTINCT runs FIRST on (brand, type, size,
+    * suppkey) — a keyed dedup whose output is bounded by the true
+    * relation size — and the final count is a plain count over deduped
+    * rows, never COUNT(DISTINCT) (no Expand). The exclusion list is
+    * suppliers-sized → broadcast LEFT ANTI; part is dimension-sized →
+    * broadcast into the fact scan.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 1000.0).select(col("s_suppkey"))
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt FROM (
+      |  SELECT DISTINCT p.p_brand, p.p_type, p.p_size, l.l_suppkey
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_brand <> 'Brand#1'
+      |    AND l.l_suppkey NOT IN (
+      |      SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000))
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 }

@@ -1445,4 +1445,64 @@ object Similarity {
        |       ELSE CAST(0 AS BIGINT) END AS clustering_ppm
        |FROM deg LEFT JOIN pernode p ON deg.v = p.node
        |ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------ kNN evaluation
+  //
+  // One-hop kNN classification ACCURACY report — the embedding-quality
+  // evaluation every pipeline runs before trusting a representation for
+  // curation (if labels aren't recoverable from neighborhoods, neither
+  // are duplicates or topics): the 20% seed set (vec_id % 5 == 0, the
+  // knn_label_prop split) plays train, every non-seed is classified by
+  // majority vote among its SEED neighbors' gold labels (abstain if its
+  // neighborhood holds no seed, ties to smallest label), and the report
+  // rolls up per gold label: eval count, correct, abstentions, accuracy
+  // ppm (abstain counts as wrong — the honest denominator). Differs from
+  // knn_label_prop exactly where an eval should: one hop, gold votes
+  // only, aggregate report, no propagation dynamics.
+
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(spark, dir).select(col("src"), col("dst"))
+    val seeds = vectors(spark, dir).filter(col("vec_id") % lpSeedMod === 0)
+      .select(col("vec_id").as("nid"), col("label").as("lbl"))
+    val votes = g.filter(col("src") % lpSeedMod =!= 0)
+      .join(seeds, col("dst") === col("nid"))
+      .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src"), col("lbl").as("pred"))
+    vectors(spark, dir).filter(col("vec_id") % lpSeedMod =!= 0)
+      .select(col("vec_id"), col("label").as("gold"))
+      .join(pred, col("vec_id") === col("src"), "left_outer")
+      .groupBy(col("gold"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("pred").isNull, 1L).otherwise(0L)).as("n_abstain"))
+      .withColumn("accuracy_ppm", expr("n_correct * 1000000 div n_eval"))
+      .select(col("gold").as("label"), col("n_eval"), col("n_correct"),
+        col("n_abstain"), col("accuracy_ppm"))
+      .orderBy(col("label"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH $knnGraphCtes,
+       |votes AS (
+       |  SELECT knn.src, e2.label AS lbl, count(*) AS c
+       |  FROM knn JOIN e e2 ON knn.dst = e2.vec_id AND e2.vec_id % $lpSeedMod = 0
+       |  WHERE knn.src % $lpSeedMod <> 0
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT src, lbl FROM (
+       |    SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+       |    FROM votes) WHERE rn = 1),
+       |ev AS (
+       |  SELECT e.vec_id, e.label AS gold, p.lbl AS pred
+       |  FROM e LEFT JOIN pred p ON e.vec_id = p.src
+       |  WHERE e.vec_id % $lpSeedMod <> 0)
+       |SELECT gold AS label, count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN pred IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_abstain,
+       |  CAST((sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) * 1000000) // count(*)
+       |    AS BIGINT) AS accuracy_ppm
+       |FROM ev GROUP BY gold ORDER BY label""".stripMargin
 }

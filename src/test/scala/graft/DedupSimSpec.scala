@@ -551,6 +551,37 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("knn classify report matches a driver-side seed-vote recompute") {
+    val rows = Similarity.knnClassify(spark, sf).collect()
+    val gold = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val nbrs = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+      .groupBy(_._1).map { case (s, es) => (s, es.map(_._2).toSeq) }
+    val m = Similarity.lpSeedMod
+    val evals = gold.keys.toSeq.filter(_ % m != 0).map { id =>
+      val votes = nbrs.getOrElse(id, Nil).filter(_ % m == 0).map(gold)
+      val pred = if (votes.isEmpty) None
+        else Some(votes.groupBy(identity).map { case (l, v) => (l, v.size) }
+          .toSeq.minBy { case (l, c) => (-c, l) }._1)
+      (gold(id), pred)
+    }.toSeq
+    val expect = evals.groupBy(_._1).map { case (lbl, es) =>
+      (lbl, (es.length.toLong,
+        es.count(e => e._2.contains(lbl)).toLong,
+        es.count(_._2.isEmpty).toLong))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val lbl = r.getAs[Int]("label")
+      val (n, correct, abstain) = expect(lbl)
+      assert(r.getAs[Long]("n_eval") == n, s"label $lbl n_eval")
+      assert(r.getAs[Long]("n_correct") == correct, s"label $lbl correct")
+      assert(r.getAs[Long]("n_abstain") == abstain, s"label $lbl abstain")
+      assert(r.getAs[Long]("accuracy_ppm") == correct * 1000000L / n)
+    }
+  }
+
   test("dup-ngram coverage matches a driver-side cross-doc 8-gram tally") {
     val rows = Dedup.dupNgramCoverage(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()

@@ -143,4 +143,33 @@ class Relational4Spec extends AnyFunSuite {
       .count()
     assert(rows.map(_.getAs[Long]("numcust")).sum == brute)
   }
+
+  test("q16: per-family counts match a driver-side distinct-supplier tally") {
+    val rows = Relational4.q16SupplierVariety(spark, sf).collect()
+    val excl = Tables.supplier(spark, sf).filter(col("s_acctbal") < 1000.0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_type", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    val tally = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey").collect()
+      .flatMap { r =>
+        val (b, t, s) = parts(r.getLong(0))
+        if (b == "Brand#1" || excl.contains(r.getLong(1))) None
+        else Some(((b, t, s), r.getLong(1)))
+      }.distinct
+      .groupBy(_._1).map { case (k, vs) => (k, vs.length.toLong) }
+    assert(rows.length == tally.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        r.getAs[Int]("p_size"))
+      assert(r.getAs[Long]("supplier_cnt") == tally(k), s"family $k")
+    }
+    // ordering: non-increasing counts with the declared tiebreak
+    val keys = rows.map(r => (r.getAs[Long]("supplier_cnt"), r.getAs[String]("p_brand"),
+      r.getAs[String]("p_type"), r.getAs[Int]("p_size")))
+    keys.zip(keys.tail).foreach { case (a, b) =>
+      assert(a._1 > b._1 || (a._1 == b._1 &&
+        Ordering[(String, String, Int)].lteq((a._2, a._3, a._4), (b._2, b._3, b._4))))
+    }
+  }
 }
