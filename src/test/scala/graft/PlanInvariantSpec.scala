@@ -93,6 +93,23 @@ class PlanInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("r7 session ops: dedup-first aggregations avoid Expand; q16 broadcasts both small sides") {
+    // every one of these deduplicates BEFORE counting (array_distinct
+    // in-row, distinct-first, or plain keyed sums) — a countDistinct
+    // creeping in would plan an Expand over the widest stream in the op
+    for (q <- Seq("text_dup_ngram_coverage", "q_sliding_distinct",
+        "q16_supplier_variety", "knn_triangles", "scd2_history",
+        "profile_incremental", "sample_weighted", "sim_knn_classify")) {
+      val p = plan(q)
+      assert(!p.contains("Expand"), s"$q plans an Expand:\n$p")
+    }
+    // q16: the part dimension AND the NOT-IN exclusion list both ride
+    // as broadcasts — the fact side never shuffles before its dedup
+    val p16 = plan("q16_supplier_variety")
+    assert("BroadcastHashJoin".r.findAllIn(p16).length >= 2,
+      s"q16 lost a broadcast join:\n$p16")
+  }
+
   test("class guard: no empty-partitionBy WindowExec over non-aggregate-sized input") {
     // An empty-partitionBy window plans a SINGLE-partition WindowExec —
     // every input row sorted through one task. That is only tolerable when
