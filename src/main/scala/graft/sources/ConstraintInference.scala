@@ -46,28 +46,63 @@ object ConstraintInference {
     * second, candidate-only pass in constraintsDf.
     */
   private def statsFor(tables: Seq[(String, DataFrame)],
-      approx: Boolean): DataFrame = {
-    val branches = tables.flatMap { case (t, df) =>
-      df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
+      approx: Boolean): DataFrame =
+    if (approx) statsForApprox(tables) else {
+      val branches = tables.flatMap { case (t, df) =>
+        df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
+          val c = col(f.name)
+          val isInt = isIntType(f.dataType)
+          val isStr = f.dataType == StringType
+          val aggs = Seq(
+            count(lit(1)).as("n_rows"),
+            count(c).as("n_nonnull"),
+            countDistinct(c).as("n_distinct"),
+            (if (isInt) min(c).cast(LongType) else lit(null).cast(LongType)).as("min_l"),
+            (if (isInt) max(c).cast(LongType) else lit(null).cast(LongType)).as("max_l"))
+          df.select(c).agg(aggs.head, aggs.tail: _*)
+            .select(lit(t).as("table_name"), lit(f.name).as("column_name"),
+              lit(isInt).as("is_int"), lit(isStr).as("is_str"),
+              col("n_rows"), col("n_nonnull"), col("n_distinct"),
+              col("min_l"), col("max_l"))
+        }
+      }
+      branches.reduce(_ unionByName _)
+    }
+
+  /** Approx-mode stats: ONE aggregation PER TABLE, not per column —
+    * sketches compose inside a single agg with no Expand (the
+    * profileTableApprox device), so each table is scanned once for ALL
+    * its columns instead of once per column. The exact path cannot do
+    * this (multiple countDistinct in one agg plans an Expand — PLANS.md
+    * risk #1), which is precisely why the sketch form is the 100 TB
+    * swap-in: 51 per-column scans collapse to one pass per table.
+    * Estimates are identical to the per-column form (same sketches),
+    * only the plan changes.
+    */
+  private def statsForApprox(tables: Seq[(String, DataFrame)]): DataFrame =
+    tables.map { case (t, df) =>
+      val fields = df.schema.fields.filter(f => keyable(f.dataType))
+      val aggs = count(lit(1)).as("n_rows") +: fields.flatMap { f =>
         val c = col(f.name)
         val isInt = isIntType(f.dataType)
-        val isStr = f.dataType == StringType
-        val aggs = Seq(
-          count(lit(1)).as("n_rows"),
-          count(c).as("n_nonnull"),
-          (if (approx) approx_count_distinct(c, 0.02) else countDistinct(c))
-            .as("n_distinct"),
-          (if (isInt) min(c).cast(LongType) else lit(null).cast(LongType)).as("min_l"),
-          (if (isInt) max(c).cast(LongType) else lit(null).cast(LongType)).as("max_l"))
-        df.select(c).agg(aggs.head, aggs.tail: _*)
-          .select(lit(t).as("table_name"), lit(f.name).as("column_name"),
-            lit(isInt).as("is_int"), lit(isStr).as("is_str"),
-            col("n_rows"), col("n_nonnull"), col("n_distinct"),
-            col("min_l"), col("max_l"))
+        Seq(count(c).as(s"nn_${f.name}"),
+          approx_count_distinct(c, 0.02).as(s"nd_${f.name}"),
+          (if (isInt) min(c).cast(LongType) else lit(null).cast(LongType))
+            .as(s"mn_${f.name}"),
+          (if (isInt) max(c).cast(LongType) else lit(null).cast(LongType))
+            .as(s"mx_${f.name}"))
       }
-    }
-    branches.reduce(_ unionByName _)
-  }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val structs = fields.map { f =>
+        struct(lit(t).as("table_name"), lit(f.name).as("column_name"),
+          lit(isIntType(f.dataType)).as("is_int"),
+          lit(f.dataType == StringType).as("is_str"),
+          col("n_rows"), col(s"nn_${f.name}").as("n_nonnull"),
+          col(s"nd_${f.name}").as("n_distinct"),
+          col(s"mn_${f.name}").as("min_l"), col(s"mx_${f.name}").as("max_l"))
+      }
+      one.select(inline(array(structs: _*)))
+    }.reduce(_ unionByName _)
 
   /** Constraint-candidate rows over named tables:
     * (table_name, column_name, kind, detail).
