@@ -222,6 +222,75 @@ object Profiler {
            |FROM $t""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
+  // -------------------------------------------------------- ingestion gaps
+  //
+  // Calendar-hole detection — profileFreshness's sibling (that one asks
+  // "is the source still flowing", this asks "did it EVER stop"): per
+  // time-bearing table, the days actually present inside the observed
+  // span, the missing-day count, and the gap-RUN structure (how many
+  // maximal missing runs, and the longest) — a 1-day blip and a 3-week
+  // outage with the same missing total are very different incidents.
+  // Gaps-and-islands over DISTINCT DAYS: the window input is days-sized
+  // (bounded by the calendar, not the data), partitioned by table.
+  //
+  // Scale shape: one distinct-day dedup per table (map-side partial),
+  // then windows over calendar-bounded rows. Day keys as unix-micros
+  // BIGINT; every derived count is exact integer division.
+
+  private val gapSpecs = Seq(("events", "ts"), ("lineitem", "l_shipdate"),
+    ("orders", "o_orderdate"))
+
+  def qualityIngestionGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val days = gapSpecs.map { case (t, c) =>
+      Tables.table(spark, dir, t)
+        .select(unix_micros(date_trunc("day", col(c))).as("day_us")).distinct()
+        .select(lit(t).as("table_name"), col("day_us"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("table_name")).orderBy(col("day_us"))
+    days
+      .withColumn("next_us", lead(col("day_us"), 1).over(w))
+      .withColumn("gap_days", expr(
+        s"CASE WHEN next_us IS NULL THEN CAST(0 AS BIGINT) " +
+          s"ELSE (next_us - day_us) div $dayUs - 1 END"))
+      .groupBy(col("table_name"))
+      .agg(min(col("day_us")).as("min_day_us"), max(col("day_us")).as("max_day_us"),
+        count(lit(1)).as("n_days_present"),
+        sum(when(col("gap_days") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        max(col("gap_days")).as("longest_gap_days"))
+      .withColumn("n_days_expected",
+        expr(s"(max_day_us - min_day_us) div $dayUs + 1"))
+      .withColumn("n_days_missing", col("n_days_expected") - col("n_days_present"))
+      .select(col("table_name"), col("min_day_us"), col("max_day_us"),
+        col("n_days_expected"), col("n_days_present"), col("n_days_missing"),
+        col("n_gaps"), col("longest_gap_days"))
+      .orderBy(col("table_name"))
+  }
+
+  val qualityIngestionGapsSql: String = {
+    val branches = gapSpecs.map { case (t, c) =>
+      s"SELECT DISTINCT '$t' AS table_name, epoch_us(date_trunc('day', $c)) AS day_us FROM $t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |$branches),
+       |g AS (
+       |  SELECT table_name, day_us,
+       |    lead(day_us) OVER (PARTITION BY table_name ORDER BY day_us) AS next_us
+       |  FROM d),
+       |g2 AS (
+       |  SELECT *, CASE WHEN next_us IS NULL THEN CAST(0 AS BIGINT)
+       |    ELSE (next_us - day_us) // 86400000000 - 1 END AS gap_days
+       |  FROM g)
+       |SELECT table_name, min(day_us) AS min_day_us, max(day_us) AS max_day_us,
+       |  (max(day_us) - min(day_us)) // 86400000000 + 1 AS n_days_expected,
+       |  count(*) AS n_days_present,
+       |  (max(day_us) - min(day_us)) // 86400000000 + 1 - count(*) AS n_days_missing,
+       |  CAST(sum(CASE WHEN gap_days > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       |  CAST(max(gap_days) AS BIGINT) AS longest_gap_days
+       |FROM g2 GROUP BY table_name ORDER BY table_name""".stripMargin
+  }
+
   private val corrPairs: Seq[(Int, Int)] =
     for { i <- corrCols.indices; j <- corrCols.indices if i < j } yield (i, j)
 

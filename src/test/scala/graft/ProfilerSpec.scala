@@ -102,6 +102,33 @@ class ProfilerSpec extends AnyFunSuite {
     assert(nEvents == ev.count())
   }
 
+  test("quality_ingestion_gaps matches a driver-side calendar recompute") {
+    val rows = Profiler.qualityIngestionGaps(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(rows.keySet == Set("events", "lineitem", "orders"))
+    val dayUs = 86400000000L
+    for ((t, c) <- Seq(("events", "ts"), ("lineitem", "l_shipdate"),
+        ("orders", "o_orderdate"))) {
+      val days = Tables.table(spark, sf, t)
+        .select(unix_micros(date_trunc("day", col(c))).as("d"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val gaps = days.zip(days.tail).map { case (a, b) => (b - a) / dayUs - 1 }
+        .filter(_ > 0)
+      val r = rows(t)
+      assert(r.getAs[Long]("n_days_present") == days.length.toLong, s"$t present")
+      val expected = (days.last - days.head) / dayUs + 1
+      assert(r.getAs[Long]("n_days_expected") == expected, s"$t expected")
+      assert(r.getAs[Long]("n_days_missing") == expected - days.length, s"$t missing")
+      assert(r.getAs[Long]("n_gaps") == gaps.length.toLong, s"$t gap runs")
+      assert(r.getAs[Long]("longest_gap_days") ==
+        (if (gaps.isEmpty) 0L else gaps.max), s"$t longest")
+      // gap runs reconcile with the missing total
+      assert(gaps.sum == expected - days.length)
+    }
+    // the fixture is non-trivial: the order tables really have holes
+    assert(rows("orders").getAs[Long]("n_gaps") > 0)
+  }
+
   test("profile_incremental: slice-merged stats equal direct stats, proof bit set") {
     import graft.profile.IncrementalProfile
     val rows = IncrementalProfile.profileIncremental(spark, sf).collect()
