@@ -546,9 +546,11 @@ object Similarity {
        |${assign("idx", "c2")}""".stripMargin
   }
 
-  lazy val annIvfSql: String = {
+  /** IVF chain extended through the ranked top-10 (`ivf_top`) — shared
+    * by annIvfSql and the recall report's oracle. */
+  private lazy val annIvfRankedCtes: String = {
     def dist(vexpr: String, cexpr: String): String = ivfDistSql(vexpr, cexpr)
-    s"""WITH $ivfCtes,
+    s"""$ivfCtes,
        |probes AS (
        |  SELECT e.vec_id AS query_id, c.cid
        |  FROM e CROSS JOIN c2 c WHERE e.vec_id < 20
@@ -560,14 +562,67 @@ object Similarity {
        |  FROM probes p
        |  JOIN idx i ON i.cid = p.cid AND i.vec_id <> p.query_id
        |  JOIN e qe ON qe.vec_id = p.query_id
-       |  JOIN e ne ON ne.vec_id = i.vec_id)
-       |SELECT query_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
-       |  neighbor_id, cosine
-       |FROM cand
-       |QUALIFY rank <= 10
-       |ORDER BY query_id, rank""".stripMargin
+       |  JOIN e ne ON ne.vec_id = i.vec_id),
+       |ivf_top AS (
+       |  SELECT query_id, rank, neighbor_id, cosine FROM (
+       |    SELECT query_id, neighbor_id, cosine,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |    FROM cand)
+       |  WHERE rank <= 10)""".stripMargin
   }
+
+  lazy val annIvfSql: String =
+    s"""WITH $annIvfRankedCtes
+       |SELECT query_id, rank, neighbor_id, cosine FROM ivf_top
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------- recall report
+  //
+  // Index-quality report: per query, recall@10 of the IVF index against
+  // the exact brute-force top-10 — the measurement an ANN deployment
+  // monitors continuously (quantizer drift, a bad re-train, or a probe
+  // budget cut all show up here first). Composes the two existing
+  // operators (annIvf and topkBruteforce — at 20 pinned queries the
+  // brute baseline is a bounded broadcast job, the sampled ground-truth
+  // pattern every production recall monitor uses); the oracle composes
+  // the SAME two CTE chains, so the report cannot drift from either
+  // operator. Exact integer ppm.
+
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = annIvf(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val brute = topkBruteforce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 div n_true"))
+      .select(col("query_id"), col("n_true"), col("n_hits"), col("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val simRecallReportSql: String =
+    s"""WITH $annIvfRankedCtes,
+       |brute_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM brute_scored)
+       |  WHERE rank <= 10)
+       |SELECT b.query_id, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST((sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS recall_ppm
+       |FROM brute b LEFT JOIN ivf_top i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
   // ------------------------------------------------------- kmeans profile
   //

@@ -551,6 +551,28 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("recall report equals a driver-side overlap of ivf and brute top-10") {
+    val rows = Similarity.simRecallReport(spark, sf).collect()
+    val ivf = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).map { case (q, ns) => (q, ns.map(_._2).toSet) }
+    val brute = Similarity.topkBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).map { case (q, ns) => (q, ns.map(_._2).toSet) }
+    assert(rows.map(_.getAs[Long]("query_id")).toSet == brute.keySet)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val hits = brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(r.getAs[Long]("n_true") == brute(q).size.toLong)
+      assert(r.getAs[Long]("n_hits") == hits, s"query $q")
+      assert(r.getAs[Long]("recall_ppm") == hits * 1000000L / brute(q).size)
+    }
+    // the probe actually finds most of the truth on this corpus
+    val overall = rows.map(_.getAs[Long]("n_hits")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_true")).sum
+    assert(overall > 0.2, s"ivf recall collapsed: $overall")
+  }
+
   test("knn classify report matches a driver-side seed-vote recompute") {
     val rows = Similarity.knnClassify(spark, sf).collect()
     val gold = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
