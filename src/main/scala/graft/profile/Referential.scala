@@ -150,4 +150,83 @@ object Referential {
          |    CAST($cc AS BIGINT) NOT IN (SELECT CAST($pc AS BIGINT) FROM $pt WHERE $pc IS NOT NULL) AS orphan
          |  FROM $ct WHERE $cc IS NOT NULL GROUP BY 1)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, child_column")
+
+  // -------------------------------------------------------- reconciliation
+  //
+  // Fact-to-fact TOTALS reconciliation — the warehouse audit that
+  // catches what referential integrity can't: keys can all resolve while
+  // the MONEY disagrees (partial loads, double-applied discounts, a
+  // drifted derivation). Per order status: does o_totalprice equal the
+  // TPC-H derivation Σ extendedprice·(1−discount)·(1+tax) over the
+  // order's lines, within 1%? Report: order count, orders with no lines,
+  // within-tolerance count, mismatches, worst relative diff and the
+  // total absolute money gap. (On this synthetic testdata the invariant
+  // is mostly broken — which is exactly what the detector is for.)
+  //
+  // Exactness contract: the per-order recompute is an exact DECIMAL
+  // chain; the tolerance test compares decimals against 0.01·t (never a
+  // float epsilon, and never a decimal×100 that could overflow precision
+  // 38 and round); doubles appear only in the report edge. One
+  // order-keyed aggregation of lineitem + one left join + a status-keyed
+  // rollup — the q18 co-shuffle family, 3-row output.
+
+  def qualityReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def dec(c: String, p: Int, s: Int) = col(c).cast(DecimalType(p, s))
+    val one = lit(new java.math.BigDecimal("1.00"))
+    val tol = lit(new java.math.BigDecimal("0.01"))
+    // comp clamped to DECIMAL(30,8): a sum left at width 38 would push
+    // the (comp - t) subtraction past 38 digits, which DuckDB resolves
+    // by silently degrading the whole chain to DOUBLE (order-dependent
+    // sums, parity lost); per-order totals fit 30 digits with room
+    val comp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_extendedprice", 18, 4) *
+        (one - dec("l_discount", 4, 2)) * (one + dec("l_tax", 4, 2)))
+        .cast(DecimalType(30, 8)).as("comp"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec("o_totalprice", 12, 2).as("t"))
+      .join(comp, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("comp").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("comp").isNotNull &&
+          abs(col("comp") - col("t")) <= col("t") * tol, 1L).otherwise(0L))
+          .as("n_within_1pct"),
+        sum(when(col("comp").isNotNull &&
+          abs(col("comp") - col("t")) > col("t") * tol, 1L).otherwise(0L))
+          .as("n_mismatch"),
+        max(when(col("comp").isNotNull,
+          abs(col("comp") - col("t")).cast(DoubleType) / col("t").cast(DoubleType)))
+          .as("max_rel_diff"),
+        // money edge at scale 2: a scale-8 total carries 17 significant
+        // digits — past double precision, where the two engines' decimal
+        // → double conversions round differently
+        round(sum(when(col("comp").isNotNull, abs(col("comp") - col("t")))), 2)
+          .cast(DoubleType).as("sum_abs_diff"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qualityReconciliationSql: String =
+    """WITH c AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |      * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+      |      * (1.00 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(30,8)) AS comp
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderstatus, CAST(o.o_totalprice AS DECIMAL(12,2)) AS t, c.comp
+      |  FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN comp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+      |  CAST(sum(CASE WHEN comp IS NOT NULL AND abs(comp - t) <= t * 0.01
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+      |  CAST(sum(CASE WHEN comp IS NOT NULL AND abs(comp - t) > t * 0.01
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+      |  max(CASE WHEN comp IS NOT NULL
+      |    THEN CAST(abs(comp - t) AS DOUBLE) / CAST(t AS DOUBLE) END) AS max_rel_diff,
+      |  CAST(round(sum(CASE WHEN comp IS NOT NULL THEN abs(comp - t) END), 2)
+      |    AS DOUBLE) AS sum_abs_diff
+      |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.Tables
 
 /** Final curation stage of a training-data pipeline — the operators that
@@ -683,4 +683,65 @@ object Curation {
        |  (CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER (PARTITION BY t) AS DOUBLE)) AS boost
        |FROM per_t ORDER BY source, t""".stripMargin
   }
+
+  // ------------------------------------------------------- curriculum pack
+  //
+  // Curriculum-ordered shard packing: shards filled in ASCENDING quality
+  // order (TextStats.qualityScoreCore — the operator's own registered
+  // score, reused verbatim), so shard_id IS the curriculum position — a
+  // trainer consuming shards in order sees low-quality/short docs first
+  // and the cleanest material last (or reversed, by reading shards
+  // backwards; the schedule is the artifact). Per shard: docs, tokens,
+  // the score RANGE it covers, fill ratio. Because the global order is
+  // (score, doc_id), shard score ranges tile without overlap — asserted
+  // in spec.
+  //
+  // Scale shape: the global cumulative token count over the score order
+  // uses GlobalRank.withGlobalCumsum — range exchange + two-pass
+  // partition offsets, one Long per partition of driver state, NEVER an
+  // empty-partitionBy window (the pack_sequences discipline); the
+  // oracle runs the literal window cumsum over the same total order,
+  // proving the distributed prefix sum bit-exact again.
+
+  def packCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextStats.qualityScoreCore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val d = docsWithToks(spark, dir, "whitespace")
+      .select(col("doc_id"), col("toks").cast(LongType).as("toks"))
+      .filter(col("toks") > 0)
+      .join(score, "doc_id")
+    val cum = graft.operators.GlobalRank
+      .withGlobalCumsum(d, "toks", "cum", col("quality_score"), col("doc_id"))
+    cum
+      .withColumn("shard_id",
+        expr(s"CAST(floor((cum - toks) / CAST($shardCapacity AS DOUBLE)) AS INT)"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("shard_tokens"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
+      .withColumn("fill_ratio",
+        col("shard_tokens").cast(DoubleType) / lit(shardCapacity.toDouble))
+      .orderBy(col("shard_id"))
+  }
+
+  val packCurriculumSql: String =
+    s"""WITH $whitespaceDocCte,
+       |qs AS (
+       |  SELECT doc_id, quality_score FROM (${TextStats.qualityScoreBodySql})),
+       |j AS (
+       |  SELECT d.doc_id, CAST(d.toks AS BIGINT) AS toks, qs.quality_score
+       |  FROM d JOIN qs USING (doc_id) WHERE d.toks > 0),
+       |ord AS (
+       |  SELECT doc_id, toks, quality_score,
+       |    sum(toks) OVER (ORDER BY quality_score, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM j),
+       |sh AS (
+       |  SELECT *, CAST(floor((cum - toks) / CAST($shardCapacity AS DOUBLE)) AS INT)
+       |    AS shard_id
+       |  FROM ord)
+       |SELECT shard_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS shard_tokens,
+       |  min(quality_score) AS min_score, max(quality_score) AS max_score,
+       |  CAST(sum(toks) AS DOUBLE) / $shardCapacity.0 AS fill_ratio
+       |FROM sh GROUP BY shard_id ORDER BY shard_id""".stripMargin
 }

@@ -283,6 +283,46 @@ class CurationSpec extends AnyFunSuite {
       Curation.packShardsWith(spark, dir, "bytes"))
   }
 
+  test("packCurriculum: shards tile the score order; driver recompute matches") {
+    val rows = Curation.packCurriculum(spark, dir).collect()
+      .sortBy(_.getAs[Int]("shard_id"))
+    // driver-side recompute of the whole schedule from the operator's
+    // own inputs (score from the registered quality op)
+    val docs = TextStats.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val toks = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "size(filter(split(text, ' '), t -> t <> '')) AS t")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("t").toLong))
+      .filter(_._2 > 0)
+    val ordered = toks.map { case (id, t) => (docs(id), id, t) }
+      .sortBy { case (s, id, _) => (s, id) }
+    var cum = 0L
+    val assign = ordered.map { case (s, id, t) =>
+      val shard = (cum / Curation.shardCapacity).toInt
+      cum += t
+      (shard, s, t)
+    }
+    val expect = assign.groupBy(_._1).map { case (sh, es) =>
+      (sh, (es.length.toLong, es.map(_._3).sum,
+        es.map(_._2).min, es.map(_._2).max))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val sh = r.getAs[Int]("shard_id")
+      val (n, t, lo, hi) = expect(sh)
+      assert(r.getAs[Long]("n_docs") == n, s"shard $sh docs")
+      assert(r.getAs[Long]("shard_tokens") == t, s"shard $sh tokens")
+      assert(r.getAs[Double]("min_score") == lo && r.getAs[Double]("max_score") == hi)
+    }
+    // curriculum property: shard score ranges tile without overlap
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Double]("max_score") <= b.getAs[Double]("min_score"),
+        s"shards ${a.getAs[Int]("shard_id")}/${b.getAs[Int]("shard_id")} overlap")
+    }
+    assert(rows.map(_.getAs[Long]("shard_tokens")).sum == toks.map(_._2).sum)
+  }
+
   test("mixApply realizes the target shares within hash-sampling noise") {
     val rows = Curation.mixApply(spark, dir).collect()
     val weights = Curation.mixWeights(spark, dir).collect()

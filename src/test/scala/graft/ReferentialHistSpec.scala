@@ -91,4 +91,47 @@ class ReferentialHistSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("reconciliation: buckets match an exact BigDecimal recompute per status") {
+    import java.math.{BigDecimal => JBD}
+    val rows = Referential.qualityReconciliation(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r).toMap
+    def bd(x: Double, scale: Int) =
+      JBD.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP)
+    val comp = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax").collect()
+      .map(r => (r.getLong(0),
+        bd(r.getDouble(1), 4).multiply(JBD.ONE.subtract(bd(r.getDouble(2), 2)))
+          .multiply(JBD.ONE.add(bd(r.getDouble(3), 2)))))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).reduce(_ add _)) }
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), bd(r.getDouble(2), 2)))
+    val tol = new JBD("0.01")
+    val expect = orders.groupBy(_._2).map { case (st, os) =>
+      val stats = os.map { case (k, _, t) =>
+        comp.get(k) match {
+          case None => (1, 0, 0, None: Option[JBD], JBD.ZERO)
+          case Some(c) =>
+            val diff = c.subtract(t).abs()
+            val within = diff.compareTo(t.multiply(tol)) <= 0
+            (0, if (within) 1 else 0, if (within) 0 else 1, Some(diff), diff)
+        }
+      }
+      (st, (os.length.toLong, stats.map(_._1).sum.toLong, stats.map(_._2).sum.toLong,
+        stats.map(_._3).sum.toLong, stats.map(_._5).reduce(_ add _)))
+    }
+    assert(rows.keySet == expect.keySet)
+    expect.foreach { case (st, (n, noL, within, mis, absSum)) =>
+      val r = rows(st)
+      assert(r.getAs[Long]("n_orders") == n, s"$st orders")
+      assert(r.getAs[Long]("n_no_lines") == noL, s"$st no-lines")
+      assert(r.getAs[Long]("n_within_1pct") == within, s"$st within")
+      assert(r.getAs[Long]("n_mismatch") == mis, s"$st mismatch")
+      assert(r.getAs[Double]("sum_abs_diff") ==
+        absSum.setScale(2, java.math.RoundingMode.HALF_UP).doubleValue, s"$st abs sum")
+    }
+    // the detector has real work on this data: mismatches exist
+    assert(rows.values.map(_.getAs[Long]("n_mismatch")).sum > 0)
+  }
 }
