@@ -352,6 +352,105 @@ object EventAnalytics {
       .orderBy(col("day_us"))
   }
 
+  // ------------------------------------------------------ seasonality
+  //
+  // Hour-of-day × day-of-week arrival profile — the periodic-structure
+  // view events_rate_anomaly (a point-anomaly pager) deliberately
+  // ignores: capacity planning, alert-threshold scheduling and bot
+  // detection all read this surface. Per (dow, hour) cell: events,
+  // distinct users (dedup-FIRST, no countDistinct Expand), share of
+  // total traffic in exact ppm. Output bounded at 168 cells.
+  //
+  // Scale shape: one keyed agg for events; the user dimension dedups to
+  // (cell, user) first; total rides a 168-row window.
+
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"),
+        col("user_id"))
+    val cells = ev.groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n_events"))
+    val users = ev.select(col("dow"), col("hod"), col("user_id")).distinct()
+      .groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n_users"))
+    cells.join(users, Seq("dow", "hod"))
+      .withColumn("share_ppm",
+        expr("n_events * 1000000 div sum(n_events) OVER ()"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  val qSeasonalitySql: String =
+    """WITH ev AS (
+      |  -- DuckDB dayofweek: Sunday=0..6; Spark: Sunday=1..7 -> +1
+      |  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+      |    CAST(hour(ts) AS INT) AS hod, user_id
+      |  FROM events),
+      |cells AS (SELECT dow, hod, count(*) AS n_events FROM ev GROUP BY 1, 2),
+      |users AS (
+      |  SELECT dow, hod, count(*) AS n_users
+      |  FROM (SELECT DISTINCT dow, hod, user_id FROM ev) GROUP BY 1, 2)
+      |SELECT dow, hod, n_events, n_users,
+      |  CAST((n_events * 1000000) // sum(n_events) OVER () AS BIGINT) AS share_ppm
+      |FROM cells JOIN users USING (dow, hod)
+      |ORDER BY dow, hod""".stripMargin
+
+  // -------------------------------------------------------- order backlog
+  //
+  // Daily open-order backlog — the interval-stabbing query ("how many
+  // orders were in flight on day d") answered WITHOUT a day×order range
+  // join: each order's lifetime [orderdate-day, last-shipdate-day]
+  // becomes a +1 at open and a −1 after close (the classic sweep-line /
+  // delta-event transform), daily deltas aggregate first (day-keyed,
+  // bounded by the calendar), and the backlog curve is the running sum
+  // of deltas over day order — via GlobalRank.withGlobalCumsum, never a
+  // single-task global window (PlanInvariantSpec's class guard steers
+  // exactly this shape). Orders with no lineitem lines have no close
+  // and are excluded (the open-forever convention would need a horizon
+  // policy; quality_reconciliation counts them separately).
+
+  def qOrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val close = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(unix_micros(date_trunc("day", col("l_shipdate")))).as("close_us"))
+    // close clamped to >= open: the synthetic data holds lines shipped
+    // before their order date; a lifetime is at least its open day
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        unix_micros(date_trunc("day", col("o_orderdate"))).as("open_us"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("close_us", greatest(col("close_us"), col("open_us")))
+    val opens = o.groupBy(col("open_us").as("day_us"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closes = o.groupBy(col("close_us").as("day_us"))
+      .agg(count(lit(1)).as("n_closed"))
+    val deltas = opens.join(closes, Seq("day_us"), "full_outer")
+      .select(col("day_us"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("delta", col("n_opened") - col("n_closed"))
+    graft.operators.GlobalRank
+      .withGlobalCumsum(deltas, "delta", "backlog", col("day_us"))
+      .select(col("day_us"), col("n_opened"), col("n_closed"), col("backlog"))
+      .orderBy(col("day_us"))
+  }
+
+  val qOrderBacklogSql: String =
+    """WITH close AS (
+      |  SELECT l_orderkey, max(epoch_us(date_trunc('day', l_shipdate))) AS close_us
+      |  FROM lineitem GROUP BY 1),
+      |o AS (
+      |  SELECT o_orderkey, epoch_us(date_trunc('day', o_orderdate)) AS open_us,
+      |    greatest(close_us, epoch_us(date_trunc('day', o_orderdate))) AS close_us
+      |  FROM orders JOIN close ON o_orderkey = l_orderkey),
+      |opens AS (SELECT open_us AS day_us, count(*) AS n_opened FROM o GROUP BY 1),
+      |closes AS (SELECT close_us AS day_us, count(*) AS n_closed FROM o GROUP BY 1),
+      |d AS (
+      |  SELECT coalesce(op.day_us, cl.day_us) AS day_us,
+      |    coalesce(op.n_opened, 0) AS n_opened, coalesce(cl.n_closed, 0) AS n_closed
+      |  FROM opens op FULL OUTER JOIN closes cl ON op.day_us = cl.day_us)
+      |SELECT day_us, n_opened, n_closed,
+      |  CAST(sum(n_opened - n_closed) OVER (ORDER BY day_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+      |FROM d ORDER BY day_us""".stripMargin
+
   // ------------------------------------------------------- SCD2 history
   //
   // Slowly-changing-dimension (type 2) history built from the event log

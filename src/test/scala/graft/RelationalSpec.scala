@@ -196,6 +196,51 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("events_seasonality: 168-bounded cells, shares sum to ~1e6, brute check") {
+    import graft.operators.EventAnalytics
+    val rows = EventAnalytics.qSeasonality(spark, sf).collect()
+    assert(rows.length <= 168)
+    val evs = Tables.events(spark, sf)
+      .select(dayofweek(col("ts")).as("d"), hour(col("ts")).as("h"), col("user_id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getAs[Long]("user_id")))
+    val total = evs.length.toLong
+    val byCell = evs.groupBy(e => (e._1, e._2))
+    assert(rows.length == byCell.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Int]("dow"), r.getAs[Int]("hod"))
+      assert(r.getAs[Long]("n_events") == byCell(k).length.toLong, s"cell $k")
+      assert(r.getAs[Long]("n_users") == byCell(k).map(_._3).distinct.length.toLong)
+      assert(r.getAs[Long]("share_ppm") == byCell(k).length.toLong * 1000000L / total)
+    }
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum > 1000000L - rows.length && shareSum <= 1000000L)
+  }
+
+  test("q_order_backlog: sweep-line curve matches a brute per-day interval count") {
+    import graft.operators.EventAnalytics
+    val rows = EventAnalytics.qOrderBacklog(spark, sf).collect()
+    val dayUs = 86400000000L
+    val close = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(max(unix_micros(date_trunc("day", col("l_shipdate")))).as("c")).collect()
+      .map(r => r.getAs[Long]("l_orderkey") -> r.getAs[Long]("c")).toMap
+    val intervals = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), unix_micros(date_trunc("day", col("o_orderdate"))).as("o"))
+      .collect().flatMap(r => close.get(r.getAs[Long]("o_orderkey"))
+        .map(c => (r.getAs[Long]("o"), math.max(c, r.getAs[Long]("o")))))
+    assert(rows.nonEmpty && intervals.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day_us")
+      // backlog at END of day d: opened on or before d, not yet closed by d
+      val brute = intervals.count { case (o, c) => o <= d && c > d }.toLong
+      assert(r.getAs[Long]("backlog") == brute, s"day $d")
+      assert(r.getAs[Long]("n_opened") == intervals.count(_._1 == d).toLong)
+      assert(r.getAs[Long]("n_closed") == intervals.count(_._2 == d).toLong)
+    }
+    // the curve starts and ends at zero net flight
+    assert(rows.last.getAs[Long]("backlog") == 0L)
+  }
+
   test("q_sliding_distinct matches a brute per-day trailing-window recompute") {
     import graft.operators.EventAnalytics
     val rows = EventAnalytics.qSlidingDistinct(spark, sf).collect()
