@@ -129,7 +129,9 @@ class PlanInvariantSpec extends AnyFunSuite {
       "lang",        // documents language tags (bounded tag set)
       "event_type",  // events type alphabet (5)
       "bucket",      // fixed histogram/grid bucket ids
-      "week"         // bounded reporting horizon of the temporal ops
+      "week",        // bounded reporting horizon of the temporal ops
+      "dow",         // day-of-week (7) — events_seasonality cells
+      "hod"          // hour-of-day (24)
     ) ++
       // the profiler's declared bounded-categorical registry (the entropy
       // profile exists exactly because these have fixed small domains)
