@@ -1052,6 +1052,113 @@ object Similarity {
        |SELECT query_id, rank, vec_id AS neighbor_id, CAST(dist_q AS BIGINT) AS dist_q
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------- binary hamming ANN
+  //
+  // The fourth compressed-index leg: 60-bit SIGN SKETCHES (one bit per
+  // md5-derived hyperplane — the annLsh geometry, 60 planes instead of
+  // 6) ranked by HAMMING distance, then exact-cosine rerank of the
+  // top-`hamCand` sketch candidates. This is the binary-code ANN every
+  // production stack fields when even SQ8 is too fat: the scanned index
+  // is 8 bytes/vector (32× vs float32), and the scan kernel is
+  // xor+popcount — two machine instructions, no arithmetic at all.
+  // Sign-sketch hamming estimates angle (Charikar's SimHash bound:
+  // E[ham/bits] = acos(cos θ)/π), so the sketch ranking is a cheap
+  // angular proxy and the rerank restores exact order among survivors.
+  // Recall is bounded by the sketch's 60-bit resolution; measured and
+  // pinned vs the exact top-k in DedupSimSpec (the SQ8/PQ contract —
+  // exhaustive code scan, quantization is the only error source).
+  //
+  // Shape: signatures are ONE native band_keys pass (bands=1, bits=60 —
+  // the dedup_embedding codegen discipline) over the corpus scan; the
+  // 20-query sketch set broadcasts; candidate ranking carries only
+  // (query_id, vec_id, hamming) through the per-query window; vectors
+  // join back by id for the rerank of ≤ 50 rows/query. Integer hamming
+  // + vec_id tiebreak → bit-deterministic candidates, no float seam
+  // before the (rounded) cosine.
+
+  val hamBits = 60
+  val hamQueries = 20
+  val hamCand = 50
+  val hamK = 10
+  lazy val hamPlanes: Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(hamBits, dim) { (j, k) =>
+      val hex = mdt.digest(s"hb${j}_$k".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex, 16) % 1000) - 499.5) / 1000.0
+    }
+  }
+
+  def annHamming(spark: SparkSession, dir: String): DataFrame =
+    annHammingFor(vectors(spark, dir))
+
+  private[graft] def annHammingFor(vectorsIn: DataFrame): DataFrame = {
+    val sigs = vectorsIn.select(col("vec_id"), col("v"), col("nrm"),
+      graft.functions.VectorOps.band_keys(col("v"),
+        typedLit(hamPlanes.flatten.toSeq), 1, hamBits).getItem(0).as("sig"))
+    val q = sigs.filter(col("vec_id") < hamQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("nrm").as("nrm_q"), col("sig").as("sig_q"))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cand = sigs.select(col("vec_id").as("neighbor_id"), col("sig"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("sig_q"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("sig").bitwiseXOR(col("sig_q"))).as("hamming"))
+      .withColumn("ham_rank", row_number().over(wHam))
+      .filter(col("ham_rank") <= hamCand)
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(sigs.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("v_q"), col("nrm_q"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        cosine("v_q", "v", col("nrm_q"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= hamK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def hamSigSql(v: String): String =
+    (0 until hamBits).map { j =>
+      s"CASE WHEN list_dot_product($v, ${sqlArray(hamPlanes(j))}) >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  lazy val annHammingSql: String =
+    s"""WITH $vectorsSql,
+       |sigs AS (
+       |  SELECT vec_id, v, nrm, CAST(${hamSigSql("v")} AS BIGINT) AS sig FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(c.sig, q.sig)) AS INTEGER) AS hamming
+       |  FROM sigs q JOIN sigs c
+       |    ON q.vec_id < $hamQueries AND c.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, hamming FROM (
+       |    SELECT query_id, neighbor_id, hamming,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id)
+       |        AS ham_rank
+       |    FROM scored)
+       |  WHERE ham_rank <= $hamCand),
+       |rescored AS (
+       |  SELECT c.query_id, c.neighbor_id, c.hamming,
+       |    round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cosine
+       |  FROM cand c
+       |  JOIN sigs x ON c.neighbor_id = x.vec_id
+       |  JOIN sigs q ON c.query_id = q.vec_id)
+       |SELECT query_id, rank, neighbor_id, hamming, cosine FROM (
+       |  SELECT query_id, neighbor_id, hamming, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+       |      AS INTEGER) AS rank
+       |  FROM rescored)
+       |WHERE rank <= $hamK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------- SemDeDup
   //
   // Cluster-scoped semantic dedup (Abbas et al., SemDeDup): partition the

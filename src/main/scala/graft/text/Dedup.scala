@@ -37,6 +37,49 @@ object Dedup {
       |  min(doc_id) AS canonical_doc_id, max(doc_id) AS max_doc_id
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 
+  /** Canonicalized exact dedup — the "fuzzy-exact" gate production
+    * pipelines run between byte-exact and MinHash (Dolma's URL/text
+    * normalization stage): lowercase, strip everything but [a-z0-9 ],
+    * collapse whitespace runs, trim, THEN hash. Catches
+    * case/punctuation/spacing mutants of the same document that
+    * dedup_exact misses, at exactly dedup_exact's cost — one md5
+    * group-by, no pairwise anything.
+    *
+    * Shape: canonicalization is zero-shuffle in-row regexp work; the
+    * two-level aggregation ((canon, raw-variant) first, then canon)
+    * counts raw variants per canonical group WITHOUT a mixed
+    * COUNT(DISTINCT) (which would plan an Expand — the q16 discipline).
+    * Regex classes are literal char classes only, so Java regex and
+    * DuckDB's RE2 agree byte-for-byte.
+    */
+  def canonical(spark: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(md5(canon).as("canon_hash"), md5(col("text")).as("text_hash"),
+        col("doc_id"))
+      .groupBy(col("canon_hash"), col("text_hash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+      .groupBy(col("canon_hash"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_raw_variants"),
+        min(col("min_doc")).as("canonical_doc_id"))
+      .orderBy(col("canon_hash"))
+  }
+
+  val canonicalSql: String =
+    """WITH canon AS (
+      |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_hash,
+      |    md5(text) AS text_hash, doc_id
+      |  FROM documents),
+      |lvl1 AS (
+      |  SELECT canon_hash, text_hash, count(*) AS n, min(doc_id) AS min_doc
+      |  FROM canon GROUP BY canon_hash, text_hash)
+      |SELECT canon_hash, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  count(*) AS n_raw_variants,
+      |  min(min_doc) AS canonical_doc_id
+      |FROM lvl1 GROUP BY canon_hash ORDER BY canon_hash""".stripMargin
+
   /** Distinct word-3-gram shingles per doc, hashed to 48-bit ints (first
     * 12 hex of md5 — same digest both engines; a 48-bit collision would
     * affect both engines identically, so parity is unconditional).

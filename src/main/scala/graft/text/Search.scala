@@ -71,9 +71,12 @@ object Search {
       .limit(topN)
   }
 
-  val bm25Sql: String = {
+  /** Shared CTE chain deriving the BM25 top-N — bm25's oracle AND the
+    * lexical leg of search_hybrid_rrf's, so the two cannot drift (the
+    * knnGraphCtes shared-derivation discipline). */
+  private lazy val bm25Ctes: String = {
     val terms = queryTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
        |  FROM documents),
        |doc_len AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -90,12 +93,18 @@ object Search {
        |      (CAST(t.tf AS DOUBLE) * 2.2 /
        |        (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)))
        |      AS DECIMAL(18,9)) AS contrib
-       |  FROM tf t JOIN df f USING (token) JOIN doc_len l USING (doc_id), stats s)
-       |SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score,
-       |  CAST(count(*) AS BIGINT) AS n_terms
-       |FROM contrib GROUP BY doc_id
-       |ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
+       |  FROM tf t JOIN df f USING (token) JOIN doc_len l USING (doc_id), stats s),
+       |bm25_top AS (
+       |  SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM contrib GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $topN)""".stripMargin
   }
+
+  val bm25Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, score, n_terms FROM bm25_top
+       |ORDER BY score DESC, doc_id""".stripMargin
 
   /** Per-doc top-3 keywords by tf-idf (idf = ln(N/df), quantized). */
   def keywordsTfidf(spark: SparkSession, dir: String): DataFrame = {
@@ -203,4 +212,88 @@ object Search {
        |WHERE rn <= $phraseTopN
        |ORDER BY phrase, rank""".stripMargin
   }
+
+  // --------------------------------------------------------- hybrid RRF
+  //
+  // Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the LEXICAL
+  // ranking (the BM25 top-20 above) with a SEMANTIC ranking (exact
+  // cosine top-20 against a fixed query embedding) — the fusion step
+  // every hybrid retrieval stack (RAG, search re-ranking) runs between
+  // its two indexes. RRF score = Σ_legs 1/(k + rank), k = 60; here in
+  // EXACT INTEGER parts-per-billion (1e9 DIV (60 + rank)) so the fused
+  // score has no float seam and ties are impossible between distinct
+  // contribution sets. A document missing from one leg contributes 0
+  // from that leg (the standard convention).
+  //
+  // Scale shape: each leg is already a bounded top-N (BM25's aggregation
+  // and the ANN probe both end in ≤ N rows); ranks over those N-row
+  // frames use GlobalRank (never an empty-partitionBy window — the
+  // class-guard discipline, and at production N the leg frames can be
+  // fleet-sized); the fusion itself is an N-row full outer join. The
+  // semantic leg broadcasts its 1-row query; swap the brute-force scorer
+  // for any ANN probe (annLsh/annIvf/annPq) without touching the fusion.
+
+  val rrfK = 60
+  val hybridQueryVec = 0L // vec_id whose embedding is the semantic query
+
+  def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
+    val lex = GlobalRank.withGlobalRank(
+      bm25(spark, dir).select(col("doc_id"), col("score").as("bm25_score")),
+      "lex_rank", col("bm25_score").desc, col("doc_id"))
+    val vecs = Tables.embeddings(spark, dir).select(
+        col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+    val qv = vecs.filter(col("vec_id") === hybridQueryVec)
+      .select(col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val semTop = vecs.filter(col("vec_id") =!= hybridQueryVec)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorOps.dot_product(col("v_q"), col("v"))
+          .divide(col("nrm_q") * col("nrm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(topN)
+    val sem = GlobalRank.withGlobalRank(semTop, "sem_rank",
+      col("cosine").desc, col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("lex_rank").cast("int").as("lex_rank"),
+        col("sem_rank").cast("int").as("sem_rank"),
+        col("bm25_score"), col("cosine"),
+        expr(s"""CAST(coalesce(1000000000 DIV ($rrfK + lex_rank), 0) +
+                |  coalesce(1000000000 DIV ($rrfK + sem_rank), 0) AS BIGINT)""".stripMargin)
+          .as("rrf_ppb"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id"))
+  }
+
+  val searchHybridRrfSql: String =
+    s"""WITH $bm25Ctes,
+       |ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |qv AS (SELECT v AS v_q, nrm AS nrm_q FROM ev WHERE vec_id = $hybridQueryVec),
+       |sem_top AS (
+       |  SELECT vec_id AS doc_id,
+       |    round(list_dot_product(q.v_q, c.v) / (q.nrm_q * c.nrm), 6) AS cosine
+       |  FROM ev c, qv q WHERE c.vec_id <> $hybridQueryVec
+       |  ORDER BY cosine DESC, doc_id LIMIT $topN),
+       |lex AS (
+       |  SELECT doc_id, score AS bm25_score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+       |  FROM bm25_top),
+       |sem AS (
+       |  SELECT doc_id, cosine,
+       |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+       |  FROM sem_top)
+       |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |  CAST(l.lex_rank AS INTEGER) AS lex_rank,
+       |  CAST(s.sem_rank AS INTEGER) AS sem_rank,
+       |  l.bm25_score, s.cosine,
+       |  CAST(coalesce(1000000000 // ($rrfK + l.lex_rank), 0) +
+       |    coalesce(1000000000 // ($rrfK + s.sem_rank), 0) AS BIGINT) AS rrf_ppb
+       |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+       |ORDER BY rrf_ppb DESC, doc_id""".stripMargin
 }

@@ -315,7 +315,11 @@ object TextStats {
     * join on token (the vocabulary is corpus-sized — never broadcast),
     * one per-doc aggregation. The corpus total is a 1-row broadcast.
     */
-  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc unigram NLL components (doc_id, n_tokens, sum_lp-decimal) —
+    * unigramNll's scoring core AND text_nll_deciles' input, factored so
+    * the two cannot drift (the bm25Ctes discipline). Docs with zero
+    * tokens are absent (unigramNll left-joins them back). */
+  private[text] def unigramScored(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -326,9 +330,13 @@ object TextStats {
       .select(col("token"),
         log(col("c").cast(DoubleType) / col("total"))
           .cast(DecimalType(18, 9)).as("lpv"))
-    val scored = toks.join(lp, "token")
+    toks.join(lp, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lpv")).as("sum_lp"))
+  }
+
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val scored = unigramScored(spark, dir)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -445,8 +453,10 @@ object TextStats {
       |FROM pairs GROUP BY pair
       |ORDER BY pair_count DESC, sym_a, sym_b LIMIT 20""".stripMargin
 
-  val unigramNllSql: String =
-    """WITH toks AS (
+  /** Shared CTE chain for the per-doc unigram-NLL components — mirrors
+    * unigramScored; base of unigramNllSql AND textNllDecilesSql. */
+  private val nllCtes: String =
+    """toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |tf AS (SELECT token, count(*) AS c FROM toks WHERE token <> '' GROUP BY token),
       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM tf),
@@ -454,12 +464,67 @@ object TextStats {
       |sc AS (
       |  SELECT t.doc_id, count(*) AS n_tokens, sum(l.lpv) AS sum_lp
       |  FROM toks t JOIN lp l USING (token)
-      |  WHERE t.token <> '' GROUP BY t.doc_id)
-      |SELECT d.doc_id,
-      |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
-      |  -(CAST(sc.sum_lp AS DOUBLE) / sc.n_tokens) AS avg_nll
-      |FROM documents d LEFT JOIN sc USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
+      |  WHERE t.token <> '' GROUP BY t.doc_id)""".stripMargin
+
+  val unigramNllSql: String =
+    s"""WITH $nllCtes
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  -(CAST(sc.sum_lp AS DOUBLE) / sc.n_tokens) AS avg_nll
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Perplexity-bucket profile — CCNet's head/middle/tail device at
+    * decile resolution: rank every scoreable document by its unigram
+    * avg-NLL (low = fluent/common, high = improbable/garbled) and report
+    * per-decile mass, so a curation run can pick its keep-band from
+    * measured corpus statistics instead of a magic threshold. The
+    * language-model column is the repo's unigram NLL (swap in bigramNll
+    * or a KenLM score at production; the bucketing contract is
+    * identical).
+    *
+    * Scale shape: ranking uses GlobalRank's range-exchange rank +
+    * closed-form ntile (NEVER an empty-partitionBy window — the class
+    * guard); the decile aggregation carries the EXACT decimal sum_lp, so
+    * per-decile mean NLL has no float-accumulation seam (sum of
+    * identical doubles would be order-dependent); ordering inside the
+    * rank is (avg_nll double, doc_id) — both engines compute the same
+    * division of exact operands, so the total order is engine-invariant.
+    */
+  def textNllDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = unigramScored(spark, dir)
+      .withColumn("avg_nll",
+        -(col("sum_lp").cast(DoubleType) / col("n_tokens")))
+      .localCheckpoint()
+    val n = perDoc.count()
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRank(perDoc, "nll_rank", col("avg_nll"), col("doc_id"))
+      .withColumn("decile", graft.operators.GlobalRank.ntileFromRank(10, n, "nll_rank"))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        (-(sum(col("sum_lp")).cast(DoubleType) / sum(col("n_tokens"))))
+          .as("decile_avg_nll"),
+        min(col("avg_nll")).as("min_nll"),
+        max(col("avg_nll")).as("max_nll"))
+      .orderBy(col("decile"))
+  }
+
+  val textNllDecilesSql: String =
+    s"""WITH $nllCtes,
+       |per_doc AS (
+       |  SELECT doc_id, n_tokens, sum_lp,
+       |    -(CAST(sum_lp AS DOUBLE) / n_tokens) AS avg_nll
+       |  FROM sc),
+       |deciled AS (
+       |  SELECT n_tokens, sum_lp, avg_nll,
+       |    CAST(ntile(10) OVER (ORDER BY avg_nll, doc_id) AS INTEGER) AS decile
+       |  FROM per_doc)
+       |SELECT decile, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |  -(CAST(sum(sum_lp) AS DOUBLE) / sum(n_tokens)) AS decile_avg_nll,
+       |  min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+       |FROM deciled GROUP BY decile ORDER BY decile""".stripMargin
 
   /** Flesch reading-ease readability per document — the classic
     * audience-level signal a curation pipeline buckets by (pair with

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational5
+
+/** Driver-side recomputes for the fifth relational wave — each test
+  * re-derives the answer through an independent (brute, unoptimized)
+  * formulation and compares exactly, the Relational4Spec discipline.
+  */
+class Relational5Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  private def psCost() = {
+    // independent recompute of the derived part-supplier cost relation
+    val part = Tables.part(spark, sf)
+      .filter(col("p_size") <= Relational5.q2SizeMax &&
+        col("p_type") === Relational5.q2Type)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val supp = Tables.supplier(spark, sf).as("s")
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === Relational5.q2Region)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .collect()
+      .filter(r => part(r.getLong(0)) && supp(r.getLong(1)))
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => BigDecimal(r.getDouble(2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).min
+      }
+  }
+
+  test("q2: rows are exactly the per-part min-cost pairs of the derived relation") {
+    val ps = psCost()
+    val minByPart = ps.groupBy(_._1._1).map { case (p, m) => p -> m.values.min }
+    val expected = ps.filter { case ((p, _), c) => c == minByPart(p) }
+    val rows = Relational5.q2MinCostSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the op is top-100; on sf0.001 the full set fits, so compare sets
+    if (expected.size <= 100) {
+      val got = rows.map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("supply_cost"))).toSet
+      val want = expected.map { case ((p, _), c) => (p, c.toDouble) }.toSet
+      assert(got == want)
+    }
+    // every reported cost IS its part's min
+    rows.foreach { r =>
+      assert(r.getAs[Double]("supply_cost") ==
+        minByPart(r.getAs[Long]("p_partkey")).toDouble)
+    }
+  }
+
+  test("q9: profit equals the exact per-line decimal recompute") {
+    val retail = Tables.part(spark, sf)
+      .filter(col("p_type") === Relational5.q9Type)
+      .select(col("p_partkey"), col("p_retailprice")).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val suppNation = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), year(col("l_shipdate")).as("y"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount")).collect()
+    val expected = lines.filter(r => retail.contains(r.getLong(0)))
+      .groupBy(r => (suppNation(r.getLong(1)), r.getInt(2)))
+      .map { case (k, rs) =>
+        k -> rs.map { r =>
+          def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          val rev = d2(r.getDouble(4)) * (BigDecimal("1.00") - d2(r.getDouble(5)))
+          val cost = retail(r.getLong(0)) * BigDecimal("0.5") * d2(r.getDouble(3))
+          rev - cost
+        }.sum
+      }
+    val rows = Relational5.q9ProductProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("n_name"), r.getAs[Int]("o_year"))
+      assert(r.getAs[Double]("profit") == expected(k).toDouble,
+        s"profit mismatch at $k")
+    }
+    assert(rows.length == expected.size)
+  }
+
+  test("q11: reported parts are exactly those above 0.1% of the regional total") {
+    val rows = Relational5.q11ImportantParts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recompute through Spark SQL
+    Tables.lineitem(spark, sf).createOrReplaceTempView("t_li")
+    Tables.supplier(spark, sf).createOrReplaceTempView("t_s")
+    Tables.nation(spark, sf).createOrReplaceTempView("t_n")
+    Tables.region(spark, sf).createOrReplaceTempView("t_r")
+    val brute = spark.sql(
+      s"""WITH rs AS (SELECT s_suppkey FROM t_s JOIN t_n ON s_nationkey = n_nationkey
+         |  JOIN t_r ON n_regionkey = r_regionkey AND r_name = '${Relational5.q11Region}'),
+         |pp AS (SELECT l_partkey, sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |    CAST(1.00 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS v
+         |  FROM t_li JOIN rs ON l_suppkey = s_suppkey GROUP BY l_partkey),
+         |t AS (SELECT sum(v) AS tv FROM pp)
+         |SELECT l_partkey, CAST(v AS DOUBLE) AS v FROM pp, t WHERE v * 1000 > tv
+         |""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.length == brute.size)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("value") == brute(r.getAs[Long]("p_partkey")))
+    }
+    // share_ppm is a floor quotient in [0, 1e6] and sums to <= 1e6
+    val ppm = rows.map(_.getAs[Long]("share_ppm"))
+    assert(ppm.forall(p => p >= 1000 && p <= 1000000))
+  }
+
+  test("q20: dominators shipped more than half of a contested part-year total") {
+    val rows = Relational5.q20DominantShippers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val part = Tables.part(spark, sf).filter(col("p_type") === Relational5.q20Type)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val lines = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(Relational5.q20Year._1).cast("timestamp") &&
+        col("l_shipdate") < lit(Relational5.q20Year._2).cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity")).collect()
+      .filter(r => part(r.getLong(0)))
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val ps = lines.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(r => d2(r.getDouble(2))).sum }
+    val tot = ps.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val nSupp = ps.groupBy(_._1._1).map { case (p, m) => p -> m.size }
+    val expected = ps.filter { case ((p, _), q) => nSupp(p) > 1 && q * 2 > tot(p) }
+      .groupBy(_._1._2).map { case (s, m) => s -> (m.size.toLong, m.values.sum) }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, q) = expected(r.getAs[Long]("s_suppkey"))
+      assert(r.getAs[Long]("n_parts_dominated") == n)
+      assert(r.getAs[Double]("qty_dominated") == q.toDouble)
+    }
+  }
+}
