@@ -236,11 +236,11 @@ object BpeTrainer {
       s"replace(replace($acc,\n    $pat, $rep),\n    $pat, $rep)"
     }
 
-  /** Encode oracle: the same trained chain (scalar-subquery merges from
-    * top1..topK, in rank order) applied to every document word; the
-    * identical padded double-replace contract as bpeTrain's. */
-  val bpeEncodeSql: String =
-    s"""WITH $trainCtes,
+  /** Training chain + per-word encode (`enc(doc_id, n_sym, n_tok)`) —
+    * the shared base of bpeEncodeSql AND bpeFertilitySql (the
+    * docTokensCtes discipline: one derivation, two oracles). */
+  private val encCtes: String =
+    s"""$trainCtes,
        |doc_words AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
        |  FROM documents),
@@ -248,12 +248,60 @@ object BpeTrainer {
        |  SELECT doc_id, len(token) AS n_sym,
        |    len(string_split(trim(
        |  $encodeChainSql), ' ')) AS n_tok
-       |  FROM doc_words)
+       |  FROM doc_words)""".stripMargin
+
+  /** Encode oracle: the same trained chain (scalar-subquery merges from
+    * top1..topK, in rank order) applied to every document word; the
+    * identical padded double-replace contract as bpeTrain's. */
+  val bpeEncodeSql: String =
+    s"""WITH $encCtes
        |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  CAST((sum(n_sym) * 10000) // sum(n_tok) AS BIGINT) AS cpt_e4
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Tokenizer fertility per source — the QA report run after every
+    * tokenizer train/swap: subword tokens per whitespace word (ppm) and
+    * characters per subword token, per corpus source. Fertility spikes
+    * on a source mean the vocabulary serves it badly (wrong domain,
+    * wrong language, boilerplate-skewed merges) — its effective context
+    * window shrinks and its per-token cost rises; this report is where
+    * that shows first. Shares the trained-encode derivation with
+    * bpe_encode verbatim (same merges, same fold), so the fertility
+    * accounting cannot drift from what bpe-budgeted packing charges.
+    *
+    * Scale shape: the encode is the same single scan bpe_encode runs
+    * (merge table broadcast as literals); the rollup is one
+    * sources-sized keyed aggregation; ratios in exact integer ppm/e4
+    * (IntegralDivide — no float seam).
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val enc = bpeEncode(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    enc.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("CAST(n_tokens * 1000000 DIV n_words AS BIGINT)")
+          .as("fertility_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val bpeFertilitySql: String =
+    s"""WITH $encCtes,
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(n_tok) AS n_tokens
+       |  FROM enc GROUP BY doc_id)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST((CAST(sum(p.n_tokens) AS HUGEINT) * 1000000) // sum(p.n_words) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM per_doc p JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** The training chain + a per-document learned-subword token count
     * (`doc_toks(doc_id, toks)`) — the oracle twin of withBpeTokens,

@@ -505,6 +505,79 @@ object Curation {
     * Scale shape: the |sources|-row rate table joins back broadcast;
     * the corpus is scanned once, filtered in-row, aggregated once.
     */
+  /** Dedup-aware mixing weights — the sampling correction every
+    * multi-source pipeline applies AFTER near-dup dedup: a source's
+    * sampling mass comes from the tokens it contributes once near-dup
+    * LOSERS (every component member except keepBest's quality keeper)
+    * are discounted, so a source that mostly re-crawls what other
+    * sources already carry stops buying weight with duplicate mass.
+    * Composes three existing derivations verbatim — components (the
+    * near-dup clusters), keepBest (the per-cluster survivor), and the
+    * whitespace token accounting mixWeights uses — so the discount
+    * cannot drift from the dedup it claims to reflect.
+    *
+    * Scale shape: the component/keeper frames are near-dup-sized (tiny
+    * vs the corpus); the dropped set arrives as a LEFT join flag on the
+    * one documents scan; per-source rollup + a 1-row total broadcast;
+    * weights in exact integer ppm (the q14 IntegralDivide device).
+    */
+  def mixDedupDiscount(spark: SparkSession, dir: String): DataFrame = {
+    val kept = keepBest(spark, dir).select(col("canon_id"), col("kept_doc_id"))
+    val dropped = Dedup.components(spark, dir)
+      .select(col("doc_id"), col("canon_id"))
+      .join(kept, "canon_id")
+      .filter(col("doc_id") =!= col("kept_doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_dropped"))
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), expr(toksExpr).cast("long").as("toks"))
+      .join(dropped, Seq("doc_id"), "left")
+      .withColumn("is_dropped", coalesce(col("is_dropped"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dropped")).as("n_dropped"),
+        sum(col("toks")).as("raw_tokens"),
+        sum(when(col("is_dropped") === 1L, lit(0L)).otherwise(col("toks")))
+          .as("kept_tokens"))
+    val total = perSrc.agg(sum(col("kept_tokens")).as("total_kept"))
+    perSrc.crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("raw_tokens"), col("kept_tokens"),
+        expr("CAST(kept_tokens * 1000000 DIV raw_tokens AS BIGINT)")
+          .as("kept_ppm"),
+        expr("CAST(kept_tokens * 1000000 DIV total_kept AS BIGINT)")
+          .as("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val mixDedupDiscountSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentsCoreSql},
+       |quality AS (
+       |  SELECT doc_id, quality_score
+       |  FROM (${TextStats.qualityScoreBodySql}) qb),
+       |ranked AS (
+       |  SELECT l.canon_id, l.doc_id,
+       |    row_number() OVER (PARTITION BY l.canon_id
+       |      ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+       |  FROM labeled l JOIN quality q USING (doc_id)),
+       |dropped AS (SELECT doc_id FROM ranked WHERE rn > 1),
+       |toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS toks,
+       |    CASE WHEN doc_id IN (SELECT doc_id FROM dropped) THEN 1 ELSE 0 END AS is_dropped
+       |  FROM documents),
+       |per_src AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(is_dropped) AS BIGINT) AS n_dropped,
+       |    CAST(sum(toks) AS BIGINT) AS raw_tokens,
+       |    CAST(sum(CASE WHEN is_dropped = 1 THEN 0 ELSE toks END) AS BIGINT) AS kept_tokens
+       |  FROM toks GROUP BY source),
+       |total AS (SELECT sum(kept_tokens) AS total_kept FROM per_src)
+       |SELECT source, n_docs, n_dropped, raw_tokens, kept_tokens,
+       |  CAST((CAST(kept_tokens AS HUGEINT) * 1000000) // raw_tokens AS BIGINT) AS kept_ppm,
+       |  CAST((CAST(kept_tokens AS HUGEINT) * 1000000) // total_kept AS BIGINT) AS weight_ppm
+       |FROM per_src, total
+       |ORDER BY source""".stripMargin
+
   def mixApply(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
       .select(col("source"), expr(toksExpr).as("toks"),

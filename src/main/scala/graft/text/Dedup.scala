@@ -309,6 +309,68 @@ object Dedup {
     */
   val ngramPrefixSql: String = ngramJaccardSql
 
+  /** Containment near-dup pairs — the ASYMMETRIC Jaccard the substring/
+    * quotation case needs: C(A,B) = |S(A)∩S(B)| / |S(A)| over word-3-gram
+    * shingle sets finds a short document swallowed by a long one
+    * (boilerplate page wrapping an article, quoted post inside a thread)
+    * that symmetric Jaccard scores near zero. Directed output: doc_a is
+    * the CONTAINED side.
+    *
+    * EXACT, not recall-bounded: the prefix filter is complete for
+    * containment by the same pigeonhole as the Jaccard case, applied to
+    * the contained side only — if C(A,B) ≥ t then |A∩B| ≥ t·n_A, and
+    * missing ALL of A's ℓ = n_A − ceil(t·n_A) + 1 rarest shingles caps
+    * the overlap at ceil(t·n_A) − 1 < t·n_A. So joining A-prefixes
+    * against FULL sets generates every qualifying directed pair, on the
+    * rarest shingles (skew-immune, the ngramPrefixJoin discipline), and
+    * the oracle's exhaustive shared-shingle enumeration proves
+    * completeness, not just precision.
+    */
+  val containTau = 0.8
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir).persist()
+    val df_ = sh.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    val ranked = sh.join(df_, "h")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("freq"), col("h"))))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val prefix = ranked.join(sizes, "doc_id")
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * containTau) + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.join(
+        sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_a"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast(DoubleType) /
+          col("n_a")).as("containment"))
+      .filter(col("containment") >= containTau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH sh AS ($shingleHashesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |dpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT p.doc_a, p.doc_b, x.n_sh AS n_a, p.n_common,
+       |  CAST(p.n_common AS DOUBLE) / x.n_sh AS containment
+       |FROM dpairs p JOIN sizes x ON p.doc_a = x.doc_id
+       |WHERE CAST(p.n_common AS DOUBLE) / x.n_sh >= $containTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup canonicalization — the "keep one document per duplicate
     * cluster" step a dedup pipeline runs after pair generation:
     * connected components over the exact Jaccard >= threshold near-dup

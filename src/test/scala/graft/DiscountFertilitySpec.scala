@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{BpeTrainer, Curation, Dedup}
+
+/** Driver-side recomputes for the round-7c curation additions:
+  * containment dedup, dedup-aware mixing, and tokenizer fertility.
+  */
+class DiscountFertilitySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("containment: exact and COMPLETE vs a brute all-pairs recompute") {
+    // brute force: every directed pair over in-driver shingle sets —
+    // proves the prefix filter lost nothing (exactness claim)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      common = (sa & sb).size
+      if common.toDouble / sa.size >= Dedup.containTau
+    } yield (a, b) -> (sa.size.toLong, common.toLong)).toMap
+    val rows = Dedup.containmentPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_common"))).toMap
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+    // (on this synthetic corpus every qualifying pair happens to be
+    // mutual — near-dups are same-length copies — so the directionality
+    // is exercised by the n_a denominators differing per direction, not
+    // by one-sided pairs)
+  }
+
+  test("dedup discount: conserves tokens, discounts exactly the non-keepers") {
+    val rows = Curation.mixDedupDiscount(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // weights sum to <= 1e6 (floor quotients) and within 1e6 - n_sources
+    val wsum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(wsum <= 1000000L && wsum >= 1000000L - rows.length)
+    // dropped = component members minus keepers, recomputed independently
+    val keepers = Curation.keepBest(spark, sf).collect()
+      .map(_.getAs[Long]("kept_doc_id")).toSet
+    val members = Dedup.components(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    val droppedIds = members.filterNot(keepers).toSet
+    val bySrc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long").as("tok"))
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+    rows.foreach { r =>
+      val ds = bySrc(r.getAs[String]("source"))
+      val raw = ds.map(_.getAs[Long]("tok")).sum
+      val dropTok = ds.filter(d => droppedIds(d.getAs[Long]("doc_id")))
+        .map(_.getAs[Long]("tok")).sum
+      assert(r.getAs[Long]("raw_tokens") == raw)
+      assert(r.getAs[Long]("kept_tokens") == raw - dropTok)
+      assert(r.getAs[Long]("n_dropped") ==
+        ds.count(d => droppedIds(d.getAs[Long]("doc_id"))))
+    }
+  }
+
+  test("fertility: per-source sums equal the per-doc encode; ppm is the floor") {
+    val enc = BpeTrainer.bpeEncodeQuery(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val expected = enc.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .map { case (s, xs) =>
+        s -> (xs.size.toLong, xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+      }
+    val rows = BpeTrainer.bpeFertility(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, w, t) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_words") == w)
+      assert(r.getAs[Long]("n_tokens") == t)
+      assert(r.getAs[Long]("fertility_ppm") == t * 1000000L / w)
+      // BPE can only merge: tokens per word in [1, chars per word]
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+    }
+  }
+}
