@@ -785,8 +785,42 @@ object Similarity {
     * frame — lets DedupSimSpec measure recall on planted near-duplicate
     * structure, the regime a dedup/retrieval query actually hits. */
   private[graft] def annPqFor(vecsIn: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val vecs = vecsIn.persist()
+    val (codes, luts) = pqIndexFor(vecs)
+    vecs.unpersist(false)
+    pqAdcRank(codes.crossJoin(broadcast(luts)))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_d"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ADC ranking tail shared by the exhaustive (annPq) and IVF-pruned
+    * (annIvfPq) paths: input = code rows already joined to their query's
+    * flat LUT; output = top-10 per query by exact ADC (round-6, id
+    * tiebreak) with rank attached. */
+  private def pqAdcRank(candIn: DataFrame): DataFrame = {
+    val adc = (0 until pqM).map(s =>
+      element_at(col("lutflat"), lit(s * pqK) + col(s"c$s") + 1)).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_d"), col("neighbor_id"))
+    candIn
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("adc_d", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+  }
+
+  /** Trains the 16 per-subspace codebooks on `vecs` (which the CALLER
+    * persists and owns — this function does not unpersist) and returns
+    * the PQ index pair: `codes` (vec_id + 16 nibble columns, the
+    * 8-byte/vector table an executor actually scans) and `luts`
+    * (query_id + the 256-entry flat ADC lookup), both eagerly
+    * checkpointed so the corpus cache can be released by the caller.
+    * Factored from annPqFor so the IVF-composed path (annIvfPq) trains
+    * THE SAME index — one derivation, two consumers.
+    */
+  private[graft] def pqIndexFor(vecs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val nVec = vecs.count()
     // deterministic seeds: the SAME evenly spaced vec_ids for every
     // subspace (the annIvf seeding), sliced per subspace driver-side
@@ -855,18 +889,46 @@ object Similarity {
         graft.functions.VectorOps.pq_dists(col("v"), flatBooks, pqM, pqK)
           .as("lutflat"))
       .localCheckpoint(true)
+    (codes, luts)
+  }
+
+  /** IVF-pruned PQ — the COMPOSED index this family's Scaladoc has
+    * promised all along, shipped: the IVF coarse quantizer prunes the
+    * candidate set to the query's `ivfProbe` nearest cells, and the PQ
+    * codes + per-query ADC LUT rank only those survivors. This is the
+    * production shape (FAISS's IVFPQ): at 100 TB the cell pruning cuts
+    * the scan by ~k/nprobe while the 8-byte codes cut the bytes
+    * streamed by 32× — the two compressions multiply. Both component
+    * indexes are THE shared trained artifacts (ivfTrain's quantizer,
+    * pqIndexFor's codebooks — one derivation each, every consumer
+    * identical), so this op cannot drift from annIvf or annPq.
+    *
+    * Shape: codes join their cell id by vec_id (both aggregate-thin),
+    * probes and LUTs broadcast (queries-sized), ADC is 16 list lookups
+    * + 15 adds per surviving candidate, top-10 via the per-query
+    * bounded window. Non-residual PQ (codes quantize the raw vector,
+    * not the cell residual) — the residual refinement is a codebook
+    * swap, not a reshape, and raw-vector codes are what annPq already
+    * gates.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (vecs, centroids) = ivfTrain(spark, dir)
+    val (codes, luts) = pqIndexFor(vecs)
+    val indexed = vecs.withColumn("cid", ivfAssignExpr(centroids))
+      .select(col("vec_id"), col("cid")).localCheckpoint(true)
+    val probeCols = ivfScoredStructs(centroids)
+    val probes = vecs.filter(col("vec_id") < pqQueries)
+      .withColumn("probes", slice(array_sort(array(probeCols: _*)), 1, ivfProbe))
+      .select(col("vec_id").as("query_id"),
+        explode(expr("transform(probes, p -> p.cid)")).as("cid"))
+      .localCheckpoint(true)
     vecs.unpersist(false)
-    val adc = (0 until pqM).map(s =>
-      element_at(col("lutflat"), lit(s * pqK) + col(s"c$s") + 1)).reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("adc_d"), col("neighbor_id"))
-    codes.crossJoin(broadcast(luts))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(adc, 6).as("adc_d"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_d"))
+    pqAdcRank(
+        codes.join(indexed, "vec_id")
+          .join(broadcast(probes), "cid")
+          .join(broadcast(luts), "query_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cid"),
+        col("adc_d"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -878,7 +940,14 @@ object Similarity {
     * as 16 explicit list-index terms in the Spark fold order — the sum
     * stays order-pinned, no aggregate over doubles.
     */
-  lazy val annPqSql: String = {
+  /** Shared CTE chain training the 16 codebooks and deriving `codes`
+    * (ordered code list per vector) + `luts` (ordered lut-of-lists per
+    * query) — annPqSql's base AND annIvfPqSql's, so the two oracles
+    * cannot train different indexes (the ivfCtes discipline). Assumes
+    * the `e` vectors CTE is already in scope; the stride CTE is named
+    * `ps` so the chain composes with ivfCtes (whose stride CTE is `s`).
+    */
+  private lazy val pqChainCtes: String = {
     def lo(s: Int) = s * pqSubDim + 1
     def hi(s: Int) = (s + 1) * pqSubDim
     def dist(vexpr: String, cexpr: String): String =
@@ -920,14 +989,11 @@ object Similarity {
       .map(s => s"SELECT vec_id, $s AS s, cid FROM code_$s").mkString("\nUNION ALL\n")
     val lutUnion = (0 until pqM)
       .map(s => s"SELECT query_id, $s AS s, cid, d FROM lut_$s").mkString("\nUNION ALL\n")
-    val adcTerms = (0 until pqM)
-      .map(s => s"q.ll[${s + 1}][co.codes[${s + 1}] + 1]").mkString(" + ")
-    s"""WITH $vectorsSql,
-       |s AS (SELECT greatest(count(*) // $pqK, 1) AS stride FROM e),
+    s"""ps AS (SELECT greatest(count(*) // $pqK, 1) AS stride FROM e),
        |cseed AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM (
        |    SELECT vec_id, v FROM e
-       |    WHERE vec_id % (SELECT stride FROM s) = 0
+       |    WHERE vec_id % (SELECT stride FROM ps) = 0
        |    ORDER BY vec_id LIMIT $pqK)),
        |$perSub,
        |codes AS (
@@ -936,10 +1002,20 @@ object Similarity {
        |luts AS (
        |  SELECT query_id, list(dl ORDER BY s) AS ll FROM (
        |    SELECT query_id, s, list(d ORDER BY cid) AS dl FROM (
-       |$lutUnion) GROUP BY query_id, s) GROUP BY query_id),
+       |$lutUnion) GROUP BY query_id, s) GROUP BY query_id)""".stripMargin
+  }
+
+  /** The 16-term ADC sum in Spark's fold order, over `co` (codes) and
+    * `q` (luts) — order-pinned, no aggregate over doubles. */
+  private lazy val pqAdcTermsSql: String = (0 until pqM)
+    .map(s => s"q.ll[${s + 1}][co.codes[${s + 1}] + 1]").mkString(" + ")
+
+  lazy val annPqSql: String =
+    s"""WITH $vectorsSql,
+       |$pqChainCtes,
        |cand AS (
        |  SELECT q.query_id, co.vec_id AS neighbor_id,
-       |    round($adcTerms, 6) AS adc_d
+       |    round($pqAdcTermsSql, 6) AS adc_d
        |  FROM codes co CROSS JOIN luts q
        |  WHERE co.vec_id <> q.query_id)
        |SELECT query_id,
@@ -948,7 +1024,34 @@ object Similarity {
        |FROM cand
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** IVF probes + PQ ADC over the SAME shared chains (ivfCtes trains
+    * the coarse quantizer, pqChainCtes the codebooks): candidates are
+    * the probed cells' members from `idx`, ranked by the identical ADC
+    * terms — the composed-oracle proof that annIvfPq prunes annPq's
+    * scan without changing its arithmetic. */
+  lazy val annIvfPqSql: String =
+    s"""WITH $ivfCtes,
+       |probes AS (
+       |  SELECT e.vec_id AS query_id, c.cid
+       |  FROM e CROSS JOIN c2 c WHERE e.vec_id < $pqQueries
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${ivfDistSql("e.v", "c.v")}, c.cid) <= $ivfProbe),
+       |$pqChainCtes,
+       |cand AS (
+       |  SELECT p.query_id, i.vec_id AS neighbor_id,
+       |    CAST(i.cid AS INTEGER) AS cid,
+       |    round($pqAdcTermsSql, 6) AS adc_d
+       |  FROM probes p
+       |  JOIN idx i ON i.cid = p.cid AND i.vec_id <> p.query_id
+       |  JOIN codes co ON co.vec_id = i.vec_id
+       |  JOIN luts q ON q.query_id = p.query_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS INTEGER) AS rank,
+       |  neighbor_id, cid, adc_d
+       |FROM cand
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** ANN via random-hyperplane LSH: vectors bucketed by sign bits, each
     * query probes only its own bucket, exact cosine rank within bucket.

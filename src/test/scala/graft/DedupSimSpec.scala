@@ -604,6 +604,40 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq: probes bound the cells, ADC agrees with the exhaustive PQ index") {
+    val rows = Similarity.annIvfPq(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 20)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 10)
+      // candidates come only from the query's nprobe cells
+      assert(rs.map(_.getAs[Int]("cid")).distinct.length <= Similarity.ivfProbe)
+    }
+    // shared index proof: for every (query, neighbor) the composed path
+    // shares with the exhaustive PQ top-10, the ADC distance is IDENTICAL
+    // (same codebooks, same LUT, same fold) — pruning changes the
+    // candidate set, never the arithmetic
+    val pq = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("adc_d")).toMap
+    val common = rows.flatMap { r =>
+      pq.get((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .map(adc => (adc, r.getAs[Double]("adc_d")))
+    }
+    assert(common.nonEmpty, "no overlap between composed and exhaustive top-10s")
+    common.foreach { case (a, b) => assert(a == b) }
+    // and the composed path can only lose candidates vs exhaustive PQ:
+    // any shared pair must rank at least as well in the pruned index
+    val ivfpqRank = rows.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Int]("rank")).toMap
+    val pqRank = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    ivfpqRank.foreach { case (k, rk) =>
+      pqRank.get(k).foreach(prk => assert(rk <= prk, s"$k pruned rank $rk > $prk"))
+    }
+  }
+
   test("dup-ngram coverage matches a driver-side cross-doc 8-gram tally") {
     val rows = Dedup.dupNgramCoverage(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
