@@ -270,6 +270,73 @@ object Relational5 {
       .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
   }
 
+  /** Market-basket pair mining over order baskets — support, confidence
+    * and lift for part pairs that co-occur in at least `basketMinSup`
+    * orders (the association-rules staple, Agrawal et al.'s A-Priori
+    * restricted to pair itemsets, which is what retail co-purchase
+    * analysis actually ships).
+    *
+    * Shape: baskets = ONE distinct (order, part) dedup; pair generation
+    * is a self-join ON THE ORDER KEY, so each order contributes
+    * C(basket, 2) rows — bounded by basket size (≤ 7 lines here), never
+    * by part popularity (no hot-part key exists because the join key is
+    * the order); per-part supports are a \|part\|-bounded aggregate
+    * broadcast back (q17 convention); the order total is a 1-row
+    * broadcast. Confidence/lift in exact integer ppm (the q14
+    * IntegralDivide device — lift's numerator and denominator are exact
+    * BIGINT products). Bounded output by min-support + top-100.
+    */
+  val basketMinSup = 3
+
+  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val singles = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("s_one"))
+    val nOrders = b.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = b
+      .join(b.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        "l_orderkey")
+      .filter(col("l_partkey") < col("part_b"))
+      .groupBy(col("l_partkey").as("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support_ab"))
+      .filter(col("support_ab") >= basketMinSup)
+    pairs
+      .join(broadcast(singles.select(col("l_partkey").as("part_a"),
+        col("s_one").as("s_a"))), "part_a")
+      .join(broadcast(singles.select(col("l_partkey").as("part_b"),
+        col("s_one").as("s_b"))), "part_b")
+      .crossJoin(broadcast(nOrders)) // 1-row scalar broadcast
+      .select(col("part_a"), col("part_b"), col("support_ab"),
+        col("s_a"), col("s_b"),
+        expr("CAST(support_ab * 1000000 DIV s_a AS BIGINT)").as("conf_ppm"),
+        expr("CAST(support_ab * n_orders * 1000000 DIV (s_a * s_b) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val qBasketPairsSql: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |singles AS (SELECT l_partkey, count(*) AS s_one FROM b GROUP BY l_partkey),
+       |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+       |pairs AS (
+       |  SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+       |    count(*) AS support_ab
+       |  FROM b a JOIN b c
+       |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $basketMinSup)
+       |SELECT part_a, part_b, support_ab, x.s_one AS s_a, y.s_one AS s_b,
+       |  CAST((CAST(support_ab AS HUGEINT) * 1000000) // x.s_one AS BIGINT) AS conf_ppm,
+       |  CAST((CAST(support_ab AS HUGEINT) * n_orders * 1000000)
+       |    // (CAST(x.s_one AS HUGEINT) * y.s_one) AS BIGINT) AS lift_ppm
+       |FROM pairs
+       |JOIN singles x ON part_a = x.l_partkey
+       |JOIN singles y ON part_b = y.l_partkey
+       |CROSS JOIN n
+       |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 100""".stripMargin
+
   val q20Sql: String =
     s"""WITH ps AS (
        |  SELECT l_partkey, l_suppkey,

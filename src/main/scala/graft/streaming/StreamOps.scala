@@ -230,6 +230,49 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("fp"))
   }
 
+  /** Streaming containment ingest gate — dedup_containment's live twin,
+    * and the near-dup layer incrementalDedup's exact-fingerprint gate
+    * cannot catch: an arriving document is flagged CONTAINED when at
+    * least `tau` of its word-3-gram shingles already exist in the
+    * SETTLED corpus's shingle index (a re-crawl wrapped in new
+    * boilerplate, a quoted copy, a template page). Detection is in-row
+    * shingling (the Dedup device: distinct 3-grams, 48-bit md5 keys)
+    * plus ONE stream-static LEFT join against the shingle index — at
+    * scale the static side is the bucketed shingle table the batch
+    * dedup already maintains, so the probe is hash-local and carries no
+    * streaming state; the only state is the per-doc aggregation
+    * (watermarked; run Update mode or attach the hourly window for
+    * bounded production state). The verdict is exact integer
+    * cross-multiplication — no float threshold seam.
+    *
+    * `docs` needs (doc_id, ts, text); `corpusShingles` needs (h) —
+    * Dedup.shingleHashes' distinct hash column.
+    */
+  def containmentGate(docs: DataFrame, corpusShingles: DataFrame,
+      tauPpm: Long = 800000L): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("ts"), expr(
+        """array_distinct(transform(
+          |  sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2))))""".stripMargin).as("ss"))
+      .select(col("doc_id"), col("ts"), size(col("ss")).cast("long").as("n_sh"),
+        explode(col("ss")).as("s"))
+      .select(col("doc_id"), col("ts"), col("n_sh"),
+        expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)").as("h"))
+    sh.withWatermark("ts", "1 hour")
+      .join(corpusShingles.select(col("h"), lit(1L).as("hit"))
+        .distinct(), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_sh"), col("n_hits"),
+        (col("n_hits") * lit(1000000L) >= col("n_sh") * lit(tauPpm))
+          .as("is_contained"))
+  }
+
   case class FunnelEv(event_id: Long, t_us: Long, user_id: Long, event_type: String)
   case class FunnelState(tSignup: Long, converted: Boolean)
   case class Conversion(user_id: Long, t_signup: Long, t_purchase: Long,

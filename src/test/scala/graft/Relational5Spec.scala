@@ -113,6 +113,40 @@ class Relational5Spec extends AnyFunSuite {
     assert(ppm.forall(p => p >= 1000 && p <= 1000000))
   }
 
+  test("basket pairs: support/confidence/lift match a driver-side tally") {
+    val rows = Relational5.qBasketPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val single = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = byOrder.size.toLong
+    val pairSup = byOrder.values.toSeq
+      .flatMap(ps => ps.toSeq.sorted.combinations(2).map(c => (c(0), c(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val s = pairSup(k)
+      assert(s == r.getAs[Long]("support_ab") && s >= Relational5.basketMinSup)
+      assert(r.getAs[Long]("s_a") == single(k._1))
+      assert(r.getAs[Long]("s_b") == single(k._2))
+      assert(r.getAs[Long]("conf_ppm") == s * 1000000L / single(k._1))
+      assert(r.getAs[Long]("lift_ppm") ==
+        s * n * 1000000L / (single(k._1) * single(k._2)))
+    }
+    // top-100 by lift: every reported lift >= the best unreported one
+    val reported = rows.map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))).toSet
+    if (rows.length == 100) {
+      val minReported = rows.map(_.getAs[Long]("lift_ppm")).min
+      val bestUnreported = pairSup.collect {
+        case (k, s) if s >= Relational5.basketMinSup && !reported(k) =>
+          s * n * 1000000L / (single(k._1) * single(k._2))
+      }
+      if (bestUnreported.nonEmpty) assert(minReported >= bestUnreported.max)
+    }
+  }
+
   test("q20: dominators shipped more than half of a contested part-year total") {
     val rows = Relational5.q20DominantShippers(spark, sf).collect()
     assert(rows.nonEmpty)

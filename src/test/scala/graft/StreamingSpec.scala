@@ -210,6 +210,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L))
   }
 
+  test("streaming containment gate flags re-crawls of settled content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // settled corpus: two docs of 12 tokens each -> 10 shingles each
+    val settled = Seq(
+      "a b c d e f g h i j k l",
+      "m n o p q r s t u v w x").toDF("text")
+    val corpusShingles = settled
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |              ' ', element_at(toks, i + 2))))""".stripMargin)).as("s"))
+      .select(expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)").as("h"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(Seq(
+      // exact re-crawl: containment 1.0 -> contained
+      (1L, t0, "a b c d e f g h i j k l"),
+      // settled content wrapped in fresh boilerplate: 10 of its 14
+      // shingles hit (10/14 < 0.8) -> NOT contained at tau=0.8
+      (2L, t0, "zz yy a b c d e f g h i j k l xx ww"),
+      // novel doc -> 0 hits
+      (3L, t0, "one two three four five six seven"),
+      // prefix slice of a settled doc: all 6 shingles hit -> contained
+      (4L, t0, "m n o p q r s t")))
+    val q = StreamOps.containmentGate(
+        mem.toDF().toDF("doc_id", "ts", "text"), corpusShingles)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("contain_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("contain_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_hits"),
+          r.getAs[Boolean]("is_contained"))).toMap
+    assert(got(1L) == ((10L, 10L, true)))
+    assert(got(2L) == ((14L, 10L, false)))
+    assert(got(3L) == ((5L, 0L, false)))
+    assert(got(4L) == ((6L, 6L, true)))
+  }
+
   test("streaming funnel conversions match the batch definition per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
