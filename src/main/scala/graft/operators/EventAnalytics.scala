@@ -190,6 +190,72 @@ object EventAnalytics {
       |GROUP BY cohort_us, week_n
       |ORDER BY cohort_us, week_n""".stripMargin
 
+  /** Cohort-revenue (LTV) matrix — qRetention's monetized sibling: per
+    * (first-seen cohort week, weeks-since-first), active users, paying
+    * users, the cell's exact-decimal purchase revenue, and the running
+    * CUMULATIVE revenue per cohort — the curve a growth team reads LTV
+    * off. Revenue is DECIMAL(12,2)-exact (the events money device);
+    * the cumulative sum is a window PARTITIONED BY cohort over the
+    * aggregate-sized matrix (cohorts × weeks cells, never raw events);
+    * active/paying counts come from a two-level (cell, user) → cell
+    * aggregation — no COUNT(DISTINCT)/Expand.
+    */
+  def qCohortRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(date_trunc("week", col("ts"))).as("w_us"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+    val firstWeek = ev.groupBy(col("user_id")).agg(min(col("w_us")).as("cohort_us"))
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val perUserCell = ev.join(firstWeek, "user_id")
+      .select(col("user_id"), col("cohort_us"),
+        ((col("w_us") - col("cohort_us")) / weekUs).cast(LongType).as("week_n"),
+        when(col("event_type") === "purchase", col("v"))
+          .otherwise(lit(0).cast(DecimalType(12, 2))).as("rev"))
+      .groupBy(col("cohort_us"), col("week_n"), col("user_id"))
+      .agg(sum(col("rev")).as("u_rev"))
+    val wCum = Window.partitionBy(col("cohort_us")).orderBy(col("week_n"))
+    perUserCell
+      .groupBy(col("cohort_us"), col("week_n"))
+      .agg(count(lit(1)).as("n_active_users"),
+        sum(when(col("u_rev") > 0, 1L).otherwise(0L)).as("n_paying_users"),
+        sum(col("u_rev")).as("rev_d"))
+      .withColumn("cum_rev_d", sum(col("rev_d")).over(wCum))
+      .select(col("cohort_us"), col("week_n"), col("n_active_users"),
+        col("n_paying_users"),
+        col("rev_d").cast(DoubleType).as("revenue"),
+        col("cum_rev_d").cast(DoubleType).as("cum_revenue"))
+      .orderBy(col("cohort_us"), col("week_n"))
+  }
+
+  val qCohortRevenueSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(date_trunc('week', ts)) AS w_us,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |first_week AS (
+      |  SELECT user_id, min(w_us) AS cohort_us FROM ev GROUP BY user_id),
+      |per_user_cell AS (
+      |  SELECT f.cohort_us,
+      |    CAST((e.w_us - f.cohort_us) / 604800000000 AS BIGINT) AS week_n,
+      |    e.user_id,
+      |    sum(CASE WHEN e.event_type = 'purchase' THEN e.v
+      |             ELSE CAST(0 AS DECIMAL(12,2)) END) AS u_rev
+      |  FROM ev e JOIN first_week f ON e.user_id = f.user_id
+      |  GROUP BY 1, 2, 3),
+      |cells AS (
+      |  SELECT cohort_us, week_n, count(*) AS n_active_users,
+      |    CAST(sum(CASE WHEN u_rev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_paying_users,
+      |    sum(u_rev) AS rev_d
+      |  FROM per_user_cell GROUP BY 1, 2)
+      |SELECT cohort_us, week_n, n_active_users, n_paying_users,
+      |  CAST(rev_d AS DOUBLE) AS revenue,
+      |  CAST(sum(rev_d) OVER (PARTITION BY cohort_us ORDER BY week_n)
+      |    AS DOUBLE) AS cum_revenue
+      |FROM cells ORDER BY cohort_us, week_n""".stripMargin
+
   /** Markov next-event transition matrix: per user in event order,
     * (event_type → next event_type) transition counts plus the
     * within-source transition probability — the user-journey /

@@ -578,6 +578,85 @@ object Curation {
        |FROM per_src, total
        |ORDER BY source""".stripMargin
 
+  /** End-to-end curation funnel — the "data diet" report every pipeline
+    * prints before training: per source, how many documents and tokens
+    * survive each stage of ingest → quality gate → near-dup dedup →
+    * train split, with the end-to-end token retention in exact ppm.
+    * Every stage predicate is the REGISTERED operator's own derivation
+    * (qualityGate's keep, keepBest's survivors, splitAssign's hash
+    * buckets), composed verbatim — the funnel can never disagree with
+    * the gates it summarizes.
+    *
+    * Shape: one documents scan with the token projection; the gate and
+    * dropped frames join by doc_id; all four stages fold into ONE
+    * per-source conditional aggregation (stages are nested predicates,
+    * so each stage is a when() over the same row — no union, no
+    * explode); end-to-end ppm via IntegralDivide.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val kept = keepBest(spark, dir).select(col("kept_doc_id"))
+    val dropped = Dedup.components(spark, dir)
+      .select(col("doc_id"))
+      .join(kept, col("doc_id") === col("kept_doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("is_dropped"))
+    val gate = QualityFilters.qualityGate(spark, dir)
+      .select(col("doc_id"), col("keep"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), expr(toksExpr).cast("long").as("toks"),
+        ((expr(bucketExpr) % 100) >= 2).as("in_train"))
+      .join(gate, Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("source"), col("toks"),
+        coalesce(col("keep"), lit(false)).as("s1"),
+        col("is_dropped").isNull.as("nodup"), col("in_train"))
+      .withColumn("s2", col("s1") && col("nodup"))
+      .withColumn("s3", col("s1") && col("nodup") && col("in_train"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ingested"), sum(col("toks")).as("t_ingested"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_gated"),
+        sum(when(col("s1"), col("toks")).otherwise(0L)).as("t_gated"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_deduped"),
+        sum(when(col("s2"), col("toks")).otherwise(0L)).as("t_deduped"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("s3"), col("toks")).otherwise(0L)).as("t_train"))
+      .withColumn("retained_ppm",
+        expr("CAST(t_train * 1000000 DIV t_ingested AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
+  val curationFunnelSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentsCoreSql},
+       |quality AS (
+       |  SELECT doc_id, quality_score
+       |  FROM (${TextStats.qualityScoreBodySql}) qb),
+       |ranked AS (
+       |  SELECT l.canon_id, l.doc_id,
+       |    row_number() OVER (PARTITION BY l.canon_id
+       |      ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+       |  FROM labeled l JOIN quality q USING (doc_id)),
+       |dropped AS (SELECT doc_id FROM ranked WHERE rn > 1),
+       |gate AS (
+       |  SELECT doc_id, keep FROM (${QualityFilters.qualityGateSql}) g),
+       |base AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(list_filter(string_split(d.text, ' '), t -> t <> '')) AS BIGINT) AS toks,
+       |    coalesce(g.keep, FALSE) AS s1,
+       |    d.doc_id NOT IN (SELECT doc_id FROM dropped) AS nodup,
+       |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 2
+       |      AS in_train
+       |  FROM documents d LEFT JOIN gate g USING (doc_id))
+       |SELECT source,
+       |  count(*) AS n_ingested, CAST(sum(toks) AS BIGINT) AS t_ingested,
+       |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+       |  CAST(sum(CASE WHEN s1 THEN toks ELSE 0 END) AS BIGINT) AS t_gated,
+       |  CAST(sum(CASE WHEN s1 AND nodup THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+       |  CAST(sum(CASE WHEN s1 AND nodup THEN toks ELSE 0 END) AS BIGINT) AS t_deduped,
+       |  CAST(sum(CASE WHEN s1 AND nodup AND in_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(sum(CASE WHEN s1 AND nodup AND in_train THEN toks ELSE 0 END) AS BIGINT) AS t_train,
+       |  CAST((CAST(sum(CASE WHEN s1 AND nodup AND in_train THEN toks ELSE 0 END) AS HUGEINT)
+       |    * 1000000) // sum(toks) AS BIGINT) AS retained_ppm
+       |FROM base GROUP BY source ORDER BY source""".stripMargin
+
   def mixApply(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
       .select(col("source"), expr(toksExpr).as("toks"),

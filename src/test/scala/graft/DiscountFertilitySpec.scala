@@ -68,6 +68,72 @@ class DiscountFertilitySpec extends AnyFunSuite {
     }
   }
 
+  test("curation funnel: stages nest monotonically and match their operators") {
+    val rows = Curation.curationFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ingested") >= r.getAs[Long]("n_gated"))
+      assert(r.getAs[Long]("n_gated") >= r.getAs[Long]("n_deduped"))
+      assert(r.getAs[Long]("n_deduped") >= r.getAs[Long]("n_train"))
+      assert(r.getAs[Long]("t_ingested") >= r.getAs[Long]("t_gated"))
+      assert(r.getAs[Long]("retained_ppm") ==
+        r.getAs[Long]("t_train") * 1000000L / r.getAs[Long]("t_ingested"))
+    }
+    // stage-1 counts equal the registered gate's keep counts per source
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val keepBySrc = graft.text.QualityFilters.qualityGate(spark, sf)
+      .filter(col("keep")).select(col("doc_id")).collect()
+      .map(r => srcOf(r.getAs[Long]("doc_id")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gated") ==
+        keepBySrc.getOrElse(r.getAs[String]("source"), 0L))
+    }
+    // ingested masses cover the corpus exactly
+    assert(rows.map(_.getAs[Long]("n_ingested")).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("cohort revenue: cells match a driver-side recompute; cumsum is exact") {
+    val rows = graft.operators.EventAnalytics.qCohortRevenue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(date_trunc("week", col("ts"))).as("w_us"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("w_us"), r.getAs[Double]("value")))
+    val first = evs.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val weekUs = 7L * 24 * 3600 * 1000000
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val perUser = evs.groupBy(e => (first(e._1), (e._3 - first(e._1)) / weekUs, e._1))
+      .map { case (k, es) =>
+        k -> es.filter(_._2 == "purchase").map(e => d2(e._4)).sum
+      }
+    val cells = perUser.groupBy { case ((c, w, _), _) => (c, w) }
+      .map { case (k, m) =>
+        k -> (m.size.toLong, m.values.count(_ > 0).toLong, m.values.sum)
+      }
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("cohort_us"), r.getAs[Long]("week_n"))
+      val (na, np, rev) = cells(k)
+      assert(r.getAs[Long]("n_active_users") == na)
+      assert(r.getAs[Long]("n_paying_users") == np)
+      assert(r.getAs[Double]("revenue") == rev.toDouble)
+    }
+    // cumulative = running sum of the exact decimals per cohort
+    rows.groupBy(_.getAs[Long]("cohort_us")).foreach { case (c, rs) =>
+      var run = BigDecimal(0)
+      rs.sortBy(_.getAs[Long]("week_n")).foreach { r =>
+        run += cells((c, r.getAs[Long]("week_n")))._3
+        assert(r.getAs[Double]("cum_revenue") == run.toDouble)
+      }
+    }
+  }
+
   test("fertility: per-source sums equal the per-doc encode; ppm is the floor") {
     val enc = BpeTrainer.bpeEncodeQuery(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
