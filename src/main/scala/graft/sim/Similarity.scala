@@ -226,6 +226,45 @@ object Similarity {
        |FROM lsh_pairs WHERE cosine >= 0.4
        |GROUP BY same_label ORDER BY same_label""".stripMargin
 
+  /** Similarity-vs-label CALIBRATION curve — the embedding-QA report
+    * that turns a cosine into a probability: per 0.05-wide cosine
+    * bucket over the banded candidate pairs, the fraction (exact ppm)
+    * that share a label. This is how a pipeline picks its dedup/link
+    * threshold from measured data instead of folklore — read the bucket
+    * where P(same label) crosses the precision target — and how an
+    * encoder regression shows up as a flattened curve. Bucket id =
+    * floor(cosine·20) over the round-6 cosine (identical doubles both
+    * engines → identical floors); NULL cosines (zero-norm guard) drop.
+    *
+    * Scale shape: consumes the banded LSH pair stream (equi-join
+    * candidates, never all-pairs); the aggregation key space is ≤ 40
+    * buckets, so everything after pair generation is map-side-combined
+    * into a handful of rows.
+    */
+  def simPairCalibration(spark: SparkSession, dir: String): DataFrame =
+    lshPairs(spark, dir)
+      .filter(col("cosine").isNotNull)
+      .groupBy(floor(col("cosine") * 20).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("same_label"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / 20).as("cos_lo"),
+        col("n_pairs"), col("n_same"),
+        expr("CAST(n_same * 1000000 DIV n_pairs AS BIGINT)").as("same_ppm"))
+      .orderBy(col("bucket"))
+
+  val simPairCalibrationSql: String =
+    s"""WITH $lshPairsSql,
+       |bucketed AS (
+       |  SELECT CAST(floor(cosine * 20) AS INTEGER) AS bucket, same_label
+       |  FROM lsh_pairs WHERE cosine IS NOT NULL)
+       |SELECT bucket, CAST(bucket AS DOUBLE) / 20 AS cos_lo,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN same_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       |  CAST((CAST(sum(CASE WHEN same_label THEN 1 ELSE 0 END) AS HUGEINT) * 1000000)
+       |    // count(*) AS BIGINT) AS same_ppm
+       |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Per-label embedding centroid profile — the embedding-QA surface a
     * training pipeline monitors (label separation, drift between corpus
     * versions via Collector.diff-style comparison of centroid tables).

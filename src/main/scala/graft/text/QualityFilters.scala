@@ -188,6 +188,72 @@ object QualityFilters {
     */
   val lmNllCeiling = 6.0
 
+  /** Per-document CHARACTER Shannon entropy — the gibberish/encoded-blob
+    * detector the structural rules miss: base64 walls and hex dumps
+    * score HIGH (flat character distribution), keyboard mash and
+    * single-char runs score LOW; natural language sits in a tight
+    * mid-band. The standard companion to the token-level rules
+    * (Gopher's repetition catches repeats; this catches uniformity).
+    *
+    * Cross-engine determinism: each (doc, char) term c·ln(c/n) is
+    * quantized through DECIMAL(18,9) BEFORE the per-doc sum (the
+    * unigramNll device — exact, order-independent), and the final
+    * entropy divides the exact sum by n once, at the edge. Flags use
+    * the [1.5, 4.8] nat band (documented knobs).
+    *
+    * Scale shape: one explode to (doc, char) — bounded by text length —
+    * one (doc, char) count, one per-doc rollup; no joins, no windows.
+    */
+  val entropyLoNats = 1.5
+  val entropyHiNats = 4.8
+
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val chars = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val perDoc = chars.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"), count(lit(1)).as("n_distinct_chars"))
+    chars.join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (col("c").cast(DoubleType) *
+          log(col("c").cast(DoubleType) / col("n_chars").cast(DoubleType)))
+          .cast(DecimalType(18, 9)).as("term"))
+      .groupBy(col("doc_id"), col("n_chars"), col("n_distinct_chars"))
+      .agg((-(sum(col("term")).cast(DoubleType)) / col("n_chars").cast(DoubleType))
+        .as("entropy_nats"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        col("entropy_nats"),
+        (col("entropy_nats") < entropyLoNats).as("too_uniform"),
+        (col("entropy_nats") > entropyHiNats).as("too_random"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charEntropySql: String =
+    s"""WITH chars AS (
+       |  SELECT doc_id, ch, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+       |  WHERE ch <> '' GROUP BY doc_id, ch),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+       |    count(*) AS n_distinct_chars
+       |  FROM chars GROUP BY doc_id),
+       |terms AS (
+       |  SELECT c.doc_id, p.n_chars, p.n_distinct_chars,
+       |    CAST(CAST(c.c AS DOUBLE) *
+       |      ln(CAST(c.c AS DOUBLE) / CAST(p.n_chars AS DOUBLE)) AS DECIMAL(18,9))
+       |      AS term
+       |  FROM chars c JOIN per_doc p USING (doc_id))
+       |SELECT doc_id, n_chars, n_distinct_chars,
+       |  -(CAST(sum(term) AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS entropy_nats,
+       |  (-(CAST(sum(term) AS DOUBLE)) / CAST(n_chars AS DOUBLE)) < $entropyLoNats
+       |    AS too_uniform,
+       |  (-(CAST(sum(term) AS DOUBLE)) / CAST(n_chars AS DOUBLE)) > $entropyHiNats
+       |    AS too_random
+       |FROM terms GROUP BY doc_id, n_chars, n_distinct_chars
+       |ORDER BY doc_id""".stripMargin
+
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     val c4 = c4Filters(spark, dir).select(col("doc_id"),
       (!col("too_few_words") && !col("has_lorem") && !col("has_brace") &&

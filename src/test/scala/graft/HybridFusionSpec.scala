@@ -90,6 +90,33 @@ class HybridFusionSpec extends AnyFunSuite {
     assert(hit >= 19, s"planted rank-1 hits $hit/20")
   }
 
+  test("pair calibration matches a driver-side bucket tally of the banded pairs") {
+    val vecs = Tables.embeddings(spark, sf).select(
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+    val pairs = Similarity.lshPairsFor(vecs).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getAs[Double]("cosine"), r.getAs[Boolean]("same_label")))
+    val want = pairs.groupBy { case (c, _) => math.floor(c * 20).toInt }
+      .map { case (b, ps) => b -> (ps.length.toLong, ps.count(_._2).toLong) }
+    val rows = Similarity.simPairCalibration(spark, sf).collect()
+    assert(rows.length == want.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s) = want(r.getAs[Int]("bucket"))
+      assert(r.getAs[Long]("n_pairs") == n)
+      assert(r.getAs[Long]("n_same") == s)
+      assert(r.getAs[Long]("same_ppm") == s * 1000000L / n)
+    }
+    // on THIS corpus labels are independent of geometry, so the curve
+    // is flat near 1/|labels| — the report correctly measures "no
+    // signal" (a real encoder's curve rises; the planted-dup fixtures
+    // cover that regime elsewhere). Pin the flatness loosely:
+    val mass = rows.map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_same")))
+    val overall = mass.map(_._2).sum.toDouble / mass.map(_._1).sum
+    assert(overall > 0.05 && overall < 0.2, s"overall same-label rate $overall")
+  }
+
   test("nll deciles: balanced tiles, monotone bands, token mass conserved") {
     val rows = TextStats.textNllDeciles(spark, sf).collect()
     assert(rows.length == 10)

@@ -116,4 +116,34 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(kept > gate.size / 2 && kept < gate.size,
       s"gate kept $kept of ${gate.size} — not separating")
   }
+
+  test("char entropy matches an exact driver-side recompute; bounds hold") {
+    // real corpus (not the crafted one): natural word soup must sit in
+    // the mid band; the crafted fixture's 3-char doc would rightly flag
+    val sf = TestSession.sf
+    val rows = QualityFilters.charEntropy(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val counts = docs(id).toSeq.groupBy(identity).map(_._2.length)
+      val n = counts.sum
+      assert(r.getAs[Long]("n_chars") == n.toLong)
+      assert(r.getAs[Long]("n_distinct_chars") == counts.size.toLong)
+      // the operator's exact arithmetic: per-char term quantized to 9
+      // decimals (HALF_UP — Spark's decimal cast), summed exactly
+      val sum9 = counts.map(c => BigDecimal(c * math.log(c.toDouble / n))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      val want = -(sum9.toDouble) / n
+      assert(r.getAs[Double]("entropy_nats") == want, s"doc $id")
+      // information bounds: 0 <= H <= ln(distinct)
+      val h = r.getAs[Double]("entropy_nats")
+      assert(h >= -1e-9 && h <= math.log(counts.size.toDouble) + 1e-9)
+    }
+    // natural-language corpus sits in the mid band: nothing flags
+    assert(rows.count(r => r.getAs[Boolean]("too_uniform") ||
+      r.getAs[Boolean]("too_random")) == 0)
+  }
 }
