@@ -360,15 +360,20 @@ object TextStats {
     * order-independent — the unigramNll device); the model table is
     * corpus-sized, joined by bigram key, never broadcast.
     */
-  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val bigrams = Tables.documents(spark, dir)
+  /** Per-doc bigram stream — bigramNll's derivation AND textKnBigram's,
+    * factored so the two LMs score the identical events. */
+  private[text] def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("a"))
       .filter(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
         .as("bg"))
+
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bigrams = docBigrams(spark, dir)
     val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val w1Totals = model.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
@@ -386,6 +391,94 @@ object TextStats {
         (-(col("sum_lp").cast(DoubleType) / col("n_bigrams"))).as("avg_nll2"))
       .orderBy(col("doc_id"))
   }
+
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman's interpolated form with a fixed absolute discount
+    * D = 0.75) — the smoothing every serious n-gram LM (KenLM, the
+    * CCNet filter models) actually uses, where raw conditional
+    * frequencies (bigramNll) over-trust rare continuations:
+    *
+    *   p_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *               + (D · N1+(w1·)/c(w1·)) · N1+(·w2)/T
+    *
+    * with N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * predecessors of w2 (the "how novel is this word as a
+    * continuation" count that makes KN famous), T = distinct bigram
+    * types. Scoring the training corpus means every event is in the
+    * model, so the probability is a rational of exact integers and the
+    * exact-binary D — evaluated with THE SAME operation order both
+    * engines, then ln() quantized through DECIMAL(18,9) before the
+    * per-doc sum (the bigramNll device).
+    *
+    * Scale shape: the model is three aggregations over the bigram
+    * stream (pair counts; per-w1 totals + continuation fan-out off the
+    * model table itself — model-sized, not corpus-sized; per-w2
+    * predecessor counts likewise), one corpus-sized join back by bigram
+    * key, one per-doc rollup. Same linear silhouette as bigramNll.
+    */
+  val knDiscount = 0.75
+
+  def textKnBigram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bigrams = docBigrams(spark, dir)
+    val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val w1Stats = model.groupBy(col("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1_fwd"))
+    val w2Cont = model.groupBy(col("w2")).agg(count(lit(1)).as("n1_rev"))
+    val types = model.agg(count(lit(1)).cast(DoubleType).as("t_types"))
+    val lp = model.join(w1Stats, "w1").join(w2Cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("bg"),
+        log(greatest(col("c_bg").cast(DoubleType) - knDiscount, lit(0.0)) /
+            col("c_w1").cast(DoubleType) +
+          (lit(knDiscount) * col("n1_fwd").cast(DoubleType) /
+            col("c_w1").cast(DoubleType)) *
+          (col("n1_rev").cast(DoubleType) / col("t_types")))
+          .cast(DecimalType(18, 9)).as("lpv"))
+    val scored = bigrams.join(lp, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpv")).as("sum_lp"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (-(col("sum_lp").cast(DoubleType) / col("n_bigrams"))).as("avg_nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textKnBigramSql: String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(a)),
+       |    i -> a[i] || ' ' || a[i + 1])) AS bg
+       |  FROM docs2 WHERE len(a) >= 2),
+       |model AS (
+       |  SELECT bg, count(*) AS c_bg,
+       |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[-1] AS w2
+       |  FROM bg GROUP BY bg),
+       |w1s AS (SELECT w1, sum(c_bg) AS c_w1, count(*) AS n1_fwd
+       |        FROM model GROUP BY w1),
+       |w2c AS (SELECT w2, count(*) AS n1_rev FROM model GROUP BY w2),
+       |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t_types FROM model),
+       |lp AS (
+       |  SELECT m.bg,
+       |    CAST(ln(
+       |      greatest(CAST(m.c_bg AS DOUBLE) - $knDiscount, 0.0) / CAST(s.c_w1 AS DOUBLE) +
+       |      ($knDiscount * CAST(s.n1_fwd AS DOUBLE) / CAST(s.c_w1 AS DOUBLE)) *
+       |      (CAST(c.n1_rev AS DOUBLE) / t.t_types)) AS DECIMAL(18,9)) AS lpv
+       |  FROM model m JOIN w1s s USING (w1) JOIN w2c c USING (w2), tt t),
+       |sc AS (
+       |  SELECT b.doc_id, count(*) AS n_bigrams, sum(l.lpv) AS sum_lp
+       |  FROM bg b JOIN lp l USING (bg) GROUP BY b.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  -(CAST(sc.sum_lp AS DOUBLE) / sc.n_bigrams) AS avg_nll_kn
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   val bigramNllSql: String =
     """WITH docs2 AS (

@@ -134,6 +134,52 @@ class DiscountFertilitySpec extends AnyFunSuite {
     }
   }
 
+  test("kneser-ney: per-doc NLL matches a driver recompute; model normalizes to 1") {
+    import graft.text.TextStats
+    val rows = TextStats.textKnBigram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the model in plain Scala from the corpus
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).filter(_.nonEmpty).toSeq)
+    val bgByDoc = docs.map { case (id, a) =>
+      id -> (if (a.length < 2) Seq.empty[(String, String)]
+             else a.zip(a.tail))
+    }
+    val cBg = bgByDoc.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length }
+    val cW1 = cBg.toSeq.groupBy(_._1._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val n1Fwd = cBg.keys.toSeq.groupBy(_._1).map { case (w, xs) => w -> xs.length }
+    val n1Rev = cBg.keys.toSeq.groupBy(_._2).map { case (w, xs) => w -> xs.length }
+    val t = cBg.size.toDouble
+    val d = TextStats.knDiscount
+    def pKn(w1: String, w2: String): Double =
+      math.max(cBg.getOrElse((w1, w2), 0).toDouble - d, 0.0) / cW1(w1) +
+        (d * n1Fwd(w1) / cW1(w1)) * (n1Rev.getOrElse(w2, 0) / t)
+    // the famous KN identity: summed over the whole vocabulary the
+    // conditional normalizes to EXACTLY 1 (discount mass returns via
+    // the continuation distribution, which itself sums to T/T)
+    val vocab = (n1Rev.keySet ++ cW1.keySet).toSeq
+    cW1.keys.take(5).foreach { w1 =>
+      val z = vocab.map(w2 => pKn(w1, w2)).sum
+      assert(math.abs(z - 1.0) < 1e-9, s"sum_w2 p($w1) = $z")
+    }
+    // per-doc NLL with the operator's 9-decimal term quantization
+    val want = bgByDoc.toMap
+    rows.foreach { r =>
+      val bgs = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") == bgs.length.toLong)
+      if (bgs.nonEmpty) {
+        val sum9 = bgs.map { case (w1, w2) =>
+          BigDecimal(math.log(pKn(w1, w2)))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        assert(r.getAs[Double]("avg_nll_kn") == -(sum9.toDouble) / bgs.length,
+          s"doc ${r.getAs[Long]("doc_id")}")
+      }
+    }
+  }
+
   test("fertility: per-source sums equal the per-doc encode; ppm is the floor") {
     val enc = BpeTrainer.bpeEncodeQuery(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
