@@ -230,6 +230,40 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("fp"))
   }
 
+  /** Streaming perplexity gate — the quality gate's LM rule
+    * (unigram-NLL fluency ceiling) run live at ingest: each arriving
+    * document is scored against the STATIC trained log-prob table
+    * (token → DECIMAL(18,9) lpv — the unigramNll model, at scale a
+    * broadcast/bucketed vocabulary table) and rejected when its average
+    * NLL over KNOWN tokens exceeds the ceiling. Out-of-vocabulary
+    * tokens can't be scored by a unigram table; they are counted and
+    * reported (`n_oov`) so a drift in OOV rate — the other signal a
+    * vocabulary mismatch sends — is visible in the same row. In-row
+    * tokenization, ONE stream-static LEFT join, one watermarked per-doc
+    * aggregation; the decimal lpv sum is exact, so the verdict has no
+    * accumulation seam.
+    *
+    * `docs` needs (doc_id, ts, text); `lpTable` needs (token, lpv).
+    */
+  def nllGate(docs: DataFrame, lpTable: DataFrame,
+      ceiling: Double): DataFrame = {
+    docs
+      .select(col("doc_id"), col("ts"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .withWatermark("ts", "1 hour")
+      .join(lpTable.select(col("token"), col("lpv")), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("lpv").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("lpv")).as("sum_lp"),
+        count(col("lpv")).as("n_scored"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (-(col("sum_lp").cast("double") / col("n_scored"))).as("avg_nll"),
+        (col("n_scored") > 0 &&
+          -(col("sum_lp").cast("double") / col("n_scored")) > ceiling)
+          .as("reject"))
+  }
+
   /** Streaming containment ingest gate — dedup_containment's live twin,
     * and the near-dup layer incrementalDedup's exact-fingerprint gate
     * cannot catch: an arriving document is flagged CONTAINED when at

@@ -500,6 +500,45 @@ object Dedup {
        |  l.doc_id = l.canon_id AS is_canonical
        |FROM labeled l JOIN csize s USING (canon_id) ORDER BY doc_id""".stripMargin
 
+  /** Near-dup cluster-size profile — the one-screen summary of the
+    * whole dedup pass (the number every dedup writeup leads with):
+    * distribution of connected-component sizes (how many singletons,
+    * pairs, bigger families), docs held by each size class, and the
+    * would-be removal rate in exact ppm (everything but one survivor
+    * per family). Reads the SAME components fixpoint the
+    * canonicalization ships, rolled up per size — a \|distinct sizes\|-key
+    * aggregation over the per-doc labels, map-side combined.
+    */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val comp = components(spark, dir)
+    val bySize = comp.filter(col("is_canonical"))
+      .groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .withColumn("n_docs", col("component_size") * col("n_components"))
+      .withColumn("n_removable", (col("component_size") - 1) * col("n_components"))
+    val total = bySize.agg(sum(col("n_docs")).as("t_docs"))
+    bySize.crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .select(col("component_size"), col("n_components"), col("n_docs"),
+        col("n_removable"),
+        expr("CAST(n_docs * 1000000 DIV t_docs AS BIGINT)").as("doc_share_ppm"))
+      .orderBy(col("component_size"))
+  }
+
+  val clusterProfileSql: String =
+    s"""WITH RECURSIVE $componentsCoreSql,
+       |by_size AS (
+       |  SELECT component_size, count(*) AS n_components,
+       |    component_size * count(*) AS n_docs,
+       |    (component_size - 1) * count(*) AS n_removable
+       |  FROM csize GROUP BY component_size),
+       |total AS (SELECT sum(n_docs) AS t_docs FROM by_size)
+       |SELECT component_size, n_components, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_removable AS BIGINT) AS n_removable,
+       |  CAST((CAST(n_docs AS HUGEINT) * 1000000) // t_docs AS BIGINT)
+       |    AS doc_share_ppm
+       |FROM by_size, total
+       |ORDER BY component_size""".stripMargin
+
   /** Edit-distance near-dup: candidates blocked on a shared 12-char text
     * prefix (an equi-join — the blocking key stands in for the usual
     * sorted-neighborhood pass), verified with exact levenshtein over the

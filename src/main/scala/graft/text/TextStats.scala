@@ -57,20 +57,27 @@ object TextStats {
     * (actual lang × predicted lang → doc count). Ties break to the
     * alphabetically first language; zero votes → 'und'.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc predicted language (stopword majority vote) — langId's
+    * core AND quality_lang_mismatch's, factored so the confusion matrix
+    * and the mismatch gate score the identical predictions. */
+  private[text] def langPred(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
     val sw = spark.createDataFrame(stopwords).toDF("sw_lang", "word")
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("word"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val votes = toks.join(broadcast(sw), "word")
       .groupBy(col("doc_id"), col("sw_lang"))
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("votes").desc, col("sw_lang"))
-    val pred = votes.withColumn("rn", row_number().over(w))
+    votes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("sw_lang").as("pred"))
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pred = langPred(spark, dir)
     docs.select(col("doc_id"), col("lang"))
       .join(pred, Seq("doc_id"), "left")
       .select(col("lang"), coalesce(col("pred"), lit("und")).as("lang_pred"))
@@ -79,23 +86,62 @@ object TextStats {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
-  val langIdSql: String = {
+  /** Shared CTE chain deriving the per-doc prediction (`pred`) —
+    * langIdSql's base AND qualityLangMismatchSql's. */
+  private lazy val langPredCtes: String = {
     val values = stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
-    s"""WITH sw(sw_lang, word) AS (VALUES $values),
+    s"""sw(sw_lang, word) AS (VALUES $values),
        |toks AS (
-       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
        |votes AS (
        |  SELECT t.doc_id, s.sw_lang, count(*) AS votes
        |  FROM toks t JOIN sw s ON t.word = s.word
        |  GROUP BY t.doc_id, s.sw_lang),
        |pred AS (
        |  SELECT doc_id, sw_lang AS pred FROM votes
-       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, sw_lang) = 1)
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, sw_lang) = 1)""".stripMargin
+  }
+
+  lazy val langIdSql: String =
+    s"""WITH $langPredCtes
        |SELECT d.lang, coalesce(p.pred, 'und') AS lang_pred, count(*) AS n_docs
        |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
        |GROUP BY d.lang, coalesce(p.pred, 'und')
        |ORDER BY lang, lang_pred""".stripMargin
+
+  /** Declared-vs-detected language QA per source (r7) — the metadata
+    * trust check a multi-source pipeline runs before believing a feed's
+    * own `lang` tags (a crawler mislabeling a feed poisons every
+    * lang-filtered mix downstream): per source, docs whose stopword-vote
+    * prediction disagrees with the declared tag (undetectable docs
+    * count as mismatches — honest denominator, the knnClassify
+    * convention), in exact ppm. Shares langPred verbatim with the
+    * confusion matrix.
+    */
+  def qualityLangMismatch(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langPred(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("source"),
+        (coalesce(col("pred"), lit("und")) =!= col("lang")).as("mismatch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mismatch"), 1L).otherwise(0L)).as("n_mismatch"))
+      .select(col("source"), col("n_docs"), col("n_mismatch"),
+        expr("CAST(n_mismatch * 1000000 DIV n_docs AS BIGINT)").as("mismatch_ppm"))
+      .orderBy(col("source"))
   }
+
+  lazy val qualityLangMismatchSql: String =
+    s"""WITH $langPredCtes
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN coalesce(p.pred, 'und') <> d.lang THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_mismatch,
+       |  CAST((CAST(sum(CASE WHEN coalesce(p.pred, 'und') <> d.lang THEN 1 ELSE 0 END)
+       |    AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS mismatch_ppm
+       |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** Heuristic per-doc quality score: token-count saturation, lexical
     * diversity, punctuation ratio — the classic cheap pre-filters for
@@ -319,17 +365,27 @@ object TextStats {
     * unigramNll's scoring core AND text_nll_deciles' input, factored so
     * the two cannot drift (the bm25Ctes discipline). Docs with zero
     * tokens are absent (unigramNll left-joins them back). */
-  private[text] def unigramScored(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained unigram log-prob table (token → DECIMAL(18,9) lpv) —
+    * unigramScored's model, exposed for the streaming perplexity gate
+    * (the static side of StreamOps.nllGate). */
+  private[graft] def unigramLp(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).cast(DoubleType).as("total"))
-    val lp = vocab.crossJoin(broadcast(total))
+    vocab.crossJoin(broadcast(total))
       .select(col("token"),
         log(col("c").cast(DoubleType) / col("total"))
           .cast(DecimalType(18, 9)).as("lpv"))
+  }
+
+  private[text] def unigramScored(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val lp = unigramLp(spark, dir)
     toks.join(lp, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lpv")).as("sum_lp"))

@@ -134,6 +134,44 @@ class DiscountFertilitySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster profile reconciles with the components fixpoint") {
+    val rows = Dedup.clusterProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val comp = Dedup.components(spark, sf).collect()
+    val sizes = comp.filter(_.getAs[Boolean]("is_canonical"))
+      .map(_.getAs[Long]("component_size"))
+    val want = sizes.groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("component_size")
+      assert(r.getAs[Long]("n_components") == want(s))
+      assert(r.getAs[Long]("n_docs") == s * want(s))
+      assert(r.getAs[Long]("n_removable") == (s - 1) * want(s))
+    }
+    // doc mass reconciles with the corpus and shares sum to ~1e6
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == comp.length.toLong)
+    val shares = rows.map(_.getAs[Long]("doc_share_ppm")).sum
+    assert(shares <= 1000000L && shares >= 1000000L - rows.length)
+  }
+
+  test("lang mismatch per source reconciles with the confusion matrix") {
+    import graft.text.TextStats
+    val rows = TextStats.qualityLangMismatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // total mismatches = off-diagonal mass of the langId confusion matrix
+    val confusion = TextStats.langId(spark, sf).collect()
+    val offDiag = confusion
+      .filter(r => r.getAs[String]("lang") != r.getAs[String]("lang_pred"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("n_mismatch")).sum == offDiag)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mismatch_ppm") ==
+        r.getAs[Long]("n_mismatch") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("kneser-ney: per-doc NLL matches a driver recompute; model normalizes to 1") {
     import graft.text.TextStats
     val rows = TextStats.textKnBigram(spark, sf).collect()

@@ -210,6 +210,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L))
   }
 
+  test("streaming nll gate scores like the batch LM; OOV is counted not scored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lp = graft.text.TextStats.unigramLp(spark, sf)
+    // batch truth for a few real docs
+    val batch = graft.text.TextStats.unigramNll(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_nll"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(docs.map { case (id, t) => (id, t0, t) }.toSeq :+
+      ((9999L, t0, "zzzunseen qqqnovel wwwstrange")))
+    val q = StreamOps.nllGate(mem.toDF().toDF("doc_id", "ts", "text"), lp,
+        ceiling = 8.0)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("nllgate_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("nllgate_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, _) =>
+      val (n, nll) = batch(id)
+      assert(got(id).getAs[Long]("n_tokens") == n)
+      assert(got(id).getAs[Long]("n_oov") == 0L)
+      assert(got(id).getAs[Double]("avg_nll") == nll, s"doc $id")
+    }
+    // the all-OOV doc: counted, unscored, not rejected (nothing to judge)
+    val oov = got(9999L)
+    assert(oov.getAs[Long]("n_oov") == 3L && !oov.getAs[Boolean]("reject"))
+  }
+
   test("streaming containment gate flags re-crawls of settled content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
