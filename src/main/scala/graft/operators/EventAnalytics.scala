@@ -190,6 +190,84 @@ object EventAnalytics {
       |GROUP BY cohort_us, week_n
       |ORDER BY cohort_us, week_n""".stripMargin
 
+  /** EWMA rate forecast per event type — the adaptive-baseline upgrade
+    * of events_rate_anomaly's static mean/std: a 16-day exponentially
+    * weighted moving average (α = 1/2) of daily arrival counts forecasts
+    * the latest day, and spike/stall flags fire on 2× deviations. The
+    * whole computation is INTEGER-EXACT: with α = 1/2 the truncated
+    * EWMA is Σ_{k=1..16} c(d−k)·2^(16−k) in ×65536 fixed point — every
+    * weight a power of two, every term a BIGINT product, no float
+    * anywhere until the display column (the geometric tail beyond 16
+    * days carries < 2⁻¹⁶ of the mass; truncation documented).
+    *
+    * Scale shape: one (type, day) aggregation over the fact; the
+    * type×16 offset grid is a bounded literal frame left-joined against
+    * those daily counts (zero-filling silent days — a stall you must
+    * SEE); everything downstream is |types|-sized.
+    */
+  val ewmaHorizon = 16
+
+  def qEwmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("d_us"))
+      .agg(count(lit(1)).as("c"))
+    val mx = daily.agg(max(col("d_us")).as("mx_us"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(mx))
+      .select(col("event_type"), col("mx_us"),
+        explode(expr(s"sequence(1, $ewmaHorizon)")).as("k"))
+      .withColumn("d_us", col("mx_us") - col("k") * dayUs)
+    val hist = grid.join(daily, Seq("event_type", "d_us"), "left")
+      .select(col("event_type"), col("mx_us"),
+        expr(s"coalesce(c, 0L) * shiftleft(1L, cast($ewmaHorizon - k as int))")
+          .as("term"))
+      .groupBy(col("event_type"), col("mx_us"))
+      .agg(sum(col("term")).as("ewma_x65536"))
+    val actual = daily.crossJoin(broadcast(mx))
+      .filter(col("d_us") === col("mx_us"))
+      .select(col("event_type"), col("c").as("actual"))
+    hist.join(actual, Seq("event_type"), "left")
+      .withColumn("actual", coalesce(col("actual"), lit(0L)))
+      .select(col("event_type"),
+        col("ewma_x65536"),
+        (col("ewma_x65536").cast(DoubleType) / 65536.0).as("forecast"),
+        col("actual"),
+        (col("actual") * 65536 > col("ewma_x65536") * 2).as("spike"),
+        (col("actual") * 65536 * 2 < col("ewma_x65536")).as("stall"))
+      .orderBy(col("event_type"))
+  }
+
+  val qEwmaForecastSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS d_us,
+       |    count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |mx AS (SELECT max(d_us) AS mx_us FROM daily),
+       |grid AS (
+       |  SELECT t.event_type, m.mx_us, k.k,
+       |    m.mx_us - k.k * 86400000000 AS d_us
+       |  FROM (SELECT DISTINCT event_type FROM daily) t, mx m,
+       |    range(1, ${ewmaHorizon + 1}) k(k)),
+       |hist AS (
+       |  SELECT g.event_type, g.mx_us,
+       |    CAST(sum(coalesce(d.c, 0) * (1 << ($ewmaHorizon - g.k))) AS BIGINT)
+       |      AS ewma_x65536
+       |  FROM grid g LEFT JOIN daily d
+       |    ON g.event_type = d.event_type AND g.d_us = d.d_us
+       |  GROUP BY g.event_type, g.mx_us),
+       |act AS (
+       |  SELECT d.event_type, d.c AS actual
+       |  FROM daily d, mx m WHERE d.d_us = m.mx_us)
+       |SELECT h.event_type, h.ewma_x65536,
+       |  CAST(h.ewma_x65536 AS DOUBLE) / 65536.0 AS forecast,
+       |  CAST(coalesce(a.actual, 0) AS BIGINT) AS actual,
+       |  coalesce(a.actual, 0) * 65536 > h.ewma_x65536 * 2 AS spike,
+       |  coalesce(a.actual, 0) * 65536 * 2 < h.ewma_x65536 AS stall
+       |FROM hist h LEFT JOIN act a ON h.event_type = a.event_type
+       |ORDER BY h.event_type""".stripMargin
+
   /** Cohort-revenue (LTV) matrix — qRetention's monetized sibling: per
     * (first-seen cohort week, weeks-since-first), active users, paying
     * users, the cell's exact-decimal purchase revenue, and the running

@@ -113,6 +113,35 @@ class Relational5Spec extends AnyFunSuite {
     assert(ppm.forall(p => p >= 1000 && p <= 1000000))
   }
 
+  test("ewma forecast: fixed-point arithmetic matches an exact driver recompute") {
+    import graft.operators.EventAnalytics
+    val rows = EventAnalytics.qEwmaForecast(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("d_us"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("d_us")) ->
+        r.getAs[Long]("c")).toMap
+    val mx = daily.keys.map(_._2).max
+    val dayUs = 86400000000L
+    val types = daily.keys.map(_._1).toSet
+    assert(rows.map(_.getAs[String]("event_type")).toSet == types)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val want = (1 to EventAnalytics.ewmaHorizon).map { k =>
+        daily.getOrElse((t, mx - k * dayUs), 0L) <<
+          (EventAnalytics.ewmaHorizon - k)
+      }.sum
+      assert(r.getAs[Long]("ewma_x65536") == want, s"type $t")
+      val actual = daily.getOrElse((t, mx), 0L)
+      assert(r.getAs[Long]("actual") == actual)
+      assert(r.getAs[Boolean]("spike") == (actual * 65536 > want * 2))
+      assert(r.getAs[Boolean]("stall") == (actual * 65536 * 2 < want))
+      assert(r.getAs[Double]("forecast") == want.toDouble / 65536.0)
+    }
+  }
+
   test("basket pairs: support/confidence/lift match a driver-side tally") {
     val rows = Relational5.qBasketPairs(spark, sf).collect()
     assert(rows.nonEmpty)
