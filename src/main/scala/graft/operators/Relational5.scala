@@ -270,6 +270,68 @@ object Relational5 {
       .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
   }
 
+  /** Supplier lateness ranked by the WILSON LOWER BOUND — the
+    * ranking-under-uncertainty statistic (Wilson 1927; the "how not to
+    * sort by average rating" device): a supplier with 3/4 late lines
+    * must not outrank one with 290/400, so suppliers are ordered by the
+    * 95% lower confidence bound of their late rate, not the raw ratio.
+    * Late = shipped > 60 days after the order date (the q4 rule).
+    *
+    * Determinism: n and k are exact BIGINTs, z enters as the literal
+    * 1.96 squared IN-ENGINE (1.96*1.96 — identical rounding both
+    * sides), and the bound is evaluated with the same operation order
+    * both engines, then rounded to 6 before the rank — the cosine
+    * contract applied to a statistic.
+    *
+    * Shape: lineitem ⋈ orders is the q12 fact×fact co-shuffle; the
+    * supplier rollup is |supplier|-keyed; names broadcast; bounded
+    * TakeOrdered output.
+    */
+  def qSupplierReliability(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey")) // fact×fact co-shuffle
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          1L).otherwise(0L)).as("n_late"))
+    val wilson = expr(
+      """round(
+        |  (CAST(n_late AS DOUBLE) / n_lines + (1.96 * 1.96) / (2.0 * n_lines)
+        |   - 1.96 * sqrt((CAST(n_late AS DOUBLE) / n_lines *
+        |       (1.0 - CAST(n_late AS DOUBLE) / n_lines)
+        |       + (1.96 * 1.96) / (4.0 * n_lines * n_lines)) / n_lines))
+        |  / (1.0 + (1.96 * 1.96) / n_lines), 6)""".stripMargin)
+    perSupp
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_lines"), col("n_late"),
+        expr("CAST(n_late * 1000000 DIV n_lines AS BIGINT)").as("late_ppm"),
+        wilson.as("wilson_low"))
+      .orderBy(col("wilson_low").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
+  val qSupplierReliabilitySql: String =
+    """WITH per_supp AS (
+      |  SELECT l_suppkey, count(*) AS n_lines,
+      |    CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, n_lines, n_late,
+      |  CAST((CAST(n_late AS HUGEINT) * 1000000) // n_lines AS BIGINT) AS late_ppm,
+      |  round(
+      |    (CAST(n_late AS DOUBLE) / n_lines + (1.96 * 1.96) / (2.0 * n_lines)
+      |     - 1.96 * sqrt((CAST(n_late AS DOUBLE) / n_lines *
+      |         (1.0 - CAST(n_late AS DOUBLE) / n_lines)
+      |         + (1.96 * 1.96) / (4.0 * n_lines * n_lines)) / n_lines))
+      |    / (1.0 + (1.96 * 1.96) / n_lines), 6) AS wilson_low
+      |FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY wilson_low DESC, s_suppkey LIMIT 100""".stripMargin
+
   /** Market-basket pair mining over order baskets — support, confidence
     * and lift for part pairs that co-occur in at least `basketMinSup`
     * orders (the association-rules staple, Agrawal et al.'s A-Priori

@@ -113,6 +113,27 @@ class Relational5Spec extends AnyFunSuite {
     assert(ppm.forall(p => p >= 1000 && p <= 1000000))
   }
 
+  test("supplier reliability: wilson bound matches a driver recompute, ranks sanely") {
+    val rows = graft.operators.Relational5.qSupplierReliability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def wilson(k: Long, n: Long): Double = {
+      val p = k.toDouble / n
+      val z2 = 1.96 * 1.96
+      BigDecimal((p + z2 / (2.0 * n) -
+        1.96 * math.sqrt((p * (1.0 - p) + z2 / (4.0 * n * n)) / n)) /
+        (1.0 + z2 / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("wilson_low") ==
+        wilson(r.getAs[Long]("n_late"), r.getAs[Long]("n_lines")))
+      // the bound is below the raw rate (uncertainty always subtracts)
+      assert(r.getAs[Double]("wilson_low") <=
+        r.getAs[Long]("n_late").toDouble / r.getAs[Long]("n_lines") + 1e-9)
+    }
+    val ws = rows.map(_.getAs[Double]("wilson_low"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+  }
+
   test("ewma forecast: fixed-point arithmetic matches an exact driver recompute") {
     import graft.operators.EventAnalytics
     val rows = EventAnalytics.qEwmaForecast(spark, sf).collect()
