@@ -270,6 +270,74 @@ object Relational5 {
       .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
   }
 
+  /** ABC / Pareto classification of parts by revenue — the inventory-
+    * management staple (class A: parts covering the first 80% of
+    * cumulative revenue, B: to 95%, C: the tail), and the Lorenz-curve
+    * shape every "what covers most of our X" analysis reduces to.
+    *
+    * Scale discipline: the descending cumulative revenue uses
+    * GlobalRank.withGlobalCumsum — the distributed exact prefix sum
+    * (range exchange + two-pass partition offsets) — NEVER an
+    * empty-partitionBy window; revenue rides as exact BIGINT
+    * micro-units (decimal ×10⁴ — cumsums of doubles would be
+    * order-dependent), and the class boundaries are integer
+    * cross-multiplications against the 1-row total (×20 vs ×16/×19 — reduced fractions keep the products inside BIGINT at any scale). The oracle runs
+    * the literal window cumsum, proving the primitive bit-exact (the
+    * pack_sequences device). Output = 3 class rows.
+    */
+  def qAbcParts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revenue).as("rev_d"))
+      .select(col("l_partkey"),
+        expr("CAST(rev_d * 10000 AS BIGINT)").as("rev_u"))
+      .localCheckpoint()
+    val cum = GlobalRank.withGlobalCumsum(perPart, "rev_u", "cum_u",
+      col("rev_u").desc, col("l_partkey"))
+    val total = cum.agg(max(col("cum_u")).as("total_u"))
+    cum.crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .withColumn("abc_class",
+        when(col("cum_u") * 20 <= col("total_u") * 16, "A")
+          .when(col("cum_u") * 20 <= col("total_u") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_u")).as("rev_u_sum"))
+      .crossJoin(broadcast(total))
+      .select(col("abc_class"), col("n_parts"),
+        (col("rev_u_sum").cast(DoubleType) / 10000.0).as("revenue"),
+        // ppm through DECIMAL(38,0): rev_u_sum·1e6 exceeds BIGINT at
+        // sf ≥ 0.01 (micro-unit totals ~1e13); the q14 widening device
+        expr("CAST(CAST(rev_u_sum AS DECIMAL(38,0)) * 1000000 DIV total_u AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("abc_class"))
+  }
+
+  val qAbcPartsSql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1.00 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4)))
+      |      * 10000 AS BIGINT) AS rev_u
+      |  FROM lineitem GROUP BY l_partkey),
+      |cum AS (
+      |  SELECT l_partkey, rev_u,
+      |    sum(rev_u) OVER (ORDER BY rev_u DESC, l_partkey) AS cum_u
+      |  FROM per_part),
+      |total AS (SELECT max(cum_u) AS total_u FROM cum),
+      |classed AS (
+      |  SELECT CASE WHEN cum_u * 20 <= total_u * 16 THEN 'A'
+      |              WHEN cum_u * 20 <= total_u * 19 THEN 'B'
+      |              ELSE 'C' END AS abc_class,
+      |    rev_u
+      |  FROM cum, total)
+      |SELECT abc_class, count(*) AS n_parts,
+      |  CAST(sum(rev_u) AS DOUBLE) / 10000.0 AS revenue,
+      |  CAST((CAST(sum(rev_u) AS HUGEINT) * 1000000) // (SELECT total_u FROM total)
+      |    AS BIGINT) AS share_ppm
+      |FROM classed GROUP BY abc_class ORDER BY abc_class""".stripMargin
+
   /** Supplier lateness ranked by the WILSON LOWER BOUND — the
     * ranking-under-uncertainty statistic (Wilson 1927; the "how not to
     * sort by average rating" device): a supplier with 3/4 late lines

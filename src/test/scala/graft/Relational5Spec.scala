@@ -113,6 +113,45 @@ class Relational5Spec extends AnyFunSuite {
     assert(ppm.forall(p => p >= 1000 && p <= 1000000))
   }
 
+  test("abc classification matches an exact integer cumsum recompute") {
+    val rows = graft.operators.Relational5.qAbcParts(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("abc_class")).toSeq.sorted ==
+      rows.map(_.getAs[String]("abc_class")).toSeq)
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val perPart = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) =>
+        p -> rs.map(r => (d2(r.getDouble(1)) *
+          (BigDecimal("1.00") - d2(r.getDouble(2)))) * 10000).sum.toLongExact
+      }
+    val sorted = perPart.toSeq.sortBy { case (p, u) => (-u, p) }
+    val total = sorted.map(_._2).sum
+    var cum = 0L
+    val classed = sorted.map { case (_, u) =>
+      cum += u
+      val c = if (cum * 20 <= total * 16) "A"
+              else if (cum * 20 <= total * 19) "B" else "C"
+      (c, u)
+    }
+    val want = classed.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.size.toLong, xs.map(_._2).sum)
+    }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, u) = want(r.getAs[String]("abc_class"))
+      assert(r.getAs[Long]("n_parts") == n)
+      assert(r.getAs[Double]("revenue") == u.toDouble / 10000.0)
+      assert(r.getAs[Long]("share_ppm") ==
+        (BigInt(u) * 1000000 / BigInt(total)).toLong)
+    }
+    // boundary sanity: class A revenue lands just under the 80% cut
+    // (this corpus's near-uniform part revenue means fine granularity;
+    // real Pareto skew would concentrate A into few parts, same math)
+    val a = want("A")
+    assert(a._2 * 20 <= total * 16 && a._2 * 20 >= total * 15)
+  }
+
   test("supplier reliability: wilson bound matches a driver recompute, ranks sanely") {
     val rows = graft.operators.Relational5.qSupplierReliability(spark, sf).collect()
     assert(rows.nonEmpty)
