@@ -190,6 +190,49 @@ object EventAnalytics {
       |GROUP BY cohort_us, week_n
       |ORDER BY cohort_us, week_n""".stripMargin
 
+  /** Inter-event gap histogram per event type — the arrival-process
+    * fingerprint (bursty vs paced vs periodic) read off per-user
+    * consecutive gaps, bucketed into power-of-two second ranges. The
+    * bucket id is the EXACT integer ⌊log₂(gap_s)⌋+1 computed as
+    * `length(bin(gap_s))` — binary-string length, no floating log, so
+    * bucket edges cannot drift between engines. Gaps are between
+    * consecutive same-type events OF THE SAME USER (the lag window
+    * partitions by (user, type) — user-keyed, skew-free; a global
+    * per-type lag would funnel each type through one task).
+    */
+  def qGapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("gap_s",
+        expr("(t_us - lag(t_us, 1) OVER (PARTITION BY user_id, event_type " +
+          "ORDER BY ts, event_id)) DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"),
+        expr("CAST(length(bin(gap_s)) AS INTEGER)").as("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("event_type"), col("gap_bucket"))
+  }
+
+  val qGapHistogramSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id)) // 1000000
+      |      AS gap_s
+      |  FROM events)
+      |SELECT event_type, CAST(length(bin(gap_s)) AS INTEGER) AS gap_bucket,
+      |  count(*) AS n_gaps,
+      |  CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+      |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY event_type, gap_bucket
+      |ORDER BY event_type, gap_bucket""".stripMargin
+
   /** EWMA rate forecast per event type — the adaptive-baseline upgrade
     * of events_rate_anomaly's static mean/std: a 16-day exponentially
     * weighted moving average (α = 1/2) of daily arrival counts forecasts

@@ -113,6 +113,36 @@ class Relational5Spec extends AnyFunSuite {
     assert(ppm.forall(p => p >= 1000 && p <= 1000000))
   }
 
+  test("gap histogram: buckets are exact log2 of driver-computed gaps") {
+    import graft.operators.EventAnalytics
+    val rows = EventAnalytics.qGapHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"),
+        col("event_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("t_us"), r.getAs[Long]("event_id")))
+    val gaps = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, t), es) =>
+      val sorted = es.sortBy(e => (e._3, e._4)).map(_._3)
+      sorted.zip(sorted.tail).map { case (a, b) => (t, (b - a) / 1000000L) }
+    }
+    def bucket(g: Long): Int = java.lang.Long.toBinaryString(g).length
+    val want = gaps.groupBy { case (t, g) => (t, bucket(g)) }
+      .map { case (k, xs) =>
+        k -> (xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max)
+      }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Int]("gap_bucket"))
+      val (n, lo, hi) = want(k)
+      assert(r.getAs[Long]("n_gaps") == n, s"$k")
+      assert(r.getAs[Long]("min_gap_s") == lo && r.getAs[Long]("max_gap_s") == hi)
+      // bucket invariant: every gap in [2^(b-1), 2^b) except bucket 1 = [0,2)
+      val b = k._2
+      assert(lo >= (if (b == 1) 0L else 1L << (b - 1)) && hi < (1L << b))
+    }
+  }
+
   test("abc classification matches an exact integer cumsum recompute") {
     val rows = graft.operators.Relational5.qAbcParts(spark, sf).collect()
     assert(rows.map(_.getAs[String]("abc_class")).toSeq.sorted ==
