@@ -48,7 +48,17 @@ object Bench {
       // the suite medians measure cache-eviction thrash, not plans
       // (r6 VERDICT: dedup_embedding 12.4 s suite-median vs 1.7-2.2 s
       // warm isolated).
+      // The boundary must free PERSISTENT RDDs too, not just the
+      // CacheManager: iterative ops hand back localCheckpoint-backed
+      // frames (GlobalRank, the components/pagerank/LPA fixpoints) whose
+      // blocks clearCache() cannot see. Across 178 queries × 4 runs those
+      // dead blocks fill the storage pool until a query's OWN persists
+      // evict between its timed runs (r7 driver bench:
+      // dedup_cluster_profile 15.5 s suite-median vs 2.6 s isolated —
+      // every "warm" run was re-paying the cold prefix join).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {

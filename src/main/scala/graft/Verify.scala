@@ -18,6 +18,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same between-query boundary as Bench: free CacheManager entries
+      // AND localCheckpoint-backed RDDs (GlobalRank/fixpoint rounds) so a
+      // 178-query single-JVM dump doesn't accumulate dead storage blocks
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

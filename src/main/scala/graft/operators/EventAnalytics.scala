@@ -207,10 +207,9 @@ object EventAnalytics {
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
         unix_micros(col("ts")).as("t_us"))
-      .withColumn("gap_s",
-        expr("(t_us - lag(t_us, 1) OVER (PARTITION BY user_id, event_type " +
-          "ORDER BY ts, event_id)) DIV 1000000"))
-      .filter(col("gap_s").isNotNull)
+      .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("gap_s", expr("gap_us DIV 1000000"))
       .groupBy(col("event_type"),
         expr("CAST(length(bin(gap_s)) AS INTEGER)").as("gap_bucket"))
       .agg(count(lit(1)).as("n_gaps"),

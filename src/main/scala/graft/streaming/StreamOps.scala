@@ -243,6 +243,13 @@ object StreamOps {
     * aggregation; the decimal lpv sum is exact, so the verdict has no
     * accumulation seam.
     *
+    * Bounded-state caveat (same as containmentGate): the aggregation
+    * groups by doc_id alone, so despite the watermark Spark cannot prove
+    * an event-time bound per group and never evicts aggregation state —
+    * and append mode would emit nothing. Run Update/Complete mode, or
+    * attach the hourly window to the groupBy, for bounded production
+    * state; the doc_id-only shape is what the batch-equality test pins.
+    *
     * `docs` needs (doc_id, ts, text); `lpTable` needs (token, lpv).
     */
   def nllGate(docs: DataFrame, lpTable: DataFrame,

@@ -326,7 +326,14 @@ object Dedup {
     * the oracle's exhaustive shared-shingle enumeration proves
     * completeness, not just precision.
     */
-  val containTau = 0.8
+  // tau as an exact rational (4/5): the completeness-critical prefix
+  // length needs the exact ceil(num·n/den) — a float ceil(n·0.8) can
+  // round a half-ulp tie UP and shorten the prefix by one, silently
+  // dropping a boundary pair despite the "EXACT" claim. Integer
+  // ceiling: ceil(num·n/den) = (num·n + den − 1) DIV den.
+  val containTauNum = 4L
+  val containTauDen = 5L
+  val containTau: Double = containTauNum.toDouble / containTauDen
 
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(spark, dir).persist()
@@ -337,7 +344,8 @@ object Dedup {
           .orderBy(col("freq"), col("h"))))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val prefix = ranked.join(sizes, "doc_id")
-      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * containTau) + 1)
+      .filter(col("rk") <= col("n_sh") -
+        expr(s"($containTauNum * n_sh + ${containTauDen - 1}) DIV $containTauDen") + 1)
       .select(col("doc_id"), col("h"))
     val cand = prefix.join(
         sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
@@ -354,7 +362,9 @@ object Dedup {
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
         (size(array_intersect(col("hs_a"), col("hs_b"))).cast(DoubleType) /
           col("n_a")).as("containment"))
-      .filter(col("containment") >= containTau)
+      // threshold verdict in exact integer cross-multiplication — the
+      // display ratio stays double, the keep/drop decision has no float seam
+      .filter(col("n_common") * containTauDen >= col("n_a") * containTauNum)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -368,7 +378,7 @@ object Dedup {
        |SELECT p.doc_a, p.doc_b, x.n_sh AS n_a, p.n_common,
        |  CAST(p.n_common AS DOUBLE) / x.n_sh AS containment
        |FROM dpairs p JOIN sizes x ON p.doc_a = x.doc_id
-       |WHERE CAST(p.n_common AS DOUBLE) / x.n_sh >= $containTau
+       |WHERE p.n_common * $containTauDen >= x.n_sh * $containTauNum
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Near-dup canonicalization — the "keep one document per duplicate

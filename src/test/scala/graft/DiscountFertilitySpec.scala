@@ -26,7 +26,7 @@ class DiscountFertilitySpec extends AnyFunSuite {
     val brute = (for {
       (a, sa) <- sets; (b, sb) <- sets if a != b
       common = (sa & sb).size
-      if common.toDouble / sa.size >= Dedup.containTau
+      if common * Dedup.containTauDen >= sa.size * Dedup.containTauNum
     } yield (a, b) -> (sa.size.toLong, common.toLong)).toMap
     val rows = Dedup.containmentPairs(spark, sf).collect()
     assert(rows.nonEmpty)
