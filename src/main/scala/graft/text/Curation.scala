@@ -896,4 +896,57 @@ object Curation {
        |  min(quality_score) AS min_score, max(quality_score) AS max_score,
        |  CAST(sum(toks) AS DOUBLE) / $shardCapacity.0 AS fill_ratio
        |FROM sh GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
+  /** Length-bucketed padded-batch packing — the training-efficiency
+    * report for PADDED (non-packed) batching: documents sorted by token
+    * length, cut into fixed batches of `padBatchSize`, each batch padded
+    * to its own max length; per batch the doc count, max/sum lengths,
+    * pad-token overhead and waste in exact ppm. Sorting by length is THE
+    * standard padding-waste mitigation (bucketed batching); this op
+    * measures exactly what it saves (the spec proves sorted waste ≤
+    * arrival-order waste).
+    *
+    * Scale shape: one doc scan for lengths, then GlobalRank — the
+    * parallel range exchange + zipWithIndex device — for the global
+    * length order (NEVER an empty-partitionBy row_number window), then
+    * batch_id by closed-form integer division and one batch-keyed
+    * aggregation (output is n_docs/batchSize rows). Every cell is
+    * BIGINT-exact; the oracle runs the literal row_number window over
+    * the same total order, proving the distributed rank IS the sort.
+    */
+  val padBatchSize = 32L
+
+  def packPaddedBatches(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(toksExpr).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRank(d, "rk", col("toks"), col("doc_id"))
+    ranked
+      .withColumn("batch_id", expr(s"(rk - 1) DIV $padBatchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("toks")).as("max_len"),
+        sum(col("toks")).as("sum_tokens"))
+      .withColumn("pad_tokens", col("n_docs") * col("max_len") - col("sum_tokens"))
+      .withColumn("waste_ppm",
+        expr("CAST(pad_tokens * 1000000 DIV (n_docs * max_len) AS BIGINT)"))
+      .orderBy(col("batch_id"))
+  }
+
+  val packPaddedBatchesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+       |      AS toks
+       |  FROM documents),
+       |ord AS (
+       |  SELECT doc_id, toks, row_number() OVER (ORDER BY toks, doc_id) AS rk
+       |  FROM d WHERE toks > 0),
+       |b AS (SELECT *, (rk - 1) // $padBatchSize AS batch_id FROM ord)
+       |SELECT batch_id, count(*) AS n_docs, max(toks) AS max_len,
+       |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+       |  CAST(count(*) * max(toks) - sum(toks) AS BIGINT) AS pad_tokens,
+       |  CAST((CAST(count(*) * max(toks) - sum(toks) AS HUGEINT) * 1000000)
+       |    // (count(*) * max(toks)) AS BIGINT) AS waste_ppm
+       |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin
 }

@@ -717,4 +717,85 @@ object TextStats {
       |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
       |          - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
       |FROM c WHERE n_words >= 1 ORDER BY doc_id""".stripMargin
+
+  /** Zipf-law fit per source — the rank-frequency power-law slope
+    * (natural language sits near −1; machine-generated or templated
+    * text drifts off it), the corpus-shape diagnostic next to
+    * text_vocab_growth's Heaps curve. OLS of ln(freq) on ln(rank) over
+    * the full per-source vocabulary.
+    *
+    * Cross-engine determinism: each ln term is quantized to INTEGER
+    * micro-nats (round(ln·1e6) — ln ≥ 0 on both axes, so round() agrees
+    * between engines) BEFORE any product or sum; products and
+    * normal-equation terms ride DECIMAL(38,0)/HUGEINT (the
+    * q_discount_elasticity widening), and the slope is reported as an
+    * exact sign-split integral division in 1e-9 units — a big decimal
+    * NEVER converts to double (decimal→double rounding above 2^53
+    * differs between engines by an ulp; found at registration, hence
+    * this all-integer contract).
+    *
+    * Scale shape: one (source, token) frequency aggregation (map-side
+    * combined, vocabulary-bounded); the rank window partitions BY
+    * SOURCE over the vocab-sized frequency table — never the corpus;
+    * the fit is a per-source aggregate of sufficient statistics
+    * (the q_discount_elasticity discipline). Output = |sources| rows.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val freqs = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("token"))
+    val terms = freqs
+      .withColumn("rk", row_number().over(w))
+      .select(col("source"), col("freq"),
+        expr("CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS DECIMAL(38,0))").as("x"),
+        expr("CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS DECIMAL(38,0))").as("y"))
+    terms.groupBy(col("source"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("freq")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_types"), col("n_tokens"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        expr("""CAST(CASE WHEN num < 0
+               |  THEN -((-num) * 1000000000 DIV den)
+               |  ELSE (num * 1000000000 DIV den) END AS BIGINT)""".stripMargin)
+          .as("zipf_slope_e9"))
+      .orderBy(col("source"))
+  }
+
+  val zipfFitSql: String =
+    """WITH freqs AS (
+      |  SELECT source, token, count(*) AS freq FROM (
+      |    SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS token
+      |    FROM documents)
+      |  GROUP BY source, token),
+      |ranked AS (
+      |  SELECT source, freq,
+      |    row_number() OVER (PARTITION BY source ORDER BY freq DESC, token) AS rk
+      |  FROM freqs),
+      |terms AS (
+      |  SELECT source, freq,
+      |    CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+      |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+      |  FROM ranked),
+      |s AS (
+      |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(freq) AS BIGINT) AS n_tokens,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM terms GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n_types, n_tokens,
+      |  CAST(CASE WHEN (n * sxy - sx * sy) < 0
+      |    THEN -((-(n * sxy - sx * sy)) * 1000000000 // (n * sxx - sx * sx))
+      |    ELSE ((n * sxy - sx * sy) * 1000000000 // (n * sxx - sx * sx)) END
+      |    AS BIGINT) AS zipf_slope_e9
+      |FROM s ORDER BY source""".stripMargin
 }
