@@ -244,4 +244,98 @@ object KeyInference {
        |WHERE m.n_matched = cc.n_child
        |ORDER BY child_table, child_column, parent_table, parent_column""".stripMargin
   }
+
+  // ------------------------------------------------------------ composite keys
+
+  /** Composite (2-column) key inference — the layer single-column PK
+    * discovery can't reach: a fact table like lineitem has NO unary key,
+    * its identity is (l_orderkey, l_linenumber). Tests every pair of
+    * integer-typed columns per table (candidate space bounded by catalog
+    * width², ~C(4,2) per table here — never by data) for exact pair
+    * uniqueness + non-nullness, and flags MINIMALITY (a pair is only
+    * interesting as a key if neither column alone is one — (o_orderkey,
+    * anything) is a key but a redundant one).
+    *
+    * Scale shape: the FdInference discipline — one PRUNED two-column
+    * DISTINCT branch per pair and one single-column DISTINCT branch per
+    * involved column, never a multi-countDistinct aggregate (whose
+    * Expand multiplies the scan); each branch's result is a 1-row frame,
+    * assembled by 1-row crossJoins. At catalog scale the exact DISTINCT
+    * branches swap for HLL sketches exactly as infer_constraints_approx
+    * demonstrates for the unary case.
+    */
+  def compositeKeysFor(tables: Seq[(String, DataFrame)]): DataFrame = {
+    val branches = tables.flatMap { case (t, df) =>
+      val ints = df.schema.fields.filter(f => isIntType(f.dataType)).map(_.name)
+      if (ints.length < 2) Nil
+      else {
+        // one distinct-count frame per involved column, built once and
+        // crossJoined into every pair row that uses it
+        val dcol: Map[String, DataFrame] = ints.map { c =>
+          c -> df.select(col(c)).distinct().agg(count(lit(1)).as("nd"))
+        }.toMap
+        for {
+          i <- ints.indices; j <- (i + 1) until ints.length
+        } yield {
+          val (a, b) = (ints(i), ints(j))
+          val rowsF = df.agg(count(lit(1)).as("n_rows"),
+            sum(when(col(a).isNotNull && col(b).isNotNull, 1L).otherwise(0L))
+              .as("n_nonnull_pairs"))
+          val dpF = df.filter(col(a).isNotNull && col(b).isNotNull)
+            .select(col(a), col(b)).distinct()
+            .agg(count(lit(1)).as("n_distinct_pairs"))
+          rowsF.crossJoin(dpF)
+            .crossJoin(dcol(a).select(col("nd").as("n_distinct_a")))
+            .crossJoin(dcol(b).select(col("nd").as("n_distinct_b")))
+            .select(lit(t).as("table_name"), lit(a).as("col_a"), lit(b).as("col_b"),
+              col("n_rows"), col("n_nonnull_pairs"), col("n_distinct_pairs"),
+              col("n_distinct_a"), col("n_distinct_b"),
+              (col("n_nonnull_pairs") === col("n_rows") &&
+                col("n_distinct_pairs") === col("n_rows")).as("is_composite_key"),
+              (col("n_nonnull_pairs") === col("n_rows") &&
+                col("n_distinct_pairs") === col("n_rows") &&
+                col("n_distinct_a") < col("n_rows") &&
+                col("n_distinct_b") < col("n_rows")).as("is_minimal"))
+        }
+      }
+    }
+    if (branches.isEmpty)
+      emptyResult(tables.head._2.sparkSession,
+        "table_name STRING, col_a STRING, col_b STRING, n_rows BIGINT, " +
+          "n_nonnull_pairs BIGINT, n_distinct_pairs BIGINT, n_distinct_a BIGINT, " +
+          "n_distinct_b BIGINT, is_composite_key BOOLEAN, is_minimal BOOLEAN")
+    else branches.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("col_a"), col("col_b"))
+  }
+
+  def inferCompositeKeys(spark: SparkSession, dir: String): DataFrame =
+    compositeKeysFor(Tables.all.map(t => t -> Tables.table(spark, dir, t)))
+
+  val inferCompositeKeysSql: String = {
+    val byTable = intColumns.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = for {
+      (t, cols0) <- intColumns.map(_._1).distinct.map(t => t -> byTable(t))
+      cols = cols0
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield {
+      val (a, b) = (cols(i), cols(j))
+      s"""SELECT '$t' AS table_name, '$a' AS col_a, '$b' AS col_b,
+         |  (SELECT count(*) FROM $t) AS n_rows,
+         |  (SELECT count(*) FROM $t
+         |     WHERE $a IS NOT NULL AND $b IS NOT NULL) AS n_nonnull_pairs,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM $t
+         |     WHERE $a IS NOT NULL AND $b IS NOT NULL)) AS n_distinct_pairs,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $a FROM $t)) AS n_distinct_a,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $b FROM $t)) AS n_distinct_b""".stripMargin
+    }
+    s"""WITH raw AS (
+       |${rows.mkString("\nUNION ALL\n")})
+       |SELECT table_name, col_a, col_b, n_rows, n_nonnull_pairs,
+       |  n_distinct_pairs, n_distinct_a, n_distinct_b,
+       |  (n_nonnull_pairs = n_rows AND n_distinct_pairs = n_rows)
+       |    AS is_composite_key,
+       |  (n_nonnull_pairs = n_rows AND n_distinct_pairs = n_rows
+       |    AND n_distinct_a < n_rows AND n_distinct_b < n_rows) AS is_minimal
+       |FROM raw ORDER BY table_name, col_a, col_b""".stripMargin
+  }
 }

@@ -74,6 +74,41 @@ class CatalogSurveySpec extends AnyFunSuite {
     assert(a.foreignKeys.isEmpty && Collector.validate(a).isEmpty)
   }
 
+  test("composite keys: catalog truths hold and minimality fires on a planted key") {
+    import graft.sources.KeyInference
+    import org.apache.spark.sql.functions.col
+    val rows = KeyInference.inferCompositeKeys(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => (r.getAs[String]("table_name"),
+      r.getAs[String]("col_a"), r.getAs[String]("col_b")) -> r).toMap
+    // the synthetic lineitem REUSES line numbers within an order (checked
+    // against the raw data below) — the honest answer is "no composite
+    // key", and the op must say so rather than bless the TPC-H folklore
+    val li = byPair(("lineitem", "l_orderkey", "l_linenumber"))
+    assert(!li.getAs[Boolean]("is_composite_key"))
+    val dp = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(li.getAs[Long]("n_distinct_pairs") == dp)
+    assert(dp < li.getAs[Long]("n_rows"))
+    // (o_orderkey, o_custkey) IS a key but NOT minimal: o_orderkey keys alone
+    val ord = byPair(("orders", "o_orderkey", "o_custkey"))
+    assert(ord.getAs[Boolean]("is_composite_key") && !ord.getAs[Boolean]("is_minimal"))
+    // no pair claims minimality while one side is a unary key
+    rows.filter(_.getAs[Boolean]("is_minimal")).foreach { r =>
+      assert(r.getAs[Long]("n_distinct_a") < r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_distinct_b") < r.getAs[Long]("n_rows"))
+    }
+    // planted fixture: (part, seq) is a genuine MINIMAL composite key —
+    // both columns repeat alone, the pair is unique
+    import spark.implicits._
+    val planted = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2))
+      .toDF("part", "seq")
+    val p = KeyInference.compositeKeysFor(Seq("planted" -> planted)).collect()
+    assert(p.length == 1)
+    assert(p.head.getAs[Boolean]("is_composite_key") &&
+      p.head.getAs[Boolean]("is_minimal"))
+  }
+
   test("enumerateLakes finds every sf database under the testdata root") {
     val lakes = Collector.enumerateLakes(spark, "/root/testdata")
     assert(lakes.size >= 3)
