@@ -281,6 +281,34 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Next-day EWMA baseline per event type from a (ts, event_type)
+    * history frame — the STATIC side of StreamOps.ewmaGate (the live
+    * twin of qEwmaForecast). Same ×65536 fixed-point contract as the
+    * batch op, shifted one day: offsets 0..15 from the history's last
+    * day (k=0 weighs 2^15, i.e. α = ½ on the most recent day), silent
+    * days zero-filled through the bounded type×16 grid. |types| rows —
+    * broadcastable into the stream-static join at any scale.
+    */
+  def ewmaBaselineOf(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = events
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("d_us"))
+      .agg(count(lit(1)).as("c"))
+    val mx = daily.agg(max(col("d_us")).as("mx_us"))
+    daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(mx))
+      .select(col("event_type"), col("mx_us"),
+        explode(expr(s"sequence(0, ${ewmaHorizon - 1})")).as("k"))
+      .withColumn("d_us", col("mx_us") - col("k") * dayUs)
+      .join(daily, Seq("event_type", "d_us"), "left")
+      .select(col("event_type"),
+        expr(s"coalesce(c, 0L) * shiftleft(1L, cast(${ewmaHorizon - 1} - k as int))")
+          .as("term"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("term")).as("ewma_x65536"))
+  }
+
   val qEwmaForecastSql: String =
     s"""WITH daily AS (
        |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS d_us,

@@ -314,6 +314,74 @@ object StreamOps {
           .as("is_contained"))
   }
 
+  /** Streaming EWMA rate gate — events_ewma_forecast's live twin: each
+    * CLOSING day window's per-type count is compared against the STATIC
+    * next-day EWMA baseline (EventAnalytics.ewmaBaselineOf — |types|
+    * rows, broadcast into the stream-static join) with the batch op's
+    * exact integer fixed-point rule: spike iff cnt·65536 > 2·ewma,
+    * stall iff 2·cnt·65536 < ewma — no float threshold seam, the same
+    * ×65536 BIGINT arithmetic live and at rest. O(active windows)
+    * state; types absent from the baseline gate as unknown (flags
+    * null), visible rather than silently dropped.
+    *
+    * `events` needs (ts, event_type); `baseline` needs
+    * (event_type, ewma_x65536).
+    */
+  def ewmaGate(events: DataFrame, baseline: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("actual"))
+      .join(baseline, Seq("event_type"), "left")
+      .select(col("w.start").as("day"), col("event_type"), col("actual"),
+        col("ewma_x65536"),
+        (col("actual") * 65536 > col("ewma_x65536") * 2).as("spike"),
+        (col("actual") * 65536 * 2 < col("ewma_x65536")).as("stall"))
+  }
+
+  /** Streaming PSI drift gate — quality_psi's live twin: each closing
+    * window's value distribution is binned with the REFERENCE slice's
+    * frozen edges and scored as PSI against the reference bin counts,
+    * with the batch op's +0.5 Laplace smoothing. Structured Streaming
+    * allows ONE aggregation per query, so the 10 fixed bins pivot into
+    * conditional-sum COLUMNS of that single windowed aggregation (the
+    * mixMonitor device) and the PSI folds as a row-local expression
+    * over them — the reference histogram is config-sized driver state
+    * baked into the plan as literals, exactly what "frozen baseline"
+    * means operationally. O(active windows) state.
+    *
+    * `events` needs (ts, value); `refCounts(b)` = reference count of
+    * bin b (0..9 over the frozen [vmin, vmax] grid).
+    */
+  def psiGate(events: DataFrame, refCounts: Seq[Long],
+      vmin: Double, vmax: Double, actionAt: Double = 0.25): DataFrame = {
+    require(refCounts.length == 10, "psiGate expects the 10-bin reference")
+    val binCol =
+      if (vmax == vmin) lit(0L)
+      else least(floor((col("value") - lit(vmin)) /
+        ((lit(vmax) - lit(vmin)) / 10.0)), lit(9L)).cast("long")
+    val binned = events
+      .filter(col("value").isNotNull)
+      .withColumn("bin", greatest(binCol, lit(0L)))
+      .withWatermark("ts", "1 hour")
+    val aggs = count(lit(1)).as("n_events") +:
+      (0 until 10).map(b =>
+        sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"n_$b"))
+    val withBins = binned
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val refTotal = refCounts.sum.toDouble
+    val psi = (0 until 10).map { b =>
+      val pRef = (refCounts(b) + 0.5) / (refTotal + 0.5 * 10)
+      val pCur = (col(s"n_$b").cast(DoubleType) + 0.5) /
+        (col("n_events").cast(DoubleType) + 0.5 * 10)
+      (pCur - lit(pRef)) * log(pCur / lit(pRef))
+    }.reduce(_ + _)
+    withBins.select(col("w.start").as("hour"), col("n_events"),
+      psi.as("psi"))
+      .withColumn("drifted", col("psi") > actionAt)
+  }
+
   case class FunnelEv(event_id: Long, t_us: Long, user_id: Long, event_type: String)
   case class FunnelState(tSignup: Long, converted: Boolean)
   case class Conversion(user_id: Long, t_signup: Long, t_purchase: Long,

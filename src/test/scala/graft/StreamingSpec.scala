@@ -284,6 +284,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(4L) == ((6L, 6L, true)))
   }
 
+  test("streaming ewma gate applies the batch fixed-point rule per closing day") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    implicit val sqlCtx = spark.sqlContext
+    def day(d: Int, k: Int) =
+      new java.sql.Timestamp(1700000000000L / 86400000L * 86400000L
+        + d * 86400000L + k * 1000L)
+    // 16 days of flat 8/day history -> baseline = 8 * (2^16 - 1) = 524280
+    val hist = (0 until 16).flatMap { d =>
+      (0 until 8).map(k => (day(d, k), "click"))
+    }.toDF("ts", "event_type")
+    val baseline = EventAnalytics.ewmaBaselineOf(hist)
+    val b = baseline.collect()
+    assert(b.length == 1 && b.head.getAs[Long]("ewma_x65536") == 8L * 65535L)
+    // live: day 20 normal (8), day 21 spike (20), day 22 stall (3)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    mem.addData(
+      (0 until 8).map(k => (day(20, k), "click")) ++
+        (0 until 20).map(k => (day(21, k), "click")) ++
+        (0 until 3).map(k => (day(22, k), "click")))
+    val q = StreamOps.ewmaGate(mem.toDF().toDF("ts", "event_type"), baseline)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ewma_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ewma_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").getTime,
+        r.getAs[Long]("actual"), r.getAs[Boolean]("spike"),
+        r.getAs[Boolean]("stall"))).sortBy(_._1)
+    assert(got.length == 3)
+    assert(got(0)._2 == 8 && !got(0)._3 && !got(0)._4)
+    // 20·65536 = 1310720 > 2·524280 = 1048560 -> spike
+    assert(got(1)._2 == 20 && got(1)._3 && !got(1)._4)
+    // 2·3·65536 = 393216 < 524280 -> stall
+    assert(got(2)._2 == 3 && !got(2)._3 && got(2)._4)
+  }
+
+  test("streaming psi gate scores each window like the batch PSI formula") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hour: Int, k: Int) =
+      new java.sql.Timestamp(1700000000000L + hour * 3600000L + k * 1000L)
+    // frozen reference: uniform over [0, 10) -> 8 per bin
+    val refCounts = Seq.fill(10)(8L)
+    val (vmin, vmax) = (0.0, 10.0)
+    // hour 0 mirrors the reference (one value per bin); hour 1 collapses
+    // onto bin 0 (a hard upstream distribution break)
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    mem.addData(
+      (0 until 10).map(k => (ts(0, k), k + 0.5)) ++
+        (0 until 10).map(k => (ts(1, k), 0.5)))
+    val q = StreamOps.psiGate(mem.toDF().toDF("ts", "value"),
+        refCounts, vmin, vmax)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("psi_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("psi_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Double]("psi"),
+        r.getAs[Boolean]("drifted"))).sortBy(_._1)
+    assert(got.length == 2)
+    // replay the batch formula in the driver for both windows
+    def psiOf(cur: Seq[Long]): Double = {
+      val refTotal = refCounts.sum.toDouble
+      val curTotal = cur.sum.toDouble
+      (0 until 10).map { b =>
+        val pr = (refCounts(b) + 0.5) / (refTotal + 5.0)
+        val pc = (cur(b) + 0.5) / (curTotal + 5.0)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+    }
+    val flat = Seq.fill(10)(1L)
+    val spike = 10L +: Seq.fill(9)(0L)
+    assert(got(0)._2 == 10 && math.abs(got(0)._3 - psiOf(flat)) < 1e-12)
+    assert(!got(0)._4 && got(0)._3 < 0.25)
+    assert(got(1)._2 == 10 && math.abs(got(1)._3 - psiOf(spike)) < 1e-12)
+    assert(got(1)._4)
+  }
+
   test("streaming funnel conversions match the batch definition per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
