@@ -420,6 +420,83 @@ object Quality {
     perBin.unionByName(total).orderBy(col("column_name"), col("bin"))
   }
 
+  // ------------------------------------------------------- duplicate rows
+
+  /** Catalog-wide FULL-ROW duplicate audit — the first number a data
+    * contract review asks for, per table: exact row count, distinct-row
+    * count (md5 over the canonicalized full row), duplicates and the
+    * duplicate rate in exact ppm. quality_uniqueness answers this for
+    * documents' columns; this op sweeps every table of the catalog in
+    * one report.
+    *
+    * Cross-engine contract: the row key only needs to be INJECTIVE
+    * within each engine (distinct counts compare, representations
+    * don't); events.ts keys as unix micros on both sides (the ns→µs
+    * truncation seam). Per table ONE pruned scan → map-side-deduped
+    * DISTINCT on the 128-bit key → 1-row count, crossJoined to the
+    * plain count (the composite-keys assembly; never a
+    * count+countDistinct Expand). Output = |tables| rows.
+    */
+  def duplicateRows(spark: SparkSession, dir: String): DataFrame = {
+    val branches = Tables.all.map { t =>
+      val df = Tables.table(spark, dir, t)
+      val keyParts = df.schema.fields.map { f =>
+        val c =
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            unix_micros(col(f.name)).cast(StringType)
+          else col(f.name).cast(StringType)
+        coalesce(c, lit("<NULL>"))
+      }
+      val key = md5(concat_ws("\u0001", keyParts: _*))
+      val nd = df.select(key.as("k")).distinct()
+        .agg(count(lit(1)).as("n_distinct_rows"))
+      df.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(nd)
+        .select(lit(t).as("table_name"), col("n_rows"), col("n_distinct_rows"),
+          (col("n_rows") - col("n_distinct_rows")).as("n_duplicate_rows"),
+          expr("CAST((n_rows - n_distinct_rows) * 1000000 DIV n_rows AS BIGINT)")
+            .as("dup_ppm"))
+    }
+    branches.reduce(_ unionByName _).orderBy(col("table_name"))
+  }
+
+  val duplicateRowsSql: String = {
+    val tableCols: Seq[(String, Seq[String])] = Seq(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    val rows = tableCols.map { case (t, cols) =>
+      val parts = cols.map { c =>
+        val e = if (t == "events" && c == "ts") "epoch_us(ts)" else c
+        s"coalesce(CAST($e AS VARCHAR), '<NULL>')"
+      }.mkString(", ")
+      s"""SELECT '$t' AS table_name,
+         |  (SELECT count(*) FROM $t) AS n_rows,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT md5(concat_ws(chr(1), $parts)) FROM $t))
+         |    AS n_distinct_rows""".stripMargin
+    }
+    s"""WITH raw AS (
+       |${rows.mkString("\nUNION ALL\n")})
+       |SELECT table_name, n_rows, n_distinct_rows,
+       |  n_rows - n_distinct_rows AS n_duplicate_rows,
+       |  CAST((CAST(n_rows - n_distinct_rows AS HUGEINT) * 1000000) // n_rows
+       |    AS BIGINT) AS dup_ppm
+       |FROM raw ORDER BY table_name""".stripMargin
+  }
+
   val psiDriftSql: String =
     """WITH ev AS (
       |  SELECT event_id, value, event_type, event_id % 2 = 1 AS is_cur

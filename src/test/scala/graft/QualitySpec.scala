@@ -220,4 +220,27 @@ class QualitySpec extends AnyFunSuite {
     val psiShift = p.zip(q).map { case (a, b) => (b - a) * math.log(b / a) }.sum
     assert(psiShift > 0.25, s"hand psi $psiShift") // the 'action' band
   }
+
+  test("duplicate rows: every catalog table audited; counts recompute") {
+    val rows = Quality.duplicateRows(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSet == Tables.all.toSet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("table_name")
+      val n = r.getAs[Long]("n_rows")
+      val nd = r.getAs[Long]("n_distinct_rows")
+      assert(n == Tables.table(spark, sf, t).count(), t)
+      assert(nd <= n && r.getAs[Long]("n_duplicate_rows") == n - nd, t)
+      assert(r.getAs[Long]("dup_ppm") == (n - nd) * 1000000L / n, t)
+      // keyed tables can't have full-row duplicates: a unary PK implies
+      // row distinctness — events/orders/documents audit clean
+      if (Set("orders", "documents", "events", "embeddings")(t))
+        assert(nd == n, s"$t has unexpected duplicate rows")
+    }
+    // exact recompute of one table's distinct-row count via a different
+    // mechanism (dropDuplicates over all columns)
+    val li = Tables.lineitem(spark, sf)
+    val ndLi = li.dropDuplicates().count()
+    val got = rows.find(_.getAs[String]("table_name") == "lineitem").get
+    assert(got.getAs[Long]("n_distinct_rows") == ndLi)
+  }
 }
