@@ -516,16 +516,19 @@ object Similarity {
     (vecs, centroids)
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (vecs, centroids) = ivfTrain(spark, dir)
-    val indexed = vecs.withColumn("cid", ivfAssignExpr(centroids))
+  /** nprobe-parameterized probe + exact in-list rank over an assigned
+    * index — annIvf's core, factored so the probe-budget sweep measures
+    * EXACTLY the serving path (same assignment, same ranking, only the
+    * probe count varies). */
+  private def ivfTopFor(indexed: DataFrame,
+      centroids: Array[(Int, Array[Double])], nprobe: Int): DataFrame = {
     val queries = indexed.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"),
         col("nrm").as("nrm_q"), col("v"))
     // nprobe nearest centroids per query
     val probeCols = ivfScoredStructs(centroids)
     val probed = queries
-      .withColumn("probes", slice(array_sort(array(probeCols: _*)), 1, ivfProbe))
+      .withColumn("probes", slice(array_sort(array(probeCols: _*)), 1, nprobe))
       .select(col("query_id"), col("v_q"), col("nrm_q"),
         explode(expr("transform(probes, p -> p.cid)")).as("cid"))
     val w = Window.partitionBy(col("query_id"))
@@ -537,6 +540,12 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (vecs, centroids) = ivfTrain(spark, dir)
+    val indexed = vecs.withColumn("cid", ivfAssignExpr(centroids))
+    ivfTopFor(indexed, centroids, ivfProbe)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -587,29 +596,36 @@ object Similarity {
 
   /** IVF chain extended through the ranked top-10 (`ivf_top`) — shared
     * by annIvfSql and the recall report's oracle. */
-  private lazy val annIvfRankedCtes: String = {
+  /** The probe → candidate → rank CTE triple for one probe budget, with
+    * suffixed names so several budgets can coexist in one query (the
+    * probe-sweep oracle); sfx = "" keeps the historical names for the
+    * single-budget oracles. */
+  private def ivfProbeCtesFor(p: Int, sfx: String): String = {
     def dist(vexpr: String, cexpr: String): String = ivfDistSql(vexpr, cexpr)
-    s"""$ivfCtes,
-       |probes AS (
+    s"""probes$sfx AS (
        |  SELECT e.vec_id AS query_id, c.cid
        |  FROM e CROSS JOIN c2 c WHERE e.vec_id < 20
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY ${dist("e.v", "c.v")}, c.cid) <= $ivfProbe),
-       |cand AS (
+       |    ORDER BY ${dist("e.v", "c.v")}, c.cid) <= $p),
+       |cand$sfx AS (
        |  SELECT p.query_id, i.vec_id AS neighbor_id,
        |    round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS cosine
-       |  FROM probes p
+       |  FROM probes$sfx p
        |  JOIN idx i ON i.cid = p.cid AND i.vec_id <> p.query_id
        |  JOIN e qe ON qe.vec_id = p.query_id
        |  JOIN e ne ON ne.vec_id = i.vec_id),
-       |ivf_top AS (
+       |ivf_top$sfx AS (
        |  SELECT query_id, rank, neighbor_id, cosine FROM (
        |    SELECT query_id, neighbor_id, cosine,
        |      CAST(row_number() OVER (PARTITION BY query_id
        |        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-       |    FROM cand)
+       |    FROM cand$sfx)
        |  WHERE rank <= 10)""".stripMargin
   }
+
+  private lazy val annIvfRankedCtes: String =
+    s"""$ivfCtes,
+       |${ivfProbeCtesFor(ivfProbe, "")}""".stripMargin
 
   lazy val annIvfSql: String =
     s"""WITH $annIvfRankedCtes
@@ -662,6 +678,76 @@ object Similarity {
        |FROM brute b LEFT JOIN ivf_top i
        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
+  // ------------------------------------------------------- probe sweep
+
+  /** Probe-budget sweep — THE IVF tuning curve (recall@10 vs nprobe, the
+    * chart every ANN deployment draws before fixing its latency/recall
+    * trade): micro-averaged recall against the exact brute-force top-10
+    * for nprobe ∈ {1, 2, 4, 8}. nprobe = k (= 8) probes every list, so
+    * its row is the built-in sanity anchor: candidate set = whole
+    * corpus ⇒ recall exactly 1e6 ppm, and recall is monotone in the
+    * budget (both asserted in spec). Trains ONCE (ivfTrain — the same
+    * quantizer annIvf serves) and reuses the factored probe/rank path
+    * per budget, so the curve measures exactly the serving path; the
+    * oracle renders the SAME probe CTE triple once per budget over one
+    * shared trained chain. |budgets| output rows; the brute baseline is
+    * the bounded 20-query broadcast job.
+    */
+  val ivfSweepProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  def simIvfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val (vecs, centroids) = ivfTrain(spark, dir)
+    val indexed = vecs.withColumn("cid", ivfAssignExpr(centroids))
+    val brute = topkBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val totals = brute.agg(count(lit(1)).as("total_true"))
+    val nq = brute.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    val rows = ivfSweepProbes.map { p =>
+      val hits = brute.join(
+          ivfTopFor(indexed, centroids, p).select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("total_hits"))
+      totals.crossJoin(nq).crossJoin(hits)
+        .select(lit(p).as("probe_count"), col("n_queries"),
+          col("total_true"), col("total_hits"),
+          expr("CAST(total_hits * 1000000 DIV total_true AS BIGINT)")
+            .as("recall_ppm"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("probe_count"))
+  }
+
+  lazy val simIvfProbeSweepSql: String = {
+    val probeCtes = ivfSweepProbes.map(p => ivfProbeCtesFor(p, s"_p$p")).mkString(",\n")
+    val unions = ivfSweepProbes.map { p =>
+      s"""SELECT $p AS probe_count,
+         |  (SELECT count(DISTINCT query_id) FROM brute) AS n_queries,
+         |  (SELECT count(*) FROM brute) AS total_true,
+         |  (SELECT count(*) FROM brute b
+         |     JOIN ivf_top_p$p i ON b.query_id = i.query_id
+         |       AND b.neighbor_id = i.neighbor_id) AS total_hits,
+         |  CAST(((SELECT count(*) FROM brute b
+         |     JOIN ivf_top_p$p i ON b.query_id = i.query_id
+         |       AND b.neighbor_id = i.neighbor_id) * 1000000)
+         |    // (SELECT count(*) FROM brute) AS BIGINT) AS recall_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ivfCtes,
+       |$probeCtes,
+       |brute_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM brute_scored)
+       |  WHERE rank <= 10)
+       |$unions
+       |ORDER BY probe_count""".stripMargin
+  }
 
   // ------------------------------------------------------- kmeans profile
   //

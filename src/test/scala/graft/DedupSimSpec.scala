@@ -573,6 +573,31 @@ class DedupSimSpec extends AnyFunSuite {
     assert(overall > 0.2, s"ivf recall collapsed: $overall")
   }
 
+  test("probe sweep: recall monotone in budget; full probe is exact; p=2 matches the report") {
+    val rows = Similarity.simIvfProbeSweep(spark, sf).collect()
+      .sortBy(_.getAs[Int]("probe_count"))
+    assert(rows.map(_.getAs[Int]("probe_count")).toSeq == Similarity.ivfSweepProbes)
+    // micro-average consistency within each row
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("total_hits") * 1000000L / r.getAs[Long]("total_true"))
+      assert(r.getAs[Long]("total_true") == r.getAs[Long]("n_queries") * 10)
+    }
+    // more probes can only help
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("total_hits") <= b.getAs[Long]("total_hits"),
+        s"recall regressed from nprobe ${a.getAs[Int]("probe_count")}")
+    }
+    // probing every list IS brute force: the sanity anchor
+    assert(rows.last.getAs[Long]("recall_ppm") == 1000000L)
+    // the sweep's nprobe = ivfProbe row must micro-average exactly what
+    // the per-query recall report measures (same quantizer, same path)
+    val rep = Similarity.simRecallReport(spark, sf).collect()
+    val repHits = rep.map(_.getAs[Long]("n_hits")).sum
+    val atDefault = rows.find(_.getAs[Int]("probe_count") == Similarity.ivfProbe).get
+    assert(atDefault.getAs[Long]("total_hits") == repHits)
+  }
+
   test("knn classify report matches a driver-side seed-vote recompute") {
     val rows = Similarity.knnClassify(spark, sf).collect()
     val gold = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
