@@ -739,4 +739,187 @@ object EventAnalytics {
        |  (users_1d * 1000000) // users_7d AS dau_wau_ppm
        |FROM daily JOIN wau USING (day_us)
        |ORDER BY day_us""".stripMargin
+
+  /** Batch last-touch attribution — the attributionJoin stream's at-rest
+    * twin, over the whole event history: every purchase is attributed to
+    * the user's LAST preceding touch event (click or view) within the
+    * 7-day lookback, else to 'none'; the report rolls up conversions,
+    * exact decimal attributed revenue, and the integer-ppm conversion
+    * share per touch channel — the "which surface closes sales"
+    * marketing-analytics staple.
+    *
+    * Scale shape: ONE events scan; the carry-forward is a user-
+    * partitioned window (user-keyed, skew-free) whose frame excludes the
+    * current row (UNBOUNDED PRECEDING .. 1 PRECEDING — a same-instant
+    * touch still precedes the purchase in (ts, event_id) order, on both
+    * engines); the touch timestamp and type ride as two parallel
+    * last(..., ignoreNulls) columns over the SAME null pattern, so the
+    * pair is always consistent without a struct seam. The rollup is a
+    * ≤|channels|+1-key aggregation + a 1-row total broadcast. Revenue is
+    * DECIMAL(12,2) from the projection (the house events.value rule),
+    * double only at the output edge.
+    */
+  val attributionLookbackUs = 604800000000L // 7 days
+
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+    val touched = evs
+      .withColumn("touch_us",
+        last(when(isTouch, col("t_us")), ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+    val perChannel = touched
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_us").isNull ||
+            col("t_us") - col("touch_us") > attributionLookbackUs, lit("none"))
+          .otherwise(col("touch_type")).as("attributed_to"),
+        col("v"))
+      .groupBy(col("attributed_to"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("v")).as("rev_d"))
+    val total = perChannel.agg(sum(col("n_conversions")).as("t_conv"))
+    perChannel.crossJoin(broadcast(total))
+      .select(col("attributed_to"), col("n_conversions"),
+        col("rev_d").cast(DoubleType).as("attributed_value"),
+        expr("CAST(n_conversions * 1000000 DIV t_conv AS BIGINT)")
+          .as("conv_share_ppm"))
+      .orderBy(col("attributed_to"))
+  }
+
+  val eventsAttributionSql: String =
+    s"""WITH evs AS (
+       |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us,
+       |    CAST(value AS DECIMAL(12,2)) AS v
+       |  FROM events),
+       |t AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type IN ('click', 'view')
+       |        THEN t_us END IGNORE NULLS)
+       |      OVER w AS touch_us,
+       |    last_value(CASE WHEN event_type IN ('click', 'view')
+       |        THEN event_type END IGNORE NULLS)
+       |      OVER w AS touch_type
+       |  FROM evs
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |per_channel AS (
+       |  SELECT CASE WHEN touch_us IS NULL
+       |      OR t_us - touch_us > $attributionLookbackUs THEN 'none'
+       |      ELSE touch_type END AS attributed_to,
+       |    count(*) AS n_conversions, sum(v) AS rev_d
+       |  FROM t WHERE event_type = 'purchase'
+       |  GROUP BY 1),
+       |total AS (SELECT sum(n_conversions) AS t_conv FROM per_channel)
+       |SELECT attributed_to, CAST(n_conversions AS BIGINT) AS n_conversions,
+       |  CAST(rev_d AS DOUBLE) AS attributed_value,
+       |  CAST((CAST(n_conversions AS HUGEINT) * 1000000) // t_conv AS BIGINT)
+       |    AS conv_share_ppm
+       |FROM per_channel, total
+       |ORDER BY attributed_to""".stripMargin
+
+  /** Stationary distribution of the user-journey Markov chain — where
+    * event traffic settles if today's per-user transition behavior
+    * repeats: the power-iteration fixpoint of the row-stochastic
+    * event-type transition matrix (the q_user_paths transition counts,
+    * normalized per source type). The long-run type mix is the
+    * capacity-planning number behind "which surface ultimately absorbs
+    * the traffic"; comparing it to the CURRENT type mix is the
+    * trending-up/down signal.
+    *
+    * Scale shape: the only data-sized work is ONE events scan feeding a
+    * (user)-partitioned lead window (user-keyed, skew-free — the
+    * events_gap_histogram discipline) and a (src,dst)-keyed two-phase
+    * count. Everything after is arithmetic over a BOUNDED aggregate —
+    * the |event_types|² transition matrix (≤ a few thousand cells for
+    * any real schema, independent of row count), which is collected and
+    * iterated on the driver exactly like a broadcast scalar: the same
+    * justification as the 1-row total broadcasts, applied to a
+    * matrix-sized one. No per-row data ever reaches the driver.
+    *
+    * Determinism contract (the pageRank discipline): the entire
+    * iteration is fixed-point BIGINT arithmetic in 1e-9 probability
+    * units — per-cell flow is (π_i · cnt_ij) DIV tot_i, sums are exact
+    * longs, K = {markovIters} rounds unrolled identically in the DuckDB
+    * oracle. Types with no outgoing transitions self-loop (absorbing),
+    * so mass never silently vanishes; floor-division dust does decay
+    * mass, identically on both engines.
+    */
+  val markovIters = 8
+  val markovUnit = 1000000000L
+
+  def eventsMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded collect: |types|² cells, schema-sized not data-sized
+    val cells = trans.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val tot = cells.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
+    val n = nodes.length.toLong
+    var pi: Map[String, Long] = nodes.map(_ -> markovUnit / n).toMap
+    for (_ <- 1 to markovIters) {
+      val next = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      for ((s, d, c) <- cells) next(d) += pi(s) * c / tot(s)
+      for (node <- nodes if !tot.contains(node)) next(node) += pi(node)
+      pi = nodes.map(v => v -> next(v)).toMap
+    }
+    val out = nodes.map(v => (v, pi(v)))
+    spark.createDataFrame(out.toSeq)
+      .toDF("event_type", "pi_e9")
+      .orderBy(col("pi_e9").desc, col("event_type"))
+  }
+
+  val eventsMarkovStationarySql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH tr AS MATERIALIZED (
+              |  SELECT src, dst, count(*) AS cnt FROM (
+              |    SELECT event_type AS src,
+              |      lead(event_type) OVER (
+              |        PARTITION BY user_id ORDER BY ts, event_id) AS dst
+              |    FROM events)
+              |  WHERE dst IS NOT NULL GROUP BY src, dst),
+              |nodes AS MATERIALIZED (
+              |  SELECT DISTINCT node FROM (
+              |    SELECT src AS node FROM tr UNION SELECT dst FROM tr)),
+              |tot AS MATERIALIZED (
+              |  SELECT src, sum(cnt) AS tot FROM tr GROUP BY src),
+              |p0 AS (
+              |  SELECT node, $markovUnit // (SELECT count(*) FROM nodes) AS pi
+              |  FROM nodes)""".stripMargin
+    for (k <- 1 to markovIters) {
+      sb ++= s""",
+                |p$k AS (
+                |  SELECT node, sum(pi) AS pi FROM (
+                |    SELECT t.dst AS node, (p.pi * t.cnt) // tt.tot AS pi
+                |    FROM p${k - 1} p
+                |    JOIN tot tt ON tt.src = p.node
+                |    JOIN tr t ON t.src = p.node
+                |    UNION ALL
+                |    SELECT p.node, p.pi FROM p${k - 1} p
+                |    WHERE p.node NOT IN (SELECT src FROM tot))
+                |  GROUP BY node)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT n.node AS event_type,
+              |  CAST(coalesce(p.pi, 0) AS BIGINT) AS pi_e9
+              |FROM nodes n LEFT JOIN p$markovIters p ON p.node = n.node
+              |ORDER BY pi_e9 DESC, event_type""".stripMargin
+    sb.toString
+  }
 }

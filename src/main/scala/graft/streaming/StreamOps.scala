@@ -382,6 +382,45 @@ object StreamOps {
       .withColumn("drifted", col("psi") > actionAt)
   }
 
+  /** Streaming format-drift gate — profile_value_patterns' live twin:
+    * each arriving row's watched field is reduced in-row to the
+    * profiler's collapsed char-class mask (A/a/9 + run-collapse, the
+    * exact Patterns expressions) and probed against the STATIC
+    * known-mask dictionary the batch profiler shipped (format-diversity-
+    * sized — broadcast); each closing window reports total rows, rows
+    * whose mask is NOVEL, the exact novel share in integer ppm, and the
+    * gate verdict. An upstream schema/format break (new ID shape,
+    * locale flip, quoting change) surfaces as a novel-mask spike within
+    * one window instead of corrupting a day of downstream parses.
+    *
+    * State = the single windowed aggregation (watermark-bounded,
+    * O(active windows)); the mask rewrite is three codegen'd
+    * regexp_replace calls, in-row; the dictionary probe is one
+    * stream-static left join against a broadcast-sized table.
+    *
+    * `rows` needs (ts, v: string — the watched field, pre-projected by
+    * the caller); `knownMasks` needs (mask).
+    */
+  def maskGate(rows: DataFrame, knownMasks: DataFrame,
+      ceilingPpm: Long = 1000L): DataFrame = {
+    import graft.profile.Patterns
+    val masked = rows
+      .withColumn("mask",
+        when(col("v").isNull, lit("<null>"))
+          .otherwise(expr(Patterns.collapseExpr(Patterns.maskExpr("v")))))
+      .withWatermark("ts", "1 hour")
+    masked
+      .join(broadcast(knownMasks.select(col("mask"), lit(1L).as("known"))),
+        Seq("mask"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("w.start").as("hour"), col("n_rows"), col("n_novel"),
+        expr("CAST(n_novel * 1000000 DIV n_rows AS BIGINT)")
+          .as("novel_ppm"))
+      .withColumn("gate", col("novel_ppm") > ceilingPpm)
+  }
+
   case class FunnelEv(event_id: Long, t_us: Long, user_id: Long, event_type: String)
   case class FunnelState(tSignup: Long, converted: Boolean)
   case class Conversion(user_id: Long, t_signup: Long, t_purchase: Long,

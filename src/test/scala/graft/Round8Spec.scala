@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EventAnalytics, GraphOps}
+import graft.profile.Patterns
+
+/** Independent driver-side recomputes for the round-8 first wave —
+  * the math cross-check (the DuckDB gate cross-checks the SQL).
+  */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("markov stationary: fixed-point iteration matches a BigInt recompute") {
+    // raw transitions recomputed via collect + Scala sort (no window)
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    val cells = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq.zip(seq.tail)
+    }.groupBy(identity).map { case ((s, d), xs) => (s, d, xs.size.toLong) }
+    val nodes = (cells.map(_._1) ++ cells.map(_._2)).toSeq.distinct.sorted
+    val tot = cells.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
+    var pi: Map[String, BigInt] =
+      nodes.map(_ -> BigInt(EventAnalytics.markovUnit / nodes.length)).toMap
+    for (_ <- 1 to EventAnalytics.markovIters) {
+      val next = scala.collection.mutable.Map[String, BigInt]()
+        .withDefaultValue(BigInt(0))
+      for ((s, d, c) <- cells) next(d) += pi(s) * c / tot(s)
+      for (n <- nodes if !tot.contains(n)) next(n) += pi(n)
+      pi = nodes.map(v => v -> next(v)).toMap
+    }
+    val got = EventAnalytics.eventsMarkovStationary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).sorted.toSeq == nodes)
+    got.foreach { case (t, p) =>
+      assert(BigInt(p) == pi(t), s"pi mismatch for $t") }
+    // floor-division dust only ever removes mass
+    assert(got.map(_._2).sum <= EventAnalytics.markovUnit)
+    assert(got.map(_._2).sum > EventAnalytics.markovUnit * 9 / 10)
+  }
+
+  test("attribution: last-touch recompute from per-user sorted logs") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val expected = scala.collection.mutable.Map[String, (Long, BigDecimal)]()
+      .withDefaultValue((0L, BigDecimal(0)))
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._4))
+      var touch: Option[(Long, String)] = None
+      seq.foreach { case (_, typ, tUs, _, v) =>
+        if (typ == "purchase") {
+          val ch = touch match {
+            case Some((tu, tt))
+                if tUs - tu <= EventAnalytics.attributionLookbackUs => tt
+            case _ => "none"
+          }
+          val (n, s) = expected(ch)
+          expected(ch) = (n + 1,
+            s + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        }
+        if (typ == "click" || typ == "view") touch = Some((tUs, typ))
+      }
+    }
+    val totalConv = expected.values.map(_._1).sum
+    val got = EventAnalytics.eventsAttribution(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+    got.foreach { r =>
+      val (n, s) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_conversions") == n)
+      assert(math.abs(r.getAs[Double]("attributed_value") - s.toDouble) < 1e-6)
+      assert(r.getAs[Long]("conv_share_ppm") == n * 1000000L / totalConv)
+    }
+  }
+
+  test("supplier overlap: exact Jaccard recompute from raw customer sets") {
+    val cs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = cs.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+    val got = GraphOps.supplierOverlap(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 100)
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (bySupp(a), bySupp(b))
+      val common = (sa & sb).size.toLong
+      assert(a < b)
+      assert(r.getAs[Long]("n_common") == common)
+      assert(r.getAs[Long]("deg_a") == sa.size.toLong)
+      assert(r.getAs[Long]("deg_b") == sb.size.toLong)
+      assert(r.getAs[Long]("jaccard_ppm") ==
+        common * 1000000L / (sa.size + sb.size - common))
+      assert(common >= GraphOps.overlapMinCommon)
+    }
+    // descending score order (ties broken by keys upstream)
+    val scores = got.map(_.getAs[Long]("jaccard_ppm"))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("value patterns: scala-regex recompute for customer.c_name") {
+    def mask(v: String): String = v
+      .replaceAll("[A-Z]", "A").replaceAll("[a-z]", "a").replaceAll("[0-9]", "9")
+    def collapse(m: String): String = m
+      .replaceAll("A+", "A").replaceAll("a+", "a").replaceAll("9+", "9")
+    val names = Tables.customer(spark, sf).select(col("c_name"))
+      .collect().map(_.getString(0))
+    val expected = names.groupBy(n => collapse(mask(n)))
+      .map { case (m, xs) =>
+        m -> (xs.length.toLong, xs.map(mask).distinct.length.toLong, xs.min) }
+    val got = Patterns.valuePatterns(spark, sf).collect()
+      .filter(r => r.getString(0) == "customer" && r.getString(1) == "c_name")
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[String]("mask")).toSet == expected.keySet)
+    got.foreach { r =>
+      val (n, nRaw, ex) = expected(r.getAs[String]("mask"))
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_raw_masks") == nRaw)
+      assert(r.getAs[String]("example") == ex)
+      assert(r.getAs[Long]("share_ppm") == n * 1000000L / names.length)
+    }
+    // per-column shares sum to ≤ 1e6 with only floor dust missing
+    val all = Patterns.valuePatterns(spark, sf).collect()
+    all.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (_, rows) =>
+        val s = rows.map(_.getAs[Long]("share_ppm")).sum
+        assert(s <= 1000000L && s > 1000000L - rows.length)
+    }
+  }
+}

@@ -509,4 +509,35 @@ class StreamingSpec extends AnyFunSuite {
     // bounded state: never more than k rows per type per trigger
     assert(snap1.groupBy(_.event_type).values.forall(_.length <= StreamOps.streamTopN))
   }
+
+  test("streaming mask gate flags novel-format windows against the static dictionary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hour: Int, k: Int) =
+      new java.sql.Timestamp(1700000000000L + hour * 3600000L + k * 1000L)
+    // dictionary = the batch profiler's masks for this field
+    val known = Seq("Aa#9").toDF("mask")
+    // hour 0: 8 conforming IDs; hour 1: 6 conforming + 3 novel-format +
+    // 1 null (null keeps its own <null> mask, also novel here)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    mem.addData(
+      (0 until 8).map(k => (ts(0, k), f"Customer#$k%09d")) ++
+        (0 until 6).map(k => (ts(1, k), f"Customer#$k%09d")) ++
+        Seq((ts(1, 6), "cust-42"), (ts(1, 7), "cust-43"),
+          (ts(1, 8), "CUST 44"), (ts(1, 9), null)))
+    val q = StreamOps.maskGate(mem.toDF().toDF("ts", "v"), known,
+        ceilingPpm = 100000L)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mask_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("mask_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").getTime,
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_novel"),
+        r.getAs[Long]("novel_ppm"), r.getAs[Boolean]("gate"))).sortBy(_._1)
+    assert(got.length == 2)
+    def hourFloor(t: Long) = t / 3600000L * 3600000L
+    assert(got(0) == (hourFloor(ts(0, 0).getTime), 8L, 0L, 0L, false))
+    // 4 novel of 10 -> 400000 ppm > the 100000 ceiling
+    assert(got(1) == (hourFloor(ts(1, 0).getTime), 10L, 4L, 400000L, true))
+  }
 }
