@@ -47,27 +47,58 @@ object ConstraintInference {
     */
   private def statsFor(tables: Seq[(String, DataFrame)],
       approx: Boolean): DataFrame =
-    if (approx) statsForApprox(tables) else {
-      val branches = tables.flatMap { case (t, df) =>
-        df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
-          val c = col(f.name)
-          val isInt = isIntType(f.dataType)
-          val isStr = f.dataType == StringType
-          val aggs = Seq(
-            count(lit(1)).as("n_rows"),
-            count(c).as("n_nonnull"),
-            countDistinct(c).as("n_distinct"),
-            (if (isInt) min(c).cast(LongType) else lit(null).cast(LongType)).as("min_l"),
-            (if (isInt) max(c).cast(LongType) else lit(null).cast(LongType)).as("max_l"))
-          df.select(c).agg(aggs.head, aggs.tail: _*)
-            .select(lit(t).as("table_name"), lit(f.name).as("column_name"),
-              lit(isInt).as("is_int"), lit(isStr).as("is_str"),
-              col("n_rows"), col("n_nonnull"), col("n_distinct"),
-              col("min_l"), col("max_l"))
-        }
+    if (approx) statsForApprox(tables) else statsForExact(tables)
+
+  /** Exact-mode stats, Expand-free (r8): the first cut put countDistinct
+    * + count/min/max in ONE no-group agg per column, and
+    * RewriteDistinctAggregates plans that mix as a 2-projection Expand —
+    * every branch's rows doubled before the partial aggregate. Split
+    * instead into (a) ONE plain pass per TABLE folding count/nonnull/
+    * min/max for ALL columns into a single HashAggregate over the
+    * full-width scan (no distinct agg → no Expand; same bytes the
+    * per-column branches read anyway, now one stage instead of N), and
+    * (b) one LONE countDistinct branch per column (a lone distinct agg
+    * plans as partial-distinct → global count, no Expand). The two
+    * frames meet in a \|columns\|-row join. Isolated sf0.1 bench:
+    * 6.1 s → 5.3 s median.
+    */
+  private def statsForExact(tables: Seq[(String, DataFrame)]): DataFrame = {
+    val plain = tables.map { case (t, df) =>
+      val fields = df.schema.fields.filter(f => keyable(f.dataType))
+      val aggs = count(lit(1)).as("n_rows") +: fields.flatMap { f =>
+        val c = col(f.name)
+        val isInt = isIntType(f.dataType)
+        Seq(count(c).as(s"nn_${f.name}"),
+          (if (isInt) min(c).cast(LongType) else lit(null).cast(LongType))
+            .as(s"mn_${f.name}"),
+          (if (isInt) max(c).cast(LongType) else lit(null).cast(LongType))
+            .as(s"mx_${f.name}"))
       }
-      branches.reduce(_ unionByName _)
-    }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val structs = fields.map { f =>
+        struct(lit(t).as("table_name"), lit(f.name).as("column_name"),
+          lit(isIntType(f.dataType)).as("is_int"),
+          lit(f.dataType == StringType).as("is_str"),
+          col("n_rows"), col(s"nn_${f.name}").as("n_nonnull"),
+          col(s"mn_${f.name}").as("min_l"), col(s"mx_${f.name}").as("max_l"))
+      }
+      one.select(inline(array(structs: _*)))
+    }.reduce(_ unionByName _)
+    val nd = tables.flatMap { case (t, df) =>
+      df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
+        // distinct over the raw value, not a hash: the partial distinct
+        // dedupes before the exchange so even wide text columns move at
+        // most |distinct| values, and the nd == nn uniqueness decision
+        // stays collision-free by construction (an md5 rewrite measured
+        // SLOWER here — hashing every cell costs more than it saves)
+        df.select(col(f.name))
+          .agg(countDistinct(col(f.name)).as("n_distinct"))
+          .select(lit(t).as("table_name"), lit(f.name).as("column_name"),
+            col("n_distinct"))
+      }
+    }.reduce(_ unionByName _)
+    plain.join(nd, Seq("table_name", "column_name"))
+  }
 
   /** Approx-mode stats: ONE aggregation PER TABLE, not per column —
     * sketches compose inside a single agg with no Expand (the
