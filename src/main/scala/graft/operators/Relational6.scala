@@ -315,4 +315,140 @@ object Relational6 {
        |    AS row_share_ppm
        |FROM moves
        |ORDER BY dec_from, dec_to""".stripMargin
+
+  /** Nation trade balance — each nation's EXPORT revenue (lines shipped
+    * by its suppliers) vs IMPORT revenue (lines bought by its
+    * customers) and the balance, the macro view the q7 bilateral
+    * volume-shipping matrix rolls up to.
+    *
+    * Scale shape: ONE lineitem⋈orders fact co-shuffle on the order key
+    * (never broadcast — the q7/q12 rule); supplier→nation and
+    * customer→nation are true dimensions, broadcast. Each fact row then
+    * contributes to TWO nations (its exporter and its importer), so the
+    * row explodes into exactly two (nation, role, rev) entries in-row —
+    * a bounded ×2, immediately crushed by the map-side-combined
+    * \|nation\|-key aggregation (the conditional-sum pivot). Exact
+    * DECIMAL(18,4) revenue all the way; double only at the edge.
+    */
+  def qNationTradeBalance(spark: SparkSession, dir: String): DataFrame = {
+    val sn = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("exp_nation"))
+    val cn = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("imp_nation"))
+    val zero = lit(0).cast(DecimalType(18, 4))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .select(explode(array(
+        struct(col("exp_nation").as("n_name"), lit("export").as("role"),
+          revenue.as("rev")),
+        struct(col("imp_nation").as("n_name"), lit("import").as("role"),
+          revenue.as("rev")))).as("x"))
+      .groupBy(col("x.n_name").as("n_name"))
+      .agg(
+        sum(when(col("x.role") === "export", col("x.rev")).otherwise(zero))
+          .as("exp_d"),
+        sum(when(col("x.role") === "import", col("x.rev")).otherwise(zero))
+          .as("imp_d"),
+        sum(when(col("x.role") === "export", 1L).otherwise(0L))
+          .as("n_export_lines"),
+        sum(when(col("x.role") === "import", 1L).otherwise(0L))
+          .as("n_import_lines"))
+      .select(col("n_name"),
+        col("exp_d").cast(DoubleType).as("export_rev"),
+        col("imp_d").cast(DoubleType).as("import_rev"),
+        (col("exp_d") - col("imp_d")).cast(DoubleType).as("balance"),
+        col("n_export_lines"), col("n_import_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  val qNationTradeBalanceSql: String =
+    """WITH fact AS (
+      |  SELECT sn.n_name AS exp_nation, cn.n_name AS imp_nation,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1.00 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+      |      AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey),
+      |u AS (
+      |  SELECT exp_nation AS n_name, 'export' AS role, rev FROM fact
+      |  UNION ALL
+      |  SELECT imp_nation, 'import', rev FROM fact)
+      |SELECT n_name,
+      |  CAST(sum(CASE WHEN role = 'export' THEN rev ELSE 0 END) AS DOUBLE)
+      |    AS export_rev,
+      |  CAST(sum(CASE WHEN role = 'import' THEN rev ELSE 0 END) AS DOUBLE)
+      |    AS import_rev,
+      |  CAST(sum(CASE WHEN role = 'export' THEN rev ELSE 0 END) -
+      |       sum(CASE WHEN role = 'import' THEN rev ELSE 0 END) AS DOUBLE)
+      |    AS balance,
+      |  sum(CASE WHEN role = 'export' THEN 1 ELSE 0 END) AS n_export_lines,
+      |  sum(CASE WHEN role = 'import' THEN 1 ELSE 0 END) AS n_import_lines
+      |FROM u GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Year-over-year revenue growth per customer nation — the trend
+    * report over the fact: exact decimal yearly revenue, previous year
+    * via lag, growth as the exact-decimal delta over the exact-decimal
+    * base (both cast to double only for the final division — identical
+    * IEEE semantics both engines; no integer-division sign seam on
+    * shrinking years). First observed year reports NULL growth.
+    *
+    * Scale shape: ONE fact co-shuffle (lineitem⋈orders on the order
+    * key), customer→nation broadcast, one (nation, year) two-phase
+    * agg; the lag window partitions by nation over \|years\| rows —
+    * bounded, never data-sized.
+    */
+  def qYearlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cn = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val perYear = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"),
+        year(col("o_orderdate")).cast(IntegerType).as("yr"))
+      .agg(sum(revenue).as("rev_d"), count(lit(1)).as("n_lines"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    perYear
+      .withColumn("prev_d", lag(col("rev_d"), 1).over(w))
+      .select(col("n_name"), col("yr"),
+        col("rev_d").cast(DoubleType).as("revenue"),
+        col("prev_d").cast(DoubleType).as("prev_revenue"),
+        ((col("rev_d") - col("prev_d")).cast(DoubleType) /
+          col("prev_d").cast(DoubleType)).as("yoy_growth"),
+        col("n_lines"))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
+  val qYearlyGrowthSql: String =
+    """WITH per_year AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1.00 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+      |      AS DECIMAL(18,4))) AS rev_d,
+      |    count(*) AS n_lines
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, yr)
+      |SELECT n_name, yr, CAST(rev_d AS DOUBLE) AS revenue,
+      |  CAST(lag(rev_d) OVER w AS DOUBLE) AS prev_revenue,
+      |  CAST(rev_d - lag(rev_d) OVER w AS DOUBLE) /
+      |    CAST(lag(rev_d) OVER w AS DOUBLE) AS yoy_growth,
+      |  n_lines
+      |FROM per_year
+      |WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+      |ORDER BY n_name, yr""".stripMargin
 }

@@ -106,6 +106,66 @@ class Round8Spec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("trade balance: per-nation export/import sums from a raw replay") {
+    import graft.operators.Relational6
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey").as("sn"), col("c_nationkey").as("cn"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+    def revOf(p: Double, d: Double): BigDecimal =
+      (BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        (BigDecimal("1.00") -
+          BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val nations = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val exp = scala.collection.mutable.Map[String, BigDecimal]()
+      .withDefaultValue(BigDecimal(0))
+    val imp = scala.collection.mutable.Map[String, BigDecimal]()
+      .withDefaultValue(BigDecimal(0))
+    li.foreach { r =>
+      val rev = revOf(r.getDouble(2), r.getDouble(3))
+      exp(nations(r.getInt(0))) += rev
+      imp(nations(r.getInt(1))) += rev
+    }
+    val got = Relational6.qNationTradeBalance(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val n = r.getString(0)
+      assert(math.abs(r.getAs[Double]("export_rev") - exp(n).toDouble) < 1e-6)
+      assert(math.abs(r.getAs[Double]("import_rev") - imp(n).toDouble) < 1e-6)
+      assert(math.abs(r.getAs[Double]("balance") -
+        (exp(n) - imp(n)).toDouble) < 1e-6)
+    }
+    // global conservation: every line exported once and imported once
+    assert(got.map(_.getAs[Long]("n_export_lines")).sum ==
+      got.map(_.getAs[Long]("n_import_lines")).sum)
+  }
+
+  test("yearly growth: lag semantics and the exact-decimal growth ratio") {
+    import graft.operators.Relational6
+    val rows = Relational6.qYearlyGrowth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_.getString(0))
+    byNation.values.foreach { rs =>
+      val seq = rs.sortBy(_.getAs[Int]("yr"))
+      // first year: null prev + null growth; later: prev == last rev and
+      // growth == (rev - prev) / prev
+      assert(seq.head.isNullAt(seq.head.fieldIndex("prev_revenue")))
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          val prev = b.getAs[Double]("prev_revenue")
+          assert(math.abs(prev - a.getAs[Double]("revenue")) < 1e-9)
+          val g = (b.getAs[Double]("revenue") - prev) / prev
+          assert(math.abs(b.getAs[Double]("yoy_growth") - g) < 1e-12)
+        case _ => ()
+      }
+    }
+  }
+
   test("value patterns: scala-regex recompute for customer.c_name") {
     def mask(v: String): String = v
       .replaceAll("[A-Z]", "A").replaceAll("[a-z]", "a").replaceAll("[0-9]", "9")
