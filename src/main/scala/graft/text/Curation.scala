@@ -522,11 +522,14 @@ object Curation {
     * weights in exact integer ppm (the q14 IntegralDivide device).
     */
   def mixDedupDiscount(spark: SparkSession, dir: String): DataFrame = {
-    val kept = keepBest(spark, dir).select(col("canon_id"), col("kept_doc_id"))
-    val dropped = Dedup.components(spark, dir)
-      .select(col("doc_id"), col("canon_id"))
-      .join(kept, "canon_id")
-      .filter(col("doc_id") =!= col("kept_doc_id"))
+    val kept = keepBest(spark, dir).select(col("kept_doc_id"))
+    // dropped = documents − kept (the curationFunnel device): keepBest
+    // covers every component including singletons, so the complement
+    // over the documents scan IS the loser set — no second run of the
+    // components fixpoint just to enumerate members
+    val dropped = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(kept, col("doc_id") === col("kept_doc_id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("is_dropped"))
     val perSrc = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), expr(toksExpr).cast("long").as("toks"))
