@@ -59,15 +59,27 @@ object GraphOps {
       .unionByName(pairs
         .select(concat(lit("s:"), col("s").cast("string")).as("src"),
           concat(lit("c:"), col("c").cast("string")).as("dst")))
-    // (src, dst, deg) materialized ONCE — the per-round join relation
-    val edgesDeg = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+    // the expensive lineage (orders⋈lineitem distinct) materializes
+    // exactly ONCE; degrees and the per-round join relation both read
+    // the checkpointed edge blocks. degrees double as the node list for
+    // n and the init vector (every node is a src — edges carry both
+    // directions), and broadcast into the edge join — the first cut
+    // re-shuffled edges against the degree agg AND ran a separate
+    // distinct for the node list (two whole exchanges for frames the
+    // degree table already was)
+    val edgesCk = edges.localCheckpoint(true)
+    val deg = edgesCk.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val n = edgesDeg.select(col("src")).distinct().count()
+    // (src, dst, deg) materialized ONCE — the per-round join relation
+    val edgesDeg = edgesCk
+      .join(broadcast(deg), "src")
+      .localCheckpoint(true)
+    free(edgesCk) // edgesDeg supersedes it; blocks freed before rounds
+    val n = deg.count()
     val initU = unit / n
     val baseU = (unit - unit * dampingNum / dampingDen) / n
-    var rank = edgesDeg.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(initU).as("rank_u"))
+    var rank = deg
+      .select(col("src").as("node"), lit(initU).as("rank_u"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val next = rank.join(edgesDeg, col("node") === col("src"))
