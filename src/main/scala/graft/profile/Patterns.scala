@@ -80,6 +80,124 @@ object Patterns {
       .orderBy(col("tbl"), col("col_name"), col("n_rows").desc, col("mask"))
   }
 
+  /** Frequent-values profile — the "top values" panel every profiler
+    * shows beside the stats: per profiled string column, the k most
+    * frequent NON-NULL values with exact counts, ppm share of non-null
+    * rows, and the column's exact distinct-value count.
+    *
+    * Scale discipline: the obvious
+    * `row_number().over(partitionBy(tbl,col).orderBy(cnt))` ranks a
+    * partition per COLUMN whose size is that column's distinct count —
+    * data-sized for an id-like column (c_name is one row per customer),
+    * exactly the window shape the house bans. Instead the (tbl, col,
+    * value) count feeds a BOUNDED typed Aggregator (the TopKAgg device,
+    * string-valued): k (count, value) pairs per group per partition,
+    * merged map-side — shuffle volume k·partitions per column,
+    * independent of cardinality. Ordering (count desc, value asc) is
+    * total, so ranks are deterministic cross-engine.
+    */
+  val topK = 5
+
+  type VEntry = (Long, String) // (count, value) — count desc, value asc
+
+  class TopVals(k: Int)(implicit enc: org.apache.spark.sql.Encoder[Seq[VEntry]])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, String), Seq[VEntry], Seq[VEntry]] {
+    private def beats(a: VEntry, b: VEntry): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[VEntry] = Seq.empty
+    def reduce(b: Seq[VEntry], r: (String, Long, String)): Seq[VEntry] = {
+      val e = (r._2, r._3)
+      if (b.length == k && !beats(e, b(k - 1))) b
+      else {
+        val i = b.indexWhere(x => beats(e, x))
+        val at = if (i < 0) b.length else i
+        ((b.take(at) :+ e) ++ b.drop(at)).take(k)
+      }
+    }
+    def merge(a: Seq[VEntry], b: Seq[VEntry]): Seq[VEntry] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[VEntry]
+      var i = 0; var j = 0
+      while (out.length < k && (i < a.length || j < b.length)) {
+        if (j >= b.length || (i < a.length && beats(a(i), b(j)))) {
+          out += a(i); i += 1
+        } else { out += b(j); j += 1 }
+      }
+      out.toSeq
+    }
+    def finish(r: Seq[VEntry]): Seq[VEntry] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[VEntry]] = enc
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[VEntry]] = enc
+  }
+
+  def topValues(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perTable = patternCols.map { case (tbl, cols) =>
+      val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+      Tables.table(spark, dir, tbl)
+        .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+        .select(lit(tbl).as("tbl"), col("col_name"), col("v"))
+        .filter(col("v").isNotNull)
+    }
+    val counts = perTable.reduce(_ unionByName _)
+      .groupBy(col("tbl"), col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // totals + top-k both read these blocks
+    val totals = counts.groupBy(col("tbl"), col("col_name"))
+      .agg(sum(col("cnt")).as("col_total"),
+        count(lit(1)).as("n_distinct")) // ≤ |columns| rows
+    val agg = new TopVals(topK)
+    val top = counts
+      .select(concat_ws("\u0001", col("tbl"), col("col_name")).as("key"),
+        col("cnt"), col("v"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn)
+      .flatMap { case (key, entries) =>
+        val sep = key.indexOf('\u0001')
+        val (t, c) = (key.substring(0, sep), key.substring(sep + 1))
+        entries.zipWithIndex.map { case ((n, v), i) => (t, c, i + 1, v, n) }
+      }
+      .toDF("tbl", "col_name", "rank", "v", "n_rows")
+    top.join(broadcast(totals), Seq("tbl", "col_name"))
+      .select(col("tbl"), col("col_name"), col("rank"), col("v"),
+        col("n_rows"),
+        expr("CAST(n_rows * 1000000 DIV col_total AS BIGINT)")
+          .as("share_ppm"),
+        col("n_distinct"))
+      .orderBy(col("tbl"), col("col_name"), col("rank"))
+  }
+
+  val topValuesSql: String = {
+    val branches = patternCols.flatMap { case (tbl, cols) =>
+      cols.map { c =>
+        s"SELECT '$tbl' AS tbl, '$c' AS col_name, " +
+          s"CAST($c AS VARCHAR) AS v FROM $tbl WHERE $c IS NOT NULL"
+      }
+    }.mkString("\n  UNION ALL ")
+    s"""WITH unpivoted AS (
+       |  $branches),
+       |counts AS (
+       |  SELECT tbl, col_name, v, count(*) AS cnt
+       |  FROM unpivoted GROUP BY tbl, col_name, v),
+       |totals AS (
+       |  SELECT tbl, col_name, sum(cnt) AS col_total,
+       |    count(*) AS n_distinct
+       |  FROM counts GROUP BY tbl, col_name),
+       |ranked AS (
+       |  SELECT tbl, col_name, v, cnt,
+       |    CAST(row_number() OVER (PARTITION BY tbl, col_name
+       |      ORDER BY cnt DESC, v ASC) AS INTEGER) AS rank
+       |  FROM counts)
+       |SELECT tbl, col_name, rank, v, CAST(cnt AS BIGINT) AS n_rows,
+       |  CAST((CAST(cnt AS HUGEINT) * 1000000) // col_total AS BIGINT)
+       |    AS share_ppm,
+       |  CAST(n_distinct AS BIGINT) AS n_distinct
+       |FROM ranked JOIN totals USING (tbl, col_name)
+       |WHERE rank <= $topK
+       |ORDER BY tbl, col_name, rank""".stripMargin
+  }
+
   val valuePatternsSql: String = {
     val branches = patternCols.flatMap { case (tbl, cols) =>
       cols.map { c =>

@@ -166,6 +166,28 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("top values: bounded aggregator matches full value counts") {
+    val got = Patterns.topValues(spark, sf).collect()
+    assert(got.nonEmpty)
+    // independent recompute for two columns of different cardinality
+    for ((tbl, cn) <- Seq(("orders", "o_orderpriority"), ("part", "p_name"))) {
+      val vals = Tables.table(spark, sf, tbl).select(col(cn))
+        .collect().map(_.getString(0)).filter(_ != null)
+      val counts = vals.groupBy(identity).map { case (v, xs) =>
+        (v, xs.length.toLong) }
+      val expTop = counts.toSeq.sortBy { case (v, n) => (-n, v) }
+        .take(Patterns.topK)
+      val rows = got.filter(r => r.getString(0) == tbl && r.getString(1) == cn)
+        .sortBy(_.getAs[Int]("rank"))
+      assert(rows.length == math.min(Patterns.topK, counts.size))
+      rows.zip(expTop).foreach { case (r, (v, n)) =>
+        assert(r.getAs[String]("v") == v && r.getAs[Long]("n_rows") == n)
+        assert(r.getAs[Long]("share_ppm") == n * 1000000L / vals.length)
+        assert(r.getAs[Long]("n_distinct") == counts.size.toLong)
+      }
+    }
+  }
+
   test("value patterns: scala-regex recompute for customer.c_name") {
     def mask(v: String): String = v
       .replaceAll("[A-Z]", "A").replaceAll("[a-z]", "a").replaceAll("[0-9]", "9")
