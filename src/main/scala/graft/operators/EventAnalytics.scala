@@ -740,6 +740,78 @@ object EventAnalytics {
        |FROM daily JOIN wau USING (day_us)
        |ORDER BY day_us""".stripMargin
 
+  /** Session-duration distribution — the operational summary of the
+    * sessionize pass: exact nearest-rank percentiles (p10/p25/p50/p75/
+    * p90/p99) of session duration in microseconds, plus count and the
+    * exact integer mean. Nearest-rank (value at ceil(p·n/100), computed
+    * as (p·n+99) DIV 100) keeps every emitted number an OBSERVED
+    * BIGINT duration — no interpolation doubles, no cross-engine
+    * rounding seam.
+    *
+    * Scale shape: the sessionize derivation (user-keyed windows) feeds
+    * ONE GlobalRank range-exchange rank over durations (the
+    * profile_histogram order-statistic device — never a
+    * single-partition window); the percentile pull reads ≤ 6 rows by
+    * rank; mean is an exact integer division of the duration sum. The
+    * duration value at a given rank is unique regardless of tie order,
+    * so the tiebreak keys only make the rank total, never change a
+    * percentile.
+    */
+  val sessionPcts: Seq[Int] = Seq(10, 25, 50, 75, 90, 99)
+
+  def eventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = Relational.qSessionize(spark, dir)
+      .select((col("end_us") - col("start_us")).as("d"),
+        col("user_id"), col("session_id"))
+    val ranked = GlobalRank.withGlobalRank(sessions, "rk",
+      col("d"), col("user_id"), col("session_id"))
+    val agg = ranked.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+      .collect().head
+    val n = agg.getLong(0)
+    val sd = agg.getLong(1)
+    val targets = sessionPcts.map(p => p -> math.max(1L, (p * n + 99) / 100))
+    val atRank = ranked
+      .filter(col("rk").isin(targets.map(_._2).distinct: _*))
+      .select(col("rk"), col("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq((n, sd / n, atRank(targets(0)._2), atRank(targets(1)._2),
+      atRank(targets(2)._2), atRank(targets(3)._2), atRank(targets(4)._2),
+      atRank(targets(5)._2)))
+      .toDF("n_sessions", "mean_us", "p10_us", "p25_us", "p50_us",
+        "p75_us", "p90_us", "p99_us")
+  }
+
+  val eventsSessionStatsSql: String = {
+    val base =
+      """WITH marked AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |sessioned AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |s AS (
+        |  SELECT user_id, session_id,
+        |    max(t_us) - min(t_us) AS d
+        |  FROM sessioned GROUP BY user_id, session_id),
+        |nn AS (SELECT count(*) AS n, sum(d) AS sd FROM s),
+        |r AS (SELECT d, row_number() OVER (ORDER BY d, user_id, session_id) AS rk
+        |      FROM s)""".stripMargin
+    val pctSelects = sessionPcts.map { p =>
+      s"""  (SELECT d FROM r WHERE rk =
+         |    greatest(1, ($p * (SELECT n FROM nn) + 99) // 100)) AS p${p}_us"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$base
+       |SELECT (SELECT n FROM nn) AS n_sessions,
+       |  CAST((SELECT sd FROM nn) // (SELECT n FROM nn) AS BIGINT) AS mean_us,
+       |$pctSelects""".stripMargin
+  }
+
   /** Batch last-touch attribution — the attributionJoin stream's at-rest
     * twin, over the whole event history: every purchase is attributed to
     * the user's LAST preceding touch event (click or view) within the

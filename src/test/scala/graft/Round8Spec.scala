@@ -166,6 +166,24 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("session stats: nearest-rank percentiles from a sorted replay") {
+    import graft.operators.{EventAnalytics, Relational}
+    val ds = Relational.qSessionize(spark, sf).collect()
+      .map(r => r.getAs[Long]("end_us") - r.getAs[Long]("start_us"))
+      .sorted
+    val n = ds.length.toLong
+    val got = EventAnalytics.eventsSessionStats(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_sessions") == n)
+    assert(r.getAs[Long]("mean_us") == ds.sum / n)
+    EventAnalytics.sessionPcts.foreach { p =>
+      val rk = math.max(1L, (p * n + 99) / 100)
+      assert(r.getAs[Long](s"p${p}_us") == ds((rk - 1).toInt),
+        s"p$p mismatch")
+    }
+  }
+
   test("top values: bounded aggregator matches full value counts") {
     val got = Patterns.topValues(spark, sf).collect()
     assert(got.nonEmpty)
