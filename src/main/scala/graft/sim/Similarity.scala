@@ -798,6 +798,60 @@ object Similarity {
        |  CAST(max(dq) AS DOUBLE) AS max_dist
        |FROM dists GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** Cluster-purity evaluation — "did the unsupervised quantizer find
+    * the label structure": every vector's k-means cell (the SHARED
+    * ivfTrain quantizer — the same one annIvf serves with, so the
+    * evaluation scores the production index, not a retrained lookalike)
+    * crossed with its ground-truth label; per cell: size, majority
+    * label, majority count, exact integer-ppm purity. The corpus-level
+    * judgment of the quantizer in one bounded table.
+    *
+    * Scale shape: assignment is the narrow broadcast-centroid map; the
+    * label rides the vector frame (no join); the rollup key space is
+    * \|cells\|×\|labels\| — bounded, so the majority window partitions
+    * over ≤\|labels\| rows (legal by boundedness, the
+    * events_changepoint argument). Ties on the majority count break to
+    * the smaller label on both engines.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (vecs, centroids) = ivfTrain(spark, dir)
+    // vectors() already carries the ground-truth label — no join needed
+    val counts = vecs.withColumn("cid", ivfAssignExpr(centroids))
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("cid")).agg(sum(col("n")).as("n_vecs"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("n").desc, col("label"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(tot), "cid")
+      .select(col("cid").cast("int").as("cid"), col("n_vecs"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        expr("CAST(n * 1000000 DIV n_vecs AS BIGINT)").as("purity_ppm"))
+      .orderBy(col("cid"))
+  }
+
+  val clusterPuritySql: String =
+    s"""WITH $ivfCtes,
+       |counts AS (
+       |  SELECT i.cid, em.label, count(*) AS n
+       |  FROM idx i JOIN embeddings em ON em.vec_id = i.vec_id
+       |  GROUP BY i.cid, em.label),
+       |tot AS (SELECT cid, sum(n) AS n_vecs FROM counts GROUP BY cid),
+       |maj AS (
+       |  SELECT cid, label, n FROM counts
+       |  QUALIFY row_number() OVER (PARTITION BY cid
+       |    ORDER BY n DESC, label) = 1)
+       |SELECT CAST(m.cid AS INTEGER) AS cid,
+       |  CAST(t.n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(m.label AS INTEGER) AS majority_label,
+       |  CAST(m.n AS BIGINT) AS n_majority,
+       |  CAST((CAST(m.n AS HUGEINT) * 1000000) // t.n_vecs AS BIGINT)
+       |    AS purity_ppm
+       |FROM maj m JOIN tot t USING (cid)
+       |ORDER BY cid""".stripMargin
+
   /** Embedding-space DRIFT monitor — the encoder-regression check a
     * pipeline runs between ingest batches (did a model/preprocessing
     * change move the representation?): the corpus splits into two

@@ -166,6 +166,21 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("cluster purity: majority bookkeeping is internally consistent") {
+    val rows = sim.Similarity.clusterPurity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    // every vector lands in exactly one cell
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    rows.foreach { r =>
+      val (n, maj) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_majority"))
+      assert(maj >= 1 && maj <= n)
+      assert(r.getAs[Long]("purity_ppm") == maj * 1000000L / n)
+      val lbl = r.getAs[Int]("majority_label")
+      assert(lbl >= 0 && lbl <= 9)
+    }
+  }
+
   test("session stats: nearest-rank percentiles from a sorted replay") {
     import graft.operators.{EventAnalytics, Relational}
     val ds = Relational.qSessionize(spark, sf).collect()
