@@ -391,8 +391,10 @@ object Relational6 {
       |  CAST(sum(CASE WHEN role = 'export' THEN rev ELSE 0 END) -
       |       sum(CASE WHEN role = 'import' THEN rev ELSE 0 END) AS DOUBLE)
       |    AS balance,
-      |  sum(CASE WHEN role = 'export' THEN 1 ELSE 0 END) AS n_export_lines,
-      |  sum(CASE WHEN role = 'import' THEN 1 ELSE 0 END) AS n_import_lines
+      |  CAST(sum(CASE WHEN role = 'export' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_export_lines,
+      |  CAST(sum(CASE WHEN role = 'import' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_import_lines
       |FROM u GROUP BY n_name ORDER BY n_name""".stripMargin
 
   /** Year-over-year revenue growth per customer nation — the trend
