@@ -296,4 +296,132 @@ object Search {
        |    coalesce(1000000000 // ($rrfK + s.sem_rank), 0) AS BIGINT) AS rrf_ppb
        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
        |ORDER BY rrf_ppb DESC, doc_id""".stripMargin
+
+  /** Sparse tf-idf cosine k-NN — the SPARSE similarity modality the
+    * dense-embedding family (dedup_embedding, sim_*) doesn't cover:
+    * for each query document (doc_id < 20 — the annIvf query
+    * convention), the top-10 most similar corpus documents by cosine
+    * over tf-idf term vectors — encoder-free lexical retrieval through
+    * the inverted index. The dot product needs only SHARED terms, so
+    * the token-keyed join computes the COMPLETE dot directly: no
+    * candidate set, no recall loss. (The all-pairs variant is
+    * deliberately absent: on a Zipf-truncated vocabulary every pair
+    * shares hot terms and any blocking is either lossy or quadratic —
+    * retrieval-per-query is the shape that scales, with per-query cost
+    * = Σ df over the query's terms; at 100 TB add the standard
+    * stopword/impact pruning to cap hot-term posting lists.)
+    *
+    * Determinism: weights quantize tf·idf through the keywordsTfidf
+    * decimal device (ln → DECIMAL(18,9); the product keeps all 9 decimals
+    * — the (18,9) recast is LOSSLESS, so no second rounding exists); dot
+    * products and norms are DECIMAL(38,12) sums — exact and
+    * order-independent, never a raw double sum across a shuffle. The
+    * emitted score is the SQUARED cosine in exact integer ppm:
+    * cos² = dot²/(‖q‖²·‖n‖²) needs no sqrt, so the whole score is
+    * integer arithmetic over floor-quantized exact decimals
+    * (HUGEINT/DECIMAL(38) intermediates) — a round(double, 6) edge was
+    * measured to FLIP at a half-boundary here (DuckDB rounds doubles in
+    * float space, Spark through BigDecimal; the 6-decimal weights make
+    * boundary hits likely), and an integer rational has no boundary to
+    * disagree on. Monotone in cosine (all weights ≥ 0), so ranks are
+    * cross-engine exact with the neighbor-id tiebreak.
+    *
+    * Scale shape: one tokenize pass; the checkpointed weight frame
+    * feeds norms, the (tiny, broadcast) query side, and the corpus side
+    * of the token join; the per-query top-10 rides the bounded rank
+    * window (partial WindowGroupLimit before the exchange — the
+    * annIvf/hamming shape).
+    */
+  val sparseQueryDocs = 20
+  val sparseTopK = 10
+
+  def sparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir)
+    val tf = t.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfF = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val wts = tf.join(dfF, "token").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast(DecimalType(10, 0)) *
+          log(col("n_docs") / col("df")).cast(DecimalType(18, 9)))
+          .cast(DecimalType(18, 9)).as("w"))
+      .localCheckpoint()
+    val norms = wts.groupBy(col("doc_id"))
+      .agg(sum((col("w") * col("w")).cast(DecimalType(38, 18))).as("n2"))
+    val q = wts.filter(col("doc_id") < sparseQueryDocs)
+      .select(col("doc_id").as("query_id"), col("token"), col("w").as("wq"))
+    val dots = wts
+      .select(col("doc_id").as("neighbor_id"), col("token"), col("w").as("wn"))
+      .join(broadcast(q), "token")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum((col("wq") * col("wn")).cast(DecimalType(38, 18))).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos2_ppm").desc, col("neighbor_id"))
+    // exact integer rational: e3-quantized dot and norms, then
+    // (dot_e3² · 1e6) DIV (nq_e3 · nn_e3) in DECIMAL(38,0) — values
+    // bounded by (Σw)² · 1e6 ≪ 1e38, and DIV is the house
+    // IntegralDivide device (returns BIGINT)
+    val dotE3 = floor(col("dot") * 1000).cast(DecimalType(20, 0))
+    val nqE3 = floor(col("n2q") * 1000).cast(DecimalType(20, 0))
+    val nnE3 = floor(col("n2n") * 1000).cast(DecimalType(20, 0))
+    dots
+      .join(norms.select(col("doc_id").as("query_id"),
+        col("n2").as("n2q")), "query_id")
+      .join(norms.select(col("doc_id").as("neighbor_id"),
+        col("n2").as("n2n")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dotE3.as("d3"), nqE3.as("q3"), nnE3.as("n3"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST((d3 * d3 * 1000000) DIV (q3 * n3) AS BIGINT)")
+          .as("cos2_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= sparseTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos2_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val sparseCosineSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    t -> t <> '')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM toks GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |wts AS (
+       |  SELECT doc_id, token,
+       |    CAST(tf * CAST(ln(n.n_docs / f.df) AS DECIMAL(18,9))
+       |      AS DECIMAL(18,9)) AS w
+       |  FROM tf JOIN df f USING (token), n),
+       |norms AS (
+       |  SELECT doc_id, sum(CAST(w * w AS DECIMAL(38,18))) AS n2
+       |  FROM wts GROUP BY doc_id),
+       |dots AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+       |    sum(CAST(q.w * c.w AS DECIMAL(38,18))) AS dot
+       |  FROM wts q
+       |  JOIN wts c ON c.token = q.token AND c.doc_id <> q.doc_id
+       |  WHERE q.doc_id < $sparseQueryDocs
+       |  GROUP BY q.doc_id, c.doc_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST((CAST(floor(dot * 1000) AS HUGEINT)
+       |          * CAST(floor(dot * 1000) AS HUGEINT) * 1000000)
+       |      // (CAST(floor(nq.n2 * 1000) AS HUGEINT)
+       |          * CAST(floor(nn.n2 * 1000) AS HUGEINT)) AS BIGINT)
+       |      AS cos2_ppm
+       |  FROM dots
+       |  JOIN norms nq ON nq.doc_id = query_id
+       |  JOIN norms nn ON nn.doc_id = neighbor_id)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos2_ppm
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos2_ppm DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $sparseTopK
+       |ORDER BY query_id, rank""".stripMargin
 }

@@ -166,6 +166,56 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("sparse cosine knn: full-vector recompute per query") {
+    val got = text.Search.sparseCosine(spark, sf).collect()
+    assert(got.nonEmpty)
+    // rebuild the weight vectors driver-side with the same decimal path
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (tok, xs) => ((id, tok), xs.length.toLong) }
+    }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (tok, ks) => tok -> ks.size.toLong }
+    val n = docs.length.toDouble
+    def w(id: Long, tok: String): BigDecimal =
+      BigDecimal(tf((id, tok))) *
+        BigDecimal(math.log(n / dfm(tok)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val vecs: Map[Long, Map[String, BigDecimal]] = tf.keys.groupBy(_._1)
+      .map { case (id, ks) => id -> ks.map(k => k._2 -> w(id, k._2)).toMap }
+    def cos2ppm(a: Long, b: Long): BigInt = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.keySet.intersect(vb.keySet).toSeq
+        .map(t => va(t) * vb(t)).sum
+      val na = va.values.map(x => x * x).sum
+      val nb = vb.values.map(x => x * x).sum
+      val d3 = (dot * 1000).setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+      val q3 = (na * 1000).setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+      val n3 = (nb * 1000).setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+      d3 * d3 * 1000000 / (q3 * n3)
+    }
+    val byQuery = got.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == (0L until text.Search.sparseQueryDocs).toSet)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length == text.Search.sparseTopK)
+      // exhaustive driver-side top-k for this query (only docs sharing a
+      // term can score; on this corpus every doc shares terms)
+      val all = docs.map(_._1).filter(_ != qid)
+        .filter(nid => vecs(qid).keySet.intersect(vecs(nid).keySet).nonEmpty)
+        .map(nid => (nid, cos2ppm(qid, nid)))
+      val expTop = all.sortBy { case (nid, c) => (-c, nid) }
+        .take(text.Search.sparseTopK)
+      val gotTop = rows.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("neighbor_id"), BigInt(r.getAs[Long]("cos2_ppm"))))
+      gotTop.zip(expTop).foreach { case ((gn, gc), (en, ec)) =>
+        assert(gn == en, s"neighbor mismatch q=$qid: got $gn expected $en")
+        assert(gc == ec, s"cos2_ppm mismatch q=$qid n=$gn: $gc vs $ec")
+      }
+    }
+  }
+
   test("cluster purity: majority bookkeeping is internally consistent") {
     val rows = sim.Similarity.clusterPurity(spark, sf).collect()
     assert(rows.nonEmpty)
