@@ -740,6 +740,60 @@ object EventAnalytics {
        |FROM daily JOIN wau USING (day_us)
        |ORDER BY day_us""".stripMargin
 
+  /** Week-hour activity heatmap — the (day-of-week × hour-of-day)
+    * traffic matrix every ops dashboard leads with: per cell, events,
+    * exact distinct users, exact decimal value sum, and the cell's
+    * integer-ppm share of all traffic.
+    *
+    * Day-of-week is computed ARITHMETICALLY — (epoch_days + 4) mod 7
+    * with 0 = Sunday (1970-01-01 was a Thursday) — because the engines'
+    * dayofweek() builtins disagree on numbering (Spark 1=Sunday,
+    * DuckDB 0=Sunday): integer epoch math has no convention to disagree
+    * on. Timestamps are pre-1970-safe via floor division.
+    *
+    * Scale shape: ONE events scan, one (dow,hod)-keyed two-phase agg
+    * (≤168 cells; the single grouped countDistinct takes Spark's
+    * no-Expand single-distinct path), 1-row total broadcast for the
+    * share.
+    */
+  def eventsWeeklyHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("t_us"), col("user_id"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .select(
+        expr("pmod(t_us DIV 86400000000 + 4, 7)").cast("int").as("dow"),
+        expr("pmod(t_us DIV 3600000000, 24)").cast("int").as("hod"),
+        col("user_id"), col("v"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("v")).as("v_d"))
+    val total = cells.agg(sum(col("n_events")).as("t_events"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hod"), col("n_events"), col("n_users"),
+        col("v_d").cast(DoubleType).as("sum_value"),
+        expr("CAST(n_events * 1000000 DIV t_events AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  val eventsWeeklyHeatmapSql: String =
+    """WITH cells AS (
+      |  SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER) AS dow,
+      |    CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hod,
+      |    count(*) AS n_events,
+      |    count(DISTINCT user_id) AS n_users,
+      |    sum(CAST(value AS DECIMAL(12,2))) AS v_d
+      |  FROM events GROUP BY dow, hod),
+      |total AS (SELECT sum(n_events) AS t_events FROM cells)
+      |SELECT dow, hod, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(v_d AS DOUBLE) AS sum_value,
+      |  CAST((CAST(n_events AS HUGEINT) * 1000000) // t_events AS BIGINT)
+      |    AS share_ppm
+      |FROM cells, total
+      |ORDER BY dow, hod""".stripMargin
+
   /** Session-duration distribution — the operational summary of the
     * sessionize pass: exact nearest-rank percentiles (p10/p25/p50/p75/
     * p90/p99) of session duration in microseconds, plus count and the

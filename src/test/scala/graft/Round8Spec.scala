@@ -231,6 +231,26 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("weekly heatmap: arithmetic dow/hod recompute from raw events") {
+    import graft.operators.EventAnalytics
+    val evs = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("t_us"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = evs.groupBy { case (t, _) =>
+      (((t / 86400000000L + 4) % 7).toInt, ((t / 3600000000L) % 24).toInt)
+    }.map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._2).distinct.length.toLong) }
+    val got = EventAnalytics.eventsWeeklyHeatmap(spark, sf).collect()
+    assert(got.length == exp.size && got.length <= 168)
+    val totalEv = evs.length.toLong
+    got.foreach { r =>
+      val k = (r.getAs[Int]("dow"), r.getAs[Int]("hod"))
+      assert(k._1 >= 0 && k._1 <= 6 && k._2 >= 0 && k._2 <= 23)
+      val (n, u) = exp(k)
+      assert(r.getAs[Long]("n_events") == n && r.getAs[Long]("n_users") == u)
+      assert(r.getAs[Long]("share_ppm") == n * 1000000L / totalEv)
+    }
+  }
+
   test("session stats: nearest-rank percentiles from a sorted replay") {
     import graft.operators.{EventAnalytics, Relational}
     val ds = Relational.qSessionize(spark, sf).collect()
