@@ -110,6 +110,30 @@ class PlanInvariantSpec extends AnyFunSuite {
       s"q16 lost a broadcast join:\n$p16")
   }
 
+  test("r8 ops: profiling/trade/sparse shapes hold (no Expand; fact co-shuffles; stack stays Generate)") {
+    // the infer_constraints rework exists precisely to kill its Expand;
+    // the two Patterns ops and the heatmap must keep the
+    // single-distinct / Generate-not-Expand paths
+    for (q <- Seq("infer_constraints", "profile_value_patterns",
+        "profile_top_values", "events_weekly_heatmap",
+        "q_nation_trade_balance")) {
+      val p = plan(q)
+      assert(!p.contains("Expand"), s"$q plans an Expand:\n$p")
+    }
+    // the stack unpivot is a Generate (in-row), never a join
+    val pv = plan("profile_value_patterns")
+    assert(pv.contains("Generate"), pv)
+    // sparse knn: the query side broadcasts into the token join — the
+    // corpus side must NOT be broadcast (it is the data-sized side)
+    val sc = plan("sim_sparse_cosine")
+    assert(sc.contains("BroadcastHashJoin"), sc)
+    // attribution + heatmap read only the needed event columns
+    val at = plan("events_attribution")
+    assert(!at.contains("props"), at)
+    val wh = plan("events_weekly_heatmap")
+    assert(!wh.contains("event_type") && !wh.contains("props"), wh)
+  }
+
   test("class guard: no empty-partitionBy WindowExec over non-aggregate-sized input") {
     // An empty-partitionBy window plans a SINGLE-partition WindowExec —
     // every input row sorted through one task. That is only tolerable when
