@@ -145,6 +145,64 @@ object GraphOps {
     sb.result()
   }
 
+  /** Degree-distribution profile of the trade graph — the graph-shape
+    * fingerprint (hub-dominated vs flat) read per side: customer and
+    * supplier degrees in the distinct customer↔supplier relation,
+    * log₂-bucketed with the exact integer binary-length device
+    * (events_gap_histogram: bucket = `length(bin(deg))`, no floating
+    * log), with per-bucket node counts, exact degree bounds, and the
+    * integer-ppm share of that side's nodes. The pre-flight check for
+    * every graph op above (pagerank damping, overlap degCap): it shows
+    * whether hubs exist BEFORE a quadratic projection finds out.
+    *
+    * Scale shape: the distinct pair relation once, one degree agg per
+    * side (node-keyed), a ≤64-bucket rollup per side, per-side totals
+    * broadcast.
+    */
+  def degreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tradePairs(spark, dir).localCheckpoint(true)
+    def side(name: String, key: String): DataFrame =
+      pairs.groupBy(col(key)).agg(count(lit(1)).as("deg"))
+        .groupBy(expr("CAST(length(bin(deg)) AS INTEGER)").as("deg_bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .select(lit(name).as("side"), col("deg_bucket"), col("n_nodes"),
+          col("min_deg"), col("max_deg"))
+    val buckets = side("customer", "c").unionByName(side("supplier", "s"))
+    val totals = buckets.groupBy(col("side"))
+      .agg(sum(col("n_nodes")).as("side_total")) // 2 rows
+    buckets.join(broadcast(totals), "side")
+      .select(col("side"), col("deg_bucket"), col("n_nodes"),
+        col("min_deg"), col("max_deg"),
+        expr("CAST(n_nodes * 1000000 DIV side_total AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("side"), col("deg_bucket"))
+  }
+
+  val degreeProfileSql: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |degs AS (
+      |  SELECT 'customer' AS side, c AS node, count(*) AS deg
+      |  FROM pairs GROUP BY c
+      |  UNION ALL
+      |  SELECT 'supplier', s, count(*) FROM pairs GROUP BY s),
+      |buckets AS (
+      |  SELECT side, CAST(length(bin(deg)) AS INTEGER) AS deg_bucket,
+      |    count(*) AS n_nodes,
+      |    CAST(min(deg) AS BIGINT) AS min_deg,
+      |    CAST(max(deg) AS BIGINT) AS max_deg
+      |  FROM degs GROUP BY side, deg_bucket),
+      |totals AS (SELECT side, sum(n_nodes) AS side_total
+      |           FROM buckets GROUP BY side)
+      |SELECT side, deg_bucket, CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  min_deg, max_deg,
+      |  CAST((CAST(n_nodes AS HUGEINT) * 1000000) // side_total AS BIGINT)
+      |    AS share_ppm
+      |FROM buckets JOIN totals USING (side)
+      |ORDER BY side, deg_bucket""".stripMargin
+
   /** Supplier-overlap link prediction — the bipartite projection of the
     * customer↔supplier trade graph onto suppliers: pairs of suppliers
     * serving overlapping customer bases, scored by exact customer-set

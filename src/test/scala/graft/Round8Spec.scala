@@ -81,6 +81,32 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("degree profile: bucket recompute from raw distinct pairs") {
+    val cs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    def bucketsOf(degs: Seq[Long]) = degs
+      .groupBy(d => java.lang.Long.toBinaryString(d).length)
+      .map { case (b, xs) => b -> (xs.size.toLong, xs.min, xs.max) }
+    val exp = Map(
+      "customer" -> bucketsOf(cs.groupBy(_._1).values.map(_.length.toLong).toSeq),
+      "supplier" -> bucketsOf(cs.groupBy(_._2).values.map(_.length.toLong).toSeq))
+    val got = GraphOps.degreeProfile(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val side = r.getString(0)
+      val (n, mn, mx) = exp(side)(r.getAs[Int]("deg_bucket"))
+      assert(r.getAs[Long]("n_nodes") == n)
+      assert(r.getAs[Long]("min_deg") == mn && r.getAs[Long]("max_deg") == mx)
+      val total = exp(side).values.map(_._1).sum
+      assert(r.getAs[Long]("share_ppm") == n * 1000000L / total)
+    }
+    // every node accounted for, once
+    assert(got.filter(_.getString(0) == "customer")
+      .map(_.getAs[Long]("n_nodes")).sum == cs.map(_._1).distinct.length)
+  }
+
   test("supplier overlap: exact Jaccard recompute from raw customer sets") {
     val cs = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
