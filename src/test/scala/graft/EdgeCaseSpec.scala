@@ -44,7 +44,11 @@ class EdgeCaseSpec extends AnyFunSuite {
     "bpe_train", "text_quality_gate",
     // r5 additions on the documents path
     "bpe_encode", "dedup_substring", "dedup_incremental_minhash",
-    "mm_dedup_phash", "text_readability")
+    "mm_dedup_phash", "text_readability",
+    // r7/r8 additions on the documents path (sparse knn: the empty doc
+    // has no tokens -> it silently produces no query/neighbor rows)
+    "dedup_cluster_profile", "dedup_containment", "curation_funnel",
+    "mix_dedup_discount", "sim_sparse_cosine")
 
   test("every document-path query survives the adversarial corpus") {
     docQueries.foreach { k =>
@@ -136,5 +140,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     val paths = EventAnalytics.qUserPaths(spark, edgeEventsDir).collect()
     assert(paths.map(_.getAs[Long]("n_transitions")).sum ==
       (10 - 1) + (6 - 1) + (8 - 1) + 0) // solo user: zero transitions
+  }
+
+  test("r8 events ops degrade on the adversarial log instead of throwing") {
+    import graft.operators.EventAnalytics
+    // markov stationary: the solo user's type never transitions, so it
+    // is OUTSIDE the chain's node set (transitions-only domain); every
+    // per-user-homogeneous type self-loops and mass only decays by dust
+    val pi = EventAnalytics.eventsMarkovStationary(spark, edgeEventsDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pi.keySet == Set("steady", "allnull", "flat"))
+    assert(pi.values.sum <= EventAnalytics.markovUnit)
+    assert(pi.values.forall(_ > 0))
+    // attribution: a log with no purchases (and no touches) yields an
+    // EMPTY report, not a divide-by-zero on the total broadcast
+    assert(EventAnalytics.eventsAttribution(spark, edgeEventsDir).count() == 0)
+    // session stats: each user's burst is one session; percentiles are
+    // observed durations
+    val ss = EventAnalytics.eventsSessionStats(spark, edgeEventsDir)
+      .collect().head
+    assert(ss.getAs[Long]("n_sessions") == 4L)
+    assert(ss.getAs[Long]("p99_us") >= ss.getAs[Long]("p10_us"))
+    // heatmap: all events land in known cells and shares total ≤ 1e6
+    val hm = EventAnalytics.eventsWeeklyHeatmap(spark, edgeEventsDir).collect()
+    assert(hm.map(_.getAs[Long]("n_events")).sum == 25L)
+    assert(hm.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
   }
 }
