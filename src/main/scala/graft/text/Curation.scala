@@ -958,4 +958,79 @@ object Curation {
        |  CAST((CAST(count(*) * max(toks) - sum(toks) AS HUGEINT) * 1000000)
        |    // (count(*) * max(toks)) AS BIGINT) AS waste_ppm
        |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
+  /** Split-leakage audit — does the content-hash split SEPARATE
+    * near-duplicates? A near-dup family straddling train and eval is
+    * eval contamination the doc-level decontaminators can't see (the
+    * eval copy isn't literal). Every ≥2-member component from the
+    * dedup fixpoint is checked against the split assignment; the
+    * report groups components by their SPLIT-MIX signature (`T`/`V`/`E`
+    * presence flags concatenated — 'T' = train-only = clean,
+    * 'TE' = train+test = leaking) with component/doc counts and the
+    * exact ppm share of multi-doc components. The number a data lead
+    * reads before signing off an eval: how much of the dup mass
+    * crosses the fence.
+    *
+    * Scale shape: the components fixpoint dominates (shared derivation
+    * with keepBest/curation); the audit itself is one in-row bucket
+    * projection, one component-keyed conditional-sum agg, a ≤7-row
+    * signature rollup + 1-row total broadcast.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val members = Dedup.components(spark, dir)
+      .filter(col("component_size") >= 2)
+      .withColumn("bucket", expr(bucketExpr) % 100)
+      .withColumn("split",
+        when(col("bucket") < 1, "test")
+          .when(col("bucket") < 2, "valid")
+          .otherwise("train"))
+    val perComp = members.groupBy(col("canon_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("nt"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("nv"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("ne"))
+      .withColumn("split_mix", concat(
+        when(col("nt") > 0, lit("T")).otherwise(lit("")),
+        when(col("nv") > 0, lit("V")).otherwise(lit("")),
+        when(col("ne") > 0, lit("E")).otherwise(lit(""))))
+    val byMix = perComp.groupBy(col("split_mix"))
+      .agg(count(lit(1)).as("n_components"), sum(col("n_docs")).as("n_docs"))
+    val total = byMix.agg(sum(col("n_components")).as("t_comp"))
+    byMix.crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .select(col("split_mix"),
+        (length(col("split_mix")) > 1).as("is_leaky"),
+        col("n_components"), col("n_docs"),
+        expr("CAST(n_components * 1000000 DIV t_comp AS BIGINT)")
+          .as("comp_share_ppm"))
+      .orderBy(col("split_mix"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentsCoreSql},
+       |members AS (
+       |  SELECT l.doc_id, l.canon_id,
+       |    CASE WHEN ('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 1 THEN 'test'
+       |         WHEN ('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 2 THEN 'valid'
+       |         ELSE 'train' END AS split
+       |  FROM labeled l JOIN csize s USING (canon_id)
+       |  WHERE s.component_size >= 2),
+       |per_comp AS (
+       |  SELECT canon_id, count(*) AS n_docs,
+       |    concat(
+       |      CASE WHEN sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0 THEN 'T' ELSE '' END,
+       |      CASE WHEN sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) > 0 THEN 'V' ELSE '' END,
+       |      CASE WHEN sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) > 0 THEN 'E' ELSE '' END)
+       |      AS split_mix
+       |  FROM members GROUP BY canon_id),
+       |by_mix AS (
+       |  SELECT split_mix, count(*) AS n_components, sum(n_docs) AS n_docs
+       |  FROM per_comp GROUP BY split_mix),
+       |total AS (SELECT sum(n_components) AS t_comp FROM by_mix)
+       |SELECT split_mix, length(split_mix) > 1 AS is_leaky,
+       |  CAST(n_components AS BIGINT) AS n_components,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST((CAST(n_components AS HUGEINT) * 1000000) // t_comp AS BIGINT)
+       |    AS comp_share_ppm
+       |FROM by_mix, total
+       |ORDER BY split_mix""".stripMargin
 }

@@ -192,6 +192,39 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("split leakage: signature recompute from components + hash split") {
+    import java.math.BigInteger
+    val comp = text.Dedup.components(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canon_id"),
+        r.getAs[Long]("component_size")))
+      .filter(_._3 >= 2)
+    def splitOf(docId: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+      val b = new BigInteger(hex, 16).mod(BigInteger.valueOf(100)).intValue
+      if (b < 1) "test" else if (b < 2) "valid" else "train"
+    }
+    val exp = comp.groupBy(_._2).toSeq.map { case (_, ms) =>
+      val splits = ms.map(m => splitOf(m._1)).toSet
+      val sig = (if (splits("train")) "T" else "") +
+        (if (splits("valid")) "V" else "") + (if (splits("test")) "E" else "")
+      (sig, ms.length.toLong)
+    }
+    val expByMix = exp.groupBy(_._1)
+      .map { case (s, xs) => s -> (xs.length.toLong, xs.map(_._2).sum) }
+    val got = text.Curation.splitLeakage(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == expByMix.keySet)
+    val totComp = expByMix.values.map(_._1).sum
+    got.foreach { r =>
+      val (nc, nd) = expByMix(r.getString(0))
+      assert(r.getAs[Long]("n_components") == nc)
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Boolean]("is_leaky") == (r.getString(0).length > 1))
+      assert(r.getAs[Long]("comp_share_ppm") == nc * 1000000L / totComp)
+    }
+  }
+
   test("sparse cosine knn: full-vector recompute per query") {
     val got = text.Search.sparseCosine(spark, sf).collect()
     assert(got.nonEmpty)
