@@ -198,6 +198,58 @@ object Patterns {
        |ORDER BY tbl, col_name, rank""".stripMargin
   }
 
+  /** Join-key skew pre-flight — the "do I need salting" report for
+    * every fact join key, the join-side twin of graph_degree_profile's
+    * hub check: per (table, key column): rows, exact distinct keys, the
+    * hottest key's row count and exact ppm share of the table, and the
+    * skew factor (hottest/average) in exact integer ppm
+    * (max·n_keys·1e6 DIV n_rows — 1e6 = perfectly uniform). A key
+    * whose hottest value holds a disproportionate share is the one
+    * that stalls a co-shuffled join's straggler task at 100 TB; this
+    * report is what justifies (or spares) the SkewTools salting pass.
+    *
+    * Scale shape: per key ONE keyed two-phase count (map-side
+    * combined) feeding a 1-row rollup; max share is max-of-counts —
+    * never a sort; branches union into a ≤\|keys\|-row report.
+    */
+  val skewKeys: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+    "lineitem" -> "l_suppkey", "orders" -> "o_custkey",
+    "events" -> "user_id")
+
+  def joinSkew(spark: SparkSession, dir: String): DataFrame = {
+    val branches = skewKeys.map { case (tbl, k) =>
+      Tables.table(spark, dir, tbl)
+        .groupBy(col(k).as("key")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_key_rows"))
+        .select(lit(tbl).as("tbl"), lit(k).as("key_col"),
+          col("n_rows"), col("n_keys"), col("max_key_rows"),
+          expr("CAST(max_key_rows * 1000000 DIV n_rows AS BIGINT)")
+            .as("max_share_ppm"),
+          expr("CAST(max_key_rows * n_keys * 1000000 DIV n_rows AS BIGINT)")
+            .as("skew_factor_ppm"))
+    }
+    branches.reduce(_ unionByName _).orderBy(col("tbl"), col("key_col"))
+  }
+
+  val joinSkewSql: String = {
+    val branches = skewKeys.map { case (tbl, k) =>
+      s"""SELECT '$tbl' AS tbl, '$k' AS key_col,
+         |  CAST(sum(c) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(c) AS BIGINT) AS max_key_rows,
+         |  CAST((CAST(max(c) AS HUGEINT) * 1000000) // sum(c) AS BIGINT)
+         |    AS max_share_ppm,
+         |  CAST((CAST(max(c) AS HUGEINT) * count(*) * 1000000) // sum(c)
+         |    AS BIGINT) AS skew_factor_ppm
+         |FROM (SELECT $k, count(*) AS c FROM $tbl GROUP BY $k)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$branches)
+       |ORDER BY tbl, key_col""".stripMargin
+  }
+
   val valuePatternsSql: String = {
     val branches = patternCols.flatMap { case (tbl, cols) =>
       cols.map { c =>

@@ -328,6 +328,25 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("join skew: key-count recompute for two fact keys") {
+    val got = Patterns.joinSkew(spark, sf).collect()
+    assert(got.length == Patterns.skewKeys.length)
+    for ((tbl, k) <- Seq(("lineitem", "l_suppkey"), ("orders", "o_custkey"))) {
+      val keys = Tables.table(spark, sf, tbl).select(col(k))
+        .collect().map(_.getLong(0))
+      val counts = keys.groupBy(identity).map(_._2.length.toLong)
+      val r = got.find(x => x.getString(0) == tbl && x.getString(1) == k).get
+      assert(r.getAs[Long]("n_rows") == keys.length.toLong)
+      assert(r.getAs[Long]("n_keys") == counts.size.toLong)
+      assert(r.getAs[Long]("max_key_rows") == counts.max)
+      assert(r.getAs[Long]("max_share_ppm") ==
+        counts.max * 1000000L / keys.length)
+      assert(r.getAs[Long]("skew_factor_ppm") ==
+        counts.max * counts.size * 1000000L / keys.length)
+      assert(r.getAs[Long]("skew_factor_ppm") >= 1000000L)
+    }
+  }
+
   test("top values: bounded aggregator matches full value counts") {
     val got = Patterns.topValues(spark, sf).collect()
     assert(got.nonEmpty)
