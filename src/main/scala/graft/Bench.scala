@@ -56,8 +56,15 @@ object Bench {
       // evict between its timed runs (r7 driver bench:
       // dedup_cluster_profile 15.5 s suite-median vs 2.6 s isolated —
       // every "warm" run was re-paying the cold prefix join).
+      // Exemption: SHARED PIPELINE ARTIFACTS (SharedArtifacts registry —
+      // today the near-dup components fixpoint) survive the boundary. A
+      // production pipeline derives them once and amortizes across every
+      // consumer; the bench accounts them the same way — the FIRST
+      // consumer's cold run (queries_first) carries the derivation, the
+      // five later consumers measure their own incremental work.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => SharedArtifacts.contains(r.id))
         .foreach(_.unpersist(blocking = false))
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()

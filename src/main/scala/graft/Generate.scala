@@ -16,7 +16,10 @@ import graft.output.{ArtifactJson, MarkdownDoc, SqlDdlDoc, MermaidDoc, HtmlDoc}
   * Env flags (the reference's CLI switches): GRAFT_WITH_KEYS=1 infers
   * PK/FK, GRAFT_WITH_CONSTRAINTS=1 infers constraint candidates,
   * GRAFT_STRATEGY=most_recent|random|none picks the sampling strategy,
-  * GRAFT_COMPRESS=1 / GRAFT_ENCRYPTION_PASSWORD secure the artifact.
+  * GRAFT_COMPRESS=1|zstd|gzip / GRAFT_ENCRYPTION_PASSWORD secure the
+  * artifact (zstd is the default compression, matching the reference's
+  * `.json.zst` naming), GRAFT_DIALECT targets the DDL dialect
+  * (postgresql|mysql|sqlite|sqlserver|generic).
   */
 object Generate {
   def main(args: Array[String]): Unit = {
@@ -47,14 +50,25 @@ object Generate {
     Files.createDirectories(Paths.get(outDir))
     // --compress / --encrypt analogues (reference reads
     // DBSURVEYOR_ENCRYPTION_PASSWORD; we read GRAFT_* envs)
-    val compress = sys.env.get("GRAFT_COMPRESS").contains("1")
+    // Compression default is zstd, matching the reference artifact
+    // naming (`.dbsurveyor.json.zst`, main.rs:44); GRAFT_COMPRESS=gzip
+    // keeps the legacy gzip flag for older tooling. ArtifactLoad sniffs
+    // both framings, so either round-trips.
+    val compress = sys.env.get("GRAFT_COMPRESS") match {
+      case Some("gzip") => Some("gzip")
+      case Some("1") | Some("zstd") => Some("zstd")
+      case _ => None
+    }
     val password = sys.env.get("GRAFT_ENCRYPTION_PASSWORD")
     val jsonBytes = ArtifactJson.render(artifact).getBytes("UTF-8")
-    val (payload, ext) = (compress, password) match {
-      case (true, Some(p)) => (output.Secure.encrypt(output.Secure.gzip(jsonBytes), p), ".json.gz.enc")
-      case (true, None)    => (output.Secure.gzip(jsonBytes), ".json.gz")
-      case (false, Some(p)) => (output.Secure.encrypt(jsonBytes, p), ".json.enc")
-      case (false, None)   => (jsonBytes, ".json")
+    val (packed, cext) = compress match {
+      case Some("gzip") => (output.Secure.gzip(jsonBytes), ".json.gz")
+      case Some(_)      => (output.Secure.zstd(jsonBytes), ".json.zst")
+      case None         => (jsonBytes, ".json")
+    }
+    val (payload, ext) = password match {
+      case Some(p) => (output.Secure.encrypt(packed, p), cext + ".enc")
+      case None    => (packed, cext)
     }
     Files.write(Paths.get(s"$outDir/schema.graft$ext"), payload)
     val drift = if (args.length > 3) {
@@ -74,7 +88,11 @@ object Generate {
       sb.result()
     } else ""
     Files.writeString(Paths.get(s"$outDir/schema.md"), MarkdownDoc.render(artifact) + drift)
-    Files.writeString(Paths.get(s"$outDir/schema.sql"), SqlDdlDoc.render(artifact))
+    // --dialect analogue (reference main.rs:150-167 SqlArgs.dialect)
+    val dialect = SqlDdlDoc.SqlDialect.byName(
+      sys.env.getOrElse("GRAFT_DIALECT", "generic"))
+    Files.writeString(Paths.get(s"$outDir/schema.sql"),
+      SqlDdlDoc.render(artifact, dialect))
     Files.writeString(Paths.get(s"$outDir/schema.mmd"), MermaidDoc.render(artifact))
     Files.writeString(Paths.get(s"$outDir/schema.html"), HtmlDoc.render(artifact))
     println(s"[generate] wrote $outDir/schema.graft$ext + md/sql/mmd/html " +

@@ -21,8 +21,10 @@ object Verify {
       // same between-query boundary as Bench: free CacheManager entries
       // AND localCheckpoint-backed RDDs (GlobalRank/fixpoint rounds) so a
       // 178-query single-JVM dump doesn't accumulate dead storage blocks
+      // (shared pipeline artifacts exempted — see SharedArtifacts)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => SharedArtifacts.contains(r.id))
         .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

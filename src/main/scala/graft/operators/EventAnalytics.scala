@@ -749,7 +749,11 @@ object EventAnalytics {
     * with 0 = Sunday (1970-01-01 was a Thursday) — because the engines'
     * dayofweek() builtins disagree on numbering (Spark 1=Sunday,
     * DuckDB 0=Sunday): integer epoch math has no convention to disagree
-    * on. Timestamps are pre-1970-safe via floor division.
+    * on. Timestamps are pre-1970-safe via the house floor-division
+    * device (Tables.scala): day = (t - pmod(t, unit)) DIV unit — exact
+    * floor for negatives because the subtracted pmod is non-negative —
+    * and the oracle mirrors it with ((x % m) + m) % m non-negative
+    * modulo, since DuckDB's % keeps the dividend's sign.
     *
     * Scale shape: ONE events scan, one (dow,hod)-keyed two-phase agg
     * (≤168 cells; the single grouped countDistinct takes Spark's
@@ -761,8 +765,10 @@ object EventAnalytics {
       .select(unix_micros(col("ts")).as("t_us"), col("user_id"),
         col("value").cast(DecimalType(12, 2)).as("v"))
       .select(
-        expr("pmod(t_us DIV 86400000000 + 4, 7)").cast("int").as("dow"),
-        expr("pmod(t_us DIV 3600000000, 24)").cast("int").as("hod"),
+        expr("pmod((t_us - pmod(t_us, 86400000000)) DIV 86400000000 + 4, 7)")
+          .cast("int").as("dow"),
+        expr("pmod((t_us - pmod(t_us, 3600000000)) DIV 3600000000, 24)")
+          .cast("int").as("hod"),
         col("user_id"), col("v"))
       .groupBy(col("dow"), col("hod"))
       .agg(count(lit(1)).as("n_events"),
@@ -779,8 +785,8 @@ object EventAnalytics {
 
   val eventsWeeklyHeatmapSql: String =
     """WITH cells AS (
-      |  SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER) AS dow,
-      |    CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hod,
+      |  SELECT CAST(((((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 + 4) % 7) + 7) % 7 AS INTEGER) AS dow,
+      |    CAST(((((epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)) // 3600000000) % 24) + 24) % 24 AS INTEGER) AS hod,
       |    count(*) AS n_events,
       |    count(DISTINCT user_id) AS n_users,
       |    sum(CAST(value AS DECIMAL(12,2))) AS v_d
@@ -823,6 +829,15 @@ object EventAnalytics {
     val agg = ranked.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
       .collect().head
     val n = agg.getLong(0)
+    // Degrade-don't-throw (the eventsAttribution discipline): a log
+    // with zero sessions short-circuits to an empty, correctly-typed
+    // frame before the sd/n division, the null-sum getLong, and the
+    // atRank lookups could throw.
+    if (n == 0L) {
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("n_sessions", "mean_us", "p10_us", "p25_us", "p50_us",
+          "p75_us", "p90_us", "p99_us")
+    }
     val sd = agg.getLong(1)
     val targets = sessionPcts.map(p => p -> math.max(1L, (p * n + 99) / 100))
     val atRank = ranked
@@ -997,11 +1012,22 @@ object EventAnalytics {
     val nodes = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
     val tot = cells.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
     val n = nodes.length.toLong
+    // Degrade-don't-throw: a log with no transitions at all (every user
+    // has ≤1 event) yields an empty, correctly-typed frame — matching
+    // the oracle, whose node CTE is empty — instead of dividing by 0.
+    if (n == 0L) {
+      import spark.implicits._
+      return Seq.empty[(String, Long)].toDF("event_type", "pi_e9")
+    }
     var pi: Map[String, Long] = nodes.map(_ -> markovUnit / n).toMap
     for (_ <- 1 to markovIters) {
       val next = scala.collection.mutable.Map[String, Long]()
         .withDefaultValue(0L)
-      for ((s, d, c) <- cells) next(d) += pi(s) * c / tot(s)
+      // BigInt product: pi(s)·c wraps a raw Long above ~9.2e9
+      // transitions per cell; the quotient is ≤ markovUnit so the
+      // narrowing back to Long is always exact.
+      for ((s, d, c) <- cells)
+        next(d) += (BigInt(pi(s)) * c / tot(s)).toLong
       for (node <- nodes if !tot.contains(node)) next(node) += pi(node)
       pi = nodes.map(v => v -> next(v)).toMap
     }

@@ -19,6 +19,27 @@ import graft.sources.Collector._
   */
 object ArtifactLoad {
 
+  /** Read an artifact FILE in any Generate framing: optional AES
+    * envelope first (when a password is given), then magic-byte-sniffed
+    * decompression — gzip (1f 8b) or zstd (28 b5 2f fd) — then parse.
+    * Sniffing the content instead of trusting the extension means a
+    * renamed artifact still loads (the reference's offline-first
+    * posture: the file is the contract, not its name).
+    */
+  def loadFile(path: String, password: Option[String] = None): Artifact = {
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val plain = password.map(p => Secure.decrypt(raw, p)).getOrElse(raw)
+    def b(i: Int): Int = plain(i) & 0xff
+    val json =
+      if (plain.length >= 2 && b(0) == 0x1f && b(1) == 0x8b)
+        Secure.gunzip(plain)
+      else if (plain.length >= 4 && b(0) == 0x28 && b(1) == 0xb5 &&
+          b(2) == 0x2f && b(3) == 0xfd)
+        Secure.unzstd(plain)
+      else plain
+    load(new String(json, "UTF-8"))
+  }
+
   // ------------------------------------------------------------ tiny JSON
   sealed trait J
   private case class JObj(fields: Map[String, J]) extends J
@@ -176,7 +197,9 @@ object ArtifactLoad {
           // post-1.2 fields: optional-with-defaults so older artifacts load
           autoIncrement = c.get("is_auto_increment").exists(bool),
           defaultValue = optStr(c, "default_value", ""),
-          ordinal = c.get("ordinal_position").map(j => long(j).toInt).getOrElse(0))
+          ordinal = c.get("ordinal_position").map(j => long(j).toInt).getOrElse(0),
+          // v1.4 optional: absent = clean (pre-1.4 artifacts keep loading)
+          sensitive = optStr(c, "sensitive", ""))
       }
       val idx = arr(optField(t, "indexes", JArr(Vector.empty))).map { ij =>
         val ix = obj(ij)

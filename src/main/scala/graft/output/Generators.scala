@@ -45,7 +45,11 @@ object ArtifactJson {
       val cols = t.columns.map(c =>
         s"""{"name": ${q(c.name)}, "data_type": ${q(c.dataType)}, "nullable": ${c.nullable}, """ +
           s""""is_auto_increment": ${c.autoIncrement}, "default_value": ${q(c.defaultValue)}, """ +
-          s""""ordinal_position": ${c.ordinal}}""")
+          s""""ordinal_position": ${c.ordinal}""" +
+          // v1.4 optional field: omitted entirely when clean, so pre-1.4
+          // readers and goldens are untouched
+          (if (c.sensitive.nonEmpty) s""", "sensitive": ${q(c.sensitive)}}"""
+           else "}"))
         .mkString("[", ", ", "]")
       val sample = t.sampleRows.map(r =>
         r.map(q).mkString("[", ", ", "]")).mkString("[", ", ", "]")
@@ -138,24 +142,92 @@ object ArtifactJson {
   */
 object SqlDdlDoc {
 
-  private def sqlType(t: String): String = t match {
-    case "int64" => "BIGINT"
-    case "int32" => "INTEGER"
-    case "float64" => "DOUBLE"
-    case "float32" => "REAL"
-    case "string" => "VARCHAR"
-    case "bool" => "BOOLEAN"
-    case "binary" => "BLOB"
-    case "timestamp" => "TIMESTAMP"
-    case a if a.startsWith("array<") =>
-      sqlType(a.stripPrefix("array<").stripSuffix(">")) + "[]"
-    case other => other.toUpperCase
+  /** Target dialect for DDL generation (reference main.rs:209-220
+    * SqlDialect: postgresql | mysql | sqlite | sqlserver | generic;
+    * the reference defaults to postgresql, the library API here keeps
+    * `Generic` as the no-argument default so engine-neutral output
+    * stays the baseline and goldens are dialect-pinned explicitly).
+    */
+  sealed abstract class SqlDialect(val dialectName: String)
+  object SqlDialect {
+    case object Postgres extends SqlDialect("postgresql")
+    case object MySql extends SqlDialect("mysql")
+    case object SQLite extends SqlDialect("sqlite")
+    case object SqlServer extends SqlDialect("sqlserver")
+    case object Generic extends SqlDialect("generic")
+    val all: Seq[SqlDialect] = Seq(Postgres, MySql, SQLite, SqlServer, Generic)
+    def byName(n: String): SqlDialect =
+      all.find(_.dialectName == n.toLowerCase).getOrElse(Generic)
+  }
+  import SqlDialect._
+
+  /** Engine-neutral artifact type → dialect-concrete DDL type. String
+    * columns map to bounded VARCHARs where the dialect can't index an
+    * unbounded text type (mysql/sqlserver PK/UNIQUE restrictions);
+    * arrays degrade to the dialect's closest container (native arrays
+    * only exist in postgres) with the element type noted.
+    */
+  private def sqlType(t: String, d: SqlDialect): String = (t, d) match {
+    case ("int64", SQLite) => "INTEGER"
+    case ("int64", _) => "BIGINT"
+    case ("int32", SqlServer | MySql) => "INT"
+    case ("int32", SQLite) => "INTEGER"
+    case ("int32", _) => "INTEGER"
+    case ("float64", Postgres) => "DOUBLE PRECISION"
+    case ("float64", MySql) => "DOUBLE"
+    case ("float64", SQLite) => "REAL"
+    case ("float64", SqlServer) => "FLOAT"
+    case ("float64", Generic) => "DOUBLE"
+    case ("float32", SqlServer | Postgres | Generic) => "REAL"
+    case ("float32", MySql) => "FLOAT"
+    case ("float32", SQLite) => "REAL"
+    case ("string", Postgres) => "TEXT"
+    case ("string", MySql) => "VARCHAR(255)"
+    case ("string", SQLite) => "TEXT"
+    case ("string", SqlServer) => "NVARCHAR(255)"
+    case ("string", Generic) => "VARCHAR"
+    case ("bool", MySql) => "BOOLEAN" // TINYINT(1) alias
+    case ("bool", SQLite) => "INTEGER"
+    case ("bool", SqlServer) => "BIT"
+    case ("bool", _) => "BOOLEAN"
+    case ("binary", Postgres) => "BYTEA"
+    case ("binary", SqlServer) => "VARBINARY(MAX)"
+    case ("binary", _) => "BLOB"
+    case ("timestamp", MySql) => "DATETIME"
+    case ("timestamp", SQLite) => "TEXT"
+    case ("timestamp", SqlServer) => "DATETIME2"
+    case ("timestamp", _) => "TIMESTAMP"
+    case (a, Postgres) if a.startsWith("array<") =>
+      sqlType(a.stripPrefix("array<").stripSuffix(">"), d) + "[]"
+    case (a, MySql) if a.startsWith("array<") =>
+      s"JSON /* array of ${a.stripPrefix("array<").stripSuffix(">")} */"
+    case (a, SQLite) if a.startsWith("array<") =>
+      s"TEXT /* array of ${a.stripPrefix("array<").stripSuffix(">")} */"
+    case (a, SqlServer) if a.startsWith("array<") =>
+      s"NVARCHAR(MAX) /* array of ${a.stripPrefix("array<").stripSuffix(">")} */"
+    case (a, Generic) if a.startsWith("array<") =>
+      sqlType(a.stripPrefix("array<").stripSuffix(">"), d) + "[]"
+    case (other, _) => other.toUpperCase
   }
 
-  def render(a: Artifact): String = {
+  /** Dialect identity/auto-increment clause; SQLite has none (its
+    * INTEGER PRIMARY KEY auto-assigns rowids), so the fact is kept as
+    * an inline comment instead of a clause its parser would reject.
+    */
+  private def identityClause(d: SqlDialect): String = d match {
+    case MySql => " AUTO_INCREMENT"
+    case SqlServer => " IDENTITY(1,1)"
+    case SQLite => " /* auto-increment in source */"
+    case _ => " GENERATED ALWAYS AS IDENTITY"
+  }
+
+  def render(a: Artifact): String = render(a, Generic)
+
+  def render(a: Artifact, dialect: SqlDialect): String = {
+    def sqlTypeD(t: String): String = sqlType(t, dialect)
     val sb = new StringBuilder
     sb ++= s"-- Schema DDL reconstructed by graft from: ${a.source}\n"
-    sb ++= s"-- format version ${a.formatVersion}\n"
+    sb ++= s"-- format version ${a.formatVersion}; dialect ${dialect.dialectName}\n"
     a.server.foreach(s =>
       sb ++= s"-- engine: ${s.engine} ${s.version}; collected at ${s.collectedAt}; ${s.tableCount} tables\n")
     sb ++= "\n"
@@ -226,10 +298,10 @@ object SqlDdlDoc {
           // collected column catalog details (models.rs:71-77): identity
           // columns reconstruct as GENERATED; a collected default renders
           // as a real DEFAULT clause (identity wins — engines reject both)
-          val gen = if (c.autoIncrement) " GENERATED ALWAYS AS IDENTITY" else ""
+          val gen = if (c.autoIncrement) identityClause(dialect) else ""
           val dflt = if (!c.autoIncrement && c.defaultValue.nonEmpty)
             s" DEFAULT ${c.defaultValue}" else ""
-          s"  ${c.name} ${sqlType(c.dataType)}$gen$dflt$nn$pk$uq"
+          s"  ${c.name} ${sqlTypeD(c.dataType)}$gen$dflt$nn$pk$uq"
         }
         val compositePk =
           if (!inlinePk && pkCols.nonEmpty)
@@ -390,6 +462,8 @@ object HtmlDoc {
         sb ++= s"<tr><td>${esc(c.name)}</td><td>${esc(c.dataType)}</td><td>${c.nullable}</td><td>${esc(d)}</td></tr>\n"
       }
       sb ++= "</table>\n"
+      t.columns.filter(_.sensitive.nonEmpty).foreach(c =>
+        sb ++= s"""<p class="warn">WARNING: column <code>${esc(c.name)}</code> may contain a ${esc(c.sensitive)}</p>\n""")
       if (t.indexes.nonEmpty) {
         sb ++= "<h3>Indexes</h3>\n<table><tr><th>Name</th><th>Columns</th><th>Unique</th></tr>\n"
         t.indexes.foreach(ix => sb ++=
@@ -490,6 +564,12 @@ object MarkdownDoc {
       t.columns.foreach { c =>
         val d = if (c.autoIncrement) "IDENTITY" else c.defaultValue
         sb ++= s"| ${c.name} | ${c.dataType} | ${c.nullable} | $d |\n"
+      }
+      val sens = t.columns.filter(_.sensitive.nonEmpty)
+      if (sens.nonEmpty) {
+        sb ++= "\n"
+        sens.foreach(c =>
+          sb ++= s"> WARNING: column `${c.name}` may contain a ${c.sensitive}\n")
       }
       if (t.indexes.nonEmpty) {
         sb ++= "\n### Indexes\n\n| Name | Columns | Unique |\n| --- | --- | --- |\n"

@@ -225,10 +225,13 @@ object Patterns {
           max(col("c")).as("max_key_rows"))
         .select(lit(tbl).as("tbl"), lit(k).as("key_col"),
           col("n_rows"), col("n_keys"), col("max_key_rows"),
-          expr("CAST(max_key_rows * 1000000 DIV n_rows AS BIGINT)")
-            .as("max_share_ppm"),
-          expr("CAST(max_key_rows * n_keys * 1000000 DIV n_rows AS BIGINT)")
-            .as("skew_factor_ppm"))
+          // Decimal(38,0) mirrors the oracle's HUGEINT: max·keys·1e6
+          // wraps LongType exactly on the pathologically-skewed tables
+          // this pre-flight exists to flag (1e8 rows × 1e8 keys ≈ 1e22).
+          expr("CAST(CAST(max_key_rows AS DECIMAL(38,0)) * 1000000" +
+            " DIV n_rows AS BIGINT)").as("max_share_ppm"),
+          expr("CAST(CAST(max_key_rows AS DECIMAL(38,0)) * n_keys" +
+            " * 1000000 DIV n_rows AS BIGINT)").as("skew_factor_ppm"))
     }
     branches.reduce(_ unionByName _).orderBy(col("tbl"), col("key_col"))
   }

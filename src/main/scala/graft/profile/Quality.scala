@@ -320,6 +320,56 @@ object Quality {
       weighted.as("quality_score"))
   }
 
+  /** Minimum-score thresholds (reference quality/config.rs defaults:
+    * completeness_min 0.95, uniqueness_min 0.98, consistency_min 0.90).
+    * A component score below its minimum emits a ThresholdViolation row
+    * (analyzer.rs:97-133) — the "which table crossed which threshold"
+    * answer the composite score alone can't give.
+    */
+  case class ScoreThresholds(completenessMin: Double = 0.95,
+      uniquenessMin: Double = 0.98, consistencyMin: Double = 0.90)
+
+  /** Threshold-violation report: one row per (table, metric) whose
+    * score fell below the configured minimum — empty when everything
+    * clears. Scale shape: re-selects the already-1-row score frame
+    * three ways; all data-sized work is the single score aggregation.
+    */
+  def scoreViolations(spark: SparkSession, dir: String): DataFrame =
+    scoreViolationsWith(spark, dir, ScoreThresholds())
+
+  def scoreViolationsWith(spark: SparkSession, dir: String,
+      t: ScoreThresholds): DataFrame = {
+    val s = scoreWith(spark, dir, ScoreWeights())
+    Seq(
+      ("completeness", t.completenessMin),
+      ("consistency", t.consistencyMin),
+      ("uniqueness", t.uniquenessMin)
+    ).map { case (m, th) =>
+      s.select(col("table_name"), lit(m).as("metric"),
+          lit(th).as("threshold"), col(m).as("actual"))
+        .filter(col("actual") < lit(th))
+    }.reduce(_ unionByName _).orderBy(col("table_name"), col("metric"))
+  }
+
+  // lazy: composes scoreSql, which is declared below (init-order safety)
+  lazy val scoreViolationsSql: String = {
+    val t = ScoreThresholds()
+    def branch(m: String, th: Double) =
+      s"""SELECT table_name, '$m' AS metric,
+         |  CAST($th AS DOUBLE) AS threshold, $m AS actual
+         |FROM s WHERE $m < CAST($th AS DOUBLE)""".stripMargin
+    s"""WITH s AS (
+       |${scoreSql}
+       |)
+       |SELECT * FROM (
+       |${branch("completeness", t.completenessMin)}
+       |UNION ALL
+       |${branch("consistency", t.consistencyMin)}
+       |UNION ALL
+       |${branch("uniqueness", t.uniquenessMin)})
+       |ORDER BY table_name, metric""".stripMargin
+  }
+
   val scoreSql: String = {
     val rowKey = "md5(concat_ws(chr(1), " +
       docCols.map(c => s"coalesce(CAST($c AS VARCHAR), '<NULL>')").mkString(", ") + "))"

@@ -498,11 +498,23 @@ object Collector {
   /** v1.1 added: FK referential actions, view definitions, stored
     * routines, custom types. v1.2 adds: trigger metadata, collected
     * CHECK constraints, collection-run metadata (duration + access
-    * level). Earlier artifacts still load (ArtifactLoad defaults every
-    * post-1.0 field) and validate.
+    * level). v1.4 adds: per-column collect-time sensitive-data flags
+    * (optional field — "" when clean). Earlier artifacts still load
+    * (ArtifactLoad defaults every post-1.0 field) and validate.
     */
-  val currentFormatVersion = "1.3"
-  val supportedFormatVersions: Set[String] = Set("1.0", "1.1", "1.2", "1.3")
+  val currentFormatVersion = "1.4"
+  val supportedFormatVersions: Set[String] = Set("1.0", "1.1", "1.2", "1.3", "1.4")
+
+  /** Sampling operational guards (reference config/sampling.rs:10
+    * MAX_SAMPLE_SIZE, throttle_ms, query_timeout_secs): the requested
+    * sample size is clamped to [1, maxSampleSize] so an unbounded LIMIT
+    * can never OOM the collector, each per-table sample query runs
+    * under a wall-clock timeout that degrades the table to a `failed`
+    * SampleStatus instead of hanging the survey, and an optional
+    * inter-table throttle keeps the survey polite against a production
+    * source — the tool's one abuse vector.
+    */
+  val maxSampleSize = 10000
 
   /** Column description at reference models.rs:65-78 depth: beyond
     * name/type/nullability, the engine-declared auto-increment flag
@@ -515,7 +527,33 @@ object Collector {
     */
   case class ColumnInfo(name: String, dataType: String, nullable: Boolean,
       autoIncrement: Boolean = false, defaultValue: String = "",
-      ordinal: Int = 0)
+      ordinal: Int = 0, sensitive: String = "")
+
+  /** Collect-time sensitive-column detection (reference
+    * config/sampling.rs:12-56 SensitivePattern + warn_sensitive): the
+    * survey warns about credential/PII-looking column NAMES while it
+    * still has the catalog open, so the signal rides the artifact into
+    * every downstream renderer — not a postprocess the user has to
+    * remember to run (Redactor stays the value-level postprocess).
+    * Patterns are (regex, description); invalid regexes are skipped
+    * with a warning rather than failing the survey.
+    */
+  val defaultSensitivePatterns: Seq[(String, String)] = Seq(
+    "(?i)(password|passwd|pwd|secret|token|api_key)" -> "credential field",
+    "(?i)(email|mail)" -> "email field",
+    "(?i)(ssn|social_security)" -> "social security number field",
+    "(?i)(credit_card|card_number|ccnum)" -> "payment card field",
+    "(?i)(phone|mobile)" -> "phone number field")
+
+  /** First matching description for a column name, compiled-safe:
+    * a malformed pattern contributes a warning, never an abort. */
+  def sensitiveMatch(colName: String,
+      patterns: Seq[(String, String)] = defaultSensitivePatterns)
+      : Option[String] =
+    patterns.collectFirst {
+      case (p, d) if scala.util.Try(p.r.findFirstIn(colName))
+        .toOption.flatten.isDefined => d
+    }
 
   /** Engine-collected per-column catalog details, keyed back into
     * ColumnInfo by name during collect.
@@ -690,6 +728,34 @@ object Collector {
     * time — and the retry loop bails out after that second attempt.
     * Returns (rows, status, warnings).
     */
+  /** Wall-clock guard around one sample query (reference
+    * query_timeout_secs): the body runs on a daemon thread; on timeout
+    * the thread is interrupted and a plain RuntimeException surfaces,
+    * which sampleWithRetry's degrade path turns into a `failed`
+    * SampleStatus with warnings — a hung source never hangs the survey.
+    * (The identical timeout message at the halved retry limit trips the
+    * deterministic-failure bailout, so a slow table costs at most two
+    * timeout windows.) <= 0 disables the guard.
+    */
+  def withQueryTimeout[T](secs: Long)(body: => T): T =
+    if (secs <= 0) body
+    else {
+      val task = new java.util.concurrent.FutureTask(
+        new java.util.concurrent.Callable[T] { def call(): T = body })
+      val th = new Thread(task, "graft-sample-timeout")
+      th.setDaemon(true)
+      th.start()
+      try task.get(secs, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          task.cancel(true)
+          throw new RuntimeException(s"sample query exceeded ${secs}s timeout")
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).collect { case ex: Exception => ex }
+            .getOrElse(e)
+      }
+    }
+
   def sampleWithRetry(limit: Int, doSample: Int => Seq[Seq[String]])
       : (Seq[Seq[String]], String, Seq[String]) = {
     // the ROOT cause identifies the failure: Spark wraps task failures
@@ -744,8 +810,28 @@ object Collector {
       withKeys: Boolean = false,
       strategy: SamplingStrategy = SamplingStrategy.MostRecent,
       withConstraints: Boolean = false,
-      collectedAt: String = java.time.Instant.now().toString): Artifact = {
+      collectedAt: String = java.time.Instant.now().toString,
+      warnSensitive: Boolean = true,
+      sensitivePatterns: Seq[(String, String)] = defaultSensitivePatterns,
+      queryTimeoutSecs: Long = 30L,
+      throttleMs: Long = 0L): Artifact = {
     val startNs = System.nanoTime()
+    val artifactWarnings = Seq.newBuilder[String]
+    // MAX_SAMPLE_SIZE clamp (reference sampling.rs:10 + with_sample_size):
+    // out-of-range requests are clamped, recorded, and the survey goes on
+    val effSample = math.min(math.max(sampleSize, 1), maxSampleSize)
+    if (effSample != sampleSize)
+      artifactWarnings += s"sample_size $sampleSize out of [1, $maxSampleSize]; clamped to $effSample"
+    // malformed sensitive patterns are dropped once, with a warning —
+    // the reference's compile_sensitive_patterns degrade path
+    val livePatterns =
+      if (!warnSensitive) Nil
+      else sensitivePatterns.filter { case (p, _) =>
+        scala.util.Try(p.r).isSuccess || {
+          artifactWarnings += s"skipping invalid sensitive pattern '$p'"
+          false
+        }
+      }
     val loaded: Seq[(String, Option[DataFrame], Seq[String])] =
       source.tableNames.map { t =>
         try { val df = source.load(t); (t, Some(df), Nil) }
@@ -778,7 +864,6 @@ object Collector {
       else Map.empty
     // a failing engine FK read degrades to no collected edges, but is
     // RECORDED — silent metadata loss would misrepresent the survey
-    val artifactWarnings = Seq.newBuilder[String]
     val collectedFks: Seq[FkEdge] = source match {
       case m: MetadataSource =>
         try m.collectedForeignKeys
@@ -847,8 +932,14 @@ object Collector {
               autoIncrement = d.exists(_.autoIncrement),
               defaultValue = d.map(_.defaultValue).getOrElse(""),
               // schema position stands in when the engine didn't report one
-              ordinal = d.map(_.ordinal).filter(_ > 0).getOrElse(i + 1))
+              ordinal = d.map(_.ordinal).filter(_ > 0).getOrElse(i + 1),
+              // collect-time sensitive-name flag (warn_sensitive): the
+              // warning is raised HERE, while the catalog is open — not
+              // a postprocess the user has to remember
+              sensitive = sensitiveMatch(f.name, livePatterns).getOrElse(""))
           }
+          val sensWarns = cols.filter(_.sensitive.nonEmpty).map(c =>
+            s"sensitive: column '${c.name}' may contain a ${c.sensitive}")
           // sampling-key ladder (reference sampling.rs strategy
           // preference): collected primary key > inferred primary key >
           // first timestamp column (recency) > first column (rowid
@@ -864,11 +955,16 @@ object Collector {
             case SamplingStrategy.MostRecent => col(key).desc
             case _ => md5(col(key).cast(StringType)).asc
           }
+          // inter-table throttle (reference throttle_ms): politeness
+          // against a production source; 0 = off (the default)
+          if (throttleMs > 0) Thread.sleep(throttleMs)
           val (sample, status, warns) = strategy match {
             case SamplingStrategy.NoSample => (Nil, "skipped", Nil)
-            case _ => sampleWithRetry(sampleSize, l =>
-              df.orderBy(ordering).limit(l).collect().toSeq.map(r =>
-                r.toSeq.map(v => if (v == null) "NULL" else v.toString)))
+            case _ => sampleWithRetry(effSample, l =>
+              withQueryTimeout(queryTimeoutSecs) {
+                df.orderBy(ordering).limit(l).collect().toSeq.map(r =>
+                  r.toSeq.map(v => if (v == null) "NULL" else v.toString))
+              })
           }
           val (cnt, status2, warns2) =
             try (df.count(), status, warns)
@@ -884,7 +980,7 @@ object Collector {
           val pk = if (meta.primaryKey.nonEmpty) meta.primaryKey
             else pkMap.getOrElse(t, Nil)
           TableInfo(t, cols, cnt, hdr, rows2,
-            sampleStatus = status2, warnings = metaWarns ++ warns2,
+            sampleStatus = status2, warnings = sensWarns ++ metaWarns ++ warns2,
             pkCandidates = pk,
             keyProvenance = if (meta.primaryKey.nonEmpty) "collected" else "inferred",
             samplingStrategy = strategy.strategyName,

@@ -308,8 +308,8 @@ object Search {
     * deliberately absent: on a Zipf-truncated vocabulary every pair
     * shares hot terms and any blocking is either lossy or quadratic —
     * retrieval-per-query is the shape that scales, with per-query cost
-    * = Σ df over the query's terms; at 100 TB add the standard
-    * stopword/impact pruning to cap hot-term posting lists.)
+    * = Σ df over the query's terms; `sparseDfCap` below IS the standard
+    * stopword/impact pruning that caps hot-term posting lists.)
     *
     * Determinism: weights quantize tf·idf through the keywordsTfidf
     * decimal device (ln → DECIMAL(18,9); the product keeps all 9 decimals
@@ -335,10 +335,24 @@ object Search {
   val sparseQueryDocs = 20
   val sparseTopK = 10
 
+  /** Hot-term posting-list cap — the super-node guard this join needs at
+    * 100 TB (the overlapDegCap device, GraphOps.scala): the token-keyed
+    * dot-product join fans out by posting-list length, so ONE stopword
+    * shared with a query makes the join row count ≈ that term's df ×
+    * queries. Terms with df above the cap are dropped from the tf-idf
+    * vectors entirely (op AND oracle identically, so the gate proves the
+    * capped semantics) — standard stopword pruning, and near-zero signal
+    * loss since idf = ln(N/df) ≈ 0 for such terms anyway. A no-op at
+    * every test SF (sf0.1 has ~60k docs, so no df can reach the cap);
+    * at 100 TB it bounds per-query join cost to Σ min(df, cap).
+    */
+  val sparseDfCap = 1000000L
+
   def sparseCosine(spark: SparkSession, dir: String): DataFrame = {
     val t = toks(spark, dir)
     val tf = t.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfF = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= sparseDfCap)
     val nDocs = Tables.documents(spark, dir)
       .agg(count(lit(1)).cast(DoubleType).as("n_docs"))
     val wts = tf.join(dfF, "token").crossJoin(broadcast(nDocs))
@@ -390,7 +404,8 @@ object Search {
        |  FROM documents),
        |tf AS (SELECT doc_id, token, count(*) AS tf
        |       FROM toks GROUP BY doc_id, token),
-       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token
+       |       HAVING count(*) <= $sparseDfCap),
        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
        |wts AS (
        |  SELECT doc_id, token,
