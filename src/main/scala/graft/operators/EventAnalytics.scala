@@ -232,6 +232,89 @@ object EventAnalytics {
       |GROUP BY event_type, gap_bucket
       |ORDER BY event_type, gap_bucket""".stripMargin
 
+  /** Inter-arrival burstiness per event type — the regime classifier
+    * the gap histogram's shape hints at but never quantifies: the
+    * squared coefficient of variation CV² = Var(gap)/E[gap]² of
+    * same-user inter-arrival gaps. CV² ≈ 1 is memoryless (Poisson)
+    * traffic, ≫ 1 is bursty (sessions, retry storms, bots), ≪ 1 is
+    * regular (schedulers, heartbeats) — the first number a capacity
+    * planner or bot-detector reads off an unfamiliar event stream.
+    *
+    * EXACT INTEGER throughout (the quality_join_skew discipline):
+    * CV²·1e6 = (n·Σg² − (Σg)²)·1e6 DIV (Σg)² over SECOND-quantized
+    * gaps (gap_us DIV 1e6 — µs gaps would push n·Σg² past DECIMAL(38)
+    * on long-span types; the quantization is part of the contract and
+    * identical in the oracle). Sums are DECIMAL(38,0) — exact and
+    * order-independent; no variance-of-doubles anywhere. Zero-sum gap
+    * types (all gaps < 1 s) emit NULL cv2 rather than an
+    * engine-divergent division by zero.
+    *
+    * Scale shape: the gap derivation is the qGapHistogram user-keyed
+    * window (skew-free — never a global per-type ordering); then ONE
+    * \|types\|-key two-phase agg. Classification is integer compares on
+    * the ppm value.
+    */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(gap_us DIV 1000000 AS DECIMAL(38,0))").as("g"),
+        col("gap_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("gap_us").cast(DecimalType(38, 0))).as("sum_gap_us"),
+        sum(col("g")).cast(DecimalType(38, 0)).as("s1"),
+        sum((col("g") * col("g")).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("s2"))
+      .select(col("event_type"),
+        col("n").cast(LongType).as("n_gaps"),
+        expr("CAST(sum_gap_us DIV n AS BIGINT)").as("mean_gap_us"),
+        expr("CASE WHEN s1 = 0 THEN NULL ELSE " +
+          "CAST((n * s2 - s1 * s1) * 1000000 DIV (s1 * s1) AS BIGINT) END")
+          .as("cv2_ppm"))
+      .withColumn("regime", expr(
+        """CASE WHEN cv2_ppm IS NULL THEN 'sub_second'
+          |  WHEN cv2_ppm > 1500000 THEN 'bursty'
+          |  WHEN cv2_ppm < 500000 THEN 'regular'
+          |  ELSE 'poisson_like' END""".stripMargin))
+      .orderBy(col("event_type"))
+  }
+
+  val qBurstinessSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |      AS gap_us
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    sum(gap_us) AS sum_gap_us,
+      |    CAST(sum(gap_us // 1000000) AS HUGEINT) AS s1,
+      |    CAST(sum(CAST(gap_us // 1000000 AS HUGEINT)
+      |             * CAST(gap_us // 1000000 AS HUGEINT)) AS HUGEINT) AS s2
+      |  FROM g WHERE gap_us IS NOT NULL
+      |  GROUP BY event_type)
+      |SELECT event_type,
+      |  CAST(n AS BIGINT) AS n_gaps,
+      |  CAST(sum_gap_us // n AS BIGINT) AS mean_gap_us,
+      |  CASE WHEN s1 = 0 THEN NULL ELSE
+      |    CAST((n * s2 - s1 * s1) * 1000000 // (s1 * s1) AS BIGINT) END
+      |    AS cv2_ppm,
+      |  CASE WHEN s1 = 0 THEN 'sub_second'
+      |    WHEN (n * s2 - s1 * s1) * 1000000 // (s1 * s1) > 1500000 THEN 'bursty'
+      |    WHEN (n * s2 - s1 * s1) * 1000000 // (s1 * s1) < 500000 THEN 'regular'
+      |    ELSE 'poisson_like' END AS regime
+      |FROM a
+      |ORDER BY event_type""".stripMargin
+
   /** EWMA rate forecast per event type — the adaptive-baseline upgrade
     * of events_rate_anomaly's static mean/std: a 16-day exponentially
     * weighted moving average (α = 1/2) of daily arrival counts forecasts

@@ -272,4 +272,88 @@ object GraphOps {
        |JOIN deg da ON da.s = s_a
        |JOIN deg db ON db.s = s_b
        |ORDER BY jaccard_ppm DESC, s_a, s_b LIMIT 100""".stripMargin
+
+  /** k-core of the customer↔supplier trade graph — the "dense trading
+    * core" extraction degree_profile's histogram hints at: iteratively
+    * peel nodes of degree < k (simultaneous removal per round — an edge
+    * survives a round only if BOTH endpoints do) until the fixpoint;
+    * what remains is the maximal subgraph where every customer deals
+    * with ≥ k suppliers AND every supplier serves ≥ k customers — the
+    * supply-chain resilience kernel (any single counterparty loss
+    * leaves everyone ≥ k−1 connected).
+    *
+    * Determinism contract (the markov/pagerank device): a FIXED
+    * `kcoreRounds` unrolled rounds in both engines — extra rounds past
+    * convergence are no-ops, so the outputs are identical whether or
+    * not the fixpoint landed early; the Spark side ALSO runs one more
+    * round and asserts nothing changed (a real convergence guard, at
+    * test scale), while the oracle replays the same R rounds as a CTE
+    * chain. Output: every surviving node with its in-core degree.
+    *
+    * Scale shape: per round, two node-keyed degree aggs + two
+    * broadcast-eligible semi-joins over the shrinking edge set, with
+    * per-round localCheckpoint + free (the iterative-lineage rule). At
+    * planetary scale the full core DECOMPOSITION swaps in distributed
+    * bucket peeling; a fixed-k membership test is exactly this loop.
+    */
+  val kcoreK = 3
+  val kcoreRounds = 8
+
+  def kcoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    def free(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    var edges = tradePairs(spark, dir).localCheckpoint(true)
+    def peel(e: DataFrame): DataFrame = {
+      val keepC = e.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+        .filter(col("dc") >= kcoreK).select(col("c"))
+      val keepS = e.groupBy(col("s")).agg(count(lit(1)).as("ds"))
+        .filter(col("ds") >= kcoreK).select(col("s"))
+      e.join(keepC, "c").join(keepS, "s").select(col("c"), col("s"))
+    }
+    for (_ <- 1 to kcoreRounds) {
+      val next = peel(edges).localCheckpoint(true)
+      free(edges)
+      edges = next
+    }
+    // convergence guard: one extra peel must be a no-op at this scale
+    val extra = peel(edges)
+    require(extra.count() == edges.count(),
+      s"$kcoreK-core did not converge in $kcoreRounds rounds")
+    val cSide = edges.groupBy(col("c").as("node_id"))
+      .agg(count(lit(1)).as("degree"))
+      .select(lit("customer").as("side"), col("node_id"), col("degree"))
+    val sSide = edges.groupBy(col("s").as("node_id"))
+      .agg(count(lit(1)).as("degree"))
+      .select(lit("supplier").as("side"), col("node_id"), col("degree"))
+    cSide.unionByName(sSide).orderBy(col("side"), col("node_id"))
+  }
+
+  val kcoreSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS MATERIALIZED (
+              |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
+    for (r <- 1 to kcoreRounds) {
+      sb ++= s""",
+                |e$r AS MATERIALIZED (
+                |  SELECT c, s FROM e${r - 1}
+                |  WHERE c IN (SELECT c FROM e${r - 1} GROUP BY c
+                |              HAVING count(*) >= $kcoreK)
+                |    AND s IN (SELECT s FROM e${r - 1} GROUP BY s
+                |              HAVING count(*) >= $kcoreK))""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT * FROM (
+              |  SELECT 'customer' AS side, c AS node_id,
+              |    CAST(count(*) AS BIGINT) AS degree
+              |  FROM e$kcoreRounds GROUP BY c
+              |  UNION ALL
+              |  SELECT 'supplier' AS side, s AS node_id,
+              |    CAST(count(*) AS BIGINT) AS degree
+              |  FROM e$kcoreRounds GROUP BY s)
+              |ORDER BY side, node_id""".stripMargin
+    sb.toString
+  }
 }

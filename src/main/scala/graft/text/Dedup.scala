@@ -248,6 +248,117 @@ object Dedup {
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  /** MinHash estimator calibration — the "how good is the sketch"
+    * report the LSH pipeline should ship with: per LSH candidate pair,
+    * the SKETCH Jaccard estimate (matching permutation minima / 32, the
+    * unbiased MinHash estimator) against the EXACT shingle-set Jaccard,
+    * and the signed error — all in exact integer ppm (matches·1e6 DIV
+    * 32; n_common·1e6 DIV union; est − exact). The per-pair view a
+    * threshold-tuning pass reads to pick bands/rows for a target
+    * false-negative rate — sim_recall_report's sibling for the sparse
+    * modality.
+    *
+    * Scale shape: signatures + band candidates are the minhashLsh
+    * derivation (one groupBy for 32 minima, banded equi-join — never
+    * all pairs); the estimate is a 32-term in-row comparison on the
+    * joined signature vectors; exact verification touches candidates
+    * only (array_intersect over per-doc sets). Everything integer —
+    * no doubles anywhere, so the calibration itself can't drift
+    * cross-engine.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+      .withColumn("hp", col("h") % minhashP)
+    val minAggs = (0 until nPerms).map(i =>
+      min((col("hp") * permA(i) + permB(i)) % minhashP).as(s"m_$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .localCheckpoint() // feeds bands + both sides of the estimate join
+    val bandStructs = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (4 * b until 4 * b + 4).map(i =>
+          col(s"m_$i").cast("string")): _*).as("band_key"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+    val cand = bands
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until nPerms).map(i => col(s"m_$i").as(s"a_m_$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until nPerms).map(i => col(s"m_$i").as(s"b_m_$i")): _*)
+    val matches = (0 until nPerms)
+      .map(i => when(col(s"a_m_$i") === col(s"b_m_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sets = shingleSets(sh)
+    cand
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), matches.as("sig_matches"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sig_matches"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_common"), col("n_a"), col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_matches"),
+        expr(s"CAST(sig_matches * 1000000 DIV $nPerms AS BIGINT)")
+          .as("est_jaccard_ppm"),
+        expr("CAST(n_common * 1000000 DIV (n_a + n_b - n_common) AS BIGINT)")
+          .as("exact_jaccard_ppm"))
+      .withColumn("err_ppm",
+        col("est_jaccard_ppm") - col("exact_jaccard_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashEstimateSql: String = {
+    val minCols = (0 until nPerms).map(i =>
+      s"min(((h % $minhashP) * ${permA(i)} + ${permB(i)}) % $minhashP) AS m_$i")
+      .mkString(", ")
+    val bandSelects = (0 until 8).map { b =>
+      val key = (4 * b until 4 * b + 4)
+        .map(i => s"CAST(m_$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    val matchSum = (0 until nPerms)
+      .map(i => s"CASE WHEN sa.m_$i = sb.m_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $jaccardPairsSql,
+       |sigs AS (
+       |  SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |       AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST($matchSum AS BIGINT) AS sig_matches
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b),
+       |ex AS (
+       |  SELECT p.doc_a, p.doc_b, p.n_common,
+       |    x.n_sh + y.n_sh - p.n_common AS u
+       |  FROM pairs p JOIN sizes x ON p.doc_a = x.doc_id
+       |               JOIN sizes y ON p.doc_b = y.doc_id)
+       |SELECT e.doc_a, e.doc_b, e.sig_matches,
+       |  CAST(e.sig_matches * 1000000 // $nPerms AS BIGINT) AS est_jaccard_ppm,
+       |  CAST(coalesce(x.n_common, 0) * 1000000
+       |    // coalesce(x.u, 1) AS BIGINT) AS exact_jaccard_ppm,
+       |  CAST(e.sig_matches * 1000000 // $nPerms
+       |    - coalesce(x.n_common, 0) * 1000000 // coalesce(x.u, 1) AS BIGINT)
+       |    AS err_ppm
+       |FROM est e LEFT JOIN ex x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin
+  }
+
   /** Prefix-filtered near-dup join (PPJoin-style): the scale path for
     * dedup_ngram_jaccard with IDENTICAL output.
     *

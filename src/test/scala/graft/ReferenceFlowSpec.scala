@@ -38,7 +38,7 @@ class ReferenceFlowSpec extends AnyFunSuite {
 
   test("json artifact renders with expected structure and escaping") {
     val json = ArtifactJson.render(artifact)
-    assert(json.contains("\"format_version\": \"1.3\""))
+    assert(json.contains("\"format_version\": \"1.4\""))
     assert(json.contains("\"table_count\": 10"))
     Tables.all.foreach(t => assert(json.contains(s"\"name\": \"$t\"")))
     // quick structural sanity: balanced braces/brackets

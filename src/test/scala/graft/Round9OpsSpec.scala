@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EventAnalytics, GraphOps}
+
+/** Independent driver-side recomputes for the round-9 operator wave
+  * (the DuckDB gate cross-checks the SQL; these cross-check the math).
+  */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("burstiness: CV² recompute from per-user sorted gap replay") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, rows) =>
+      val ts = rows.sortBy(r => (r._3, r._4)).map(_._3)
+      ts.zip(ts.tail).map { case (a, b) => (rows.head._2, b - a) }
+    }
+    val want = gaps.groupBy(_._1).map { case (t, gs) =>
+      val us = gs.map(_._2)
+      val sec = us.map(_ / 1000000L).map(BigInt(_))
+      val n = BigInt(sec.size)
+      val s1 = sec.sum
+      val s2 = sec.map(g => g * g).sum
+      val cv2 = if (s1 == 0) None
+        else Some(((n * s2 - s1 * s1) * 1000000 / (s1 * s1)).toLong)
+      t -> (us.size.toLong, us.map(BigInt(_)).sum / n, cv2)
+    }
+    val got = EventAnalytics.qBurstiness(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == want.keySet)
+    got.foreach { r =>
+      val (n, mean, cv2) = want(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == mean.toLong)
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == cv2)
+      val regime = r.getString(4)
+      cv2 match {
+        case None => assert(regime == "sub_second")
+        case Some(v) if v > 1500000 => assert(regime == "bursty")
+        case Some(v) if v < 500000  => assert(regime == "regular")
+        case _ => assert(regime == "poisson_like")
+      }
+    }
+  }
+
+  test("robust shape: octiles + Bowley/Moors from a full sort replay") {
+    val rows = profile.Shape.shapeRobust(spark, sf).collect()
+    profile.Shape.shapeCols.foreach { case (t, c) =>
+      val cents = Tables.table(spark, sf, t).filter(col(c).isNotNull)
+        .select(expr(s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .collect().map(_.getLong(0)).sorted
+      val n = cents.length.toLong
+      val e = (1 to 7).map(k =>
+        k -> cents((math.max(1L, (k * n + 7) / 8) - 1).toInt)).toMap
+      val r = rows.find(r => r.getString(0) == t && r.getString(1) == c).get
+      assert(r.getLong(2) == n)
+      (1 to 7).foreach(k => assert(r.getLong(2 + k) == e(k), s"$t.$c e$k"))
+      val iqr = e(6) - e(2)
+      if (iqr != 0) {
+        assert(r.getLong(10) == (e(6) + e(2) - 2 * e(4)) * 1000000L / iqr)
+        assert(r.getLong(11) == ((e(7) - e(5)) + (e(3) - e(1))) * 1000000L / iqr)
+      } else assert(r.isNullAt(10) && r.isNullAt(11))
+    }
+  }
+
+  test("kcore: Scala peel-to-fixpoint replay matches membership + degree") {
+    var edges = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var changed = true
+    while (changed) {
+      val dc = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val ds = edges.groupBy(_._2).map { case (k, v) => k -> v.size }
+      val next = edges.filter { case (c, s) =>
+        dc(c) >= GraphOps.kcoreK && ds(s) >= GraphOps.kcoreK }
+      changed = next.size != edges.size
+      edges = next
+    }
+    val wantC = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val wantS = edges.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val got = GraphOps.kcoreQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == wantC.size + wantS.size)
+    wantC.foreach { case (k, d) => assert(got(("customer", k)) == d) }
+    wantS.foreach { case (k, d) => assert(got(("supplier", k)) == d) }
+    // every surviving node really has in-core degree >= k
+    got.values.foreach(d => assert(d >= GraphOps.kcoreK))
+  }
+
+  test("minhash estimate: estimator bookkeeping + exact side is exact") {
+    val rows = text.Dedup.minhashEstimate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact side replays brute-force Jaccard from raw text
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .collect { case (d, t) if t.length >= 3 =>
+        d -> t.sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val m = r.getLong(2)
+      assert(m >= 0 && m <= text.Dedup.nPerms)
+      assert(r.getLong(3) == m * 1000000L / text.Dedup.nPerms)
+      val common = (sets(a) & sets(b)).size.toLong
+      val union = sets(a).size + sets(b).size - common
+      val exact = if (union == 0) 0L else common * 1000000L / union
+      assert(r.getLong(4) == exact, s"pair ($a,$b)")
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+    }
+    // calibration sanity: banded candidates are high-similarity pairs,
+    // so the mean absolute estimator error stays far below the 50%
+    // band-threshold region (32 perms → σ ≈ 1/√32 ≈ 0.18 worst-case)
+    val mae = rows.map(r => math.abs(r.getLong(5))).sum / rows.length
+    assert(mae < 200000L, s"mean |err| $mae ppm")
+  }
+}
