@@ -249,6 +249,53 @@ object Curation {
   val packShardsSql: String = packShardsSqlFrom(whitespaceDocCte)
   val packShardsBpeSql: String = packShardsSqlFrom(bpeDocCte)
 
+  /** Shard-balance audit — the operational rollup of pack_shards a
+    * training job reads before launch: per source, shard count, doc and
+    * token totals, the min/max shard token loads, balance (min·1e6 DIV
+    * max — 1e6 = perfectly even; the straggler ratio for a data loader
+    * that strides shards) and capacity utilization (total·1e6 DIV
+    * (shards·capacity)). A source whose balance ppm is low has a
+    * straggler shard: its loader finishes last every epoch — the
+    * quality_join_skew argument applied to the training-data layout.
+    *
+    * Scale shape: composes the pack_shards derivation and adds one
+    * \|sources\|-key agg over its (already shard-keyed, bounded) output;
+    * every emitted number is integer-exact.
+    */
+  def packShardBalance(spark: SparkSession, dir: String): DataFrame =
+    packShards(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("shard_tokens")).as("total_tokens"),
+        min(col("shard_tokens")).as("min_shard_tokens"),
+        max(col("shard_tokens")).as("max_shard_tokens"))
+      .select(col("source"), col("n_shards"), col("n_docs"),
+        col("total_tokens"), col("min_shard_tokens"), col("max_shard_tokens"),
+        expr("CAST(min_shard_tokens * 1000000 DIV max_shard_tokens AS BIGINT)")
+          .as("balance_ppm"),
+        expr(s"CAST(total_tokens * 1000000 DIV (n_shards * $shardCapacity)" +
+          " AS BIGINT)").as("utilization_ppm"))
+      .orderBy(col("source"))
+
+  val packShardBalanceSql: String =
+    s"""WITH shards AS (
+       |$packShardsSql
+       |)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_shards,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(shard_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(min(shard_tokens) AS BIGINT) AS min_shard_tokens,
+       |  CAST(max(shard_tokens) AS BIGINT) AS max_shard_tokens,
+       |  CAST((CAST(min(shard_tokens) AS HUGEINT) * 1000000)
+       |    // max(shard_tokens) AS BIGINT) AS balance_ppm,
+       |  CAST((CAST(sum(shard_tokens) AS HUGEINT) * 1000000)
+       |    // (count(*) * $shardCapacity) AS BIGINT) AS utilization_ppm
+       |FROM shards
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Sequence length for pack_sequences. Same scale logic as
     * shardCapacity: the synthetic docs average ~54 tokens, so 512
     * exercises multi-doc sequences AND multi-sequence docs at every test

@@ -248,6 +248,60 @@ object Dedup {
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  /** Cross-source duplication matrix — the pipeline-level rollup of the
+    * near-dup pair list: per unordered source pair, how many near-dup
+    * pairs straddle (or stay inside) those sources, with the exact ppm
+    * share of all near-dup pairs and a within/cross flag. The report
+    * that answers "which of my corpus sources duplicate each other" —
+    * the first question when deciding what to drop before mixing
+    * (a crawl snapshot re-ingesting a curated source shows up as a hot
+    * cross cell; boilerplate-heavy sources as hot diagonal cells).
+    *
+    * Scale shape: the pair list is the skew-immune prefix join (small
+    * by construction); two joins against the doc→source map (the pair
+    * side is the broadcast candidate at scale, never the map), one
+    * ≤\|sources\|²-key agg, 1-row total broadcast. Integer-exact.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPrefixJoin(spark, dir).select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    val total = counts.agg(sum(col("n_dup_pairs")).as("t_pairs"))
+    counts.crossJoin(broadcast(total))
+      .select(col("source_a"), col("source_b"), col("n_dup_pairs"),
+        expr("CAST(n_dup_pairs * 1000000 DIV t_pairs AS BIGINT)")
+          .as("share_ppm"),
+        (col("source_a") === col("source_b")).as("within_source"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $jaccardPairsSql,
+       |dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+       |cells AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    count(*) AS n_dup_pairs
+       |  FROM dup
+       |  JOIN documents da ON da.doc_id = dup.doc_a
+       |  JOIN documents db ON db.doc_id = dup.doc_b
+       |  GROUP BY 1, 2),
+       |total AS (SELECT sum(n_dup_pairs) AS t_pairs FROM cells)
+       |SELECT source_a, source_b, CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs,
+       |  CAST((CAST(n_dup_pairs AS HUGEINT) * 1000000) // t_pairs AS BIGINT)
+       |    AS share_ppm,
+       |  source_a = source_b AS within_source
+       |FROM cells, total
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** MinHash estimator calibration — the "how good is the sketch"
     * report the LSH pipeline should ship with: per LSH candidate pair,
     * the SKETCH Jaccard estimate (matching permutation minima / 32, the

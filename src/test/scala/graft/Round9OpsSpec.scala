@@ -93,6 +93,48 @@ class Round9OpsSpec extends AnyFunSuite {
     got.values.foreach(d => assert(d >= GraphOps.kcoreK))
   }
 
+  test("source overlap: pair rollup reconciles with the raw pair list") {
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = text.Dedup.ngramPrefixJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = text.Dedup.sourceOverlap(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == want.keySet)
+    val total = want.values.sum
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == want(k))
+      assert(r.getLong(3) == want(k) * 1000000L / total)
+      assert(r.getBoolean(4) == (k._1 == k._2))
+    }
+  }
+
+  test("shard balance: rollup reconciles with pack_shards output") {
+    val shards = text.Curation.packShards(spark, sf)
+      .select(col("source"), col("shard_tokens"), col("n_docs")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = text.Curation.packShardBalance(spark, sf).collect()
+    shards.groupBy(_._1).foreach { case (src, xs) =>
+      val r = rows.find(_.getString(0) == src).get
+      val toks = xs.map(_._2)
+      assert(r.getLong(1) == xs.size)
+      assert(r.getLong(2) == xs.map(_._3).sum)
+      assert(r.getLong(3) == toks.sum)
+      assert(r.getLong(4) == toks.min && r.getLong(5) == toks.max)
+      assert(r.getLong(6) == toks.min * 1000000L / toks.max)
+      assert(r.getLong(7) ==
+        toks.sum * 1000000L / (xs.size * text.Curation.shardCapacity))
+      // every shard obeys capacity accounting: util <= 1e6 + one doc spill
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= 1000000L)
+    }
+  }
+
   test("minhash estimate: estimator bookkeeping + exact side is exact") {
     val rows = text.Dedup.minhashEstimate(spark, sf).collect()
     assert(rows.nonEmpty)
