@@ -622,6 +622,68 @@ object Dedup {
       tauNum: Long, tauDen: Long, maxIters: Int): DataFrame = {
     val pairs = ngramPrefixJoin(spark, dir, tauNum, tauDen)
       .select(col("doc_a"), col("doc_b"))
+    val labels = propagateMinLabel(pairs, maxIters)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val labeled = docs.join(labels, docs("doc_id") === labels("node"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon_id"))
+    val sizes = labeled.groupBy(col("canon_id"))
+      .agg(count(lit(1)).as("component_size"))
+    labeled.join(sizes, "canon_id")
+      .select(col("doc_id"), col("canon_id"), col("component_size"),
+        (col("doc_id") === col("canon_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Verified Jaccard ≥ 1/2 pairs where candidate generation probes
+    * ONLY `probeIds`' prefixes against `indexIds`' full shingle sets —
+    * the one-sided prefix guarantee (pigeonhole per side) makes this
+    * COMPLETE for every qualifying pair with at least one probe-side
+    * doc. The incremental ingest shape: the corpus index is settled
+    * state, only the batch is ranked and probed. df ranking uses the
+    * global document frequency (part of the settled index state in
+    * production). Unordered (doc_a < doc_b) verified output.
+    */
+  private[text] def prefixVerifiedPairs(sh: DataFrame, probeIds: DataFrame,
+      indexIds: DataFrame): DataFrame = {
+    val dfF = sh.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    val ranked = sh.join(probeIds, "doc_id").join(dfF, "h")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("freq"), col("h"))))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val prefix = ranked.join(sizes, "doc_id")
+      .filter(col("rk") <= col("n_sh") - expr("(n_sh + 1) DIV 2") + 1)
+      .select(col("doc_id"), col("h"))
+    val idxSh = sh.join(indexIds, "doc_id")
+      .select(col("doc_id").as("doc_r"), col("h"))
+    val cand = prefix.join(idxSh, Seq("h"))
+      .filter(col("doc_id") =!= col("doc_r"))
+      .select(least(col("doc_id"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_r")).as("doc_b"))
+      .distinct()
+    val sets = shingleSets(sh)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_common"), col("n_a"), col("n_b"))
+      .filter(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** The pointer-jumped min-label propagation core, factored (r9) from
+    * the components fixpoint so the incremental merge reuses the
+    * IDENTICAL loop: takes an unordered pair frame (doc_a, doc_b),
+    * symmetrizes, and returns (node, lbl) — the minimum reachable id
+    * per connected node. Nodes with no edges are absent (callers
+    * coalesce to self).
+    */
+  private[text] def propagateMinLabel(pairs0: DataFrame,
+      maxIters: Int): DataFrame = {
+    val pairs = pairs0.toDF("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").persist()
@@ -632,6 +694,13 @@ object Dedup {
       .select(col("src").as("node"), col("lbl")).persist()
     var converged = false
     var iter = 0
+    // the seed is a plain persisted Dataset whose LINEAGE may contain
+    // upstream localCheckpoint leaves (the incremental merge feeds a
+    // checkpointed label map in) — freeing it via freeRound's
+    // leaf-collection would unpersist THOSE still-live blocks, so the
+    // seed frees through the CacheManager and only round checkpoints
+    // (lineage-truncated, their own leaves) go through freeRound
+    var isSeed = true
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
@@ -660,7 +729,8 @@ object Dedup {
           least(col("a.lbl"), coalesce(col("llbl"), col("a.lbl"))).as("lbl"))
         .localCheckpoint(true)
       val changed = checkpointed.filter(col("lbl") =!= col("prev")).count()
-      freeRound(labels)
+      if (isSeed) { labels.unpersist(); isSeed = false }
+      else freeRound(labels)
       // drop `prev` for the next round's joins; the projection reads the
       // same checkpointed blocks, and freeRound keeps unpersisting the
       // underlying RDD through it (Project over LogicalRDD)
@@ -675,15 +745,7 @@ object Dedup {
     // are what must be freed (they accumulate); this one entry is
     // bounded and LRU-evictable.
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val labeled = docs.join(labels, docs("doc_id") === labels("node"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon_id"))
-    val sizes = labeled.groupBy(col("canon_id"))
-      .agg(count(lit(1)).as("component_size"))
-    labeled.join(sizes, "canon_id")
-      .select(col("doc_id"), col("canon_id"), col("component_size"),
-        (col("doc_id") === col("canon_id")).as("is_canonical"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** Free a finished round's storage: Dataset.unpersist only reaches the

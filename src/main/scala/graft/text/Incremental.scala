@@ -215,4 +215,80 @@ object Incremental {
         (col("bloom_pass") && col("corpus_canonical").isNull).as("false_positive"))
       .orderBy(col("doc_id"))
   }
+
+  /** Incremental CLUSTER MERGE — the missing third of the ingest story:
+    * exact fingerprints catch identical re-ingests, the LSH probe
+    * catches near-dup PAIRS, and this folds a batch into the settled
+    * near-dup CLUSTERING without relabeling the corpus. The settled
+    * state is the corpus-only components fixpoint; the increment:
+    *
+    *  1. probe: ONLY batch prefixes join the (settled) shingle index —
+    *     complete for every qualifying pair with a batch side, by the
+    *     one-sided prefix pigeonhole;
+    *  2. contract: each verified pair's corpus endpoint lifts to its
+    *     settled canon label, so the merge graph is super-nodes
+    *     (touched corpus components + batch docs) — bounded by the
+    *     INCREMENT, never the corpus;
+    *  3. propagate min-label on that small graph (the identical
+    *     pointer-jumped loop components uses), then remap: corpus docs
+    *     through their old canon (a broadcast-sized relabel map), batch
+    *     docs directly.
+    *
+    * THE invariant — and the oracle: the merged labeling must equal the
+    * FULL from-scratch fixpoint (componentsSql's recursive-CTE
+    * transitive closure over all documents). The gate therefore proves
+    * incremental == batch recompute, the property that makes
+    * incremental ingest trustworthy at all. (Min-label survives the
+    * contraction because a settled canon IS the min doc_id of its
+    * component, so the super-graph min equals the merged component's
+    * global min.)
+    *
+    * Scale shape: corpus text never reshuffles — the probe touches the
+    * settled index (bucketed on shingle hash at scale), the merge graph
+    * is increment-sized, and the corpus-side relabel is a join against
+    * a \|touched components\|-row map.
+    */
+  def incrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.documents(spark, dir)
+      .select(col("doc_id"), (expr(bucketExpr) === 0).as("is_batch"))
+    val sh = Dedup.shingleHashes(spark, dir).persist()
+    val batchIds = flags.filter(col("is_batch")).select(col("doc_id"))
+    val corpusIds = flags.filter(!col("is_batch")).select(col("doc_id"))
+    val allIds = flags.select(col("doc_id"))
+    // settled-state derivation (production loads this; deriving it here
+    // keeps the operator self-contained and the oracle honest)
+    val corpusPairs = Dedup.prefixVerifiedPairs(sh, corpusIds, corpusIds)
+    val corpusLabels = Dedup.propagateMinLabel(corpusPairs, 20)
+      .localCheckpoint(true)
+    // the increment: batch prefixes probe the full index
+    val batchPairs = Dedup.prefixVerifiedPairs(sh, batchIds, allIds)
+    val superPairs = batchPairs
+      .join(corpusLabels.select(col("node").as("doc_a"), col("lbl").as("la")),
+        Seq("doc_a"), "left")
+      .join(corpusLabels.select(col("node").as("doc_b"), col("lbl").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val superLabels = Dedup.propagateMinLabel(superPairs, 20)
+    val base = allIds
+      .join(corpusLabels.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cl"))
+    val fin = base
+      .join(superLabels.select(col("node").as("cl"), col("lbl").as("sl")),
+        Seq("cl"), "left")
+      .select(col("doc_id"), coalesce(col("sl"), col("cl")).as("canon_id"))
+    val sizes = fin.groupBy(col("canon_id"))
+      .agg(count(lit(1)).as("component_size"))
+    fin.join(sizes, "canon_id")
+      .select(col("doc_id"), col("canon_id"), col("component_size"),
+        (col("doc_id") === col("canon_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the FULL from-scratch fixpoint — incremental must equal
+    * batch recompute, or incremental ingest can't be trusted. */
+  val incrementalComponentsSql: String = Dedup.componentsSql
 }

@@ -48,7 +48,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     // r7/r8 additions on the documents path (sparse knn: the empty doc
     // has no tokens -> it silently produces no query/neighbor rows)
     "dedup_cluster_profile", "dedup_containment", "curation_funnel",
-    "mix_dedup_discount", "sim_sparse_cosine")
+    "mix_dedup_discount", "sim_sparse_cosine",
+    // r9 additions on the documents path
+    "dedup_incremental_components", "dedup_source_overlap",
+    "dedup_minhash_estimate", "pack_shard_balance")
 
   test("every document-path query survives the adversarial corpus") {
     docQueries.foreach { k =>

@@ -135,6 +135,39 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental components: merge equals the full from-scratch fixpoint") {
+    val full = text.Dedup.components(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val inc = text.Incremental.incrementalComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(inc == full)
+    // merge bookkeeping is consistent whether or not this SF's batch
+    // straddles corpus families: batch docs exist, every multi-doc
+    // family is correctly sized, and any family containing a batch doc
+    // got the right (global-min) canon
+    val isBatch = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)" +
+          " as bigint) % 10 = 0").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(isBatch.values.count(identity) > 0)
+    val fams = inc.groupBy(_._2)
+    fams.foreach { case (canon, members) =>
+      assert(members.forall(_._3 == members.size))
+      assert(canon == members.map(_._1).min)
+    }
+    // report (not require) straddling — at tiny SFs the dup families can
+    // land entirely in the corpus slice; equality-to-full above is the
+    // real invariant either way
+    val straddling = fams.count { case (_, ms) =>
+      ms.size > 1 && ms.exists(m => isBatch(m._1)) &&
+        ms.exists(m => !isBatch(m._1))
+    }
+    info(s"families straddling batch/corpus at this SF: $straddling")
+  }
+
   test("minhash estimate: estimator bookkeeping + exact side is exact") {
     val rows = text.Dedup.minhashEstimate(spark, sf).collect()
     assert(rows.nonEmpty)
