@@ -312,14 +312,25 @@ object GraphOps {
         .filter(col("ds") >= kcoreK).select(col("s"))
       e.join(keepC, "c").join(keepS, "s").select(col("c"), col("s"))
     }
-    for (_ <- 1 to kcoreRounds) {
+    // early exit on fixpoint: an unchanged edge COUNT means the peel was
+    // a no-op (peeling only removes rows), and every later round is too —
+    // the result is bit-identical to running all kcoreRounds, so the
+    // unrolled oracle still matches while the typical case pays 2-3
+    // rounds instead of 8
+    var prev = edges.count()
+    var converged = false
+    for (_ <- 1 to kcoreRounds if !converged) {
       val next = peel(edges).localCheckpoint(true)
+      val n = next.count()
       free(edges)
       edges = next
+      converged = n == prev
+      prev = n
     }
-    // convergence guard: one extra peel must be a no-op at this scale
-    val extra = peel(edges)
-    require(extra.count() == edges.count(),
+    // convergence guard: the loop must have REACHED the fixpoint within
+    // the unroll budget (otherwise the early-exit equivalence claim and
+    // the oracle's R-round unroll could disagree)
+    require(converged || peel(edges).count() == prev,
       s"$kcoreK-core did not converge in $kcoreRounds rounds")
     val cSide = edges.groupBy(col("c").as("node_id"))
       .agg(count(lit(1)).as("degree"))

@@ -289,9 +289,12 @@ object StreamOps {
     * `docs` needs (doc_id, ts, text); `corpusShingles` needs (h) —
     * Dedup.shingleHashes' distinct hash column.
     */
-  def containmentGate(docs: DataFrame, corpusShingles: DataFrame,
-      tauPpm: Long = 800000L): DataFrame = {
-    val sh = docs
+  /** In-row shingling of an arriving doc stream (the Dedup device:
+    * distinct word-3-grams, 48-bit md5 keys) → (doc_id, ts, n_sh, h)
+    * — stateless, shared by the containment and cluster-assign gates.
+    */
+  private def streamShingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("ts"), expr(
@@ -304,6 +307,10 @@ object StreamOps {
         explode(col("ss")).as("s"))
       .select(col("doc_id"), col("ts"), col("n_sh"),
         expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)").as("h"))
+
+  def containmentGate(docs: DataFrame, corpusShingles: DataFrame,
+      tauPpm: Long = 800000L): DataFrame = {
+    val sh = streamShingles(docs)
     sh.withWatermark("ts", "1 hour")
       .join(corpusShingles.select(col("h"), lit(1L).as("hit"))
         .distinct(), Seq("h"), "left")
@@ -312,6 +319,46 @@ object StreamOps {
       .select(col("doc_id"), col("n_sh"), col("n_hits"),
         (col("n_hits") * lit(1000000L) >= col("n_sh") * lit(tauPpm))
           .as("is_contained"))
+  }
+
+  /** Streaming cluster ASSIGNMENT — dedup_incremental_components' live
+    * twin, split the way a lambda architecture actually splits it: the
+    * stream ASSIGNS each arriving doc to settled near-dup clusters
+    * (stateless probe + one aggregation); the transitive MERGE of
+    * clusters the batch connects stays in the batch layer
+    * (incrementalComponents), because a streaming pass cannot fold a
+    * growing union-find without unbounded state. Per (doc × settled
+    * cluster): how many of the doc's distinct shingles land in that
+    * cluster's shingle set, the exact ppm containment, and the
+    * qualify verdict (integer cross-multiplication, no float seam). A
+    * doc emitting TWO qualifying rows is the merge-precursor signal —
+    * exactly the clusters the next batch merge will join; the
+    * null-cluster row carries the doc's novel-shingle mass, so a fully
+    * novel doc is visible, not silently absent.
+    *
+    * Scale shape: in-row shingling, ONE stream-static join against the
+    * (h → cluster canon) index — the bucketed cluster-shingle table the
+    * batch dedup maintains, hash-local at scale — and one watermarked
+    * aggregation keyed (doc, cluster): state is O(docs-in-window ×
+    * matched clusters), never corpus-sized.
+    *
+    * `docs` needs (doc_id, ts, text); `clusterIndex` needs (h, canon) —
+    * distinct cluster-level shingles (Dedup.clusterShingleIndex).
+    */
+  def clusterAssignGate(docs: DataFrame, clusterIndex: DataFrame,
+      tauPpm: Long = 500000L): DataFrame = {
+    streamShingles(docs)
+      .withWatermark("ts", "1 hour")
+      .join(clusterIndex.select(col("h"), col("canon")).distinct(),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_sh"), col("canon"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("canon").as("cluster_canon"), col("n_sh"),
+        col("n_shared"),
+        expr("CAST(n_shared * 1000000 DIV n_sh AS BIGINT)").as("contain_ppm"),
+        (col("canon").isNotNull &&
+          col("n_shared") * lit(1000000L) >= col("n_sh") * lit(tauPpm))
+          .as("qualifies"))
   }
 
   /** Streaming EWMA rate gate — events_ewma_forecast's live twin: each

@@ -634,6 +634,19 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-level shingle index (h, canon) — the settled static side
+    * of the streaming cluster-assign gate: every distinct shingle of
+    * every member, labeled with the member's component canon. At scale
+    * this is a bucketed-on-h table the batch dedup maintains alongside
+    * the fingerprint and band indexes; here it composes the shared
+    * components artifact, so one fixpoint serves the stream too.
+    */
+  def clusterShingleIndex(spark: SparkSession, dir: String): DataFrame =
+    shingleHashes(spark, dir)
+      .join(componentsTable(spark, dir)
+        .select(col("doc_id"), col("canon_id").as("canon")), "doc_id")
+      .select(col("h"), col("canon")).distinct()
+
   /** Verified Jaccard ≥ 1/2 pairs where candidate generation probes
     * ONLY `probeIds`' prefixes against `indexIds`' full shingle sets —
     * the one-sided prefix guarantee (pigeonhole per side) makes this

@@ -284,6 +284,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(4L) == ((6L, 6L, true)))
   }
 
+  test("streaming cluster assign: member, bridge, and novel docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two settled clusters: canon 10 owns "a..l"'s shingles, canon 20 "m..x"'s
+    val settled = Seq(
+      (10L, "a b c d e f g h i j k l"),
+      (20L, "m n o p q r s t u v w x")).toDF("canon", "text")
+    val idx = settled
+      .select(col("canon"), split(col("text"), " ").as("toks"))
+      .select(col("canon"), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |              ' ', element_at(toks, i + 2))))""".stripMargin)).as("s"))
+      .select(expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)")
+        .as("h"), col("canon"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(Seq(
+      // exact member re-crawl -> one qualifying row on canon 10
+      (1L, t0, "a b c d e f g h i j k l"),
+      // bridge doc: 5 shingles in each cluster, 2 novel (12 total) ->
+      // TWO qualifying rows at tau=0.4 — the merge-precursor signal
+      (2L, t0, "a b c d e f g m n o p q r s"),
+      // novel doc -> a single null-cluster row carrying all its shingles
+      (3L, t0, "one two three four five six")))
+    val q = StreamOps.clusterAssignGate(
+        mem.toDF().toDF("doc_id", "ts", "text"), idx, tauPpm = 400000L)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("assign_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("assign_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        if (r.isNullAt(1)) -1L else r.getAs[Long]("cluster_canon")) ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_shared"),
+          r.getAs[Boolean]("qualifies"))).toMap
+    assert(got((1L, 10L)) == ((10L, 10L, true)))
+    assert(got((2L, 10L)) == ((12L, 5L, true)))
+    assert(got((2L, 20L)) == ((12L, 5L, true)))
+    assert(got((2L, -1L)) == ((12L, 2L, false))) // novel-shingle mass
+    assert(got((3L, -1L)) == ((4L, 4L, false)))
+    // the bridge doc's two qualifying clusters are exactly what the
+    // batch merge (incrementalComponents) would join next run
+    assert(got.keys.count { case (d, c) => d == 2L && c > 0 &&
+      got((d, c))._3 } == 2)
+  }
+
   test("streaming ewma gate applies the batch fixed-point rule per closing day") {
     import spark.implicits._
     import graft.operators.EventAnalytics
