@@ -315,6 +315,139 @@ object EventAnalytics {
       |FROM a
       |ORDER BY event_type""".stripMargin
 
+  /** Activity concentration — the Lorenz/Gini panel for the user base:
+    * how unequally events distribute over users. One row: user count,
+    * event total, the exact-integer Gini coefficient in ppm
+    * (G = (2·Σ rk·c − (n+1)·Σc) / (n·Σc) over ascending-ranked per-user
+    * counts — ties are rank-assignment-invariant because permuting
+    * equal counts among consecutive ranks leaves Σ rk·c unchanged), and
+    * the top-1% / top-10% user share of all events in ppm (the "do 1%
+    * of accounts generate half the traffic" bot/whale question).
+    *
+    * Scale shape: per-user counts (user-keyed two-phase agg) feed ONE
+    * GlobalRank range-exchange rank (never an empty-partitionBy
+    * window); the Gini sums are one exact DECIMAL(38,0) aggregation
+    * over the ranked frame; top-k% shares are two filtered sums by rank
+    * against bounded driver scalars. All arithmetic BigInt/HUGEINT —
+    * exact at any corpus size.
+    */
+  def qActivityGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val ranked = GlobalRank.withGlobalRank(
+      perUser, "rk", col("c"), col("user_id")).localCheckpoint()
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(col("c").cast(DecimalType(38, 0))).as("s"),
+      sum((col("rk").cast(DecimalType(19, 0)) *
+        col("c").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+        .as("sic")).collect().head
+    val n = agg.getLong(0)
+    if (n == 0L) {
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("n_users", "total_events", "gini_ppm", "top1_share_ppm",
+          "top10_share_ppm")
+    }
+    val s = BigInt(agg.getDecimal(1).toBigInteger)
+    val sic = BigInt(agg.getDecimal(2).toBigInteger)
+    val gini = ((sic * 2 - s * (n + 1)) * 1000000 / (BigInt(n) * s)).toLong
+    def topShare(k: Long): Long = {
+      val kk = math.max(1L, k)
+      val topSum = BigInt(ranked.filter(col("rk") > n - kk)
+        .agg(sum(col("c").cast(DecimalType(38, 0)))).collect().head
+        .getDecimal(0).toBigInteger)
+      (topSum * 1000000 / s).toLong
+    }
+    Seq((n, s.toLong, gini, topShare(n / 100), topShare(n / 10)))
+      .toDF("n_users", "total_events", "gini_ppm", "top1_share_ppm",
+        "top10_share_ppm")
+  }
+
+  val qActivityGiniSql: String =
+    """WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS rk FROM pu),
+      |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(sum(c) AS HUGEINT) AS s,
+      |        CAST(sum(CAST(rk AS HUGEINT) * c) AS HUGEINT) AS sic
+      |      FROM r),
+      |t AS (SELECT
+      |  (SELECT CAST(sum(c) AS HUGEINT) FROM r
+      |   WHERE rk > (SELECT n FROM a)
+      |     - greatest(1, (SELECT n FROM a) // 100)) AS s1,
+      |  (SELECT CAST(sum(c) AS HUGEINT) FROM r
+      |   WHERE rk > (SELECT n FROM a)
+      |     - greatest(1, (SELECT n FROM a) // 10)) AS s10)
+      |SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS total_events,
+      |  CAST((2 * sic - (n + 1) * s) * 1000000 // (n * s) AS BIGINT)
+      |    AS gini_ppm,
+      |  CAST(s1 * 1000000 // s AS BIGINT) AS top1_share_ppm,
+      |  CAST(s10 * 1000000 // s AS BIGINT) AS top10_share_ppm
+      |FROM a, t""".stripMargin
+
+  /** Key-space growth profile — the cardinality curve a capacity planner
+    * and an identity-resolution audit both read: per calendar week,
+    * active users, FIRST-SEEN (new) users, returning users, the
+    * cumulative distinct-user count, and the new-user share in exact
+    * ppm. "Is the key space still growing or are we resampling the same
+    * users" is the question; the week where n_new collapses is the
+    * saturation point.
+    *
+    * Scale shape: dedup to (week, user) FIRST (the q_sliding_distinct
+    * discipline — bounds everything by active user-months), one
+    * user-keyed min for first-seen, two week-keyed aggs; the
+    * cumulative is a week×week JOIN cumsum over the calendar-bounded
+    * week list (≤ a few hundred rows — never an empty-partitionBy
+    * running window). Week keys ride as unix-micros BIGINTs (the ts
+    * parity device); every number integer-exact.
+    */
+  def qKeyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val um = Tables.events(spark, dir)
+      .select(unix_micros(date_trunc("week", col("ts"))).as("week_us"),
+        col("user_id"))
+      .distinct()
+    val first = um.groupBy(col("user_id")).agg(min(col("week_us")).as("fm"))
+    val active = um.groupBy(col("week_us")).agg(count(lit(1)).as("n_active"))
+    val news = first.groupBy(col("fm").as("week_us"))
+      .agg(count(lit(1)).as("n_new"))
+    val byMonth = active.join(news, Seq("week_us"), "left")
+      .select(col("week_us"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    // calendar-bounded join cumsum (months², tiny) — not a running
+    // window over an unpartitioned frame
+    val cum = byMonth.select(col("week_us").as("m2"), col("n_new").as("nn"))
+    byMonth
+      .join(cum, col("m2") <= col("week_us"))
+      .groupBy(col("week_us"), col("n_active"), col("n_new"))
+      .agg(sum(col("nn")).as("cum_distinct_users"))
+      .select(col("week_us"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        col("cum_distinct_users"),
+        expr("CAST(n_new * 1000000 DIV n_active AS BIGINT)")
+          .as("new_share_ppm"))
+      .orderBy(col("week_us"))
+  }
+
+  val qKeyGrowthSql: String =
+    """WITH um AS (
+      |  SELECT DISTINCT epoch_us(date_trunc('week', ts)) AS week_us,
+      |    user_id
+      |  FROM events),
+      |f AS (SELECT user_id, min(week_us) AS fm FROM um GROUP BY user_id),
+      |act AS (SELECT week_us, count(*) AS n_active FROM um GROUP BY week_us),
+      |nw AS (SELECT fm AS week_us, count(*) AS n_new FROM f GROUP BY fm),
+      |bm AS (
+      |  SELECT a.week_us, a.n_active, coalesce(n.n_new, 0) AS n_new
+      |  FROM act a LEFT JOIN nw n USING (week_us))
+      |SELECT b.week_us, CAST(b.n_active AS BIGINT) AS n_active,
+      |  CAST(b.n_new AS BIGINT) AS n_new,
+      |  CAST(b.n_active - b.n_new AS BIGINT) AS n_returning,
+      |  CAST((SELECT sum(c.n_new) FROM bm c WHERE c.week_us <= b.week_us)
+      |    AS BIGINT) AS cum_distinct_users,
+      |  CAST((CAST(b.n_new AS HUGEINT) * 1000000) // b.n_active AS BIGINT)
+      |    AS new_share_ppm
+      |FROM bm b
+      |ORDER BY b.week_us""".stripMargin
+
   /** EWMA rate forecast per event type — the adaptive-baseline upgrade
     * of events_rate_anomaly's static mean/std: a 16-day exponentially
     * weighted moving average (α = 1/2) of daily arrival counts forecasts

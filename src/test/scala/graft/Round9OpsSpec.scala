@@ -135,6 +135,48 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("activity gini: BigInt recompute from raw per-user counts") {
+    val counts = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(r => (r._2, r._1)).map(_._2)
+    val n = counts.length.toLong
+    val s = counts.map(BigInt(_)).sum
+    val sic = counts.zipWithIndex
+      .map { case (c, i) => BigInt(i + 1) * c }.sum
+    val r = operators.EventAnalytics.qActivityGini(spark, sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == s.toLong)
+    assert(r.getLong(2) == ((sic * 2 - s * (n + 1)) * 1000000 /
+      (BigInt(n) * s)).toLong)
+    def share(k: Long): Long = {
+      val kk = math.max(1L, k).toInt
+      (counts.takeRight(kk).map(BigInt(_)).sum * 1000000 / s).toLong
+    }
+    assert(r.getLong(3) == share(n / 100))
+    assert(r.getLong(4) == share(n / 10))
+    // Gini sits in [0, 1e6) and top shares are monotone
+    assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000L)
+    assert(r.getLong(3) <= r.getLong(4))
+  }
+
+  test("key growth: first-seen bookkeeping reconciles per week") {
+    val rows = operators.EventAnalytics.qKeyGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // new + returning = active; cum is the running sum of new; the
+    // final cum equals the overall distinct-user count
+    var cum = 0L
+    rows.foreach { case (_, active, nw, ret, c) =>
+      assert(nw + ret == active)
+      cum += nw
+      assert(c == cum)
+    }
+    val distinctUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(cum == distinctUsers)
+    // every user's first week contributes exactly once
+    assert(rows.map(_._3).sum == distinctUsers)
+  }
+
   test("incremental components: merge equals the full from-scratch fixpoint") {
     val full = text.Dedup.components(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
