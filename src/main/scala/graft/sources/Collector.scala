@@ -543,7 +543,8 @@ object Collector {
     "(?i)(email|mail)" -> "email field",
     "(?i)(ssn|social_security)" -> "social security number field",
     "(?i)(credit_card|card_number|ccnum)" -> "payment card field",
-    "(?i)(phone|mobile)" -> "phone number field")
+    "(?i)(phone|mobile)" -> "phone number field",
+    "(?i)(acctbal|account_balance|salary|income)" -> "financial field")
 
   /** First matching description for a column name, compiled-safe:
     * a malformed pattern contributes a warning, never an abort. */
@@ -1094,7 +1095,11 @@ object Collector {
       else if (databases.exists(_.tables.exists(_.sampleStatus == "partial")))
         PartialWithData
       else if (databases.exists(a =>
-        a.warnings.nonEmpty || a.tables.exists(_.warnings.nonEmpty) ||
+        a.warnings.nonEmpty ||
+          // sensitive-data NOTICES are informational (the data is what
+          // it is — the collection itself succeeded); they must not
+          // downgrade the run outcome the way degradation warnings do
+          a.tables.exists(_.warnings.exists(!_.startsWith("sensitive:"))) ||
           validate(a).nonEmpty))
         PartialWithValidationWarnings
       else Success
@@ -1355,4 +1360,42 @@ object Collector {
 
   val schemaColumnsSql: String =
     schemaColumnsSqlUnordered + "\nORDER BY table_name, column_name"
+
+  /** Catalog-wide sensitive-column scan as a GATED QUERY — the
+    * quality-report face of the collect-time detection (same
+    * `defaultSensitivePatterns`, same first-match-wins category order):
+    * every column of the lake whose NAME pattern-matches a
+    * credential/PII class. The oracle applies the identical regexes to
+    * DuckDB's DESCRIBE catalog, so the detector's pattern semantics are
+    * cross-engine checked, not just exercised. Catalog-bounded driver
+    * work (schema fields only — no data scan at all).
+    */
+  def sensitiveColumnsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.all.flatMap { t =>
+      Tables.table(spark, dir, t).schema.fields.flatMap(f =>
+        sensitiveMatch(f.name).map(d => (t, f.name, d)))
+    }
+    spark.createDataFrame(rows)
+      .toDF("table_name", "column_name", "category")
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val sensitiveColumnsSql: String = {
+    val whens = defaultSensitivePatterns.map { case (p, d) =>
+      s"    WHEN regexp_matches(column_name, '$p') THEN '$d'"
+    }.mkString("\n")
+    val anyMatch = defaultSensitivePatterns.map { case (p, _) =>
+      s"regexp_matches(column_name, '$p')"
+    }.mkString(" OR ")
+    s"""WITH cols AS (
+       |$schemaColumnsSqlUnordered
+       |)
+       |SELECT table_name, column_name,
+       |  CASE
+       |$whens
+       |  END AS category
+       |FROM cols
+       |WHERE $anyMatch
+       |ORDER BY table_name, column_name""".stripMargin
+  }
 }

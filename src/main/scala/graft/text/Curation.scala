@@ -272,8 +272,11 @@ object Curation {
         max(col("shard_tokens")).as("max_shard_tokens"))
       .select(col("source"), col("n_shards"), col("n_docs"),
         col("total_tokens"), col("min_shard_tokens"), col("max_shard_tokens"),
-        expr("CAST(min_shard_tokens * 1000000 DIV max_shard_tokens AS BIGINT)")
-          .as("balance_ppm"),
+        // a source whose every doc is empty packs one zero-token shard:
+        // NULL, not an engine-divergent division by zero
+        expr("CASE WHEN max_shard_tokens = 0 THEN NULL ELSE " +
+          "CAST(min_shard_tokens * 1000000 DIV max_shard_tokens AS BIGINT)" +
+          " END").as("balance_ppm"),
         expr(s"CAST(total_tokens * 1000000 DIV (n_shards * $shardCapacity)" +
           " AS BIGINT)").as("utilization_ppm"))
       .orderBy(col("source"))
@@ -288,8 +291,9 @@ object Curation {
        |  CAST(sum(shard_tokens) AS BIGINT) AS total_tokens,
        |  CAST(min(shard_tokens) AS BIGINT) AS min_shard_tokens,
        |  CAST(max(shard_tokens) AS BIGINT) AS max_shard_tokens,
-       |  CAST((CAST(min(shard_tokens) AS HUGEINT) * 1000000)
-       |    // max(shard_tokens) AS BIGINT) AS balance_ppm,
+       |  CASE WHEN max(shard_tokens) = 0 THEN NULL ELSE
+       |    CAST((CAST(min(shard_tokens) AS HUGEINT) * 1000000)
+       |      // max(shard_tokens) AS BIGINT) END AS balance_ppm,
        |  CAST((CAST(sum(shard_tokens) AS HUGEINT) * 1000000)
        |    // (count(*) * $shardCapacity) AS BIGINT) AS utilization_ppm
        |FROM shards
