@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.TestSession
+import graft.operators.GlobalRank
+import graft.output.Secure
+
+/** Property-based checks (scalacheck generators, fixed seeds — fully
+  * deterministic) for the repo's load-bearing primitives: randomized
+  * inputs probe the corners hand-written fixtures miss — duplicate-heavy
+  * orders, adversarial graph shapes (chains at the pointer-jumping round
+  * budget, cliques, stars, isolated nodes), arbitrary byte payloads
+  * through the secure envelope.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("GlobalRank equals the total-order sort index, at any partitioning") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      // small value domain forces heavy ties — the tiebreak must carry
+      vals <- Gen.listOfN(n, Gen.choose(0L, 20L))
+      parts <- Gen.choose(1, 7)
+    } yield (vals, parts)
+    samples(gen, 6, 41L).foreach { case (vals, parts) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "id").repartition(parts)
+      val got = GlobalRank.withGlobalRank(df, "rk", col("v"), col("id"))
+        .select(col("v"), col("id"), col("rk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .sortBy(identity).zipWithIndex
+        .map { case ((v, i), k) => (v, i, k + 1L) }
+      assert(got.sortBy(r => (r._1, r._2)).toSeq == want)
+    }
+  }
+
+  test("min-label propagation equals union-find on arbitrary graphs") {
+    import spark.implicits._
+    val shapeGen: Gen[Seq[(Long, Long)]] = Gen.oneOf(
+      // random sparse graph
+      for {
+        n <- Gen.choose(2, 100)
+        m <- Gen.choose(1, 120)
+        edges <- Gen.listOfN(m, for {
+          a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+        } yield (a, b))
+      } yield edges.filter(e => e._1 != e._2),
+      // a chain — probes the pointer-jumping log-round claim on the
+      // deepest practical shape (2^20 budget covers length 300 easily)
+      Gen.choose(50, 300).map(n => (0L until n.toLong).sliding(2).toSeq
+        .map(s => (s.head, s.last))),
+      // a clique plus a disjoint star
+      Gen.choose(3, 20).map { k =>
+        val clique = for (a <- 0L until k.toLong; b <- 0L until a) yield (b, a)
+        val star = (1L to 5L).map(i => (1000L, 1000L + i))
+        clique ++ star
+      })
+    samples(shapeGen, 7, 97L).filter(_.nonEmpty).foreach { edges =>
+      val got = Dedup.propagateMinLabel(
+        edges.toDF("doc_a", "doc_b"), 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference implementation: a tiny union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val canon = nodes.groupBy(find).flatMap { case (_, ms) =>
+        val mn = ms.min; ms.map(_ -> mn)
+      }
+      assert(got.keySet == nodes.toSet)
+      nodes.foreach(v => assert(got(v) == canon(v), s"node $v"))
+    }
+  }
+
+  test("secure envelope round-trips arbitrary payloads; tampering fails") {
+    val gen = for {
+      n <- Gen.choose(0, 4096)
+      bytes <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      pw <- Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)
+    } yield (bytes.toArray, pw)
+    samples(gen, 6, 7L).foreach { case (payload, pw) =>
+      assert(Secure.gunzip(Secure.gzip(payload)).sameElements(payload))
+      assert(Secure.unzstd(Secure.zstd(payload)).sameElements(payload))
+      val blob = Secure.encrypt(payload, pw)
+      assert(Secure.decrypt(blob, pw).sameElements(payload))
+      // authenticated encryption: a single flipped ciphertext bit fails
+      val tampered = blob.clone()
+      val i = tampered.length - 1
+      tampered(i) = (tampered(i) ^ 1).toByte
+      intercept[Exception](Secure.decrypt(tampered, pw))
+      intercept[Exception](Secure.decrypt(blob, pw + "x"))
+    }
+  }
+}
