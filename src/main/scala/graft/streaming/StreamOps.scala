@@ -361,6 +361,24 @@ object StreamOps {
           .as("qualifies"))
   }
 
+  /** Streaming first-seen counter — profile_key_growth's live twin for
+    * the "is the key space still growing" question: a global
+    * deduplication on user_id keeps exactly each user's FIRST arrival
+    * (state is key-space-bounded — one entry per user ever seen, the
+    * honest cost of first-seen semantics; it does NOT grow with
+    * traffic), and the downstream daily windowed count is "new users
+    * this day" — chained stateful operators (dedup → windowed agg), the
+    * Spark-3.5+ multi-stateful shape, in append mode with the
+    * watermark bounding the aggregation state.
+    */
+  def newUsersGate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(col("w.start").as("day"), col("n_new"))
+
   /** Streaming EWMA rate gate — events_ewma_forecast's live twin: each
     * CLOSING day window's per-type count is compared against the STATIC
     * next-day EWMA baseline (EventAnalytics.ewmaBaselineOf — |types|

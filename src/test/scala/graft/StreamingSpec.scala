@@ -330,6 +330,26 @@ class StreamingSpec extends AnyFunSuite {
       got((d, c))._3 } == 2)
   }
 
+  test("streaming new-users gate counts each user's first arrival once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-0$d $h%02d:00:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    mem.addData(Seq(
+      (ts(1, 1), 100L), (ts(1, 2), 101L), (ts(1, 3), 100L), // 100 repeats
+      (ts(2, 1), 102L), (ts(2, 2), 100L), (ts(2, 3), 101L), // only 102 new
+      (ts(3, 1), 103L), (ts(3, 2), 104L)))
+    val q = StreamOps.newUsersGate(mem.toDF().toDF("ts", "user_id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("newusers_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("newusers_out").collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    assert(got == Map("2026-01-01" -> 2L, "2026-01-02" -> 1L,
+      "2026-01-03" -> 2L))
+  }
+
   test("streaming ewma gate applies the batch fixed-point rule per closing day") {
     import spark.implicits._
     import graft.operators.EventAnalytics
