@@ -507,6 +507,76 @@ object Curation {
     * Scale shape: one corpus aggregation to |sources| rows; the windows
     * run over those rows only.
     */
+  /** Largest-remainder (Hamilton) apportionment of a fixed sample
+    * budget across sources by token mass — the DISCRETE allocation step
+    * after mix_weights' continuous shares: a trainer draws an integer
+    * number of samples per source, floors lose up to \|sources\|−1
+    * samples, and the largest-remainder rule hands them back so the
+    * quotas sum to the budget EXACTLY (asserted) with the standard
+    * no-paradox-for-fixed-budget guarantee.
+    *
+    * Fully integer-exact: quota numerator budget·src_tokens in
+    * DECIMAL(38,0)/HUGEINT (never a Long product at lake scale), floor
+    * via DIV, remainder via the EXACT integer %, extras to the largest
+    * remainders with a source-name tiebreak. Scale shape: one corpus
+    * agg to \|sources\| rows; the remainder-rank window runs over those
+    * bounded rows only (the mix_weights convention).
+    */
+  val apportionBudget = 1000000L
+
+  def mixApportion(spark: SparkSession, dir: String): DataFrame = {
+    val src = docsWithToks(spark, dir, "whitespace")
+      .groupBy(col("source"))
+      .agg(sum(col("toks").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("src_tokens"))
+    val tot = src.agg(sum(col("src_tokens"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("total"))
+    val q = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_tokens").cast("long").as("src_tokens"),
+        expr(s"CAST(($apportionBudget * src_tokens) DIV total AS BIGINT)")
+          .as("quota_floor"),
+        expr(s"CAST(($apportionBudget * src_tokens) % total AS BIGINT)")
+          .as("remainder"))
+    val lf = q.agg((lit(apportionBudget) - sum(col("quota_floor")))
+      .as("leftover"))
+    val w = Window.orderBy(col("remainder").desc, col("source"))
+    q.crossJoin(broadcast(lf))
+      .withColumn("rk", row_number().over(w))
+      .select(col("source"), col("src_tokens"), col("quota_floor"),
+        col("remainder"),
+        (col("rk") <= col("leftover")).as("plus_one"),
+        (col("quota_floor") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+      .orderBy(col("source"))
+  }
+
+  val mixApportionSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+       |  FROM documents),
+       |src AS (
+       |  SELECT source, CAST(sum(toks) AS HUGEINT) AS src_tokens FROM d
+       |  GROUP BY source),
+       |tot AS (SELECT CAST(sum(src_tokens) AS HUGEINT) AS total FROM src),
+       |q AS (
+       |  SELECT source, CAST(src_tokens AS BIGINT) AS src_tokens,
+       |    CAST(($apportionBudget * src_tokens) // total AS BIGINT)
+       |      AS quota_floor,
+       |    CAST(($apportionBudget * src_tokens) % total AS BIGINT)
+       |      AS remainder
+       |  FROM src, tot),
+       |lf AS (SELECT $apportionBudget - sum(quota_floor) AS leftover FROM q),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rk
+       |  FROM q)
+       |SELECT source, src_tokens, quota_floor, remainder,
+       |  rk <= (SELECT leftover FROM lf) AS plus_one,
+       |  quota_floor + CASE WHEN rk <= (SELECT leftover FROM lf)
+       |    THEN 1 ELSE 0 END AS quota
+       |FROM r
+       |ORDER BY source""".stripMargin
+
   def mixWeights(spark: SparkSession, dir: String): DataFrame =
     mixWeightsWith(spark, dir, "whitespace")
 

@@ -210,6 +210,26 @@ class Round9OpsSpec extends AnyFunSuite {
     info(s"families straddling batch/corpus at this SF: $straddling")
   }
 
+  test("apportionment: quotas sum to the budget exactly, Hamilton rule") {
+    val rows = text.Curation.mixApportion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(rows.map(_._6).sum == text.Curation.apportionBudget)
+    // the +1s go to exactly the largest remainders (source tiebreak)
+    val leftover = text.Curation.apportionBudget - rows.map(_._3).sum
+    val byRem = rows.sortBy(r => (-r._4, r._1))
+    byRem.zipWithIndex.foreach { case (r, i) =>
+      assert(r._5 == (i < leftover), s"${r._1}")
+      assert(r._6 == r._3 + (if (r._5) 1L else 0L))
+    }
+    // quota proportionality: each source within 1 of its exact share
+    val tot = rows.map(r => BigInt(r._2)).sum
+    rows.foreach { r =>
+      val exact = BigInt(text.Curation.apportionBudget) * r._2 / tot
+      assert((r._6 - exact.toLong).abs <= 1L)
+    }
+  }
+
   test("minhash estimate: estimator bookkeeping + exact side is exact") {
     val rows = text.Dedup.minhashEstimate(spark, sf).collect()
     assert(rows.nonEmpty)
