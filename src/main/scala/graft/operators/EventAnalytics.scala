@@ -1210,6 +1210,78 @@ object EventAnalytics {
     * so mass never silently vanishes; floor-division dust does decay
     * mass, identically on both engines.
     */
+  /** Per-type transition entropy — the predictability panel beside the
+    * Markov stationary distribution: for each source event type, the
+    * Shannon entropy (nats) of its next-type distribution and the
+    * normalized ratio vs ln(out-degree). A type with ratio ≈ 0 has a
+    * deterministic next step (workflow edge); ratio ≈ 1 means the
+    * journey forks uniformly — the signal that distinguishes scripted
+    * flows from browsing, and the per-row uncertainty a next-event
+    * model could ever remove.
+    *
+    * Determinism: the profile_column_entropy device — per-(src,dst) ln
+    * terms quantized through DECIMAL(18,9) over the \|types\|²-BOUNDED
+    * transition aggregate, then summed exactly (order-independent);
+    * ratio re-quantized the same way; zero/one-out-degree types emit
+    * ratio 0, never a div-by-zero.
+    *
+    * Scale shape: the markov transition derivation (ONE events scan,
+    * user-keyed lead window, (src,dst) two-phase count); everything
+    * after runs over ≤\|types\|² rows (the per-src total is a window
+    * over that bounded aggregate).
+    */
+  def qTransitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    trans
+      .select(col("src"), col("cnt"), expr(
+        """CAST(-(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src)) *
+          |  ln(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src))
+          |  AS DECIMAL(18,9))""".stripMargin).as("term"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_out_types"), sum(col("cnt")).as("n_transitions"),
+        sum(col("term")).as("ent_d"))
+      .select(col("src").as("event_type"), col("n_out_types"),
+        col("n_transitions"),
+        col("ent_d").cast(DoubleType).as("entropy_nats"),
+        expr("""CASE WHEN n_out_types <= 1 THEN CAST(0 AS DOUBLE)
+               |  ELSE CAST(CAST(CAST(ent_d AS DOUBLE) /
+               |    ln(CAST(n_out_types AS DOUBLE)) AS DECIMAL(18,9))
+               |    AS DOUBLE) END""".stripMargin).as("entropy_ratio"))
+      .orderBy(col("event_type"))
+  }
+
+  val qTransitionEntropySql: String =
+    """WITH tr AS (
+      |  SELECT src, dst, count(*) AS cnt FROM (
+      |    SELECT event_type AS src,
+      |      lead(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |    FROM events)
+      |  WHERE dst IS NOT NULL GROUP BY src, dst),
+      |terms AS (
+      |  SELECT src, cnt,
+      |    CAST(-(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src)) *
+      |      ln(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src))
+      |      AS DECIMAL(18,9)) AS term
+      |  FROM tr)
+      |SELECT src AS event_type, count(*) AS n_out_types,
+      |  CAST(sum(cnt) AS BIGINT) AS n_transitions,
+      |  CAST(sum(term) AS DOUBLE) AS entropy_nats,
+      |  CASE WHEN count(*) <= 1 THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(CAST(CAST(sum(term) AS DOUBLE) /
+      |      ln(CAST(count(*) AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) END
+      |    AS entropy_ratio
+      |FROM terms
+      |GROUP BY src
+      |ORDER BY event_type""".stripMargin
+
   val markovIters = 8
   val markovUnit = 1000000000L
 

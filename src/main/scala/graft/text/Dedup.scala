@@ -431,7 +431,18 @@ object Dedup {
   // prefix by one, silently dropping a boundary pair. Integer ceiling:
   // ceil(num·n/den) = (num·n + den − 1) DIV den.
   def ngramPrefixJoin(spark: SparkSession, dir: String,
-      tauNum: Long = 1L, tauDen: Long = 2L): DataFrame = {
+      tauNum: Long = 1L, tauDen: Long = 2L): DataFrame =
+    prefixJoinDetail(spark, dir, tauNum, tauDen)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The verified pair frame WITH set sizes (doc_a, doc_b, n_common,
+    * n_a, n_b) — ngramPrefixJoin's final projection drops the sizes;
+    * the threshold sweep needs them for exact band classification. */
+  private[text] def prefixJoinDetail(spark: SparkSession, dir: String,
+      tauNum: Long, tauDen: Long): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum, "τ must be a rational in (0,1]")
     // the shingle subplan feeds four branches (doc-frequency, ranking,
     // sizes, verification sets); persist so it is computed once —
@@ -472,10 +483,77 @@ object Dedup {
       // containmentPairs device): J >= num/den ⟺ common·den >= union·num
       .filter(col("n_common") * lit(tauDen) >=
         (col("n_a") + col("n_b") - col("n_common")) * lit(tauNum))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        (col("n_common").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Similarity-threshold sweep — the "what would τ cost me" calibration
+    * every dedup rollout starts with: the verified pair list at the
+    * loosest τ (1/2), exactly band-classified into similarity ranges
+    * (integer cross-multiplication — no float edge can move a pair
+    * across a band), with per-band pair counts, the CUMULATIVE pairs a
+    * dedup run at that band's lower edge would act on, and ppm shares.
+    * Reading this table IS choosing the production threshold.
+    *
+    * Scale shape: one prefix-join derivation (the skew-immune candidate
+    * path), a ≤6-key band rollup, and a bands×bands join cumsum over
+    * those bounded rows.
+    */
+  val sweepBands: Seq[(Long, Long, String)] = Seq(
+    (1L, 2L, "j_0.50"), (3L, 5L, "j_0.60"), (7L, 10L, "j_0.70"),
+    (4L, 5L, "j_0.80"), (9L, 10L, "j_0.90"), (1L, 1L, "j_1.00"))
+
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val detail = prefixJoinDetail(spark, dir, 1L, 2L)
+      .select(col("n_common"),
+        (col("n_a") + col("n_b") - col("n_common")).as("u"))
+    // highest satisfied edge, checked from the top — the SAME generated
+    // CASE string the oracle embeds, so the classifier is shared by
+    // construction
+    val byBand = detail.select(expr(sweepBandCase).as("band_idx"))
+      .groupBy(col("band_idx")).agg(count(lit(1)).as("n_pairs"))
+    val labels = sweepBands.zipWithIndex.map { case ((_, _, l), i) => (i, l) }
+    val labelDf = spark.createDataFrame(labels).toDF("band_idx", "band")
+    val b2 = byBand.select(col("band_idx").as("i2"), col("n_pairs").as("np2"))
+    val total = byBand.agg(sum(col("n_pairs")).as("t_pairs"))
+    byBand
+      .join(b2, col("i2") >= col("band_idx")) // bounded join cumsum
+      .groupBy(col("band_idx"), col("n_pairs"))
+      .agg(sum(col("np2")).as("cum_pairs"))
+      .join(broadcast(labelDf), "band_idx")
+      .crossJoin(broadcast(total))
+      .select(col("band"), col("n_pairs"), col("cum_pairs"),
+        expr("CAST(n_pairs * 1000000 DIV t_pairs AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("band"))
+  }
+
+  /** Highest-satisfied-edge classifier, shared verbatim by op + oracle. */
+  private val sweepBandCase: String = sweepBands.zipWithIndex.reverse.map {
+    case ((num, den, _), i) => s"WHEN n_common * $den >= u * $num THEN $i"
+  }.mkString("CASE ", " ", " END")
+
+  val thresholdSweepSql: String = {
+    val caseExpr = sweepBandCase
+    val labelCase = sweepBands.zipWithIndex.map { case ((_, _, l), i) =>
+      s"WHEN $i THEN '$l'"
+    }.mkString("CASE band_idx ", " ", " END")
+    s"""WITH $jaccardPairsSql,
+       |det AS (
+       |  SELECT p.n_common, x.n_sh + y.n_sh - p.n_common AS u
+       |  FROM pairs p JOIN sizes x ON p.doc_a = x.doc_id
+       |               JOIN sizes y ON p.doc_b = y.doc_id
+       |  WHERE p.n_common * 2 >= (x.n_sh + y.n_sh - p.n_common)),
+       |bb AS (
+       |  SELECT $caseExpr AS band_idx, count(*) AS n_pairs
+       |  FROM det GROUP BY 1),
+       |tot AS (SELECT sum(n_pairs) AS t_pairs FROM bb)
+       |SELECT $labelCase AS band,
+       |  CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST((SELECT sum(c.n_pairs) FROM bb c
+       |        WHERE c.band_idx >= b.band_idx) AS BIGINT) AS cum_pairs,
+       |  CAST((CAST(n_pairs AS HUGEINT) * 1000000) // t_pairs AS BIGINT)
+       |    AS share_ppm
+       |FROM bb b, tot
+       |ORDER BY band""".stripMargin
   }
 
   /** Oracle: identical output contract to dedup_ngram_jaccard (the prefix

@@ -210,6 +210,66 @@ class Round9OpsSpec extends AnyFunSuite {
     info(s"families straddling batch/corpus at this SF: $straddling")
   }
 
+  test("threshold sweep: band classification from brute-force pairs") {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .collect { case (d, t) if t.length >= 3 =>
+        d -> t.sliding(3).map(_.mkString(" ")).toSet
+      }.toSeq
+    val edges = Seq((1L, 2L), (3L, 5L), (7L, 10L), (4L, 5L), (9L, 10L),
+      (1L, 1L))
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      common = (sa & sb).size.toLong
+      u = sa.size + sb.size - common
+      if u > 0 && common * 2 >= u
+    } yield edges.lastIndexWhere { case (n, d) => common * d >= u * n })
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = text.Dedup.thresholdSweep(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val labels = text.Dedup.sweepBands.map(_._3)
+    assert(got.map(r => labels.indexOf(r._1) -> r._2).toMap == want)
+    // cumulative is a suffix sum and the top band's cum equals its count
+    val byIdx = got.map(r => labels.indexOf(r._1) -> r).toMap
+    byIdx.foreach { case (i, r) =>
+      assert(r._3 == byIdx.filter(_._1 >= i).values.map(_._2).sum)
+    }
+  }
+
+  test("transition entropy: decimal-term recompute from raw transitions") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getLong(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq.zip(seq.tail)
+    }.groupBy(identity).map { case ((s, d), xs) => (s, d, xs.size.toLong) }
+    val want = trans.groupBy(_._1).map { case (src, cells) =>
+      val tot = cells.map(_._3).sum.toDouble
+      val ent = cells.map { c =>
+        val p = c._3 / tot
+        BigDecimal(-p * math.log(p))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      src -> (cells.size.toLong, cells.map(_._3).sum, ent)
+    }
+    val got = operators.EventAnalytics.qTransitionEntropy(spark, sf)
+      .collect()
+    assert(got.map(_.getString(0)).toSet == want.keySet)
+    got.foreach { r =>
+      val (nOut, nTr, ent) = want(r.getString(0))
+      assert(r.getLong(1) == nOut && r.getLong(2) == nTr)
+      assert(math.abs(r.getDouble(3) - ent.toDouble) < 1e-9)
+      if (nOut > 1)
+        assert(math.abs(r.getDouble(4) -
+          r.getDouble(3) / math.log(nOut.toDouble)) < 1e-6)
+      else assert(r.getDouble(4) == 0.0)
+    }
+  }
+
   test("apportionment: quotas sum to the budget exactly, Hamilton rule") {
     val rows = text.Curation.mixApportion(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
