@@ -345,4 +345,125 @@ object Profiler {
        |${selects.mkString("\nUNION ALL\n")}
        |ORDER BY col_x, col_y""".stripMargin
   }
+
+  /** Mutual information between categorical column pairs — the
+    * dependence panel profile_correlations (Pearson, numeric) cannot
+    * see: MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) in nats plus the
+    * normalized coefficient NMI = MI/min(H(X),H(Y)) ∈ [0,1]. The
+    * "which dimensions are redundant / which drive each other" answer
+    * a modeler reads before one-hot-ing both columns; pairs profiled:
+    * documents (lang, source) and events (event_type, dow).
+    *
+    * Determinism: the profile_column_entropy device — every ln term is
+    * computed on identically-derived doubles (integer-count ratios;
+    * numerator/denominator products stay ≪ 2^53) and quantized through
+    * DECIMAL(18,9), so MI/H sums are exact order-independent decimal
+    * sums; NMI re-quantized the same way; degenerate margins (either
+    * entropy 0) emit NMI 0, never a div-by-zero. dow uses the house
+    * pre-1970-safe floor arithmetic (eventsWeeklyHeatmap device).
+    *
+    * Scale shape: ONE scan per pair to a |X|·|Y|-bounded cell
+    * aggregate (localCheckpointed — it feeds both margins, the total,
+    * and the term join); everything after runs over bounded rows with
+    * broadcast margins.
+    */
+  def profileMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val docCells = Tables.documents(spark, dir)
+      .select(col("lang").as("x"), col("source").as("y"))
+    val evCells = Tables.events(spark, dir)
+      .select(col("event_type").as("x"),
+        expr("CAST(pmod((unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000 + 4, 7) AS STRING)")
+          .as("y"))
+    miPanel(spark, docCells, "documents", "lang", "source")
+      .unionByName(miPanel(spark, evCells, "events", "event_type", "dow"))
+      .orderBy(col("table_name"))
+  }
+
+  private def miPanel(spark: SparkSession, pairs: DataFrame, rel: String,
+      cX: String, cY: String): DataFrame = {
+    val cells = pairs.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+      // |X|·|Y|-bounded; feeds margins, total, and the term join
+      .localCheckpoint()
+    val mx = cells.groupBy(col("x")).agg(sum(col("cnt")).as("cx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("cnt")).as("cy"))
+    val tot = cells.agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_cells"))
+    val mi = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |  ln((CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE)) /
+          |     (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+          |  AS DECIMAL(18,9))""".stripMargin).as("term"))
+      .agg(sum(col("term")).as("mi_d"))
+    def hOf(m: DataFrame, c: String, out: String): DataFrame =
+      m.crossJoin(broadcast(tot)).select(expr(
+        s"""CAST(-(CAST($c AS DOUBLE) / CAST(n AS DOUBLE)) *
+           |  ln(CAST($c AS DOUBLE) / CAST(n AS DOUBLE))
+           |  AS DECIMAL(18,9))""".stripMargin).as("t"))
+        .agg(sum(col("t")).as(out))
+    mi.crossJoin(hOf(mx, "cx", "hx_d")).crossJoin(hOf(my, "cy", "hy_d"))
+      .crossJoin(tot)
+      .select(lit(rel).as("table_name"), lit(cX).as("col_x"),
+        lit(cY).as("col_y"),
+        col("n").cast("long").as("n_rows"),
+        col("n_cells").cast("long").as("n_cells"),
+        col("hx_d").cast("double").as("h_x_nats"),
+        col("hy_d").cast("double").as("h_y_nats"),
+        col("mi_d").cast("double").as("mi_nats"),
+        expr("""CASE WHEN least(hx_d, hy_d) <= 0 THEN CAST(0.0 AS DOUBLE)
+               |  ELSE CAST(CAST(CAST(mi_d AS DOUBLE) /
+               |    CAST(least(hx_d, hy_d) AS DOUBLE) AS DECIMAL(18,9))
+               |    AS DOUBLE) END""".stripMargin).as("nmi"))
+  }
+
+  val profileMutualInfoSql: String = {
+    val dowExpr =
+      "CAST(((((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 + 4) % 7) + 7) % 7 AS VARCHAR)"
+    def block(i: Int, cellSql: String, rel: String, cX: String,
+        cY: String): (String, String) = {
+      val ctes =
+        s"""c$i AS ($cellSql),
+           |mx$i AS (SELECT x, sum(cnt) AS cx FROM c$i GROUP BY 1),
+           |my$i AS (SELECT y, sum(cnt) AS cy FROM c$i GROUP BY 1),
+           |tot$i AS (SELECT sum(cnt) AS n, count(*) AS n_cells FROM c$i),
+           |mi$i AS (
+           |  SELECT sum(CAST((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
+           |    ln((CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE)) /
+           |       (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+           |    AS DECIMAL(18,9))) AS mi_d
+           |  FROM c$i JOIN mx$i USING (x) JOIN my$i USING (y), tot$i),
+           |hx$i AS (
+           |  SELECT sum(CAST(-(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) *
+           |    ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+           |    AS DECIMAL(18,9))) AS hx_d FROM mx$i, tot$i),
+           |hy$i AS (
+           |  SELECT sum(CAST(-(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) *
+           |    ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+           |    AS DECIMAL(18,9))) AS hy_d FROM my$i, tot$i)""".stripMargin
+      val sel =
+        s"""SELECT '$rel' AS table_name, '$cX' AS col_x, '$cY' AS col_y,
+           |  CAST(n AS BIGINT) AS n_rows, CAST(n_cells AS BIGINT) AS n_cells,
+           |  CAST(hx_d AS DOUBLE) AS h_x_nats, CAST(hy_d AS DOUBLE) AS h_y_nats,
+           |  CAST(mi_d AS DOUBLE) AS mi_nats,
+           |  CASE WHEN least(hx_d, hy_d) <= 0 THEN 0.0
+           |    ELSE CAST(CAST(CAST(mi_d AS DOUBLE) /
+           |      CAST(least(hx_d, hy_d) AS DOUBLE) AS DECIMAL(18,9))
+           |      AS DOUBLE) END AS nmi
+           |FROM mi$i, hx$i, hy$i, tot$i""".stripMargin
+      (ctes, sel)
+    }
+    val (c1, s1) = block(1,
+      "SELECT lang AS x, source AS y, count(*) AS cnt FROM documents GROUP BY 1, 2",
+      "documents", "lang", "source")
+    val (c2, s2) = block(2,
+      s"SELECT event_type AS x, $dowExpr AS y, count(*) AS cnt FROM events GROUP BY 1, 2",
+      "events", "event_type", "dow")
+    s"""WITH $c1,
+       |$c2
+       |$s1
+       |UNION ALL
+       |$s2
+       |ORDER BY table_name""".stripMargin
+  }
 }

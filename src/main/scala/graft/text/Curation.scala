@@ -577,6 +577,111 @@ object Curation {
        |FROM r
        |ORDER BY source""".stripMargin
 
+  /** Water-filling allocation of a token budget across sources — the
+    * CAP answer beside mix_apportion's proportional-quota answer: find
+    * the largest per-source ceiling c* with Σ_s min(n_s, c*) ≤ budget
+    * and take min(n_s, c*) from each source. The "cap the hot crawls,
+    * keep small curated sources whole" rule every mixing pipeline
+    * applies before temperature weighting; budget = 3/5 of corpus
+    * tokens here (an exact rational of the data, so the op is
+    * scale-free).
+    *
+    * Exact integer derivation over the ascending-sorted source frame
+    * (n_1 ≤ … ≤ n_k, prefix sums cum_i, all |sources|-bounded): the
+    * FIRST row where g_i = (B − cum_{i−1}) DIV (k−i+1) < n_i pins
+    * c* = g_i — for earlier rows the floor clears n_i, and g_i ≥ n_{i−1}
+    * follows by induction from floor(x) ≥ n ⟺ x ≥ n on integers, so the
+    * first match lands in the correct water-level segment; no match ⟺
+    * B ≥ Σn_s ⟺ uncapped (NULL cap). min_by(g_i, i) picks the first
+    * match without a limit(1) barrier; ppm products widen through
+    * DECIMAL(38,0)/HUGEINT (the q14 device); negative later-row
+    * numerators are harmless because both engines truncate DIV toward
+    * zero identically and min_by ignores them.
+    *
+    * Scale shape: one corpus agg to |sources| rows feeding the total,
+    * the ranked frame, and the output join (re-derived per consumer —
+    * one cheap keyed scan each, the mix_apportion convention, which
+    * also keeps the bounded `source` grouping visible to the
+    * plan-invariant window guard), ordered window + cumsum over those
+    * bounded rows only, 1-row cap broadcast.
+    */
+  val waterfillNum = 3L
+  val waterfillDen = 5L
+
+  def mixWaterfill(spark: SparkSession, dir: String,
+      num: Long = waterfillNum, den: Long = waterfillDen): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = docsWithToks(spark, dir, "whitespace")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens").cast(dec)).cast(dec).as("t_tokens"),
+      count(lit(1)).as("k"))
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val ranked = g.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("b",
+        expr(s"CAST(t_tokens * $num DIV $den AS BIGINT)"))
+      .withColumn("g_i",
+        expr("(b - (cum - n_tokens)) DIV (k - i + 1)"))
+    val cap = ranked.filter(col("g_i") < col("n_tokens"))
+      .agg(min_by(col("g_i"), col("i")).as("cap_tokens"))
+    g.crossJoin(broadcast(cap)).crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"CAST(t_tokens * $num DIV $den AS BIGINT)")
+          .as("budget_tokens"),
+        col("cap_tokens").cast("long").as("cap_tokens"),
+        expr("CAST(CASE WHEN cap_tokens IS NULL THEN n_tokens " +
+          "ELSE least(n_tokens, cap_tokens) END AS BIGINT)")
+          .as("alloc_tokens"),
+        expr("CASE WHEN cap_tokens IS NULL THEN FALSE " +
+          "ELSE n_tokens > cap_tokens END").as("capped"),
+        expr(s"""CAST(CAST(CASE WHEN cap_tokens IS NULL THEN n_tokens
+                |  ELSE least(n_tokens, cap_tokens) END AS DECIMAL(38,0))
+                |  * 1000000 DIV (t_tokens * $num DIV $den) AS BIGINT)"""
+          .stripMargin).as("budget_share_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val mixWaterfillSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(toks) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS HUGEINT) AS t_tokens, count(*) AS k
+       |  FROM g),
+       |bb AS (
+       |  SELECT CAST(t_tokens * $waterfillNum // $waterfillDen AS BIGINT)
+       |    AS b, k FROM tot),
+       |r AS (
+       |  SELECT g.*, row_number() OVER (ORDER BY n_tokens, source) AS i,
+       |    sum(n_tokens) OVER (ORDER BY n_tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM g),
+       |cap AS (
+       |  SELECT min_by((b - (cum - n_tokens)) // (k - i + 1), i)
+       |    AS cap_tokens
+       |  FROM r, bb WHERE (b - (cum - n_tokens)) // (k - i + 1) < n_tokens)
+       |SELECT g.source, g.n_docs, g.n_tokens,
+       |  (SELECT b FROM bb) AS budget_tokens,
+       |  CAST(cap_tokens AS BIGINT) AS cap_tokens,
+       |  CAST(CASE WHEN cap_tokens IS NULL THEN n_tokens
+       |    ELSE least(n_tokens, cap_tokens) END AS BIGINT) AS alloc_tokens,
+       |  CASE WHEN cap_tokens IS NULL THEN FALSE
+       |    ELSE n_tokens > cap_tokens END AS capped,
+       |  CAST(CAST(CASE WHEN cap_tokens IS NULL THEN n_tokens
+       |    ELSE least(n_tokens, cap_tokens) END AS HUGEINT)
+       |    * 1000000 // (SELECT b FROM bb) AS BIGINT) AS budget_share_ppm
+       |FROM g, cap
+       |ORDER BY source""".stripMargin
+
   def mixWeights(spark: SparkSession, dir: String): DataFrame =
     mixWeightsWith(spark, dir, "whitespace")
 

@@ -274,6 +274,9 @@ object Dedup {
         greatest(col("src_a"), col("src_b")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_dup_pairs"))
+      // ≤|sources|² rows feeding two consumers (total + main projection)
+      // — checkpoint so the prefix-join subtree is derived once
+      .localCheckpoint()
     val total = counts.agg(sum(col("n_dup_pairs")).as("t_pairs"))
     counts.crossJoin(broadcast(total))
       .select(col("source_a"), col("source_b"), col("n_dup_pairs"),
@@ -507,15 +510,20 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_common")).as("u"))
     // highest satisfied edge, checked from the top — the SAME generated
     // CASE string the oracle embeds, so the classifier is shared by
-    // construction
+    // construction. localCheckpoint the ≤6-row band rollup: it feeds
+    // three consumers (cumsum self-join, total, main) and without it
+    // each re-derives the whole prefix-join + verify subtree.
     val byBand = detail.select(expr(sweepBandCase).as("band_idx"))
       .groupBy(col("band_idx")).agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint()
     val labels = sweepBands.zipWithIndex.map { case ((_, _, l), i) => (i, l) }
     val labelDf = spark.createDataFrame(labels).toDF("band_idx", "band")
     val b2 = byBand.select(col("band_idx").as("i2"), col("n_pairs").as("np2"))
     val total = byBand.agg(sum(col("n_pairs")).as("t_pairs"))
     byBand
-      .join(b2, col("i2") >= col("band_idx")) // bounded join cumsum
+      // bounded join cumsum; broadcast so the non-equi join plans as
+      // the (whitelisted) BroadcastNestedLoopJoin, never CartesianProduct
+      .join(broadcast(b2), col("i2") >= col("band_idx"))
       .groupBy(col("band_idx"), col("n_pairs"))
       .agg(sum(col("np2")).as("cum_pairs"))
       .join(broadcast(labelDf), "band_idx")

@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+
+/** Data-selection importance weighting (DSIR-style): score every raw
+  * document by how much more likely its hashed n-gram features are
+  * under a TARGET distribution than under the RAW corpus distribution.
+  * The standard "pick pretraining data that looks like the quality
+  * slice" device (hashed-feature importance resampling over word
+  * n-grams); here the target slice is the `lang = 'en'` sub-corpus and
+  * the features are word bigrams hashed into 4096 buckets.
+  *
+  * Cross-engine exactness:
+  * - bucket key = first 3 hex chars of md5(bigram) (the dedup_exact
+  *   md5 device — a STRING key, so no engine-specific hash or hex→int
+  *   parse anywhere);
+  * - per-bucket log-ratio λ_b = ln((t_b+1)/(T+4096)) − ln((r_b+1)/
+  *   (R+4096)) computed on identically-derived doubles and quantized
+  *   through DECIMAL(18,9) (the text_unigram_nll device), so the
+  *   per-doc score Σ n_{d,b}·λ_b is an exact, order-independent
+  *   decimal sum; doubles only at the output edge (|score|·1e9 ≪ 2^53).
+  *
+  * Scale shape: one documents scan explodes bigrams; bucket rollup is
+  * ≤4096 rows (localCheckpointed — it feeds the totals AND the λ
+  * table); λ broadcasts to the per-doc rollup join (map-side, never a
+  * shuffle of the corpus against the model); smoothing denominator is
+  * the CONSTANT bucket count, so λ stays bounded as the corpus grows.
+  * At 100 TB nothing changes: the feature table is bucket-keyed, not
+  * vocab-keyed, so it broadcasts at any corpus size; widen the hex
+  * prefix for more resolution (16^h buckets).
+  */
+object Importance {
+
+  /** Target slice for the importance ratio (the "quality" distribution). */
+  val targetLang = "en"
+
+  /** 16^3 hashed feature buckets — the constant smoothing denominator. */
+  val nBuckets = 4096
+
+  def curationImportance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bi = docs
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(0, size(words) - 2), " +
+          "i -> concat(words[i], ' ', words[i + 1]))")).as("bg"))
+      .withColumn("b", expr("substr(md5(bg), 1, 3)"))
+    val counts = bi.groupBy(col("b"))
+      .agg(count(lit(1)).as("r_cnt"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_cnt"))
+      // ≤4096 rows feeding the totals AND the λ projection
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("r_cnt")).as("r_tot"),
+      sum(col("t_cnt")).as("t_tot"))
+    val lam = counts.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"""CAST(ln((CAST(t_cnt AS DOUBLE) + 1.0) /
+           |      (CAST(t_tot AS DOUBLE) + $nBuckets.0)) -
+           |    ln((CAST(r_cnt AS DOUBLE) + 1.0) /
+           |      (CAST(r_tot AS DOUBLE) + $nBuckets.0))
+           |  AS DECIMAL(18,9))""".stripMargin).as("lam"))
+    val perDoc = bi.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("nb"),
+        sum(expr("CAST(n AS DECIMAL(10,0)) * lam")).as("s"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("nb"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("s").cast(DoubleType), lit(0.0)).as("logratio_nats"),
+        expr("CASE WHEN nb IS NULL THEN CAST(0.0 AS DOUBLE) " +
+          "ELSE CAST(s AS DOUBLE) / nb END").as("per_bigram_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationImportanceSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS words
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    substr(md5(words[i] || ' ' || words[i + 1]), 1, 3) AS b
+       |  FROM (SELECT doc_id, lang, words,
+       |          unnest(range(1, len(words))) AS i
+       |        FROM w WHERE len(words) >= 2)),
+       |counts AS (
+       |  SELECT b, count(*) AS r_cnt,
+       |    sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS t_cnt
+       |  FROM bg GROUP BY 1),
+       |tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM counts),
+       |lam AS (
+       |  SELECT b,
+       |    CAST(ln((CAST(t_cnt AS DOUBLE) + 1.0) /
+       |          (CAST(t_tot AS DOUBLE) + $nBuckets.0)) -
+       |        ln((CAST(r_cnt AS DOUBLE) + 1.0) /
+       |          (CAST(r_tot AS DOUBLE) + $nBuckets.0))
+       |      AS DECIMAL(18,9)) AS lam
+       |  FROM counts, tot),
+       |pd AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT pd.doc_id, sum(pd.n) AS nb,
+       |    sum(CAST(pd.n AS DECIMAL(10,0)) * l.lam) AS s
+       |  FROM pd JOIN lam l USING (b) GROUP BY 1)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+       |  coalesce(CAST(sc.s AS DOUBLE), 0.0) AS logratio_nats,
+       |  CASE WHEN sc.nb IS NULL THEN 0.0
+       |    ELSE CAST(sc.s AS DOUBLE) / sc.nb END AS per_bigram_nats
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+}

@@ -798,4 +798,82 @@ object TextStats {
       |    ELSE ((n * sxy - sx * sy) * 1000000000 // (n * sxx - sx * sx)) END
       |    AS BIGINT) AS zipf_slope_e9
       |FROM s ORDER BY source""".stripMargin
+
+  /** Per-source lexical diversity — the template-spam fingerprint panel:
+    * corpus TTR (distinct types / tokens), hapax share (types occurring
+    * exactly once — low ⟺ generated/boilerplate text), and the mean
+    * per-doc TTR (floor mean of per-doc ppm ratios). Sources whose
+    * corpus TTR collapses while per-doc TTR stays normal repeat the
+    * SAME vocabulary across docs — templated content invisible to
+    * per-doc quality scores. Docs with ≥1 whitespace token count
+    * (token-less docs carry no lexical evidence).
+    *
+    * Everything integer-exact: ppm ratios via the q14 DECIMAL(38,0)/
+    * HUGEINT widening. Scale shape: one documents scan to the
+    * (doc,word) count frame (localCheckpointed — it feeds the per-doc
+    * AND the per-source-vocabulary rollups), then two keyed aggs to
+    * |sources| rows; nothing touches data-sized rows after the rollups.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .groupBy(col("doc_id"), col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val sd = wc.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("types_d"), sum(col("c")).as("toks_d"))
+      .select(col("source"),
+        expr("CAST(CAST(types_d AS DECIMAL(38,0)) * 1000000 DIV toks_d AS BIGINT)")
+          .as("doc_ttr_ppm"),
+        col("toks_d"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks_d")).cast("long").as("n_tokens"),
+        sum(col("doc_ttr_ppm")).as("ttr_sum"))
+    val sw = wc.groupBy(col("source"), col("token"))
+      .agg(sum(col("c")).as("sc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("sc") === 1L, 1L).otherwise(0L)).as("hapax"))
+    sd.join(sw, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        expr("CAST(CAST(n_types AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)")
+          .as("ttr_ppm"),
+        expr("CAST(CAST(hapax AS DECIMAL(38,0)) * 1000000 DIV n_types AS BIGINT)")
+          .as("hapax_ppm"),
+        expr("CAST(ttr_sum DIV n_docs AS BIGINT)").as("mean_doc_ttr_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val lexicalDiversitySql: String =
+    """WITH wc AS (
+      |  SELECT doc_id, source, token, count(*) AS c FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      |    FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |sd AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(toks_d) AS BIGINT) AS n_tokens,
+      |    sum(doc_ttr_ppm) AS ttr_sum
+      |  FROM (
+      |    SELECT doc_id, source, sum(c) AS toks_d,
+      |      CAST(CAST(count(*) AS HUGEINT) * 1000000 // sum(c) AS BIGINT)
+      |        AS doc_ttr_ppm
+      |    FROM wc GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |sw AS (
+      |  SELECT source, count(*) AS n_types,
+      |    sum(CASE WHEN sc = 1 THEN 1 ELSE 0 END) AS hapax
+      |  FROM (SELECT source, token, sum(c) AS sc FROM wc GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT sd.source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+      |  CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(CAST(n_types AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+      |    AS ttr_ppm,
+      |  CAST(CAST(hapax AS HUGEINT) * 1000000 // n_types AS BIGINT)
+      |    AS hapax_ppm,
+      |  CAST(ttr_sum // n_docs AS BIGINT) AS mean_doc_ttr_ppm
+      |FROM sd JOIN sw USING (source)
+      |ORDER BY sd.source""".stripMargin
 }
