@@ -271,6 +271,40 @@ object StreamOps {
           .as("reject"))
   }
 
+  /** Streaming DSIR importance gate — curation_importance's live twin:
+    * an arriving doc is scored against the SETTLED corpus's trained
+    * λ table (Importance.lambdaTable — bucket-keyed, ≤4096 rows, so the
+    * stream-static join is a broadcast at any corpus size) and flagged
+    * when its mean per-bigram log-ratio falls below `floor` — the
+    * ingest-time "does this look like the target slice" filter, with
+    * zero model state in the stream (the only state is the watermarked
+    * per-doc aggregation, the nllGate bounded-state discipline). Buckets
+    * absent from the model (possible only on a tiny settled corpus) are
+    * counted, not scored — the nllGate OOV convention.
+    *
+    * `docs` needs (doc_id, ts, text); `lambda` needs (b, lam). */
+  def importanceGate(docs: DataFrame, lambda: DataFrame,
+      floor: Double): DataFrame = {
+    docs
+      .select(col("doc_id"), col("ts"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), col("ts"),
+        explode(expr("transform(sequence(0, size(words) - 2), " +
+          "i -> concat(words[i], ' ', words[i + 1]))")).as("bg"))
+      .withWatermark("ts", "1 hour")
+      .withColumn("b", expr("substr(md5(bg), 1, 3)"))
+      .join(lambda.select(col("b"), col("lam")), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lam")).as("s"),
+        count(col("lam")).as("n_scored"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / col("n_scored")).as("per_bigram_nats"),
+        (col("n_scored") > 0 &&
+          col("s").cast("double") / col("n_scored") < floor).as("reject"))
+  }
+
   /** Streaming containment ingest gate — dedup_containment's live twin,
     * and the near-dup layer incrementalDedup's exact-fingerprint gate
     * cannot catch: an arriving document is flagged CONTAINED when at

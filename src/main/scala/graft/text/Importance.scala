@@ -41,30 +41,43 @@ object Importance {
   /** 16^3 hashed feature buckets — the constant smoothing denominator. */
   val nBuckets = 4096
 
-  def curationImportance(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val bi = docs
-      .select(col("doc_id"), col("lang"),
-        expr("filter(split(text, ' '), t -> t <> '')").as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(0, size(words) - 2), " +
-          "i -> concat(words[i], ' ', words[i + 1]))")).as("bg"))
-      .withColumn("b", expr("substr(md5(bg), 1, 3)"))
-    val counts = bi.groupBy(col("b"))
+  /** Exploded (doc_id, lang, bucket) bigram rows — the shared base of
+    * the model counts and the per-doc scoring rollup. */
+  private def bigramBuckets(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"),
+      expr("filter(split(text, ' '), t -> t <> '')").as("words"))
+    .filter(size(col("words")) >= 2)
+    .select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(0, size(words) - 2), " +
+        "i -> concat(words[i], ' ', words[i + 1]))")).as("bg"))
+    .withColumn("b", expr("substr(md5(bg), 1, 3)"))
+
+  /** The trained importance model: (bucket, λ) with λ the smoothed
+    * target-vs-raw log-ratio, DECIMAL(18,9)-quantized. ≤4096 rows —
+    * broadcastable at any corpus size; also the static side of the
+    * streaming importance gate (StreamOps.importanceGate). */
+  def lambdaTable(spark: SparkSession, dir: String): DataFrame = {
+    val counts = bigramBuckets(Tables.documents(spark, dir))
+      .groupBy(col("b"))
       .agg(count(lit(1)).as("r_cnt"),
         sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_cnt"))
       // ≤4096 rows feeding the totals AND the λ projection
       .localCheckpoint()
     val tot = counts.agg(sum(col("r_cnt")).as("r_tot"),
       sum(col("t_cnt")).as("t_tot"))
-    val lam = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .select(col("b"), expr(
         s"""CAST(ln((CAST(t_cnt AS DOUBLE) + 1.0) /
            |      (CAST(t_tot AS DOUBLE) + $nBuckets.0)) -
            |    ln((CAST(r_cnt AS DOUBLE) + 1.0) /
            |      (CAST(r_tot AS DOUBLE) + $nBuckets.0))
            |  AS DECIMAL(18,9))""".stripMargin).as("lam"))
+  }
+
+  def curationImportance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bi = bigramBuckets(docs)
+    val lam = lambdaTable(spark, dir)
     val perDoc = bi.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("n"))
       .join(broadcast(lam), Seq("b"))

@@ -606,4 +606,35 @@ class StreamingSpec extends AnyFunSuite {
     // 4 novel of 10 -> 400000 ppm > the 100000 ceiling
     assert(got(1) == (hourFloor(ts(1, 0).getTime), 10L, 4L, 400000L, true))
   }
+
+  test("streaming importance gate scores like the batch DSIR weights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lam = graft.text.Importance.lambdaTable(spark, sf)
+    val batch = graft.text.Importance.curationImportance(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("per_bigram_nats")))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(docs.map { case (id, t) => (id, t0, t) }.toSeq :+
+      ((9999L, t0, "single")))  // < 2 tokens -> filtered, no row
+    val q = StreamOps.importanceGate(
+        mem.toDF().toDF("doc_id", "ts", "text"), lam, floor = -1.0)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("impgate_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("impgate_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got.contains(9999L))
+    docs.foreach { case (id, _) =>
+      val (nb, per) = batch(id)
+      assert(got(id).getAs[Long]("n_bigrams") == nb, s"doc $id")
+      assert(got(id).getAs[Double]("per_bigram_nats") == per, s"doc $id")
+      assert(got(id).getAs[Boolean]("reject") == (per < -1.0), s"doc $id")
+    }
+  }
 }
