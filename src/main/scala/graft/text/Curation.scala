@@ -638,9 +638,10 @@ object Curation {
           .as("alloc_tokens"),
         expr("CASE WHEN cap_tokens IS NULL THEN FALSE " +
           "ELSE n_tokens > cap_tokens END").as("capped"),
-        expr(s"""CAST(CAST(CASE WHEN cap_tokens IS NULL THEN n_tokens
+        expr(s"""CASE WHEN (t_tokens * $num DIV $den) = 0 THEN CAST(0 AS BIGINT)
+                |ELSE CAST(CAST(CASE WHEN cap_tokens IS NULL THEN n_tokens
                 |  ELSE least(n_tokens, cap_tokens) END AS DECIMAL(38,0))
-                |  * 1000000 DIV (t_tokens * $num DIV $den) AS BIGINT)"""
+                |  * 1000000 DIV (t_tokens * $num DIV $den) AS BIGINT) END"""
           .stripMargin).as("budget_share_ppm"))
       .orderBy(col("source"))
   }
@@ -676,9 +677,10 @@ object Curation {
        |    ELSE least(n_tokens, cap_tokens) END AS BIGINT) AS alloc_tokens,
        |  CASE WHEN cap_tokens IS NULL THEN FALSE
        |    ELSE n_tokens > cap_tokens END AS capped,
-       |  CAST(CAST(CASE WHEN cap_tokens IS NULL THEN n_tokens
-       |    ELSE least(n_tokens, cap_tokens) END AS HUGEINT)
-       |    * 1000000 // (SELECT b FROM bb) AS BIGINT) AS budget_share_ppm
+       |  CASE WHEN (SELECT b FROM bb) = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(CAST(CASE WHEN cap_tokens IS NULL THEN n_tokens
+       |      ELSE least(n_tokens, cap_tokens) END AS HUGEINT)
+       |      * 1000000 // (SELECT b FROM bb) AS BIGINT) END AS budget_share_ppm
        |FROM g, cap
        |ORDER BY source""".stripMargin
 

@@ -51,7 +51,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     "mix_dedup_discount", "sim_sparse_cosine",
     // r9 additions on the documents path
     "dedup_incremental_components", "dedup_source_overlap",
-    "dedup_minhash_estimate", "pack_shard_balance")
+    "dedup_minhash_estimate", "pack_shard_balance",
+    // r9 late wave (profile_mutual_info also reads events -> out of scope)
+    "dedup_threshold_sweep", "mix_waterfill", "curation_importance",
+    "text_lexical_diversity")
 
   test("every document-path query survives the adversarial corpus") {
     docQueries.foreach { k =>
@@ -168,5 +171,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     val hm = EventAnalytics.eventsWeeklyHeatmap(spark, edgeEventsDir).collect()
     assert(hm.map(_.getAs[Long]("n_events")).sum == 25L)
     assert(hm.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+  }
+
+  test("r9 late-wave ops degrade on an all-empty corpus instead of throwing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_empty").toString
+    Seq((0L, "", "en", "src0", 0L), (1L, "", "zh", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // waterfill: a zero-token corpus means budget 0 — shares degrade to
+    // 0 (the guarded division), the cap stays NULL, nothing throws
+    val wf = text.Curation.mixWaterfill(spark, dir).collect()
+    assert(wf.length == 2)
+    wf.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.isNullAt(4))
+      assert(r.getLong(5) == 0L && !r.getBoolean(6) && r.getLong(7) == 0L)
+    }
+    // importance: no bigrams anywhere -> every doc 0-featured, 0-scored
+    val imp = text.Importance.curationImportance(spark, dir).collect()
+    assert(imp.length == 2)
+    assert(imp.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0 &&
+      r.getDouble(4) == 0.0))
+    // lexical diversity: token-less docs carry no lexical evidence ->
+    // an empty panel, not a division by zero
+    assert(text.TextStats.lexicalDiversity(spark, dir).collect().isEmpty)
   }
 }
