@@ -43,6 +43,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("waterfill first-match cap is the true optimum on random corpora") {
+    // the exact derivation mixWaterfill plans (ascending sort, integer
+    // floors, truncation toward zero) replayed as a pure function and
+    // checked against brute force: feasible, maximal, or provably uncapped
+    def firstMatchCap(ns: Seq[Long], num: Long, den: Long): Option[Long] = {
+      val sorted = ns.sorted
+      val k = sorted.size
+      val b = sorted.sum * num / den
+      var cum = 0L
+      var res: Option[Long] = None
+      var i = 0
+      while (i < k && res.isEmpty) {
+        val g = (b - cum) / (k - i)
+        if (g < sorted(i)) res = Some(g)
+        cum += sorted(i); i += 1
+      }
+      res
+    }
+    val gen = for {
+      k <- Gen.choose(1, 12)
+      ns <- Gen.listOfN(k, Gen.oneOf(Gen.const(0L), Gen.choose(0L, 9L),
+        Gen.choose(0L, 100000L)))
+      nd <- Gen.oneOf((3L, 5L), (1L, 2L), (2L, 1L), (1L, 10L), (9L, 10L))
+    } yield (ns, nd._1, nd._2)
+    samples(gen, 60, 97L).foreach { case (ns, num, den) =>
+      val b = ns.sum * num / den
+      def f(c: Long): Long = ns.map(math.min(_, c)).sum
+      firstMatchCap(ns, num, den) match {
+        case None    => assert(ns.sum <= b, s"$ns $num/$den")
+        case Some(c) =>
+          assert(c >= 0 && f(c) <= b && f(c + 1) > b, s"$ns $num/$den -> $c")
+      }
+    }
+  }
+
   test("min-label propagation equals union-find on arbitrary graphs") {
     import spark.implicits._
     val shapeGen: Gen[Seq[(Long, Long)]] = Gen.oneOf(
