@@ -248,6 +248,120 @@ object Dedup {
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  /** LSH parameter sweep — the (bands × rows) decision table an LSH
+    * rollout reads before fixing b/r: for each banding of the SAME
+    * 32-permutation signatures (32×1, 16×2, 8×4, 4×8), the measured
+    * recall against the exact τ=1/2 near-dup truth set, the measured
+    * precision, and the candidate-pair count (the verification-cost
+    * side of the curve). More rows per band ⇒ fewer, higher-precision
+    * candidates and lower recall — this table shows where THIS corpus
+    * sits on that curve, which no closed-form 1−(1−s^r)^b plot can
+    * (that needs the similarity distribution the sweep measures).
+    *
+    * Scale shape: signatures once (one groupBy, 32 minima, map-side
+    * combined; localCheckpointed — four band derivations consume it);
+    * per config one banded equi-join (never all-pairs) with the
+    * candidate list checkpointed (count + truth-semi-join consumers);
+    * truth is the skew-immune prefix join, also shared. The 32×1
+    * config's single-minimum keys ARE hot at corpus scale — that cost
+    * surfacing in n_candidates is exactly what the panel is for.
+    * Counts widen through DECIMAL(38,0)/HUGEINT before the ppm
+    * products.
+    */
+  val lshSweepConfigs: Seq[(Int, Int)] =
+    Seq((32, 1), (16, 2), (8, 4), (4, 8))
+
+  def lshParamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+      .withColumn("hp", col("h") % minhashP)
+    val minAggs = (0 until nPerms).map(i =>
+      min((col("hp") * permA(i) + permB(i)) % minhashP).as(s"m_$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .localCheckpoint()
+    val truth = prefixJoinDetail(spark, dir, 1L, 2L)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    lshSweepConfigs.map { case (b, r) =>
+      val bandStructs = (0 until b).map { bi =>
+        struct(lit(bi).as("band"),
+          concat_ws(",", (r * bi until r * bi + r).map(i =>
+            col(s"m_$i").cast("string")): _*).as("band_key"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.band_key").as("band_key"))
+      val cand = bands.join(
+          bands.select(col("doc_id").as("doc_b"), col("band"),
+            col("band_key")),
+          Seq("band", "band_key"))
+        .filter(col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"))
+        .distinct()
+        .localCheckpoint()
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nCaught = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      nCand.crossJoin(broadcast(nCaught)).crossJoin(broadcast(nTruth))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_truth"), col("n_caught"),
+          expr("""CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+                 |  ELSE CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000
+                 |    DIV n_truth AS BIGINT) END""".stripMargin)
+            .as("recall_ppm"),
+          expr("""CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+                 |  ELSE CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000
+                 |    DIV n_candidates AS BIGINT) END""".stripMargin)
+            .as("precision_ppm"))
+    }.reduce(_ unionByName _).orderBy(col("rows_per_band"))
+  }
+
+  val lshParamSweepSql: String = {
+    val minCols = (0 until nPerms).map(i =>
+      s"min(((h % $minhashP) * ${permA(i)} + ${permB(i)}) % $minhashP) AS m_$i")
+      .mkString(", ")
+    val cfg = lshSweepConfigs.map { case (b, r) =>
+      val bandSelects = (0 until b).map { bi =>
+        val key = (r * bi until r * bi + r)
+          .map(i => s"CAST(m_$i AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $bi AS band, $key AS band_key FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      val ctes =
+        s"""bands_$b AS (
+           |$bandSelects),
+           |cand_$b AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands_$b a JOIN bands_$b b
+           |    ON a.band = b.band AND a.band_key = b.band_key
+           |      AND a.doc_id < b.doc_id)""".stripMargin
+      val sel =
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  (SELECT count(*) FROM cand_$b) AS n_candidates,
+           |  (SELECT count(*) FROM truth) AS n_truth,
+           |  (SELECT count(*) FROM cand_$b c JOIN truth t
+           |     ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_caught,
+           |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((SELECT count(*) FROM cand_$b c JOIN truth t
+           |        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)::HUGEINT
+           |      * 1000000 // (SELECT count(*) FROM truth) AS BIGINT) END
+           |    AS recall_ppm,
+           |  CASE WHEN (SELECT count(*) FROM cand_$b) = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((SELECT count(*) FROM cand_$b c JOIN truth t
+           |        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)::HUGEINT
+           |      * 1000000 // (SELECT count(*) FROM cand_$b) AS BIGINT) END
+           |    AS precision_ppm""".stripMargin
+      (ctes, sel)
+    }
+    s"""WITH $jaccardPairsSql,
+       |truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+       |sigs AS (
+       |  SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+       |${cfg.map(_._1).mkString(",\n")}
+       |${cfg.map(_._2).mkString("\nUNION ALL\n")}
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   /** Cross-source duplication matrix — the pipeline-level rollup of the
     * near-dup pair list: per unordered source pair, how many near-dup
     * pairs straddle (or stay inside) those sources, with the exact ppm

@@ -129,6 +129,54 @@ class Round9bSpec extends AnyFunSuite {
     assert(ev.getString(2) == "dow" && ev.getLong(3) > 0)
   }
 
+  test("lsh param sweep: candidate/recall counts match a signature replay") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val shing: Map[Long, Set[Long]] = docs.collect {
+      case (d, t) if t.length >= 3 =>
+        d -> t.sliding(3).map(_.mkString(" ")).toSet
+          .map((s: String) => java.lang.Long.parseLong(md5hex(s).take(12), 16))
+    }.toMap
+    val p = text.Dedup.minhashP
+    val sigs: Map[Long, IndexedSeq[Long]] = shing.map { case (d, hs) =>
+      d -> (0 until text.Dedup.nPerms).map(i =>
+        hs.map(h => ((h % p) * text.Dedup.permA(i) + text.Dedup.permB(i)) % p).min)
+    }
+    val ids = shing.keys.toSeq.sorted
+    val truth = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.length
+      a = ids(ai); b = ids(bi)
+      c = (shing(a) & shing(b)).size
+      u = shing(a).size + shing(b).size - c
+      if 2L * c >= u
+    } yield (a, b)).toSet
+    val got = text.Dedup.lshParamSweep(spark, sf).collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      text.Dedup.lshSweepConfigs.toSet)
+    got.foreach { r =>
+      val (b, rows) = (r.getInt(0), r.getInt(1))
+      val cands = (0 until b).flatMap { bi =>
+        ids.groupBy(d => sigs(d).slice(bi * rows, bi * rows + rows))
+          .values.filter(_.size > 1)
+          .flatMap(g => for { x <- g; y <- g if x < y } yield (x, y))
+      }.toSet
+      assert(r.getLong(2) == cands.size.toLong, s"cand $b x $rows")
+      assert(r.getLong(3) == truth.size.toLong)
+      val caught = (cands & truth).size.toLong
+      assert(r.getLong(4) == caught)
+      assert(r.getLong(5) ==
+        (if (truth.isEmpty) 0L else caught * 1000000L / truth.size))
+      assert(r.getLong(6) ==
+        (if (cands.isEmpty) 0L else caught * 1000000L / cands.size))
+      // banding can only lose pairs relative to the finest banding
+      assert(caught <= truth.size)
+    }
+    // monotone cost: more rows per band => no more candidates
+    val byRows = got.sortBy(_.getInt(1)).map(_.getLong(2))
+    assert(byRows.zip(byRows.tail).forall { case (a, c) => a >= c })
+  }
+
   test("lexical diversity: integer TTR/hapax replay from raw text") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("text")).collect()
