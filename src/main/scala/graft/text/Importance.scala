@@ -74,7 +74,10 @@ object Importance {
            |  AS DECIMAL(18,9))""".stripMargin).as("lam"))
   }
 
-  def curationImportance(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc frame (doc_id, lang, source, nb, s) with nb/s NULL for
+    * bigram-less docs — shared by the report (curationImportance) and
+    * the selection step (curationSelect). */
+  private def importanceScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bi = bigramBuckets(docs)
     val lam = lambdaTable(spark, dir)
@@ -84,18 +87,24 @@ object Importance {
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("nb"),
         sum(expr("CAST(n AS DECIMAL(10,0)) * lam")).as("s"))
-    docs.select(col("doc_id"), col("lang"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
       .join(perDoc, Seq("doc_id"), "left")
+  }
+
+  def curationImportance(spark: SparkSession, dir: String): DataFrame =
+    importanceScored(spark, dir)
       .select(col("doc_id"), col("lang"),
         coalesce(col("nb"), lit(0L)).cast("long").as("n_bigrams"),
         coalesce(col("s").cast(DoubleType), lit(0.0)).as("logratio_nats"),
         expr("CASE WHEN nb IS NULL THEN CAST(0.0 AS DOUBLE) " +
           "ELSE CAST(s AS DOUBLE) / nb END").as("per_bigram_nats"))
       .orderBy(col("doc_id"))
-  }
 
-  val curationImportanceSql: String =
-    s"""WITH w AS (
+  /** Shared oracle CTE chain: raw docs → bigram buckets → model counts
+    * → λ → per-doc (nb, s). Base of curationImportanceSql AND
+    * curationSelectSql. */
+  private val importanceCtes: String =
+    s"""w AS (
        |  SELECT doc_id, lang,
        |    list_filter(string_split(text, ' '), t -> t <> '') AS words
        |  FROM documents),
@@ -122,7 +131,10 @@ object Importance {
        |sc AS (
        |  SELECT pd.doc_id, sum(pd.n) AS nb,
        |    sum(CAST(pd.n AS DECIMAL(10,0)) * l.lam) AS s
-       |  FROM pd JOIN lam l USING (b) GROUP BY 1)
+       |  FROM pd JOIN lam l USING (b) GROUP BY 1)""".stripMargin
+
+  val curationImportanceSql: String =
+    s"""WITH $importanceCtes
        |SELECT d.doc_id, d.lang,
        |  CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
        |  coalesce(CAST(sc.s AS DOUBLE), 0.0) AS logratio_nats,
@@ -130,4 +142,85 @@ object Importance {
        |    ELSE CAST(sc.s AS DOUBLE) / sc.nb END AS per_bigram_nats
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Keep the top selectNum/selectDen of the corpus by importance. */
+  val selectNum = 2L
+  val selectDen = 5L
+
+  /** Top-p importance selection — the DSIR loop's SELECTION step after
+    * the weights: rank every doc by its importance score (descending,
+    * doc_id tiebreak — the decimal score makes the order cross-engine
+    * exact), keep the top ceil(2/5 · n), and report the per-source
+    * composition shift the selection induces — "what did optimizing for
+    * the target slice do to my mix", the number a data lead signs off
+    * on before a DSIR-filtered run.
+    *
+    * Exactness: scores are exact decimals (ties only between truly
+    * identical feature vectors, broken by doc_id); the cutoff is the
+    * integer ceiling device; shares and boost are single integer floors
+    * over DECIMAL(38,0)/HUGEINT products (boost = n_sel·n·1e6 DIV
+    * (n_docs·k) — never compounded floors).
+    *
+    * Scale shape: the per-doc scoring rollup (broadcast λ), then ONE
+    * GlobalRank range exchange (never an empty-partitionBy window over
+    * the corpus), then a |sources|-bounded agg with 1-row totals
+    * broadcast.
+    */
+  def curationSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = importanceScored(spark, dir)
+      .select(col("doc_id"), col("source"),
+        coalesce(col("s"), lit(java.math.BigDecimal.ZERO)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+          .as("score_d"))
+    val ranked = graft.operators.GlobalRank.withGlobalRank(
+      scored, "rk", col("score_d").desc, col("doc_id"))
+    val tot = scored.agg(count(lit(1)).as("n"),
+      expr(s"($selectNum * count(1) + ${selectDen - 1}) DIV $selectDen")
+        .as("k"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("n"), col("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= col("k"), 1L).otherwise(0L)).as("n_selected"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)")
+          .as("share_before_ppm"),
+        expr("""CASE WHEN k = 0 THEN CAST(0 AS BIGINT)
+               |  ELSE CAST(CAST(n_selected AS DECIMAL(38,0)) * 1000000
+               |    DIV k AS BIGINT) END""".stripMargin).as("share_after_ppm"),
+        expr("""CASE WHEN k = 0 THEN CAST(0 AS BIGINT)
+               |  ELSE CAST(CAST(n_selected AS DECIMAL(38,0)) * n * 1000000
+               |    DIV (CAST(n_docs AS DECIMAL(38,0)) * k) AS BIGINT) END"""
+          .stripMargin).as("boost_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val curationSelectSql: String =
+    s"""WITH $importanceCtes,
+       |scored AS (
+       |  SELECT d.doc_id, d.source,
+       |    coalesce(sc.s, CAST(0 AS DECIMAL(28,9))) AS score_d
+       |  FROM documents d LEFT JOIN sc USING (doc_id)),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY score_d DESC, doc_id) AS rk
+       |  FROM scored),
+       |seltot AS (
+       |  SELECT count(*) AS n,
+       |    ($selectNum * count(*) + ${selectDen - 1}) // $selectDen AS k
+       |  FROM scored)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN rk.rk <= seltot.k THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_selected,
+       |  CAST(CAST(count(*) AS HUGEINT) * 1000000 // seltot.n AS BIGINT)
+       |    AS share_before_ppm,
+       |  CASE WHEN seltot.k = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(CAST(sum(CASE WHEN rk.rk <= seltot.k THEN 1 ELSE 0 END)
+       |      AS HUGEINT) * 1000000 // seltot.k AS BIGINT) END AS share_after_ppm,
+       |  CASE WHEN seltot.k = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(CAST(sum(CASE WHEN rk.rk <= seltot.k THEN 1 ELSE 0 END)
+       |      AS HUGEINT) * seltot.n * 1000000
+       |      // (CAST(count(*) AS HUGEINT) * seltot.k) AS BIGINT) END
+       |    AS boost_ppm
+       |FROM rk, seltot
+       |GROUP BY source, seltot.n, seltot.k
+       |ORDER BY source""".stripMargin
 }

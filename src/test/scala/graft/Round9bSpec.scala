@@ -59,7 +59,9 @@ class Round9bSpec extends AnyFunSuite {
       r.getLong(5) == r.getLong(2)))
   }
 
-  test("importance: hashed-bigram log-ratio matches a BigDecimal replay") {
+  /** Shared BigDecimal replay of the DSIR model: per-doc bucket lists
+    * and the quantized λ table. */
+  private lazy val importanceReplay: (Map[Long, Seq[String]], Map[String, BigDecimal]) = {
     val words = docWords
     val bigrams: Map[Long, Seq[String]] = words.map { case (d, (_, w)) =>
       d -> (if (w.length < 2) Seq.empty[String]
@@ -80,6 +82,12 @@ class Round9bSpec extends AnyFunSuite {
         math.log((t + 1.0) / (tTot + nB)) - math.log((r + 1.0) / (rTot + nB)))
         .setScale(9, BigDecimal.RoundingMode.HALF_UP)
     }
+    (buckets, lam)
+  }
+
+  test("importance: hashed-bigram log-ratio matches a BigDecimal replay") {
+    val words = docWords
+    val (buckets, lam) = importanceReplay
     val got = text.Importance.curationImportance(spark, sf).collect()
     assert(got.length == words.size)
     got.foreach { r =>
@@ -127,6 +135,39 @@ class Round9bSpec extends AnyFunSuite {
     val ev = profile.Profiler.profileMutualInfo(spark, sf)
       .filter(col("table_name") === "events").collect().head
     assert(ev.getString(2) == "dow" && ev.getLong(3) > 0)
+  }
+
+  test("curation select: top-p cutoff and composition shift replay") {
+    val (buckets, lam) = importanceReplay
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val score: Map[Long, BigDecimal] = srcOf.keys.map { d =>
+      d -> buckets(d).groupBy(identity).toSeq
+        .map { case (b, xs) => lam(b) * xs.size }.sum
+    }.toMap
+    val order = srcOf.keys.toSeq.sortBy(d => (score(d).unary_-, d))
+    val n = order.size.toLong
+    val k = (text.Importance.selectNum * n + text.Importance.selectDen - 1) /
+      text.Importance.selectDen
+    val selected = order.take(k.toInt).toSet
+    val bySrc = srcOf.keys.groupBy(srcOf)
+    val got = text.Importance.curationSelect(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == bySrc.keySet)
+    got.foreach { r =>
+      val s = r.getString(0)
+      val nd = bySrc(s).size.toLong
+      val ns = bySrc(s).count(selected).toLong
+      assert(r.getLong(1) == nd && r.getLong(2) == ns, s)
+      assert(r.getLong(3) == nd * 1000000L / n)
+      assert(r.getLong(4) == ns * 1000000L / k)
+      assert(r.getLong(5) == (BigInt(ns) * n * 1000000 / (BigInt(nd) * k)).toLong)
+    }
+    // the selection must actually shift mass toward the target slice:
+    // selected docs average a strictly higher score than the rest
+    val rest = srcOf.keys.filterNot(selected).toSeq
+    assert(selected.map(score).sum / selected.size >
+      rest.map(score(_)).sum / rest.size)
   }
 
   test("lsh param sweep: candidate/recall counts match a signature replay") {
