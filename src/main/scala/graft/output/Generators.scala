@@ -598,3 +598,47 @@ object MarkdownDoc {
     sb.result()
   }
 }
+
+/** Schema-analysis summary — the reference CLI's `analyze` command
+  * (dbsurveyor/src/output.rs:179-198 analyze_schema): headline counts
+  * (tables, views, indexes, constraints) plus the `--detailed` section
+  * (procedures, functions, triggers, custom types). Counts are split
+  * the way the reference's artifact splits them: views are the
+  * tableType == "view" entries, routine kinds by routineType.
+  */
+object AnalyzeDoc {
+  import graft.sources.Collector._
+
+  case class Counts(tables: Int, views: Int, indexes: Int,
+      constraints: Int, procedures: Int, functions: Int, triggers: Int,
+      customTypes: Int)
+
+  def counts(a: Artifact): Counts = Counts(
+    tables = a.tables.count(_.tableType != "view"),
+    views = a.tables.count(_.tableType == "view"),
+    indexes = a.tables.map(_.indexes.size).sum,
+    constraints = a.tables.map(_.constraints.size).sum,
+    procedures = a.routines.count(_.routineType == "procedure"),
+    functions = a.routines.count(_.routineType == "function"),
+    triggers = a.tables.map(_.triggers.size).sum,
+    customTypes = a.customTypes.size)
+
+  def render(a: Artifact, detailed: Boolean = false): String = {
+    val c = counts(a)
+    val sb = new StringBuilder
+    sb ++= s"Schema Analysis: ${a.source}\n"
+    sb ++= "================\n"
+    sb ++= s"Tables: ${c.tables}\n"
+    sb ++= s"Views: ${c.views}\n"
+    sb ++= s"Indexes: ${c.indexes}\n"
+    sb ++= s"Constraints: ${c.constraints}\n"
+    if (detailed) {
+      sb ++= "\nDetailed Analysis:\n"
+      sb ++= s"- Procedures: ${c.procedures}\n"
+      sb ++= s"- Functions: ${c.functions}\n"
+      sb ++= s"- Triggers: ${c.triggers}\n"
+      sb ++= s"- Custom Types: ${c.customTypes}\n"
+    }
+    sb.result()
+  }
+}

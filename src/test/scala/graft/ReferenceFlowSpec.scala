@@ -255,6 +255,35 @@ class ReferenceFlowSpec extends AnyFunSuite {
     assert(html.sliding(7).count(_ == "<table>") == html.sliding(8).count(_ == "</table>"))
   }
 
+  test("analyze summary counts the schema the way the reference CLI does") {
+    import graft.output.AnalyzeDoc
+    import graft.sources.Collector.{TriggerInfo, RoutineInfo, CustomTypeInfo}
+    val txt = AnalyzeDoc.render(artifact)
+    assert(txt.startsWith(
+      s"Schema Analysis: ${artifact.source}\n================\n"))
+    assert(txt.contains(s"Tables: ${artifact.tables.size}"))
+    assert(txt.contains("Views: 0"))
+    assert(!txt.contains("Detailed Analysis"))
+    // a mixed artifact exercises every counter the reference prints
+    val mixed = artifact.copy(
+      tables = artifact.tables.take(2) :+ artifact.tables.head.copy(
+        name = "v_orders", tableType = "view",
+        triggers = Seq(TriggerInfo("trg1", "INSERT", "AFTER"))),
+      routines = Seq(RoutineInfo("p1", "procedure"),
+        RoutineInfo("f1", "function"), RoutineInfo("f2", "function")),
+      customTypes = Seq(CustomTypeInfo("money_t", "distinct")))
+    val c = AnalyzeDoc.counts(mixed)
+    assert(c.tables == 2 && c.views == 1)
+    assert(c.procedures == 1 && c.functions == 2)
+    assert(c.triggers == 1 && c.customTypes == 1)
+    assert(c.indexes == mixed.tables.map(_.indexes.size).sum)
+    assert(c.constraints == mixed.tables.map(_.constraints.size).sum)
+    val det = AnalyzeDoc.render(mixed, detailed = true)
+    assert(det.contains("Detailed Analysis:"))
+    assert(det.contains("- Procedures: 1") && det.contains("- Functions: 2"))
+    assert(det.contains("- Triggers: 1") && det.contains("- Custom Types: 1"))
+  }
+
   test("server info block records engine, version, timestamp, table count") {
     val s = artifact.server.get
     assert(s.engine == "spark-parquet-lake" && s.version == spark.version)
