@@ -22,6 +22,35 @@ import graft.output.{ArtifactJson, MarkdownDoc, SqlDdlDoc, MermaidDoc, HtmlDoc}
   * (postgresql|mysql|sqlite|sqlserver|generic).
   */
 object Generate {
+
+  /** Atomic artifact write — the reference's write_atomic discipline
+    * (dbsurveyor-collect/src/output.rs:193-227): stage into a temp file
+    * in the SAME directory, then rename over the target, so a crash
+    * mid-write can never leave a torn artifact where a consumer expects
+    * a valid one. Falls back to a plain replace on filesystems without
+    * atomic moves.
+    */
+  private[graft] def atomicWrite(path: java.nio.file.Path,
+      bytes: Array[Byte]): Unit = {
+    val dir = path.toAbsolutePath.getParent
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".graft_tmp_", ".partial")
+    try {
+      Files.write(tmp, bytes)
+      try Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, path,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private[graft] def atomicWriteString(path: java.nio.file.Path,
+      s: String): Unit = atomicWrite(path, s.getBytes("UTF-8"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_out"
@@ -70,7 +99,7 @@ object Generate {
       case Some(p) => (output.Secure.encrypt(packed, p), cext + ".enc")
       case None    => (packed, cext)
     }
-    Files.write(Paths.get(s"$outDir/schema.graft$ext"), payload)
+    atomicWrite(Paths.get(s"$outDir/schema.graft$ext"), payload)
     val drift = if (args.length > 3) {
       val other = Collector.collect(new ParquetSource(spark, args(3)), sampleSize)
       val d = Collector.diff(other, artifact)
@@ -87,14 +116,14 @@ object Generate {
         sb ++= "- No drift detected\n"
       sb.result()
     } else ""
-    Files.writeString(Paths.get(s"$outDir/schema.md"), MarkdownDoc.render(artifact) + drift)
+    atomicWriteString(Paths.get(s"$outDir/schema.md"), MarkdownDoc.render(artifact) + drift)
     // --dialect analogue (reference main.rs:150-167 SqlArgs.dialect)
     val dialect = SqlDdlDoc.SqlDialect.byName(
       sys.env.getOrElse("GRAFT_DIALECT", "generic"))
-    Files.writeString(Paths.get(s"$outDir/schema.sql"),
+    atomicWriteString(Paths.get(s"$outDir/schema.sql"),
       SqlDdlDoc.render(artifact, dialect))
-    Files.writeString(Paths.get(s"$outDir/schema.mmd"), MermaidDoc.render(artifact))
-    Files.writeString(Paths.get(s"$outDir/schema.html"), HtmlDoc.render(artifact))
+    atomicWriteString(Paths.get(s"$outDir/schema.mmd"), MermaidDoc.render(artifact))
+    atomicWriteString(Paths.get(s"$outDir/schema.html"), HtmlDoc.render(artifact))
     println(s"[generate] wrote $outDir/schema.graft$ext + md/sql/mmd/html " +
       s"(${artifact.tables.size} tables, strategy ${strategy.strategyName})")
     spark.stop()

@@ -92,6 +92,20 @@ class Round9RefSpec extends AnyFunSuite {
     assert(a.server.exists(_.accessLevel == "limited"))
   }
 
+  test("atomic artifact writes replace the target and leave no staging files") {
+    val dir = Files.createTempDirectory("graft_atomic")
+    val p = dir.resolve("schema.graft.json")
+    Generate.atomicWrite(p, "v1".getBytes("UTF-8"))
+    assert(new String(Files.readAllBytes(p), "UTF-8") == "v1")
+    // overwrite of an existing artifact goes through the same rename
+    Generate.atomicWrite(p, "version-two".getBytes("UTF-8"))
+    assert(new String(Files.readAllBytes(p), "UTF-8") == "version-two")
+    import scala.jdk.CollectionConverters._
+    val entries = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(entries == Seq("schema.graft.json"), entries.toString)
+  }
+
   test("zstd is the default Generate framing and loadFile sniffs it") {
     val a = Collector.collect(new OneTableSource(plantedDir), sampleSize = 2)
     val json = ArtifactJson.render(a).getBytes("UTF-8")
