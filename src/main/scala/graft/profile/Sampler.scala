@@ -143,4 +143,139 @@ object Sampler {
        |       ELSE weight END AS w_hat
        |FROM t WHERE rn <= $prioK
        |ORDER BY source, rank""".stripMargin
+
+  /** Sample-representativeness audit — what the reference's MostRecent
+    * sampling strategy (its artifact default) COSTS per column: the PSI
+    * between each categorical column's distribution in the top-100
+    * most-recent sample and in the full table, with the standard
+    * 0.1/0.25 bias thresholds. A time-correlated category (a status
+    * that trends, a type that launched recently) shows up here before
+    * anyone trusts the artifact's sample rows as "what the table looks
+    * like".
+    *
+    * Devices: the quality_psi smoothing/quantization contract verbatim
+    * (0.5-per-bin smoothing so sample-absent categories stay finite;
+    * identically-derived float terms quantized DECIMAL(18,9) before the
+    * exact sum); sample membership is a deterministic total order
+    * (time desc + unique-key desc — the sample_most_recent device), so
+    * both engines pick the identical 100 rows; the bias verdicts
+    * compare the exact decimal sum against exact decimal literals.
+    *
+    * Scale shape: per table one TakeOrderedAndProject(100) + one
+    * category agg (both single-scan, bounded output); every window is
+    * partitioned by the panel key over |bins|-bounded rows.
+    */
+  val coverageN = 100
+
+  def sampleCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def panel(tbl: String, cat: String, full: DataFrame,
+        samp: DataFrame): DataFrame = {
+      val f = full.groupBy(col("bin")).agg(count(lit(1)).as("n_full"))
+      val s = samp.groupBy(col("bin")).agg(count(lit(1)).as("n_samp"))
+      f.join(s, Seq("bin"), "left")
+        .select(lit(tbl).as("table_name"), lit(cat).as("column_name"),
+          col("bin"), col("n_full"),
+          coalesce(col("n_samp"), lit(0L)).as("n_samp"))
+    }
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("t"), col("event_id").as("k"),
+        col("event_type").as("bin"))
+    val ord = Tables.table(spark, dir, "orders")
+      .select(col("o_orderdate").as("t"), col("o_orderkey").as("k"),
+        col("o_orderstatus").as("bin"))
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_shipdate").as("t"), col("l_orderkey").as("k"),
+        col("l_linenumber").as("k2"), col("l_returnflag").as("bin"))
+    val counts =
+      panel("events", "event_type", ev,
+        ev.orderBy(col("t").desc, col("k").desc).limit(coverageN))
+      .unionByName(panel("orders", "o_orderstatus", ord,
+        ord.orderBy(col("t").desc, col("k").desc).limit(coverageN)))
+      .unionByName(panel("lineitem", "l_returnflag", li,
+        li.orderBy(col("t").desc, col("k").desc, col("k2").desc)
+          .limit(coverageN)))
+    val w = Window.partitionBy(col("table_name"), col("column_name"))
+    counts
+      .withColumn("b_all", count(lit(1)).over(w))
+      .withColumn("p_full",
+        (col("n_full").cast(DoubleType) + 0.5) /
+          (sum(col("n_full")).over(w).cast(DoubleType) +
+            lit(0.5) * col("b_all")))
+      .withColumn("p_samp",
+        (col("n_samp").cast(DoubleType) + 0.5) /
+          (sum(col("n_samp")).over(w).cast(DoubleType) +
+            lit(0.5) * col("b_all")))
+      .withColumn("psi_term",
+        ((col("p_samp") - col("p_full")) * log(col("p_samp") / col("p_full")))
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("table_name"), col("column_name"))
+      .agg(sum(col("n_full")).as("n_full"), sum(col("n_samp")).as("n_sample"),
+        count(lit(1)).as("n_bins"), sum(col("psi_term")).as("psi_d"))
+      .select(col("table_name"), col("column_name"), col("n_full"),
+        col("n_sample"), col("n_bins"),
+        col("psi_d").cast(DoubleType).as("psi"),
+        expr("psi_d > 0.1").as("biased"),
+        expr("psi_d > 0.25").as("severely_biased"))
+      .orderBy(col("table_name"))
+  }
+
+  val sampleCoverageSql: String = {
+    val panels = Seq(
+      ("events", "event_type",
+        "SELECT event_type AS bin FROM events",
+        s"""SELECT event_type AS bin FROM (
+           |    SELECT event_type FROM (
+           |      SELECT event_type, epoch_us(ts) AS t, event_id FROM events)
+           |    ORDER BY t DESC, event_id DESC LIMIT $coverageN)"""
+          .stripMargin),
+      ("orders", "o_orderstatus",
+        "SELECT o_orderstatus AS bin FROM orders",
+        s"""SELECT o_orderstatus AS bin FROM (
+           |    SELECT o_orderstatus FROM orders
+           |    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT $coverageN)"""
+          .stripMargin),
+      ("lineitem", "l_returnflag",
+        "SELECT l_returnflag AS bin FROM lineitem",
+        s"""SELECT l_returnflag AS bin FROM (
+           |    SELECT l_returnflag FROM lineitem
+           |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+           |    LIMIT $coverageN)""".stripMargin))
+    val cs = panels.map { case (t, c, fullSql, sampSql) =>
+      s"""SELECT '$t' AS table_name, '$c' AS column_name, f.bin,
+         |  f.n_full, coalesce(s.n_samp, 0) AS n_samp
+         |FROM (SELECT bin, count(*) AS n_full FROM ($fullSql) GROUP BY 1) f
+         |LEFT JOIN (SELECT bin, count(*) AS n_samp FROM ($sampSql) GROUP BY 1) s
+         |  USING (bin)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH counts AS (
+       |$cs),
+       |terms AS (
+       |  SELECT table_name, column_name, n_full, n_samp,
+       |    CAST(((CAST(n_samp AS DOUBLE) + 0.5) /
+       |          (CAST(sum(n_samp) OVER (PARTITION BY table_name, column_name) AS DOUBLE)
+       |            + 0.5 * count(*) OVER (PARTITION BY table_name, column_name)) -
+       |          (CAST(n_full AS DOUBLE) + 0.5) /
+       |          (CAST(sum(n_full) OVER (PARTITION BY table_name, column_name) AS DOUBLE)
+       |            + 0.5 * count(*) OVER (PARTITION BY table_name, column_name))) *
+       |      ln(((CAST(n_samp AS DOUBLE) + 0.5) /
+       |          (CAST(sum(n_samp) OVER (PARTITION BY table_name, column_name) AS DOUBLE)
+       |            + 0.5 * count(*) OVER (PARTITION BY table_name, column_name))) /
+       |          ((CAST(n_full AS DOUBLE) + 0.5) /
+       |          (CAST(sum(n_full) OVER (PARTITION BY table_name, column_name) AS DOUBLE)
+       |            + 0.5 * count(*) OVER (PARTITION BY table_name, column_name))))
+       |      AS DECIMAL(18,9)) AS psi_term
+       |  FROM counts)
+       |SELECT table_name, column_name,
+       |  CAST(sum(n_full) AS BIGINT) AS n_full,
+       |  CAST(sum(n_samp) AS BIGINT) AS n_sample,
+       |  CAST(count(*) AS BIGINT) AS n_bins,
+       |  CAST(sum(psi_term) AS DOUBLE) AS psi,
+       |  sum(psi_term) > 0.1 AS biased,
+       |  sum(psi_term) > 0.25 AS severely_biased
+       |FROM terms
+       |GROUP BY table_name, column_name
+       |ORDER BY table_name""".stripMargin
+  }
 }

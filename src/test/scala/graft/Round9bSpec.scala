@@ -218,6 +218,42 @@ class Round9bSpec extends AnyFunSuite {
     assert(byRows.zip(byRows.tail).forall { case (a, c) => a >= c })
   }
 
+  test("sample coverage: PSI replay of the most-recent top-100 sample") {
+    def q(d: Double): BigDecimal =
+      BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("t"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val sample = evs.sortBy(e => (-e._2, -e._1))
+      .take(profile.Sampler.coverageN)
+    val full = evs.groupBy(_._3).map { case (k, v) => k -> v.length }
+    val samp = sample.groupBy(_._3).map { case (k, v) => k -> v.length }
+    val b = full.size
+    val nf = evs.length.toDouble
+    val ns = sample.length.toDouble
+    val psi = full.map { case (bin, f) =>
+      val s = samp.getOrElse(bin, 0)
+      val pf = (f + 0.5) / (nf + 0.5 * b)
+      val ps = (s + 0.5) / (ns + 0.5 * b)
+      q((ps - pf) * math.log(ps / pf))
+    }.sum
+    val rows = profile.Sampler.sampleCoverage(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("events", "orders", "lineitem"))
+    val ev = rows("events")
+    assert(ev.getLong(2) == evs.length.toLong)
+    assert(ev.getLong(3) == sample.length.toLong)
+    assert(ev.getLong(4) == b.toLong)
+    assert(math.abs(ev.getDouble(5) - psi.toDouble) < 1e-9)
+    assert(ev.getBoolean(6) == (psi > BigDecimal("0.1")))
+    assert(ev.getBoolean(7) == (psi > BigDecimal("0.25")))
+    rows.values.foreach { r =>
+      assert(r.getLong(3) == profile.Sampler.coverageN.toLong)
+      assert(r.getLong(4) > 0)
+    }
+  }
+
   test("lexical diversity: integer TTR/hapax replay from raw text") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("text")).collect()
