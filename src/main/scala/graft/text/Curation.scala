@@ -608,10 +608,17 @@ object Curation {
   val waterfillNum = 3L
   val waterfillDen = 5L
 
+  /** mix_waterfill in learned-subword units — the cap computed on what
+    * the trainer's context window actually consumes (the mix_weights_bpe
+    * convention). */
+  def mixWaterfillBpe(spark: SparkSession, dir: String): DataFrame =
+    mixWaterfill(spark, dir, tokenSource = "bpe")
+
   def mixWaterfill(spark: SparkSession, dir: String,
-      num: Long = waterfillNum, den: Long = waterfillDen): DataFrame = {
+      num: Long = waterfillNum, den: Long = waterfillDen,
+      tokenSource: String = "whitespace"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val g = docsWithToks(spark, dir, "whitespace")
+    val g = docsWithToks(spark, dir, tokenSource)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).cast("long").as("n_tokens"))
@@ -646,15 +653,8 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  val mixWaterfillSql: String =
-    s"""WITH d AS (
-       |  SELECT source,
-       |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
-       |  FROM documents),
-       |g AS (
-       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |    CAST(sum(toks) AS BIGINT) AS n_tokens
-       |  FROM d GROUP BY 1),
+  private def mixWaterfillSqlFrom(sourceCte: String): String =
+    s"""WITH $sourceCte,
        |tot AS (
        |  SELECT CAST(sum(n_tokens) AS HUGEINT) AS t_tokens, count(*) AS k
        |  FROM g),
@@ -683,6 +683,10 @@ object Curation {
        |      * 1000000 // (SELECT b FROM bb) AS BIGINT) END AS budget_share_ppm
        |FROM g, cap
        |ORDER BY source""".stripMargin
+
+  // lazy: the source CTEs are declared further down the object
+  lazy val mixWaterfillSql: String = mixWaterfillSqlFrom(whitespaceSourceCte)
+  lazy val mixWaterfillBpeSql: String = mixWaterfillSqlFrom(bpeSourceCte)
 
   def mixWeights(spark: SparkSession, dir: String): DataFrame =
     mixWeightsWith(spark, dir, "whitespace")
