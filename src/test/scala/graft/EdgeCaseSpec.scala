@@ -54,7 +54,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     "dedup_minhash_estimate", "pack_shard_balance",
     // r9 late wave (profile_mutual_info also reads events -> out of scope)
     "dedup_threshold_sweep", "mix_waterfill", "curation_importance",
-    "text_lexical_diversity", "dedup_lsh_param_sweep", "curation_select")
+    "text_lexical_diversity", "dedup_lsh_param_sweep", "curation_select",
+    "mix_waterfill_bpe")
 
   test("every document-path query survives the adversarial corpus") {
     docQueries.foreach { k =>

@@ -225,6 +225,26 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"), sd)
   }
 
+  test("r9 late ops: GlobalRank selection, banded sweep joins, bounded samples") {
+    // curation_select ranks via the GlobalRank range exchange — never a
+    // global WindowExec over the corpus-sized scored frame
+    val cs = plan("curation_select")
+    assert(!cs.contains("WindowExec"), cs)
+    // the LSH sweep's banded equi-joins run eagerly behind the
+    // candidate localCheckpoints, so the final plan shows RDD scans;
+    // the banded shape itself is asserted on the shared minhashBands
+    // derivation ("banded LSH pair generation" above). Here: the panel
+    // assembly is pure 1-row stat broadcasts, no product
+    val ps = plan("dedup_lsh_param_sweep")
+    assert(!ps.contains("CartesianProduct"), ps)
+    // sample coverage's samples are bounded top-k reads, not global sorts
+    val qc = plan("quality_sample_coverage")
+    assert(qc.contains("TakeOrderedAndProject"), qc)
+    // importance scoring joins the corpus against the BROADCAST λ table
+    val ci = plan("curation_importance")
+    assert(ci.contains("BroadcastHashJoin"), ci)
+  }
+
   test("class guard: no explicit broadcast() of an unaggregated fact scan") {
     // broadcast(orders-or-lineitem-derived frame) is a driver/executor
     // OOM at 100 TB — the r6 q7 defect. The accepted convention: a fact
