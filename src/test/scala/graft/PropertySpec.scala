@@ -122,6 +122,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefix join is complete vs brute force on random corpora and τ") {
+    import spark.implicits._
+    // random overlapping-vocab corpora: the prefix filter's completeness
+    // (no pair with J >= τ lost) must hold at EVERY rational τ, not just
+    // the binary-exact default — this is the pigeonhole bound under test
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val gen = for {
+      n <- Gen.choose(8, 24)
+      docs <- Gen.listOfN(n, Gen.choose(3, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      tau <- Gen.oneOf((1L, 2L), (3L, 5L), (2L, 3L), (7L, 10L))
+    } yield (docs, tau._1, tau._2)
+    samples(gen, 4, 271L).foreach { case (docs, num, den) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_pj").toString
+      docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "src0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val shing: Map[Long, Set[String]] = docs.zipWithIndex.collect {
+        case (t, i) if t.split(" ", -1).length >= 3 =>
+          i.toLong -> t.split(" ", -1).sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      val ids = shing.keys.toSeq.sorted
+      val want = (for {
+        ai <- ids.indices; bi <- (ai + 1) until ids.length
+        a = ids(ai); b = ids(bi)
+        c = (shing(a) & shing(b)).size.toLong
+        u = shing(a).size + shing(b).size - c
+        if c * den >= u * num
+      } yield ((a, b), c)).toMap
+      val got = Dedup.ngramPrefixJoin(spark, dir, num, den).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got == want, s"τ=$num/$den docs=${docs.take(3)}...")
+    }
+  }
+
   test("secure envelope round-trips arbitrary payloads; tampering fails") {
     val gen = for {
       n <- Gen.choose(0, 4096)
