@@ -84,6 +84,104 @@ object EventAnalytics {
       |  CAST(sum(t_purchase - t_signup) AS DOUBLE) / count(t_purchase) / 3.6e9 AS avg_hours_to_convert
       |FROM signup LEFT JOIN purchase USING (user_id)""".stripMargin
 
+  /** Time-to-convert percentiles per funnel edge — the latency half of
+    * q_funnel's count answer: for each destination event (view / click /
+    * purchase), the lag from a user's FIRST signup to their first
+    * destination event at-or-after it, as exact nearest-rank p50/p90/p99
+    * (OBSERVED microsecond values, the events_session_stats device) plus
+    * conversion ppm and the exact integer mean. The table a growth team
+    * reads to decide which funnel edge to attack.
+    *
+    * Scale shape: one signup rollup (user-keyed) reused by all edges;
+    * per edge one user-keyed lag rollup → ONE GlobalRank range exchange
+    * (never a global window) → a ≤3-rank driver lookup (bounded driver
+    * state, the sessionStats convention). Degrade-don't-throw: an edge
+    * with zero conversions emits NULL stats, an empty signup table NULL
+    * conversion shares.
+    */
+  val convLagEdges = Seq("click", "purchase", "view")
+  val convLagPcts = Seq(50, 90, 99)
+
+  def eventsConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t_signup"))
+      .localCheckpoint() // user-keyed; reused by every edge below
+    val nUsers = signup.count()
+    val rows = convLagEdges.map { dst =>
+      val lagF = ev.filter(col("event_type") === dst)
+        .join(signup, "user_id")
+        .filter(col("t_us") >= col("t_signup"))
+        .groupBy(col("user_id"), col("t_signup"))
+        .agg(min(col("t_us")).as("t_dst"))
+        .select(col("user_id"), (col("t_dst") - col("t_signup")).as("d"))
+      val ranked = GlobalRank.withGlobalRank(lagF, "rk",
+        col("d"), col("user_id"))
+      val agg = ranked.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+        .collect().head
+      val n = agg.getLong(0)
+      if (n == 0L)
+        (dst, nUsers, 0L, Option.empty[Long], Option.empty[Long],
+          Option.empty[Long], Option.empty[Long], Option.empty[Long])
+      else {
+        val sd = agg.getLong(1)
+        val targets = convLagPcts.map(p => p -> math.max(1L, (p * n + 99) / 100))
+        val atRank = ranked
+          .filter(col("rk").isin(targets.map(_._2).distinct: _*))
+          .select(col("rk"), col("d")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (dst, nUsers, n,
+          if (nUsers == 0L) None else Some(n * 1000000L / nUsers),
+          Some(sd / n), Some(atRank(targets(0)._2)),
+          Some(atRank(targets(1)._2)), Some(atRank(targets(2)._2)))
+      }
+    }
+    rows.toDF("edge", "n_users", "n_converted", "conv_ppm", "mean_us",
+      "p50_us", "p90_us", "p99_us")
+      .orderBy(col("edge"))
+  }
+
+  val eventsConversionLagSql: String = {
+    val edgeBlocks = convLagEdges.map { dst =>
+      val ctes =
+        s"""lag_$dst AS (
+           |  SELECT e.user_id, min(epoch_us(e.ts)) - s.t_signup AS d
+           |  FROM events e JOIN su s USING (user_id)
+           |  WHERE e.event_type = '$dst' AND epoch_us(e.ts) >= s.t_signup
+           |  GROUP BY e.user_id, s.t_signup),
+           |nn_$dst AS (SELECT count(*) AS n, sum(d) AS sd FROM lag_$dst),
+           |r_$dst AS (
+           |  SELECT d, row_number() OVER (ORDER BY d, user_id) AS rk
+           |  FROM lag_$dst)""".stripMargin
+      val pcts = convLagPcts.map { p =>
+        s"""  (SELECT d FROM r_$dst WHERE rk = greatest(1,
+           |    ($p * (SELECT n FROM nn_$dst) + 99) // 100)) AS p${p}_us"""
+          .stripMargin
+      }.mkString(",\n")
+      val sel =
+        s"""SELECT '$dst' AS edge,
+           |  CAST((SELECT n_users FROM nu) AS BIGINT) AS n_users,
+           |  CAST((SELECT n FROM nn_$dst) AS BIGINT) AS n_converted,
+           |  CASE WHEN (SELECT n_users FROM nu) = 0 THEN NULL
+           |    ELSE CAST(CAST((SELECT n FROM nn_$dst) AS HUGEINT) * 1000000
+           |      // (SELECT n_users FROM nu) AS BIGINT) END AS conv_ppm,
+           |  CASE WHEN (SELECT n FROM nn_$dst) = 0 THEN NULL
+           |    ELSE CAST((SELECT sd FROM nn_$dst)
+           |      // (SELECT n FROM nn_$dst) AS BIGINT) END AS mean_us,
+           |$pcts""".stripMargin
+      (ctes, sel)
+    }
+    s"""WITH su AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS t_signup
+       |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+       |nu AS (SELECT count(*) AS n_users FROM su),
+       |${edgeBlocks.map(_._1).mkString(",\n")}
+       |${edgeBlocks.map(_._2).mkString("\nUNION ALL\n")}
+       |ORDER BY edge""".stripMargin
+  }
+
   /** Fixed-width value histogram per event_type (20 buckets of width 25
     * over [0, 500)): one conditional-aggregation pass, the profiling
     * op every survey tool ships. Buckets derive from exact integer floor

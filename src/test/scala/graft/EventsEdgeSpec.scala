@@ -53,7 +53,8 @@ class EventsEdgeSpec extends AnyFunSuite {
     "events_ewma_forecast", "events_markov_stationary",
     "events_attribution", "events_session_stats", "events_weekly_heatmap",
     "events_changepoint", "events_burstiness", "events_activity_gini",
-    "profile_key_growth", "quality_psi")
+    "profile_key_growth", "quality_psi", "events_transition_entropy",
+    "events_conversion_lag")
 
   for ((tag, dirF) <- Seq[(String, () => String)](
       ("empty log", () => emptyDir), ("single event", () => oneDir),

@@ -218,6 +218,38 @@ class Round9bSpec extends AnyFunSuite {
     assert(byRows.zip(byRows.tail).forall { case (a, c) => a >= c })
   }
 
+  test("conversion lag: nearest-rank percentile replay per funnel edge") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val signup = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val got = operators.EventAnalytics.eventsConversionLag(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == operators.EventAnalytics.convLagEdges.toSet)
+    operators.EventAnalytics.convLagEdges.foreach { dst =>
+      val lags = evs.filter(e => e._2 == dst && signup.contains(e._1))
+        .groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+          val ts = xs.map(_._3).filter(_ >= signup(u))
+          if (ts.isEmpty) None else Some((u, ts.min - signup(u)))
+        }
+      val r = got(dst)
+      assert(r.getLong(1) == signup.size.toLong)
+      assert(r.getLong(2) == lags.size.toLong, dst)
+      if (lags.nonEmpty) {
+        val n = lags.size.toLong
+        assert(r.getLong(3) == n * 1000000L / signup.size)
+        assert(r.getLong(4) == lags.map(l => BigInt(l._2)).sum / n)
+        val sorted = lags.sortBy(l => (l._2, l._1)).map(_._2)
+        operators.EventAnalytics.convLagPcts.zipWithIndex.foreach {
+          case (p, i) =>
+            val rk = math.max(1L, (p * n + 99) / 100)
+            assert(r.getLong(5 + i) == sorted((rk - 1).toInt), s"$dst p$p")
+        }
+      }
+    }
+  }
+
   test("sample coverage: PSI replay of the most-recent top-100 sample") {
     def q(d: Double): BigDecimal =
       BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
