@@ -505,6 +505,40 @@ object Collector {
   val currentFormatVersion = "1.4"
   val supportedFormatVersions: Set[String] = Set("1.0", "1.1", "1.2", "1.3", "1.4")
 
+  /** Connection-test result — the reference collect CLI's `test`
+    * command (docs/src/cli-reference.md "Test database connection
+    * without collecting schema"): probe outcome, engine handshake, and
+    * the catalog size, with failure degraded to ok=false + the error
+    * (the CLI exit-code contract, never a throw).
+    */
+  case class ConnectionTest(ok: Boolean, sourceName: String,
+      engine: String, version: String, nTables: Int, error: String = "")
+
+  /** Probe a source WITHOUT collecting: engine handshake + table
+    * enumeration + one schema read (parquet resolves footers only — no
+    * data rows move; JDBC opens the real connection). */
+  def testConnection(source: TableSource): ConnectionTest =
+    try {
+      val (eng, ver) = source.engine
+      val ts = source.tableNames
+      if (ts.nonEmpty) source.load(ts.head).schema
+      ConnectionTest(ok = true, source.name, eng, ver, ts.size)
+    } catch {
+      case e: Throwable =>
+        ConnectionTest(ok = false, source.name, "", "", 0,
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
+
+  /** Supported source types + connection formats — the collect CLI's
+    * `list` command. Non-embedded network engines remain declared
+    * substitutions (the dialect seam is JdbcSource; Derby proves it
+    * end-to-end in this sandbox). */
+  val supportedSources: Seq[(String, String)] = Seq(
+    ("parquet-lake", "<dir> containing <table>.parquet (ParquetSource)"),
+    ("jdbc-derby", "jdbc:derby:<path>;create=true — embedded, collected end-to-end"),
+    ("jdbc-generic", "any JDBC URL on the driver classpath (JdbcSource; dialect-neutral catalog reads + per-dialect URL masking)"),
+    ("documents", "directory of JSONL/CSV/text files (DocumentSource)"))
+
   /** Sampling operational guards (reference config/sampling.rs:10
     * MAX_SAMPLE_SIZE, throttle_ms, query_timeout_secs): the requested
     * sample size is clamped to [1, maxSampleSize] so an unbounded LIMIT

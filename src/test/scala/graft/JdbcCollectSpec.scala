@@ -361,4 +361,23 @@ class JdbcCollectSpec extends AnyFunSuite {
         f.parentTable == "dept" && f.parentColumn == "DEPT_ID")
     assert(empFks.size == 1 && empFks.head.provenance == "collected")
   }
+
+  test("connection test probes the engine without collecting; failures degrade") {
+    val urlT = "jdbc:derby:memory:graftprobe;create=true"
+    val c = java.sql.DriverManager.getConnection(urlT)
+    c.createStatement().execute("CREATE TABLE probe_t (id INT PRIMARY KEY)")
+    c.close()
+    val ok = Collector.testConnection(new JdbcSource(spark, urlT))
+    assert(ok.ok, ok.error)
+    assert(ok.engine == "Apache Derby" && ok.version.nonEmpty)
+    assert(ok.nTables > 0)
+    // a bad URL reports, never throws — the CLI exit-code contract
+    val bad = Collector.testConnection(
+      new JdbcSource(spark, "jdbc:derby:/nonexistent/nope;create=false"))
+    assert(!bad.ok && bad.error.nonEmpty && bad.nTables == 0)
+    // `list` names every supported source family with its format
+    val kinds = Collector.supportedSources.map(_._1)
+    assert(kinds.contains("parquet-lake") && kinds.contains("jdbc-derby"))
+    assert(Collector.supportedSources.forall(_._2.nonEmpty))
+  }
 }
