@@ -24,4 +24,35 @@ object SharedArtifacts {
   private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
   def register(id: Int): Unit = ids.add(id)
   def contains(id: Int): Boolean = ids.contains(id)
+
+  /** Content fingerprint of `<dir>/<table>.parquet` (file OR directory of
+    * part files): every data file's (relative path, size, mtime) folded
+    * into one hash. Memo owners fold this into their keys so a table
+    * REWRITTEN under the same path within a session (Generate overwrites
+    * parquet; the test harness reuses dirs) invalidates the memo instead
+    * of serving stale artifacts to every downstream consumer — the one
+    * staleness hole the (applicationId, dir) key left open. Driver-side
+    * metadata walk only: O(files in one table), microseconds at catalog
+    * scale, never a data read.
+    */
+  def tableFingerprint(dir: String, table: String): String = {
+    val root = java.nio.file.Paths.get(dir, s"$table.parquet")
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    val sb = new StringBuilder
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.sorted().forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          sb ++= root.relativize(p).toString
+          sb += ':'
+          sb ++= java.nio.file.Files.size(p).toString
+          sb += ':'
+          sb ++= java.nio.file.Files.getLastModifiedTime(p).toMillis.toString
+          sb += ';'
+        }
+      }
+    } finally stream.close()
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sb.result()).toLong & 0xffffffffL)
+  }
 }

@@ -96,8 +96,9 @@ object EventAnalytics {
     * per edge one user-keyed lag rollup → ONE GlobalRank range exchange
     * (never a global window) → a ≤3-rank driver lookup (bounded driver
     * state, the sessionStats convention). Degrade-don't-throw: an edge
-    * with zero conversions emits NULL stats, an empty signup table NULL
-    * conversion shares.
+    * with zero conversions emits conv_ppm = 0 with NULL lag stats (no
+    * observed lags to summarize); only an empty signup table NULLs the
+    * conversion share itself.
     */
   val convLagEdges = Seq("click", "purchase", "view")
   val convLagPcts = Seq(50, 90, 99)
@@ -123,7 +124,15 @@ object EventAnalytics {
         .collect().head
       val n = agg.getLong(0)
       if (n == 0L)
-        (dst, nUsers, 0L, Option.empty[Long], Option.empty[Long],
+        // a dead edge (zero conversions) is a MEASURED 0-ppm conversion
+        // share, not an unknown: conv_ppm is NULL only when the signup
+        // table itself is empty (nothing to convert from). Mean and
+        // percentiles stay NULL — there are no observed lags to report.
+        // Matches the oracle's CASE structure exactly; the old
+        // all-None branch diverged on any corpus with a dead edge.
+        (dst, nUsers, 0L,
+          if (nUsers == 0L) Option.empty[Long] else Some(0L),
+          Option.empty[Long],
           Option.empty[Long], Option.empty[Long], Option.empty[Long])
       else {
         val sd = agg.getLong(1)

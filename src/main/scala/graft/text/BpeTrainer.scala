@@ -57,6 +57,38 @@ object BpeTrainer {
     */
   def bpeTrain(spark: SparkSession, dir: String, merges: Int = defaultMerges): DataFrame = {
     import spark.implicits._
+    trainedMerges(spark, dir, merges)
+      .toDF("rank", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** The trained merge list as a SHARED PIPELINE ARTIFACT — the second
+    * registry entry after the near-dup components fixpoint (the
+    * componentsTable precedent, Dedup.scala). Six consumers share the
+    * training derivation (bpe_train, bpe_encode, bpe_fertility,
+    * pack_shards_bpe, mix_weights_bpe, mix_waterfill_bpe); without the
+    * memo each re-ran the corpus word-count shuffle + K merge rounds
+    * per invocation — exactly the amortization gap the components memo
+    * closed for the near-dup family. The artifact itself is DRIVER
+    * state of K rows (a real tokenizer's merges file is config-sized),
+    * so there is no RDD to register or evict: the memo is keyed by
+    * (applicationId, content fingerprint of documents.parquet, K) — a
+    * rewritten corpus re-trains, a new session re-trains, and the cost
+    * lands on the FIRST consumer's cold run (queries_first), the
+    * documented first-consumer-pays convention (PLANS.md).
+    */
+  private val mergesMemo = new scala.collection.concurrent.TrieMap[
+    String, Seq[(Int, String, String, Long)]]()
+
+  private def trainedMerges(spark: SparkSession, dir: String,
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    val key = spark.sparkContext.applicationId + ":" +
+      graft.SharedArtifacts.tableFingerprint(dir, "documents") + ":" + merges
+    mergesMemo.getOrElseUpdate(key, bpeTrainCompute(spark, dir, merges))
+  }
+
+  private def bpeTrainCompute(spark: SparkSession, dir: String,
+      merges: Int): Seq[(Int, String, String, Long)] = {
     def free(df: DataFrame): Unit =
       df.queryExecution.analyzed.collectLeaves().collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
@@ -96,8 +128,6 @@ object BpeTrainer {
     }
     free(words)
     learned.result()
-      .toDF("rank", "sym_a", "sym_b", "pair_count")
-      .orderBy(col("rank"))
   }
 
   def bpeTrainQuery(spark: SparkSession, dir: String): DataFrame =
@@ -151,17 +181,51 @@ object BpeTrainer {
     */
   def withBpeTokens(spark: SparkSession, dir: String,
       merges: Int = defaultMerges): DataFrame = {
-    val learned = bpeTrain(spark, dir, merges).collect()
-      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    val learned = trainedMerges(spark, dir, merges)
+      .map(t => (t._2, t._3)).toArray
     Tables.documents(spark, dir)
       .withColumn("toks",
         aggregate(transform(wordsCol, encodeWordWith(learned) _), lit(0L),
           (acc, x) => acc + x))
   }
 
+  /** The per-document BPE token accounting `(doc_id, source, toks)` as a
+    * memoized, checkpointed SHARED ARTIFACT (liveness-checked, registered
+    * — the componentsTable device verbatim). The three BPE-budgeted
+    * curation ops (pack_shards_bpe, mix_weights_bpe, mix_waterfill_bpe)
+    * evaluate this frame several times each per invocation (GlobalRank's
+    * two passes, lane joins, rollups); un-memoized, every evaluation
+    * re-paid the trained-merge fold over the whole corpus. A production
+    * pipeline materializes the tokenized accounting column ONCE in the
+    * lake next to the text; this artifact models exactly that table.
+    * Narrow by construction — three columns, never the text.
+    */
+  private val toksMemo = new scala.collection.concurrent.TrieMap[
+    String, (DataFrame, org.apache.spark.rdd.RDD[_])]()
+
+  def bpeTokensTable(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = spark.sparkContext.applicationId + ":bpe-toks:" +
+        graft.SharedArtifacts.tableFingerprint(dir, "documents")
+      toksMemo.get(key) match {
+        case Some((df, rdd)) if rdd.getStorageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE => df
+        case _ =>
+          val ck = withBpeTokens(spark, dir)
+            .select(col("doc_id"), col("source"), col("toks"))
+            .localCheckpoint(true)
+          val rdd = ck.queryExecution.analyzed.collectLeaves().collect {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          }.head
+          graft.SharedArtifacts.register(rdd.id)
+          toksMemo.put(key, (ck, rdd))
+          ck
+      }
+    }
+
   def bpeEncode(spark: SparkSession, dir: String, merges: Int = defaultMerges): DataFrame = {
-    val learned = bpeTrain(spark, dir, merges).collect()
-      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    val learned = trainedMerges(spark, dir, merges)
+      .map(t => (t._2, t._3)).toArray
     val words = wordsCol
     def encodeWord(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       encodeWordWith(learned)(t)

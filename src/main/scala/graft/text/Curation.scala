@@ -40,7 +40,12 @@ object Curation {
 
   private def docsWithToks(spark: SparkSession, dir: String,
       tokenSource: String): DataFrame = tokenSource match {
-    case "bpe" => BpeTrainer.withBpeTokens(spark, dir)
+    // the memoized checkpointed artifact (doc_id, source, toks) — every
+    // BPE-budgeted consumer needs exactly those columns, and the frame
+    // is evaluated several times per packing invocation (GlobalRank's
+    // two passes + joins), so the shared-artifact table is what keeps
+    // the trained-encode fold from re-running per evaluation
+    case "bpe" => BpeTrainer.bpeTokensTable(spark, dir)
     case "whitespace" => Tables.documents(spark, dir)
       .withColumn("toks", expr(toksExpr))
     case other =>
@@ -274,11 +279,16 @@ object Curation {
         col("total_tokens"), col("min_shard_tokens"), col("max_shard_tokens"),
         // a source whose every doc is empty packs one zero-token shard:
         // NULL, not an engine-divergent division by zero
+        // both ppm numerators widen through DECIMAL(38,0) BEFORE the
+        // product (the HUGEINT twin below): a raw Long product silently
+        // wraps past ~9.2e12 tokens per source — the Patterns.scala
+        // skew_factor_ppm overflow class, at exactly lake scale
         expr("CASE WHEN max_shard_tokens = 0 THEN NULL ELSE " +
-          "CAST(min_shard_tokens * 1000000 DIV max_shard_tokens AS BIGINT)" +
-          " END").as("balance_ppm"),
-        expr(s"CAST(total_tokens * 1000000 DIV (n_shards * $shardCapacity)" +
-          " AS BIGINT)").as("utilization_ppm"))
+          "CAST(CAST(min_shard_tokens AS DECIMAL(38,0)) * 1000000" +
+          " DIV max_shard_tokens AS BIGINT) END").as("balance_ppm"),
+        expr("CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000" +
+          s" DIV (n_shards * $shardCapacity) AS BIGINT)")
+          .as("utilization_ppm"))
       .orderBy(col("source"))
 
   val packShardBalanceSql: String =
