@@ -802,7 +802,11 @@ object Dedup {
 
   def componentsTable(spark: SparkSession, dir: String): DataFrame =
     synchronized {
-      val key = spark.sparkContext.applicationId + ":" + dir
+      // content-fingerprinted key: a dir whose documents.parquet is
+      // REWRITTEN mid-session (Generate overwrites; tests reuse dirs)
+      // must re-derive, not serve stale labels to six consumers
+      val key = spark.sparkContext.applicationId + ":" +
+        graft.SharedArtifacts.tableFingerprint(dir, "documents")
       compMemo.get(key) match {
         case Some((df, rdd)) if rdd.getStorageLevel !=
             org.apache.spark.storage.StorageLevel.NONE => df
@@ -857,15 +861,20 @@ object Dedup {
     * production). Unordered (doc_a < doc_b) verified output.
     */
   private[text] def prefixVerifiedPairs(sh: DataFrame, probeIds: DataFrame,
-      indexIds: DataFrame): DataFrame = {
+      indexIds: DataFrame, tauNum: Long = 1L, tauDen: Long = 2L): DataFrame = {
     val dfF = sh.groupBy(col("h")).agg(count(lit(1)).as("freq"))
     val ranked = sh.join(probeIds, "doc_id").join(dfF, "h")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("freq"), col("h"))))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // one-sided pigeonhole at exact rational τ: J ≥ num/den and u ≥ n_sh
+    // imply overlap c ≥ ⌈τ·n_sh⌉ = (num·n_sh + den − 1) DIV den, so a
+    // prefix of length n_sh − c_min + 1 must contain a common shingle
+    // (integer ceiling — the ngramPrefixJoin r9 device, never float)
     val prefix = ranked.join(sizes, "doc_id")
-      .filter(col("rk") <= col("n_sh") - expr("(n_sh + 1) DIV 2") + 1)
+      .filter(col("rk") <= col("n_sh") -
+        expr(s"($tauNum * n_sh + ${tauDen - 1}) DIV $tauDen") + 1)
       .select(col("doc_id"), col("h"))
     val idxSh = sh.join(indexIds, "doc_id")
       .select(col("doc_id").as("doc_r"), col("h"))
@@ -883,7 +892,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
           .as("n_common"), col("n_a"), col("n_b"))
-      .filter(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"))
+      // exact cross-multiplied verdict: c·den ≥ (n_a + n_b − c)·num
+      .filter(col("n_common") * tauDen >=
+        (col("n_a") + col("n_b") - col("n_common")) * tauNum)
       .select(col("doc_a"), col("doc_b"))
   }
 

@@ -131,6 +131,95 @@ class Pipeline2Spec extends AnyFunSuite {
     }
   }
 
+  test("ingest pipeline: per-stage verdicts reconcile with the standalone ops") {
+    // the composed gate must carry EXACTLY the verdicts each stage
+    // produces standalone, and the action must be the documented
+    // first-match precedence over them — this is what keeps the three
+    // individually-gated stages from drifting apart under refactoring
+    val pipe = Incremental.ingestPipeline(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val exact = Incremental.dedupIncremental(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val near = Incremental.dedupIncrementalMinhash(spark, sf).collect()
+    val nearCorpus = near.filter(_.getAs[String]("kind") == "corpus")
+      .map(_.getAs[Long]("doc_id")).toSet
+    val nearBatch = near.filter(_.getAs[String]("kind") == "batch")
+      .map(_.getAs[Long]("match_doc")).toSet
+    val canon = Incremental.incrementalComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canon_id")).toMap
+    assert(pipe.keySet == exact.keySet) // one verdict row per batch doc
+    pipe.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("corpus_dup") ==
+        exact(id).getAs[Boolean]("corpus_dup"), s"doc $id corpus_dup")
+      assert(r.getAs[Boolean]("batch_dup") ==
+        exact(id).getAs[Boolean]("batch_dup"), s"doc $id batch_dup")
+      assert(r.getAs[Boolean]("near_corpus") == nearCorpus(id), s"doc $id nc")
+      assert(r.getAs[Boolean]("near_batch") == nearBatch(id), s"doc $id nb")
+      assert(r.getAs[Long]("canon_id") == canon(id), s"doc $id canon")
+      val want =
+        if (r.getAs[Boolean]("corpus_dup")) "drop_exact_corpus"
+        else if (r.getAs[Boolean]("batch_dup")) "drop_exact_batch"
+        else if (r.getAs[Boolean]("near_corpus")) "drop_near_corpus"
+        else if (r.getAs[Boolean]("near_batch")) "drop_near_batch"
+        else if (r.getAs[Long]("canon_id") != id) "merge_cluster"
+        else "keep_new"
+      assert(r.getAs[String]("action") == want, s"doc $id action")
+    }
+    // the tiny test corpus has no batch dups at all — keep_new only is
+    // the CORRECT verdict set here; stage-firing coverage comes from the
+    // planted-fixture test below
+    assert(pipe.values.map(_.getAs[String]("action")).toSet
+      .contains("keep_new"))
+  }
+
+  test("ingest pipeline: every drop stage fires on a planted corpus, " +
+      "with the documented precedence") {
+    import spark.implicits._
+    // the md5-bucket split is part of the operator, so plant around it:
+    // compute each candidate id's bucket the same way and pick planted
+    // ids from the right sides of the split
+    def isBatch(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 10 == 0
+    }
+    val ids = (0L until 200L)
+    val batchIds = ids.filter(isBatch)
+    val corpusIds = ids.filterNot(isBatch)
+    assert(batchIds.size >= 4 && corpusIds.size >= 2)
+    val Seq(b1, b2, b3, b4) = batchIds.take(4).sorted.toSeq
+    val Seq(c1, c2) = corpusIds.take(2).toSeq
+    val sharedLong = (1 to 30).map(i => s"common$i").mkString(" ")
+    def text(id: Long): String =
+      if (id == b1 || id == c1) "exact duplicate corpus text here"
+      else if (id == b2 || id == b3) "exact duplicate within batch text"
+      else if (id == c2) sharedLong
+      else if (id == b4) sharedLong + " extratail" // J = 28/30, LSH-catchable
+      else (1 to 5).map(i => s"u${id}w$i").mkString(" ") // token-disjoint
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    ids.map(i => (i, text(i), "en", "src0", text(i).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Incremental.ingestPipeline(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("action")).toMap
+    assert(got.keySet == batchIds.toSet)
+    assert(got(b1) == "drop_exact_corpus", s"b1=$b1 got ${got(b1)}")
+    // b2 is the FIRST arrival of the within-batch dup pair: it has no
+    // corpus match and no earlier batch twin, so it survives the exact
+    // stage; its twin b3 drops against it
+    assert(got(b2) == "keep_new", s"b2=$b2 got ${got(b2)}")
+    assert(got(b3) == "drop_exact_batch", s"b3=$b3 got ${got(b3)}")
+    // 29-of-30-shingle overlap: candidate generation is deterministic
+    // (fixed permutations), and at J=28/31 > 1/2 verification passes
+    assert(got(b4) == "drop_near_corpus", s"b4=$b4 got ${got(b4)}")
+    // every unplanted batch doc is token-disjoint filler -> keep_new
+    (batchIds.toSet -- Set(b1, b2, b3, b4)).foreach { id =>
+      assert(got(id) == "keep_new", s"filler $id got ${got(id)}")
+    }
+  }
+
   test("bigram nll is finite, positive, and zero-bigram docs degrade to null") {
     val rows = TextStats.bigramNll(spark, sf).collect()
     assert(rows.length == 500)

@@ -159,6 +159,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental cluster merge equals the full fixpoint on random " +
+      "corpora, splits and τ") {
+    import spark.implicits._
+    // the flagship ingest invariant, quantified (r9 verdict #5): for ANY
+    // corpus, ANY batch/corpus split and ANY exact rational τ, folding
+    // the batch into the settled corpus-only clustering must equal the
+    // from-scratch fixpoint over all documents. The gated query proves
+    // it at the registered (md5-bucket, τ=1/2) configuration; this
+    // proves the algorithm — contraction correctness (min-label survives
+    // super-node lifting), one-sided prefix completeness at τ, and the
+    // remap — on randomized inputs including empty batches and
+    // everything-is-batch splits.
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val gen = for {
+      n <- Gen.choose(8, 22)
+      docs <- Gen.listOfN(n, Gen.choose(3, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      // batch fraction spans the degenerate ends: 0 (pure settled
+      // corpus) through 1 (everything arrives in one batch)
+      frac <- Gen.oneOf(0, 1, 3, 5, 9, 10)
+      tau <- Gen.oneOf((1L, 2L), (3L, 5L), (2L, 3L))
+      salt <- Gen.choose(0L, 1000L)
+    } yield (docs, frac, tau._1, tau._2, salt)
+    samples(gen, 5, 433L).foreach { case (docs, frac, num, den, salt) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+      docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "src0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // a deterministic pseudo-random split at the drawn fraction
+      val batchIds = docs.indices.map(_.toLong)
+        .filter(i => ((i * 2654435761L + salt) % 10) < frac)
+      val got = Incremental.incrementalComponentsWith(spark, dir,
+          batchIds.toDF("doc_id"), num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq.sorted
+      val want = Dedup.components(spark, dir, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq.sorted
+      assert(got == want,
+        s"τ=$num/$den frac=$frac/10 batch=${batchIds.take(8)}...")
+    }
+  }
+
   test("secure envelope round-trips arbitrary payloads; tampering fails") {
     val gen = for {
       n <- Gen.choose(0, 4096)
