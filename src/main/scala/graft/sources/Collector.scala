@@ -75,6 +75,9 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
   import Collector.{CollectedTableMeta, IndexInfo, FkEdge, RoutineInfo,
     RoutineParam, CustomTypeInfo}
 
+  // hive2 endpoints need backtick identifier quoting (see HiveDialect)
+  if (HiveDialect.canHandle(url)) HiveDialect.register()
+
   /** Credential sanitization (reference guarantee: no credentials in any
     * output): masks userinfo (`user:secret@host`) and password-ish
     * key=value params across JDBC URL dialects.
@@ -90,14 +93,27 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     * otherwise). Discovery result also powers per-table type lookup.
     */
   private lazy val discovered: Seq[(String, String)] = withConnection { c =>
-    val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE", "VIEW"))
+    // no server-side type filter: drivers TRANSLATE a requested-types
+    // array through their own vocabulary before sending it (hive-jdbc
+    // maps TABLE→MANAGED_TABLE, VIEW→VIRTUAL_VIEW), and the server may
+    // speak yet another one (Spark's thrift server answers TABLE/VIEW)
+    // — a requested array can silently drop every view. Filter the
+    // RETURNED type strings instead, accepting both vocabularies:
+    // *VIEW* → view; TABLE / *_TABLE (MANAGED_TABLE, EXTERNAL_TABLE) →
+    // table; anything else (SYSTEM TABLE, SYNONYM, ALIAS, sequences) is
+    // not a survey target.
+    val rs = c.getMetaData.getTables(null, null, "%", null)
     val buf = Seq.newBuilder[(String, String)]
     while (rs.next()) {
       val schema = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+      val tt = Option(rs.getString("TABLE_TYPE")).getOrElse("").toUpperCase
+      val kind =
+        if (tt.contains("VIEW")) Some("view")
+        else if (tt == "TABLE" || tt.endsWith("_TABLE")) Some("table")
+        else None
       if (!schema.toUpperCase.startsWith("SYS") &&
           !schema.equalsIgnoreCase("information_schema"))
-        buf += ((rs.getString("TABLE_NAME"),
-          if (rs.getString("TABLE_TYPE") == "VIEW") "view" else "table"))
+        kind.foreach(k => buf += ((rs.getString("TABLE_NAME"), k)))
     }
     rs.close()
     buf.result().sortBy(_._1)
@@ -158,9 +174,13 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     * the catalog; try the name as given, then the engine's folded form.
     */
   private def foldCase(md: java.sql.DatabaseMetaData, t: String): String =
-    if (md.storesUpperCaseIdentifiers) t.toUpperCase
-    else if (md.storesLowerCaseIdentifiers) t.toLowerCase
-    else t
+    // hive-jdbc throws "Method not supported" on the folding probes —
+    // an engine that can't declare a folding gets the name as given
+    try {
+      if (md.storesUpperCaseIdentifiers) t.toUpperCase
+      else if (md.storesLowerCaseIdentifiers) t.toLowerCase
+      else t
+    } catch { case _: java.sql.SQLException => t }
 
   /** Map a catalog-cased table name back to the name the survey uses —
     * the caller's explicit list OR the discovered set (iterating the
@@ -170,17 +190,34 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
   private def asGiven(catalogName: String): String =
     tableNames.find(_.equalsIgnoreCase(catalogName)).getOrElse(catalogName)
 
+  /** Per-SURFACE degrade (not all-or-nothing): engines expose very
+    * different slices of this catalog — Derby answers everything,
+    * HiveServer2 throws "Method not supported" on getPrimaryKeys /
+    * getIndexInfo and labels getColumns rows differently. One failing
+    * surface must not discard the others (the old single try around the
+    * whole method silently dropped tableType and column details when
+    * only the key catalog was missing). Each failure is RECORDED in
+    * `notes` and lands in the table's artifact warnings — the
+    * reference's per-adapter degrade behavior.
+    */
   def tableMetadata(table: String): CollectedTableMeta = withConnection { c =>
     val md = c.getMetaData
     val t = foldCase(md, table)
-    val pks = {
+    val notes = Seq.newBuilder[String]
+    def surface[A](what: String, default: A)(f: => A): A =
+      try f catch {
+        case e: Exception =>
+          notes += s"$what not collected: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          default
+      }
+    val pks = surface("primary keys", Seq.empty[String]) {
       val rs = md.getPrimaryKeys(null, null, t)
       val buf = Seq.newBuilder[(Short, String)]
       while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
       rs.close()
       buf.result().sortBy(_._1).map(_._2)
     }
-    val indexes = {
+    val indexes = surface("indexes", Seq.empty[IndexInfo]) {
       val rs = md.getIndexInfo(null, null, t, false, false)
       val buf = Seq.newBuilder[(String, Boolean, Short, String)]
       while (rs.next()) {
@@ -200,34 +237,47 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     // NOT NULL is part of the engine catalog too — Spark's JDBC schema
     // defensively marks every remote column nullable, so nullability is
     // collected here from column metadata instead
-    val (notNull, colDetails) = {
-      val rs = md.getColumns(null, null, t, null)
-      val nn = Seq.newBuilder[String]
-      val det = Seq.newBuilder[Collector.ColumnDetail]
-      while (rs.next()) {
-        val name = rs.getString("COLUMN_NAME")
-        if (rs.getInt("NULLABLE") == java.sql.DatabaseMetaData.columnNoNulls)
-          nn += name
-        // reference models.rs:71-77: is_auto_increment + default_value +
-        // ordinal_position ride the same catalog row
-        det += Collector.ColumnDetail(name,
-          "YES".equalsIgnoreCase(rs.getString("IS_AUTOINCREMENT")),
-          Option(rs.getString("COLUMN_DEF")).map(_.trim).getOrElse(""),
-          rs.getInt("ORDINAL_POSITION"))
+    val (notNull, colDetails) =
+      surface("column details", (Seq.empty[String], Seq.empty[Collector.ColumnDetail])) {
+        val rs = md.getColumns(null, null, t, null)
+        val nn = Seq.newBuilder[String]
+        val det = Seq.newBuilder[Collector.ColumnDetail]
+        // JDBC names the column IS_AUTOINCREMENT; hive-jdbc's result
+        // set omits it — probe the label set once instead of letting a
+        // per-row miss throw the whole surface away
+        val labels = {
+          val m = rs.getMetaData
+          (1 to m.getColumnCount).map(i => m.getColumnLabel(i).toUpperCase).toSet
+        }
+        def optStr(r: java.sql.ResultSet, name: String): Option[String] =
+          if (labels.contains(name.toUpperCase)) Option(r.getString(name)) else None
+        while (rs.next()) {
+          val name = rs.getString("COLUMN_NAME")
+          if (rs.getInt("NULLABLE") == java.sql.DatabaseMetaData.columnNoNulls)
+            nn += name
+          // reference models.rs:71-77: is_auto_increment + default_value +
+          // ordinal_position ride the same catalog row
+          det += Collector.ColumnDetail(name,
+            optStr(rs, "IS_AUTOINCREMENT").exists("YES".equalsIgnoreCase),
+            optStr(rs, "COLUMN_DEF").map(_.trim).getOrElse(""),
+            rs.getInt("ORDINAL_POSITION"))
+        }
+        rs.close()
+        (nn.result(), det.result())
       }
-      rs.close()
-      (nn.result(), det.result())
-    }
     val tableType = discovered.collectFirst {
       case (n, tt) if n.equalsIgnoreCase(table) => tt
     }.getOrElse("table")
-    val viewDef =
-      if (tableType == "view") viewDefinition(c, t).getOrElse("") else ""
+    val viewDef = surface("view definition", "")(
+      if (tableType == "view") viewDefinition(c, t).getOrElse("") else "")
     CollectedTableMeta(pks, indexes, notNull, tableType = tableType,
       viewDefinition = viewDef,
-      constraints = checkConstraints(c, t),
-      triggers = triggers(c, t),
-      columnDetails = colDetails)
+      constraints = surface("check constraints", Seq.empty[Collector.ConstraintInfo])(
+        checkConstraints(c, t)),
+      triggers = surface("triggers", Seq.empty[Collector.TriggerInfo])(
+        triggers(c, t)),
+      columnDetails = colDetails,
+      notes = notes.result())
   }
 
   /** Engine-specific view-definition lookup (reference models.rs:177-185
@@ -683,7 +733,8 @@ object Collector {
       viewDefinition: String = "",
       constraints: Seq[ConstraintInfo] = Nil,
       triggers: Seq[TriggerInfo] = Nil,
-      columnDetails: Seq[ColumnDetail] = Nil)
+      columnDetails: Seq[ColumnDetail] = Nil,
+      notes: Seq[String] = Nil)
 
   /** Per-table sampling outcome (reference SampleStatus,
     * models.rs:388-429): `success` at the requested limit, `partial`
@@ -879,7 +930,10 @@ object Collector {
     // throws degrades that table to the inference path with a warning)
     val collectedMeta: Map[String, (CollectedTableMeta, Seq[String])] = source match {
       case m: MetadataSource => goodTables.map { case (t, _) =>
-        try t -> (m.tableMetadata(t), Nil: Seq[String])
+        // per-surface degrade notes (e.g. "primary keys not collected:
+        // ...") surface as this table's warnings; the catch remains the
+        // catastrophic-failure (connection-level) degrade
+        try { val meta = m.tableMetadata(t); t -> (meta, meta.notes) }
         catch { case e: Exception =>
           t -> (CollectedTableMeta(Nil, Nil),
             Seq(s"metadata read failed: ${e.getClass.getSimpleName}: ${e.getMessage}"))
