@@ -204,6 +204,92 @@ object Multimodal {
        |  scale_pm < 1000 AS downscaled
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ aspect buckets
+  //
+  // ASPECT-RATIO BUCKETING — the batching strategy diffusion/vision
+  // training actually uses (SDXL-style bucketed batches: resizing every
+  // image to one square wastes pixels and distorts geometry, so the
+  // corpus is partitioned into a small fixed set of aspect buckets and
+  // each batch is drawn from ONE bucket at that bucket's train
+  // resolution). Every doc's fake geometry (the FakeCodec contract) maps
+  // to the nearest bucket by INTEGER per-mille aspect distance — least()
+  // over the five |ar_pm − bucket_pm| terms, CASE evaluated in ascending
+  // bucket_pm order so ties deterministically take the narrower bucket.
+  // The report is the per-bucket census a dataloader is configured from.
+  //
+  // Scale shape: classification is pure in-row integer arithmetic (no
+  // join, no window — the bucket table is five literals compiled into
+  // the projection); then ONE ≤5-key aggregation + a 1-row total
+  // broadcast. Exact integers end to end.
+
+  /** (train_w, train_h) bucket grid, ~a 320²-pixel budget per bucket. */
+  val aspectBuckets: Seq[(Int, Int)] =
+    Seq((160, 384), (192, 320), (256, 256), (320, 192), (384, 160))
+
+  def aspectBucketsReport(spark: SparkSession, dir: String): DataFrame = {
+    // per-mille ratios as Scala-computed literals — engines share exact
+    // constants (the hyperplane-literal device)
+    val pms = aspectBuckets.map { case (w, h) => (w, h, w * 1000L / h) }
+      .sortBy(_._3)
+    val minDist = pms.map { case (_, _, pm) => s"abs(ar_pm - $pm)" }
+      .mkString("least(", ", ", ")")
+    def pick(sel: ((Int, Int, Long)) => String): String =
+      pms.init.map { case t @ (_, _, pm) =>
+        s"WHEN abs(ar_pm - $pm) = $minDist THEN ${sel(t)}"
+      }.mkString("CASE ", " ", s" ELSE ${sel(pms.last)} END")
+    val g = Tables.documents(spark, dir)
+      .select(expr("CAST(16 + octet_length(text) % 64 AS INT)").as("width"),
+        expr("CAST(16 + octet_length(text) % 48 AS INT)").as("height"))
+      .select(col("width"), col("height"),
+        expr("width * 1000 DIV height").as("ar_pm"))
+      .select(col("ar_pm"),
+        expr(pick { case (w, h, _) => s"'${w}x$h'" }).as("bucket"),
+        expr(pick { case (_, _, pm) => pm.toString }).as("bucket_pm"))
+    val byBucket = g.groupBy(col("bucket"), col("bucket_pm"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ar_pm")).as("min_ar_pm"),
+        max(col("ar_pm")).as("max_ar_pm"))
+    val total = byBucket.agg(sum(col("n_docs")).as("t_docs"))
+    byBucket.crossJoin(broadcast(total))
+      .select(col("bucket"), col("bucket_pm").cast("long").as("bucket_pm"),
+        col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 DIV t_docs" +
+          " AS BIGINT)").as("doc_share_ppm"),
+        col("min_ar_pm"), col("max_ar_pm"))
+      .orderBy(col("bucket_pm"), col("bucket"))
+  }
+
+  val aspectBucketsSql: String = {
+    val pms = aspectBuckets.map { case (w, h) => (w, h, w * 1000L / h) }
+      .sortBy(_._3)
+    val minDist = pms.map { case (_, _, pm) => s"abs(ar_pm - $pm)" }
+      .mkString("least(", ", ", ")")
+    def pick(sel: ((Int, Int, Long)) => String): String =
+      pms.init.map { case t @ (_, _, pm) =>
+        s"WHEN abs(ar_pm - $pm) = $minDist THEN ${sel(t)}"
+      }.mkString("CASE ", " ", s" ELSE ${sel(pms.last)} END")
+    s"""WITH g AS (
+       |  SELECT (16 + strlen(text) % 64) * 1000 // (16 + strlen(text) % 48)
+       |    AS ar_pm
+       |  FROM documents),
+       |picked AS (
+       |  SELECT ar_pm,
+       |    ${pick { case (w, h, _) => s"'${w}x$h'" }} AS bucket,
+       |    ${pick { case (_, _, pm) => pm.toString }} AS bucket_pm
+       |  FROM g),
+       |bb AS (
+       |  SELECT bucket, bucket_pm, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(min(ar_pm) AS BIGINT) AS min_ar_pm,
+       |    CAST(max(ar_pm) AS BIGINT) AS max_ar_pm
+       |  FROM picked GROUP BY 1, 2),
+       |t AS (SELECT sum(n_docs) AS t_docs FROM bb)
+       |SELECT bucket, CAST(bucket_pm AS BIGINT) AS bucket_pm, n_docs,
+       |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // t_docs AS BIGINT)
+       |    AS doc_share_ppm,
+       |  min_ar_pm, max_ar_pm
+       |FROM bb, t ORDER BY bucket_pm, bucket""".stripMargin
+  }
+
   /** Perceptual-hash near-dup detection over OPAQUE PAYLOADS — the
     * media-dedup gate of a multimodal pipeline: re-uploads, re-encodes
     * with touched metadata, and truncated copies of the same asset

@@ -1469,4 +1469,175 @@ object EventAnalytics {
               |ORDER BY pi_e9 DESC, event_type""".stripMargin
     sb.toString
   }
+
+  // ------------------------------------------------------- pareto share
+  //
+  // User-concentration (Lorenz/Pareto) table: for each top-percentile
+  // grid point, how many of the most-active users that is and what share
+  // of ALL events they produce — the "what % of users generate 80% of
+  // traffic" table capacity planning and abuse triage read;
+  // events_activity_gini reduces the same curve to one coefficient, this
+  // emits the actionable points. Exact integer ppm everywhere.
+  //
+  // Scale shape: one events scan → user-keyed two-phase count agg → ONE
+  // GlobalRank range exchange on (activity desc, user) — never a global
+  // window — then a single conditional aggregation computes every grid
+  // point in one pass over the ranked frame (thresholds fold in from the
+  // 1-row totals broadcast; k = ceil(p·n/100) via the integer-ceiling
+  // device).
+
+  val paretoPcts = Seq(1, 5, 10, 20, 50)
+
+  def eventsParetoShare(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+    val ranked = GlobalRank.withGlobalRank(byUser, "rk",
+      col("n_ev") * -1, col("user_id"))
+    val totals = ranked.agg(count(lit(1)).as("n_users"),
+      sum(col("n_ev")).as("n_events"))
+    val grid = ranked.crossJoin(broadcast(totals))
+    val aggs = paretoPcts.flatMap { p =>
+      val k = s"($p * n_users + 99) DIV 100"
+      Seq(
+        max(expr(s"CAST($k AS BIGINT)")).as(s"k_$p"),
+        sum(when(expr(s"rk <= $k"), col("n_ev")).otherwise(lit(0L)))
+          .as(s"e_$p"))
+    }
+    val one = grid.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(totals))
+    paretoPcts.map { p =>
+      one.select(lit(p).as("top_pct"),
+        col(s"k_$p").as("n_top_users"),
+        col(s"e_$p").as("n_top_events"),
+        col("n_events"),
+        // DECIMAL(38,0) widening before the ×1e6 product (the
+        // pack_shard_balance overflow class — events per grid slice can
+        // pass 9.2e12 at lake scale)
+        expr(s"CAST(CAST(e_$p AS DECIMAL(38,0)) * 1000000 DIV n_events" +
+          " AS BIGINT)").as("event_share_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("top_pct"))
+  }
+
+  val eventsParetoShareSql: String = {
+    val blocks = paretoPcts.map { p =>
+      s"""SELECT $p AS top_pct,
+         |  CAST(($p * (SELECT n_users FROM t) + 99) // 100 AS BIGINT)
+         |    AS n_top_users,
+         |  (SELECT CAST(sum(n_ev) AS BIGINT) FROM r
+         |   WHERE rk <= ($p * (SELECT n_users FROM t) + 99) // 100)
+         |    AS n_top_events,
+         |  (SELECT CAST(n_events AS BIGINT) FROM t) AS n_events,
+         |  CAST((SELECT CAST(sum(n_ev) AS HUGEINT) FROM r
+         |    WHERE rk <= ($p * (SELECT n_users FROM t) + 99) // 100) * 1000000
+         |    // (SELECT n_events FROM t) AS BIGINT) AS event_share_ppm"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS n_ev FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT n_ev, row_number() OVER (ORDER BY -n_ev, user_id) AS rk
+       |  FROM u),
+       |t AS (SELECT count(*) AS n_users, sum(n_ev) AS n_events FROM u)
+       |$blocks
+       |ORDER BY top_pct""".stripMargin
+  }
+
+  // ----------------------------------------------------- autocorrelation
+  //
+  // Lag-k autocorrelation of the DAILY event-count series — the
+  // first-order seasonality/persistence diagnostic an anomaly-detection
+  // rollout reads before picking a baseline window (lag-1: day-to-day
+  // persistence; lag-7: weekly seasonality — the same structure
+  // events_seasonality shows as a heatmap, reduced to one number a
+  // threshold can act on). Missing calendar days count as ZERO events
+  // (they are real observations of an idle system, not missing data —
+  // the quality_ingestion_gaps distinction).
+  //
+  // Exactness: the calendar-filled series is integer counts; all six
+  // correlation sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+  // DECIMAL(38,0) — exact and order-independent — and Pearson's r runs
+  // in IEEE double over those exact sums (mult/div/sqrt are
+  // correctly-rounded in both engines; no libm pow/ln anywhere) — the
+  // profile_correlations device. Zero variance or an empty pair set
+  // degrades to NULL via identical CASE guards.
+  //
+  // Scale shape: ONE events scan → day-keyed two-phase count agg; the
+  // calendar fill explodes a 1-row min/max agg into a days-sized frame
+  // (calendar-bounded, broadcastable at any corpus size); each lag is a
+  // days-sized equi-join + a 1-row aggregation. Nothing downstream of
+  // the first agg is data-sized.
+
+  val autocorrLags = Seq(1, 7)
+
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = Tables.events(spark, dir)
+      .select(expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = days.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("x"))
+      .localCheckpoint() // days-sized; both lag joins + both sides read it
+    val out = autocorrLags.map { lag =>
+      val a = filled.select(col("day"), col("x"))
+      val b = filled.select((col("day") - lag).as("day"), col("x").as("y"))
+      a.join(b, "day")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x").cast(dec)).cast(dec).as("sx"),
+          sum(col("y").cast(dec)).cast(dec).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).cast(dec).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).cast(dec).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).cast(dec).as("syy"))
+        .select(lit(lag).as("lag"), col("n_pairs"),
+          expr(
+            """CASE WHEN n_pairs <= 1
+              |  OR n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+              |THEN NULL ELSE
+              |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              |  (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              |   sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+              |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+              |END""".stripMargin).as("r"))
+    }.reduce(_ unionByName _)
+    out.orderBy(col("lag"))
+  }
+
+  val eventsAutocorrSql: String = {
+    val lagBlocks = autocorrLags.map { lag =>
+      s"""SELECT $lag AS lag, n_pairs,
+         |  CASE WHEN n_pairs <= 1
+         |    OR n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+         |  THEN NULL ELSE
+         |    (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |     sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |  END AS r
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CAST(a.x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(b.x AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(a.x AS HUGEINT) * a.x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(b.x AS HUGEINT) * b.x) AS HUGEINT) AS syy
+         |  FROM filled a JOIN filled b ON b.day = a.day + $lag)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH counts AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+       |  FROM events GROUP BY 1),
+       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+       |days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds),
+       |filled AS (
+       |  SELECT d.day, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+       |  FROM days d LEFT JOIN counts c USING (day))
+       |$lagBlocks
+       |ORDER BY lag""".stripMargin
+  }
 }

@@ -1949,4 +1949,77 @@ object Similarity {
        |  CAST((sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) * 1000000) // count(*)
        |    AS BIGINT) AS accuracy_ppm
        |FROM ev GROUP BY gold ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------- range search
+  //
+  // τ-RANGE search — top-k's fixed-radius sibling (every vector-store
+  // API ships both: "give me the 10 nearest" vs "give me everything
+  // within distance τ"): per query, the neighborhood SIZE at each τ of a
+  // small grid, plus its share of the corpus in exact ppm. The range
+  // profile is what an ANN rollout reads to pick τ for dedup vs
+  // retrieval (a τ whose neighborhoods are corpus-sized means the radius
+  // is semantically meaningless). Counting (not materializing matches)
+  // keeps the output query-bounded at any corpus size.
+  //
+  // Scale shape: the scorer is the sim_topk_bruteforce contract — one
+  // corpus scan × a broadcastable query set (queries-sized
+  // BroadcastNestedLoopJoin), cosines rounded to 6 in BOTH engines
+  // before the τ compares (the shared-literal double device) — then ONE
+  // query-keyed aggregation computes every grid point as conditional
+  // sums (one pass, no per-τ scans). At 100 TB the scorer swaps for the
+  // IVF probe feeding the same counting tail (sim_ann_ivf precedent);
+  // exhaustive scoring here is the declared exactness contract.
+
+  val rangeTaus = Seq("0.35", "0.45") // shared literal text both engines
+
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vectors(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("nrm").as("nrm_q"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        cosine("v_q", "v", col("nrm_q"), col("nrm")).as("cosine"))
+    val aggs = rangeTaus.flatMap { t =>
+      val tag = t.replace("0.", "")
+      Seq(sum(when(col("cosine") >= t.toDouble, 1L).otherwise(0L))
+        .as(s"n_$tag"))
+    } :+ count(lit(1)).as("n_scored")
+    val byQ = scored.groupBy(col("query_id")).agg(aggs.head, aggs.tail: _*)
+    rangeTaus.map { t =>
+      val tag = t.replace("0.", "")
+      byQ.select(col("query_id"), lit(t).as("tau"),
+        col(s"n_$tag").as("n_in_range"), col("n_scored"),
+        expr(s"CAST(CAST(n_$tag AS DECIMAL(38,0)) * 1000000 DIV n_scored" +
+          " AS BIGINT)").as("range_share_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("query_id"), col("tau"))
+  }
+
+  val rangeSearchSql: String = {
+    val taus = rangeTaus.map { t =>
+      val tag = t.replace("0.", "")
+      s"CAST(sum(CASE WHEN cosine >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_$tag"
+    }.mkString(",\n  ")
+    val blocks = rangeTaus.map { t =>
+      val tag = t.replace("0.", "")
+      s"""SELECT query_id, '$t' AS tau, n_$tag AS n_in_range, n_scored,
+         |  CAST(CAST(n_$tag AS HUGEINT) * 1000000 // n_scored AS BIGINT)
+         |    AS range_share_ppm
+         |FROM byq""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $vectorsSql,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |byq AS (
+       |  SELECT query_id,
+       |  $taus,
+       |  CAST(count(*) AS BIGINT) AS n_scored
+       |  FROM scored GROUP BY query_id)
+       |$blocks
+       |ORDER BY query_id, tau""".stripMargin
+  }
 }

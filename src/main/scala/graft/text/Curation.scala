@@ -390,6 +390,87 @@ object Curation {
        |    // $seqLen AS BIGINT) AS fill_ppm
        |FROM ex GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  /** ATTENTION-SPAN table for the packed layout — what pack_sequences'
+    * summary drops and a trainer's dataloader actually needs: per packed
+    * sequence, each document's span as WITHIN-SEQUENCE token offsets
+    * ([start_tok, end_tok), 0-based), in order. This is the input to
+    * block-diagonal attention masking (a document crossing a sequence
+    * boundary must not attend to its packed neighbors — the
+    * cross-contamination masking every packed-pretraining setup applies;
+    * cf. the sequence-packing masks in T5/LLaMA-style pipelines), and to
+    * position-id resets at doc starts. doc_start/doc_end flag whether
+    * the span carries the document's true beginning/end (a mid-doc
+    * continuation span must NOT reset position ids).
+    *
+    * Scale shape: exactly pack_sequences' derivation (GlobalRank's
+    * distributed prefix sum + the bounded per-doc sequence-id explode)
+    * kept at span granularity instead of rolled up; the span ordering
+    * window partitions by seq_id over ≤ seqLen rows (every span holds
+    * ≥1 token), so no partition ever exceeds the model's context
+    * length — bounded by config, not data. Output rows =
+    * corpus_tokens/seqLen + n_docs, the same order as the pack itself.
+    */
+  def packAttentionSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithToks(spark, dir, "whitespace")
+      .select(col("doc_id"), col("toks").cast("long").as("toks"),
+        expr(bucketExpr).as("h"))
+      .filter(col("toks") > 0)
+    val cum = graft.operators.GlobalRank
+      .withGlobalCumsum(d, "toks", "cum", col("h"), col("doc_id"))
+      .withColumn("start", col("cum") - col("toks"))
+    val spans = cum
+      .select(col("doc_id"), col("toks"), col("start"), col("cum"),
+        explode(sequence(expr(s"start DIV $seqLen"), expr(s"(cum - 1) DIV $seqLen")))
+          .as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        (greatest(col("start"), col("seq_id") * seqLen) -
+          col("seq_id") * seqLen).as("start_tok"),
+        (least(col("cum"), (col("seq_id") + 1) * seqLen) -
+          col("seq_id") * seqLen).as("end_tok"),
+        (expr(s"start DIV $seqLen") === col("seq_id")).as("doc_start"),
+        (expr(s"(cum - 1) DIV $seqLen") === col("seq_id")).as("doc_end"))
+    spans
+      .withColumn("span_idx", row_number().over(
+        Window.partitionBy(col("seq_id")).orderBy(col("start_tok"))))
+      .select(col("seq_id"), col("span_idx"), col("doc_id"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("span_tokens"),
+        col("doc_start"), col("doc_end"))
+      .orderBy(col("seq_id"), col("span_idx"))
+  }
+
+  val packAttentionSpansSql: String =
+    s"""WITH $whitespaceDocCte,
+       |ord AS (
+       |  SELECT doc_id, toks,
+       |    sum(toks) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d WHERE toks > 0),
+       |spans AS (
+       |  SELECT doc_id, CAST(cum - toks AS BIGINT) AS start,
+       |    CAST(cum AS BIGINT) AS cum
+       |  FROM ord),
+       |ex AS (
+       |  SELECT doc_id, start, cum,
+       |    unnest(range(start // $seqLen, (cum - 1) // $seqLen + 1)) AS seq_id
+       |  FROM spans),
+       |sp AS (
+       |  SELECT seq_id, doc_id,
+       |    CAST(greatest(start, seq_id * $seqLen) - seq_id * $seqLen AS BIGINT)
+       |      AS start_tok,
+       |    CAST(least(cum, (seq_id + 1) * $seqLen) - seq_id * $seqLen AS BIGINT)
+       |      AS end_tok,
+       |    start // $seqLen = seq_id AS doc_start,
+       |    (cum - 1) // $seqLen = seq_id AS doc_end
+       |  FROM ex)
+       |SELECT seq_id,
+       |  CAST(row_number() OVER (PARTITION BY seq_id ORDER BY start_tok) AS INTEGER)
+       |    AS span_idx,
+       |  doc_id, start_tok, end_tok,
+       |  end_tok - start_tok AS span_tokens,
+       |  doc_start, doc_end
+       |FROM sp ORDER BY seq_id, span_idx""".stripMargin
+
   /** Duplication-INFLATION report per source — the corpus-level rollup
     * of dedup_exact the curation review actually reads ("source X is
     * 30% duplicated tokens"): fingerprint groups are GLOBAL md5(text)

@@ -876,4 +876,95 @@ object TextStats {
       |  CAST(ttr_sum // n_docs AS BIGINT) AS mean_doc_ttr_ppm
       |FROM sd JOIN sw USING (source)
       |ORDER BY sd.source""".stripMargin
+
+  // ------------------------------------------------------ skip-gram PMI
+  //
+  // Windowed co-occurrence PMI — the embeddings-era association measure
+  // (word2vec's training signal is exactly the skip-gram co-occurrence
+  // matrix; "Neural Word Embedding as Implicit Matrix Factorization"
+  // showed SGNS factorizes shifted PMI): for every unordered token pair
+  // within a ±W token window, pmi = ln(P(a,b) / (P(a)·P(b))) over pair
+  // and token INSTANCE counts. Distinct from text_collocations: that is
+  // ADJACENT-bigram doc-level lift (phrase mining); this is windowed
+  // instance-level PMI (distributional similarity). The top of this
+  // table is what a tokenizer/phrase-vocab designer reads to find
+  // multi-word units worth merging.
+  //
+  // Scale shape: pair generation is IN-ROW (a nested transform emits
+  // each position's ≤W right-neighbors — never a positional self-join),
+  // so the only corpus-sized shuffles are the (pair) and (token)
+  // two-phase counting aggs; the support filter (c_ab ≥ 5) shrinks the
+  // pair side BEFORE the vocabulary joins (shuffle joins — vocabulary
+  // grows with the corpus, the collocations convention); both totals
+  // are 1-row broadcasts. PMI doubles are composed in ONE identical
+  // expression both engines then quantized DECIMAL(18,9) — the ln(libm)
+  // ulp seam neutralized the entropy/psi way.
+
+  val skipgramWindow = 3
+  val skipgramMinCount = 5
+
+  def skipgramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val w = skipgramWindow
+    val toks = Tables.documents(spark, dir)
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks.select(explode(expr(
+      s"""flatten(transform(sequence(1, size(t) - 1),
+         |  i -> transform(sequence(i + 1, least(i + $w, size(t))),
+         |    j -> concat(least(element_at(t, i), element_at(t, j)), ' ',
+         |                greatest(element_at(t, i), element_at(t, j))))))"""
+        .stripMargin)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+    val uni = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val pTotal = pairs.agg(sum(col("c_ab")).as("p_total"))
+    val tTotal = uni.agg(sum(col("c")).as("t_total"))
+    pairs
+      .filter(col("c_ab") >= skipgramMinCount)
+      .withColumn("tok_a", split(col("pair"), " ").getItem(0))
+      .withColumn("tok_b", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("token").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(uni.select(col("token").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(pTotal))
+      .crossJoin(broadcast(tTotal))
+      .select(col("pair"), col("c_ab"), col("c_a"), col("c_b"),
+        expr(
+          """CAST(CAST(ln((CAST(c_ab AS DOUBLE) * CAST(t_total AS DOUBLE) *
+            |  CAST(t_total AS DOUBLE)) / (CAST(p_total AS DOUBLE) *
+            |  CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)))
+            |  AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin).as("pmi"))
+      .orderBy(col("pmi").desc, col("pair"))
+      .limit(20)
+  }
+
+  val skipgramPmiSql: String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |pc AS (
+       |  SELECT pair, count(*) AS c_ab FROM (
+       |    SELECT unnest(flatten(list_transform(range(1, len(t)),
+       |      i -> list_transform(range(i + 1, least(i + $skipgramWindow, len(t)) + 1),
+       |        j -> least(t[i], t[j]) || ' ' || greatest(t[i], t[j]))))) AS pair
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY pair),
+       |uni AS (
+       |  SELECT token, count(*) AS c FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+       |    FROM documents)
+       |  GROUP BY token),
+       |pt AS (SELECT sum(c_ab) AS p_total FROM pc),
+       |tt AS (SELECT sum(c) AS t_total FROM uni)
+       |SELECT pair, c_ab,
+       |  a.c AS c_a, b.c AS c_b,
+       |  CAST(CAST(ln((CAST(c_ab AS DOUBLE) * CAST(t_total AS DOUBLE) *
+       |    CAST(t_total AS DOUBLE)) / (CAST(p_total AS DOUBLE) *
+       |    CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)))
+       |    AS DECIMAL(18,9)) AS DOUBLE) AS pmi
+       |FROM pc
+       |JOIN uni a ON string_split(pair, ' ')[1] = a.token
+       |JOIN uni b ON string_split(pair, ' ')[2] = b.token, pt, tt
+       |WHERE c_ab >= $skipgramMinCount
+       |ORDER BY pmi DESC, pair LIMIT 20""".stripMargin
 }

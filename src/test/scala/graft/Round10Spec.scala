@@ -1,0 +1,190 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
+import graft.text.{TextStats, Curation}
+import graft.mm.Multimodal
+
+/** Round-10 operators: skip-gram PMI, attention spans, autocorrelation,
+  * pareto share, range search, aspect buckets — each checked against an
+  * independent driver-side recompute from raw data (the oracle gate
+  * proves cross-engine parity; these prove the SEMANTICS).
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def sf: String = TestSession.sf
+
+  test("skipgram pmi equals a driver-side recompute of windowed pairs") {
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val w = TextStats.skipgramWindow
+    val pairCounts = scala.collection.mutable.Map[String, Long]()
+    val tokCounts = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { t =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      toks.foreach(tk => tokCounts(tk) = tokCounts.getOrElse(tk, 0L) + 1)
+      for (i <- toks.indices; j <- (i + 1) to math.min(i + w, toks.length - 1)) {
+        val (a, b) = if (toks(i) <= toks(j)) (toks(i), toks(j))
+          else (toks(j), toks(i))
+        val k = s"$a $b"
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1
+      }
+    }
+    val pTotal = pairCounts.values.sum.toDouble
+    val tTotal = tokCounts.values.sum.toDouble
+    val want = pairCounts.toSeq
+      .filter(_._2 >= TextStats.skipgramMinCount)
+      .map { case (pair, cab) =>
+        val Array(a, b) = pair.split(" ")
+        val pmi = math.log(cab * tTotal * tTotal /
+          (pTotal * tokCounts(a) * tokCounts(b)))
+        (pair, cab, BigDecimal(pmi).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (p, _, pmi) => (-pmi, p) }.take(20)
+    val got = TextStats.skipgramPmi(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("c_ab"),
+        r.getAs[Double]("pmi")))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"$g vs $e")
+      assert(math.abs(g._3 - e._3) < 1e-9, s"$g vs $e")
+    }
+  }
+
+  test("attention spans tile every sequence exactly and reconstruct docs") {
+    val spans = Curation.packAttentionSpans(spark, sf).collect()
+    val seqLen = Curation.seqLen
+    // within a sequence: spans are adjacent, disjoint, in span_idx order
+    spans.groupBy(_.getAs[Long]("seq_id")).foreach { case (_, ss) =>
+      val ordered = ss.sortBy(_.getAs[Int]("span_idx"))
+      assert(ordered.head.getAs[Long]("start_tok") == 0L)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("end_tok") == b.getAs[Long]("start_tok"))
+        case _ => ()
+      }
+      ordered.foreach(s =>
+        assert(s.getAs[Long]("end_tok") <= seqLen &&
+          s.getAs[Long]("span_tokens") >= 1))
+    }
+    // across sequences: each doc's spans sum to its token count, with
+    // exactly one doc_start and one doc_end
+    val tokOf = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    spans.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, ss) =>
+      assert(ss.map(_.getAs[Long]("span_tokens")).sum == tokOf(d), s"doc $d")
+      assert(ss.count(_.getAs[Boolean]("doc_start")) == 1, s"doc $d starts")
+      assert(ss.count(_.getAs[Boolean]("doc_end")) == 1, s"doc $d ends")
+    }
+    // full corpus coverage: all sequences but the last are exactly full
+    val bySeq = spans.groupBy(_.getAs[Long]("seq_id")).view
+      .mapValues(_.map(_.getAs[Long]("span_tokens")).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, tot) =>
+      if (s != lastSeq) assert(tot == seqLen, s"seq $s") else assert(tot >= 1)
+    }
+  }
+
+  test("autocorr equals a driver-side pearson over the calendar-filled series") {
+    val counts = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = counts.keys.min
+    val d1 = counts.keys.max
+    val x = (d0 to d1).map(d => counts.getOrElse(d, 0L)).toArray
+    def pearson(lag: Int): Option[Double] = {
+      val pairs = (0 until x.length - lag).map(i => (x(i), x(i + lag)))
+      if (pairs.length <= 1) return None
+      val n = pairs.length.toDouble
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val dx = n * sxx - sx * sx
+      val dy = n * syy - sy * sy
+      if (dx == 0 || dy == 0) None
+      else Some((n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy)))
+    }
+    val got = EventAnalytics.eventsAutocorr(spark, sf).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        Option(r.getAs[java.lang.Double]("r")).map(_.doubleValue)).toMap
+    EventAnalytics.autocorrLags.foreach { lag =>
+      (got(lag), pearson(lag)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"lag $lag")
+        case (a, b) => assert(a == b, s"lag $lag: $a vs $b")
+      }
+    }
+  }
+
+  test("pareto share matches a driver-side sort of user activity") {
+    val byUser = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = byUser.sortBy { case (u, n) => (-n, u) }.map(_._2)
+    val total = sorted.sum
+    val got = EventAnalytics.eventsParetoShare(spark, sf).collect()
+    got.foreach { r =>
+      val p = r.getAs[Int]("top_pct")
+      val k = ((p.toLong * sorted.length + 99) / 100).toInt
+      val top = sorted.take(k).sum
+      assert(r.getAs[Long]("n_top_users") == k, s"p=$p")
+      assert(r.getAs[Long]("n_top_events") == top, s"p=$p")
+      assert(r.getAs[Long]("event_share_ppm") == top * 1000000L / total, s"p=$p")
+    }
+    // shares are monotone in p and reach 100% at p=50 only if half the
+    // users hold everything — sanity: strictly increasing
+    val shares = got.sortBy(_.getAs[Int]("top_pct"))
+      .map(_.getAs[Long]("event_share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("range search counts match brute force at the rounded-cosine contract") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val queries = vecs.filter(_._1 < 20)
+    val got = graft.sim.Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("tau")) ->
+        r.getAs[Long]("n_in_range")).toMap
+    queries.foreach { case (q, vq) =>
+      graft.sim.Similarity.rangeTaus.foreach { t =>
+        val tau = t.toDouble
+        val want = vecs.count { case (id, v) => id != q && cos(vq, v) >= tau }
+        assert(got((q, t)) == want, s"q=$q tau=$t")
+      }
+    }
+  }
+
+  test("aspect buckets: census matches a driver-side nearest-ratio classify") {
+    val geo = Tables.documents(spark, sf)
+      .select(expr("octet_length(text)").as("n")).collect()
+      .map(_.getInt(0))
+    val pms = Multimodal.aspectBuckets
+      .map { case (w, h) => (s"${w}x$h", w * 1000L / h) }.sortBy(_._2)
+    val assign = geo.map { n =>
+      val arPm = (16 + n % 64).toLong * 1000 / (16 + n % 48)
+      val minD = pms.map { case (_, pm) => math.abs(arPm - pm) }.min
+      pms.find { case (_, pm) => math.abs(arPm - pm) == minD }.get._1
+    }
+    val want = assign.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Multimodal.aspectBucketsReport(spark, sf).collect()
+      .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n_docs")).toMap
+    assert(got == want.filter(_._2 > 0))
+    // shares sum to ~1e6 (floor division loses at most |buckets| ppm)
+    val shareSum = Multimodal.aspectBucketsReport(spark, sf).collect()
+      .map(_.getAs[Long]("doc_share_ppm")).sum
+    assert(shareSum > 1000000L - 10 && shareSum <= 1000000L)
+  }
+}
