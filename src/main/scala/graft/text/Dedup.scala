@@ -1281,4 +1281,109 @@ object Dedup {
        |FROM b2 LEFT JOIN perdoc p ON b2.doc_id = p.doc_id
        |ORDER BY b2.doc_id""".stripMargin
   }
+
+  // --------------------------------------------------- paragraph dedup
+  //
+  // PARAGRAPH-level exact dedup retention — the RefinedWeb/CCNet unit
+  // between whole-doc fingerprints (dedup_exact) and sliding windows
+  // (dedup_substring): real pipelines hash each paragraph and keep only
+  // its FIRST occurrence corpus-wide, so boilerplate (headers, nav,
+  // license blocks) drops while the surrounding document survives. The
+  // synthetic corpus has no paragraph breaks, so segmentation is
+  // fixed 16-token non-overlapping blocks — a declared stand-in: the
+  // split expression is the ONLY thing a real corpus changes
+  // (split(text, '\n\n')), the hash/keeper/rollup plumbing is the
+  // production shape unchanged.
+  //
+  // Keeper policy (first occurrence): an instance is retained iff
+  // (doc_id, block_idx) is the global minimum for its hash — duplicate
+  // blocks WITHIN one doc also collapse to the earliest. The per-source
+  // report is the retention audit a dedup rollout reads: block and
+  // token retention in exact ppm.
+  //
+  // Scale shape: the block explode is ~tokens/16 rows per doc; the
+  // keeper is TWO hash-keyed min-aggregations (map-side combined —
+  // never a window over hash groups, whose hot boilerplate keys would
+  // single-task; the min-doc then min-idx split keeps both aggs plain),
+  // then one hash-keyed join back against the 1-row-per-hash keeper
+  // frame (the fingerprint-index shape) and a |sources|-key rollup.
+
+  val paragraphBlock = 16
+
+  def paragraphRetention(spark: SparkSession, dir: String): DataFrame = {
+    val b = paragraphBlock
+    val blocks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("a"))
+      .filter(size(col("a")) >= 1)
+      .select(col("doc_id"), col("source"), size(col("a")).cast("long").as("n"),
+        explode(expr(
+          s"""transform(sequence(0, (size(a) - 1) DIV $b),
+             |  k -> struct(k AS idx,
+             |    md5(concat_ws(' ', slice(a, k * $b + 1, $b))) AS h,
+             |    CAST(least($b, size(a) - k * $b) AS BIGINT) AS toks))"""
+            .stripMargin)).as("blk"))
+      .select(col("doc_id"), col("source"),
+        col("blk.idx").as("idx"), col("blk.h").as("h"),
+        col("blk.toks").as("toks"))
+    val kDoc = blocks.groupBy(col("h")).agg(min(col("doc_id")).as("kd"))
+    val keeper = blocks.join(kDoc, "h")
+      .filter(col("doc_id") === col("kd"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("kd"), min(col("idx")).as("ki"))
+    blocks.join(keeper, "h")
+      .select(col("source"), col("toks"),
+        (col("doc_id") === col("kd") && col("idx") === col("ki"))
+          .as("retained"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("retained"), 1L).otherwise(0L)).as("retained_blocks"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("retained"), col("toks")).otherwise(0L))
+          .as("retained_tokens"))
+      .select(col("source"), col("n_blocks"), col("retained_blocks"),
+        expr("CAST(CAST(retained_blocks AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_blocks AS BIGINT)").as("block_retention_ppm"),
+        col("n_tokens"), col("retained_tokens"),
+        expr("CAST(CAST(retained_tokens AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_tokens AS BIGINT)").as("token_retention_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val paragraphRetentionSql: String = {
+    val b = paragraphBlock
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS a
+       |  FROM documents),
+       |ks AS (
+       |  SELECT doc_id, source, a,
+       |    unnest(range(0, (len(a) - 1) // $b + 1)) AS idx
+       |  FROM base WHERE len(a) >= 1),
+       |blocks AS (
+       |  SELECT doc_id, source, idx,
+       |    md5(array_to_string(a[idx * $b + 1 : idx * $b + $b], ' ')) AS h,
+       |    CAST(least($b, len(a) - idx * $b) AS BIGINT) AS toks
+       |  FROM ks),
+       |kdoc AS (SELECT h, min(doc_id) AS kd FROM blocks GROUP BY h),
+       |keeper AS (
+       |  SELECT b2.h, min(b2.doc_id) AS kd, min(b2.idx) AS ki
+       |  FROM blocks b2 JOIN kdoc k ON b2.h = k.h AND b2.doc_id = k.kd
+       |  GROUP BY b2.h)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN bl.doc_id = ke.kd AND bl.idx = ke.ki
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS retained_blocks,
+       |  CAST(CAST(sum(CASE WHEN bl.doc_id = ke.kd AND bl.idx = ke.ki
+       |    THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+       |    AS block_retention_ppm,
+       |  CAST(sum(bl.toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN bl.doc_id = ke.kd AND bl.idx = ke.ki
+       |    THEN bl.toks ELSE 0 END) AS BIGINT) AS retained_tokens,
+       |  CAST(CAST(sum(CASE WHEN bl.doc_id = ke.kd AND bl.idx = ke.ki
+       |    THEN bl.toks ELSE 0 END) AS HUGEINT) * 1000000 // sum(bl.toks)
+       |    AS BIGINT) AS token_retention_ppm
+       |FROM blocks bl JOIN keeper ke ON bl.h = ke.h
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -967,4 +967,149 @@ object TextStats {
        |JOIN uni b ON string_split(pair, ' ')[2] = b.token, pt, tt
        |WHERE c_ab >= $skipgramMinCount
        |ORDER BY pmi DESC, pair LIMIT 20""".stripMargin
+
+  // -------------------------------------------------- NLL filter sweep
+  //
+  // "What does a perplexity filter COST each source" — the composition
+  // audit run before committing to an LM-quality cutoff (CCNet keeps a
+  // head/middle band; the cut is corpus-relative, so the right sweep
+  // axis is the RETENTION percentile, not a magic NLL value): for each
+  // keep-band p ∈ {50, 70, 90}% (keep the p% lowest-NLL scoreable
+  // docs), per source: docs/tokens kept and their exact-ppm share of
+  // the source — a source whose kept share collapses is being
+  // systematically judged improbable by the LM (domain mismatch), which
+  // is a mix decision, not a doc-quality decision. text_nll_deciles
+  // shows the corpus-wide mass curve; this shows who pays at each cut.
+  //
+  // Scale shape: the shared unigramScored derivation → ONE GlobalRank
+  // range exchange on (avg_nll, doc_id) — never a global window — then
+  // a single per-source conditional aggregation computes every grid
+  // point in one pass (thresholds k_p = ceil(p·n/100) fold in from the
+  // 1-row total broadcast; integer-ceiling device). Zero-token docs are
+  // unscoreable and sit outside the sweep by contract (both engines).
+
+  val nllSweepPcts = Seq(50, 70, 90)
+
+  def nllFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val perDoc = unigramScored(spark, dir)
+      .withColumn("avg_nll",
+        -(col("sum_lp").cast(DoubleType) / col("n_tokens")))
+      .join(src, "doc_id")
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRank(perDoc, "rk", col("avg_nll"), col("doc_id"))
+    val total = ranked.agg(count(lit(1)).as("n_scoreable"))
+    val grid = ranked.crossJoin(broadcast(total))
+    val aggs = nllSweepPcts.flatMap { p =>
+      val k = s"($p * n_scoreable + 99) DIV 100"
+      Seq(
+        sum(when(expr(s"rk <= $k"), 1L).otherwise(0L)).as(s"d_$p"),
+        sum(when(expr(s"rk <= $k"), col("n_tokens")).otherwise(0L))
+          .as(s"t_$p"))
+    } ++ Seq(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val bySrc = grid.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    nllSweepPcts.map { p =>
+      bySrc.select(col("source"), lit(p).as("keep_pct"),
+        col("n_docs"), col(s"d_$p").as("kept_docs"),
+        expr(s"CAST(CAST(d_$p AS DECIMAL(38,0)) * 1000000 DIV n_docs" +
+          " AS BIGINT)").as("kept_docs_ppm"),
+        col("n_tokens"), col(s"t_$p").as("kept_tokens"),
+        expr(s"CAST(CAST(t_$p AS DECIMAL(38,0)) * 1000000 DIV n_tokens" +
+          " AS BIGINT)").as("kept_tokens_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("source"), col("keep_pct"))
+  }
+
+  val nllFilterSweepSql: String = {
+    val blocks = nllSweepPcts.map { p =>
+      s"""SELECT source, $p AS keep_pct, n_docs,
+         |  d_$p AS kept_docs,
+         |  CAST(CAST(d_$p AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+         |    AS kept_docs_ppm,
+         |  n_tokens, t_$p AS kept_tokens,
+         |  CAST(CAST(t_$p AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+         |    AS kept_tokens_ppm
+         |FROM bysrc""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val sums = nllSweepPcts.map { p =>
+      s"""  CAST(sum(CASE WHEN rk <= ($p * (SELECT n FROM t) + 99) // 100
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d_$p,
+         |  CAST(sum(CASE WHEN rk <= ($p * (SELECT n FROM t) + 99) // 100
+         |    THEN n_tokens ELSE 0 END) AS BIGINT) AS t_$p""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $nllCtes,
+       |per_doc AS (
+       |  SELECT s.doc_id, d.source, s.n_tokens,
+       |    -(CAST(s.sum_lp AS DOUBLE) / s.n_tokens) AS avg_nll
+       |  FROM sc s JOIN documents d USING (doc_id)),
+       |r AS (
+       |  SELECT source, n_tokens,
+       |    row_number() OVER (ORDER BY avg_nll, doc_id) AS rk
+       |  FROM per_doc),
+       |t AS (SELECT count(*) AS n FROM r),
+       |bysrc AS (
+       |  SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |$sums
+       |  FROM r GROUP BY source)
+       |$blocks
+       |ORDER BY source, keep_pct""".stripMargin
+  }
+
+  // ----------------------------------------------- length histogram
+  //
+  // Log₂-bucket document-LENGTH census per source — the first chart of
+  // every corpus writeup and the evidence behind min/max-length gate
+  // thresholds (text_c4_filters applies fixed bounds; this is the
+  // distribution that justifies them, and the per-source split shows
+  // which sources a bound actually hits). Buckets are integer
+  // binary-length (the events_gap_histogram device — pure codegen, no
+  // float log), cells exact BIGINT/ppm.
+  //
+  // Scale shape: one documents scan, in-row token count + bucket id,
+  // one (source × ≤64 buckets)-key two-phase agg, per-source totals
+  // re-aggregated from the BOUNDED bucket frame and joined back
+  // (aggregate⋈aggregate — nothing data-sized after the first agg).
+
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long")
+          .as("toks"))
+      .select(col("source"), col("toks"),
+        expr("CAST(length(bin(toks)) AS INTEGER)").as("len_bucket"))
+    val byBucket = d.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tot_tokens"),
+        min(col("toks")).as("min_toks"), max(col("toks")).as("max_toks"))
+    val bySrc = byBucket.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("src_docs"))
+    byBucket.join(bySrc, "source")
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 DIV src_docs" +
+          " AS BIGINT)").as("doc_share_ppm"),
+        col("tot_tokens"), col("min_toks"), col("max_toks"))
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
+  val lengthHistogramSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+      |      AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, CAST(length(bin(toks)) AS INTEGER) AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(toks) AS BIGINT) AS tot_tokens,
+      |    CAST(min(toks) AS BIGINT) AS min_toks,
+      |    CAST(max(toks) AS BIGINT) AS max_toks
+      |  FROM d GROUP BY 1, 2),
+      |s AS (SELECT source, sum(n_docs) AS src_docs FROM b GROUP BY 1)
+      |SELECT b.source, len_bucket, n_docs,
+      |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // src_docs AS BIGINT)
+      |    AS doc_share_ppm,
+      |  tot_tokens, min_toks, max_toks
+      |FROM b JOIN s ON b.source = s.source
+      |ORDER BY b.source, len_bucket""".stripMargin
 }

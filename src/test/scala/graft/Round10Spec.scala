@@ -167,6 +167,93 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("nll filter sweep reconciles with the gated per-doc NLL ranking") {
+    // avg_nll per doc comes from the already-gated unigramNll operator;
+    // the sweep must be exactly the ceiling-threshold cut of that order
+    val perDoc = TextStats.unigramNll(spark, sf).collect()
+      .filter(_.getAs[Long]("n_tokens") > 0)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("avg_nll")))
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordered = perDoc.sortBy { case (d, _, nll) => (nll, d) }
+    val got = TextStats.nllFilterSweep(spark, sf).collect()
+    TextStats.nllSweepPcts.foreach { p =>
+      val k = ((p.toLong * ordered.length + 99) / 100).toInt
+      val kept = ordered.take(k)
+      val keptBySrc = kept.groupBy(t => srcOf(t._1))
+      got.filter(_.getAs[Int]("keep_pct") == p).foreach { r =>
+        val s = r.getAs[String]("source")
+        val want = keptBySrc.getOrElse(s, Array.empty[(Long, Long, Double)])
+        assert(r.getAs[Long]("kept_docs") == want.length, s"$s p=$p docs")
+        assert(r.getAs[Long]("kept_tokens") == want.map(_._2).sum, s"$s p=$p toks")
+      }
+      // the grid point keeps exactly k docs across all sources
+      assert(got.filter(_.getAs[Int]("keep_pct") == p)
+        .map(_.getAs[Long]("kept_docs")).sum == k, s"p=$p total")
+    }
+    // retention is monotone in p per source
+    got.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      val byP = rs.sortBy(_.getAs[Int]("keep_pct"))
+        .map(_.getAs[Long]("kept_docs"))
+      assert(byP.zip(byP.tail).forall { case (a, b) => a <= b }, s)
+    }
+  }
+
+  test("length histogram equals a driver-side log2 census") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+    val want = toks.groupBy { case (s, t) =>
+      (s, java.lang.Long.toBinaryString(t).length)
+    }.view.mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val got = TextStats.lengthHistogram(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Int]("len_bucket"))
+      val (nd, tt) = want(k)
+      assert(r.getAs[Long]("n_docs") == nd && r.getAs[Long]("tot_tokens") == tt, k)
+    }
+    // per-source ppm shares sum to ~1e6
+    got.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      val sum = rs.map(_.getAs[Long]("doc_share_ppm")).sum
+      assert(sum > 1000000L - rs.length && sum <= 1000000L, s)
+    }
+  }
+
+  test("paragraph retention equals a driver-side first-occurrence dedup") {
+    val b = graft.text.Dedup.paragraphBlock
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seen = scala.collection.mutable.Set[String]()
+    val agg = scala.collection.mutable.Map[String, (Long, Long, Long, Long)]()
+    docs.foreach { case (_, src, text) =>
+      val a = text.split(" ").filter(_.nonEmpty)
+      if (a.nonEmpty) {
+        a.grouped(b).foreach { blk =>
+          val key = h(blk.mkString(" "))
+          val keep = seen.add(key)
+          val (nb, rb, nt, rt) = agg.getOrElse(src, (0L, 0L, 0L, 0L))
+          agg(src) = (nb + 1, rb + (if (keep) 1 else 0),
+            nt + blk.length, rt + (if (keep) blk.length else 0))
+        }
+      }
+    }
+    val got = graft.text.Dedup.paragraphRetention(spark, sf).collect()
+    assert(got.length == agg.size)
+    got.foreach { r =>
+      val (nb, rb, nt, rt) = agg(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_blocks") == nb && r.getAs[Long]("retained_blocks") == rb &&
+        r.getAs[Long]("n_tokens") == nt && r.getAs[Long]("retained_tokens") == rt,
+        r.getAs[String]("source"))
+    }
+  }
+
   test("aspect buckets: census matches a driver-side nearest-ratio classify") {
     val geo = Tables.documents(spark, sf)
       .select(expr("octet_length(text)").as("n")).collect()
