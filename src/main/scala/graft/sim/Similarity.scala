@@ -998,7 +998,14 @@ object Similarity {
     * Factored from annPqFor so the IVF-composed path (annIvfPq) trains
     * THE SAME index — one derivation, two consumers.
     */
-  private[graft] def pqIndexFor(vecs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def pqIndexFor(vecs: DataFrame): (DataFrame, DataFrame) =
+    pqIndexAndBooks(vecs) match { case (c, l, _) => (c, l) }
+
+  /** pqIndexFor + the trained flat codebook tensor (m·k·subDim doubles,
+    * row-major [s][cid][k]) — the distortion report needs the centroid
+    * VALUES, not just the assignments. */
+  private[graft] def pqIndexAndBooks(
+      vecs: DataFrame): (DataFrame, DataFrame, Array[Double]) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val nVec = vecs.count()
     // deterministic seeds: the SAME evenly spaced vec_ids for every
@@ -1068,7 +1075,7 @@ object Similarity {
         graft.functions.VectorOps.pq_dists(col("v"), flatBooks, pqM, pqK)
           .as("lutflat"))
       .localCheckpoint(true)
-    (codes, luts)
+    (codes, luts, books.flatMap(_.flatMap(_._2)))
   }
 
   /** IVF-pruned PQ — the COMPOSED index this family's Scaladoc has
@@ -1949,6 +1956,73 @@ object Similarity {
        |  CAST((sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) * 1000000) // count(*)
        |    AS BIGINT) AS accuracy_ppm
        |FROM ev GROUP BY gold ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------- PQ distortion
+  //
+  // Per-subspace QUANTIZATION-DISTORTION report — the index-health
+  // metric the recall reports can't give (recall tells you the END
+  // effect; distortion tells you WHICH subspace's codebook is failing
+  // and whether more centroids/iterations would help — FAISS prints
+  // exactly this as imbalance/quantization error after training): for
+  // each of the 16 subspaces, the mean squared reconstruction error
+  // between every vector's sub-slice and its assigned centroid, over
+  // THE shared trained PQ index (pqIndexAndBooks — the same artifact
+  // annPq/annIvfPq rank with, so the report can't drift from the index
+  // it describes).
+  //
+  // Exactness: per-dim squared errors are (x−c)² doubles (identical
+  // operand order both engines) quantized DECIMAL(24,12) and summed
+  // exactly (order-independent); MSE divides the exact sum by the
+  // vector count at the output edge. Scale shape: one vectors scan
+  // joined to the 8-byte code table by vec_id, a 64-way in-row dim
+  // explode, ONE (subspace)-keyed 16-row aggregation; the codebook
+  // rides as literals (config-sized, the merges-file story).
+
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val vecs = vectors(spark, dir).persist()
+    val (codes, _, flat) = pqIndexAndBooks(vecs)
+    vecs.unpersist(false)
+    val flatLit = typedLit(flat.toSeq)
+    val codesArr = array((0 until pqM).map(s => col(s"c$s")): _*)
+    vecs.join(codes, "vec_id")
+      .select(col("vec_id"), codesArr.as("pc"), posexplode(col("v")).as(Seq("j", "x")))
+      .select((col("j") / pqSubDim).cast("int").as("s"),
+        (col("j") % pqSubDim).as("k"), col("x"),
+        element_at(col("pc"), (col("j") / pqSubDim).cast("int") + 1).as("cid"))
+      .select(col("s"),
+        (col("x") - element_at(flatLit,
+          (col("s") * (pqK * pqSubDim) + col("cid") * pqSubDim + col("k") + 1)
+            .cast("int"))).as("e"))
+      .select(col("s"), (col("e") * col("e")).cast(DecimalType(24, 12)).as("term"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term")).as("sse"))
+      .select(col("s").as("subspace"),
+        expr(s"CAST(n_terms DIV $pqSubDim AS BIGINT)").as("n_vectors"),
+        (col("sse").cast(DoubleType) /
+          expr(s"CAST(n_terms DIV $pqSubDim AS BIGINT)")).as("mse"))
+      .orderBy(col("subspace"))
+  }
+
+  lazy val pqDistortionSql: String = {
+    def lo(s: Int) = s * pqSubDim + 1
+    val blocks = (0 until pqM).map { s =>
+      s"""SELECT $s AS s, count(*) AS n_terms, sum(term) AS sse FROM (
+         |  SELECT CAST((e.v[${lo(s)} + t.i] - c.v[t.i + 1]) *
+         |    (e.v[${lo(s)} + t.i] - c.v[t.i + 1]) AS DECIMAL(24,12)) AS term
+         |  FROM e JOIN code_$s co USING (vec_id)
+         |  JOIN c2_$s c ON c.cid = co.cid, range($pqSubDim) t(i))"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $vectorsSql,
+       |$pqChainCtes,
+       |per_s AS (
+       |$blocks)
+       |SELECT CAST(s AS INTEGER) AS subspace,
+       |  CAST(n_terms // $pqSubDim AS BIGINT) AS n_vectors,
+       |  CAST(sse AS DOUBLE) / CAST(n_terms // $pqSubDim AS BIGINT) AS mse
+       |FROM per_s ORDER BY subspace""".stripMargin
+  }
 
   // ------------------------------------------------------- range search
   //

@@ -254,6 +254,42 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("pq distortion equals a driver-side reconstruction-error recompute") {
+    import graft.sim.Similarity
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // the SAME shared trained artifact the op uses
+    val vframe = Tables.embeddings(spark, sf).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+    val (codes, _, flat) = Similarity.pqIndexAndBooks(vframe)
+    val sub = Similarity.pqSubDim
+    val codeRows = codes.collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        (0 until Similarity.pqM).map(s => r.getAs[Int](s"c$s")).toArray).toMap
+    val want = (0 until Similarity.pqM).map { s =>
+      val terms = codeRows.toSeq.flatMap { case (id, pc) =>
+        val v = vecs(id)
+        (0 until sub).map { k =>
+          val c = flat(s * (Similarity.pqK * sub) + pc(s) * sub + k)
+          val e = v(s * sub + k) - c
+          BigDecimal(e * e).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+      s -> (terms.sum / BigDecimal(codeRows.size)).toDouble
+    }.toMap
+    val got = Similarity.pqDistortion(spark, sf).collect()
+    assert(got.length == Similarity.pqM)
+    got.foreach { r =>
+      val s = r.getAs[Int]("subspace")
+      assert(r.getAs[Long]("n_vectors") == codeRows.size)
+      assert(math.abs(r.getAs[Double]("mse") - want(s)) < 1e-9, s"s=$s")
+      assert(r.getAs[Double]("mse") >= 0.0)
+    }
+  }
+
   test("aspect buckets: census matches a driver-side nearest-ratio classify") {
     val geo = Tables.documents(spark, sf)
       .select(expr("octet_length(text)").as("n")).collect()
