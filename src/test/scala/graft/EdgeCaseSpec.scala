@@ -55,7 +55,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     // r9 late wave (profile_mutual_info also reads events -> out of scope)
     "dedup_threshold_sweep", "mix_waterfill", "curation_importance",
     "text_lexical_diversity", "dedup_lsh_param_sweep", "curation_select",
-    "mix_waterfill_bpe")
+    "mix_waterfill_bpe",
+    // r10 additions on the documents path (skipgram: no pair reaches
+    // min support -> empty, and the NULL totals never divide; paragraph
+    // dedup: empty docs carry no blocks; ingest pipeline: composition
+    // of already-swept stages)
+    "text_skipgram_pmi", "text_nll_filter_sweep", "text_length_histogram",
+    "dedup_paragraphs", "pack_attention_spans", "mm_aspect_buckets",
+    "dedup_ingest_pipeline")
 
   test("every document-path query survives the adversarial corpus") {
     docQueries.foreach { k =>
@@ -172,6 +179,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     val hm = EventAnalytics.eventsWeeklyHeatmap(spark, edgeEventsDir).collect()
     assert(hm.map(_.getAs[Long]("n_events")).sum == 25L)
     assert(hm.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+  }
+
+  test("r10 events ops degrade on the adversarial log instead of throwing") {
+    import graft.operators.EventAnalytics
+    // autocorr: the whole log fits inside ONE calendar day, so every
+    // lagged pair set is empty -> n_pairs 0 and r NULL (never a
+    // zero-variance division)
+    val ac = EventAnalytics.eventsAutocorr(spark, edgeEventsDir).collect()
+    assert(ac.length == EventAnalytics.autocorrLags.length)
+    ac.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == 0L)
+      assert(r.isNullAt(r.fieldIndex("r")))
+    }
+    // pareto: 4 users; ceiling thresholds keep >= 1 user at every p and
+    // shares stay monotone, reaching the full mass at p where k = n
+    val ps = EventAnalytics.eventsParetoShare(spark, edgeEventsDir)
+      .collect().sortBy(_.getAs[Int]("top_pct"))
+    assert(ps.forall(_.getAs[Long]("n_top_users") >= 1L))
+    val shares = ps.map(_.getAs[Long]("event_share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(ps.last.getAs[Long]("n_top_users") <= 4L)
   }
 
   test("r9 late-wave ops degrade on an all-empty corpus instead of throwing") {
