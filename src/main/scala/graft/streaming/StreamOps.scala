@@ -355,6 +355,53 @@ object StreamOps {
           .as("is_contained"))
   }
 
+  /** Streaming PARAGRAPH-unit gate — dedup_paragraphs' live twin (the
+    * same lambda split as the other ingest gates: the stream scores
+    * each arriving doc against the SETTLED block-hash index; extending
+    * the index and cross-doc dedup WITHIN the increment stay in the
+    * batch layer). Per arriving doc: blocks, novel blocks (not in the
+    * settled index), token masses and the exact-ppm novelty share — the
+    * number an ingest router acts on (a ~0-novelty doc is a re-crawl
+    * wrapped in new chrome; boilerplate-heavy docs show mid-range).
+    *
+    * Scale shape: block hashing is IN-ROW (the dedup_paragraphs
+    * segmentation verbatim — 16-token blocks standing in for paragraph
+    * breaks); ONE stream-static left join against the 1-row-per-hash
+    * settled index (bucketed on h at scale, the fingerprint-index
+    * story); one watermarked per-doc aggregation — state O(docs in the
+    * watermark horizon), never index-sized.
+    *
+    * `docs` needs (doc_id, ts, text); `blockIndex` needs (h) — the
+    * settled corpus' distinct block hashes (Dedup.paragraphBlockIndex).
+    */
+  def paragraphGate(docs: DataFrame, blockIndex: DataFrame): DataFrame = {
+    val b = graft.text.Dedup.paragraphBlock
+    val blocks = docs
+      .select(col("doc_id"), col("ts"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("a"))
+      .filter(size(col("a")) >= 1)
+      .select(col("doc_id"), col("ts"), explode(expr(
+        s"""transform(sequence(0, (size(a) - 1) DIV $b),
+           |  k -> struct(md5(concat_ws(' ', slice(a, k * $b + 1, $b))) AS h,
+           |    CAST(least($b, size(a) - k * $b) AS BIGINT) AS toks))"""
+          .stripMargin)).as("blk"))
+      .select(col("doc_id"), col("ts"), col("blk.h").as("h"),
+        col("blk.toks").as("toks"))
+    blocks.withWatermark("ts", "1 hour")
+      .join(blockIndex.select(col("h"), lit(1L).as("known")).distinct(),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("novel_blocks"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("known").isNull, col("toks")).otherwise(0L))
+          .as("novel_tokens"))
+      .select(col("doc_id"), col("n_blocks"), col("novel_blocks"),
+        col("n_tokens"), col("novel_tokens"),
+        expr("CAST(novel_tokens * 1000000 DIV n_tokens AS BIGINT)")
+          .as("novelty_ppm"))
+  }
+
   /** Streaming cluster ASSIGNMENT — dedup_incremental_components' live
     * twin, split the way a lambda architecture actually splits it: the
     * stream ASSIGNS each arriving doc to settled near-dup clusters

@@ -1350,6 +1350,22 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** The settled corpus' distinct block hashes — the static side of the
+    * streaming paragraph gate (StreamOps.paragraphGate); at scale a
+    * bucketed-on-h table the batch dedup maintains beside the
+    * fingerprint / band / cluster-shingle indexes. */
+  def paragraphBlockIndex(spark: SparkSession, dir: String): DataFrame = {
+    val b = paragraphBlock
+    Tables.documents(spark, dir)
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("a"))
+      .filter(size(col("a")) >= 1)
+      .select(explode(expr(
+        s"""transform(sequence(0, (size(a) - 1) DIV $b),
+           |  k -> md5(concat_ws(' ', slice(a, k * $b + 1, $b))))"""
+          .stripMargin)).as("h"))
+      .distinct()
+  }
+
   val paragraphRetentionSql: String = {
     val b = paragraphBlock
     s"""WITH base AS (

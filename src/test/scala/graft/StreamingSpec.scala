@@ -637,4 +637,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(id).getAs[Boolean]("reject") == (per < -1.0), s"doc $id")
     }
   }
+
+  test("streaming paragraph gate scores block novelty against the settled index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // settled corpus: one 32-token doc -> exactly two 16-token blocks
+    val settledText = (1 to 32).map(i => s"w$i").mkString(" ")
+    val settled = Seq((0L, settledText, "en", "src0", settledText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pblk").toString
+    settled.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val index = graft.text.Dedup.paragraphBlockIndex(spark, dir)
+    assert(index.count() == 2)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val freshBlock = (1 to 16).map(i => s"z$i").mkString(" ")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(Seq(
+      // exact re-ingest: both blocks known -> novelty 0
+      (1L, t0, settledText),
+      // half old, half new: first block settled, second fresh
+      (2L, t0, (1 to 16).map(i => s"w$i").mkString(" ") + " " + freshBlock),
+      // fully novel
+      (3L, t0, freshBlock),
+      // a short tail (5 tokens) -> one short novel block
+      (4L, t0, "a b c d e")))
+    val q = StreamOps.paragraphGate(
+        mem.toDF().toDF("doc_id", "ts", "text"), index)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("pgate_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pgate_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("novel_blocks"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("novel_tokens"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    assert(got(1L) == ((2L, 0L, 32L, 0L, 0L)))
+    assert(got(2L) == ((2L, 1L, 32L, 16L, 500000L)))
+    assert(got(3L) == ((1L, 1L, 16L, 16L, 1000000L)))
+    assert(got(4L) == ((1L, 1L, 5L, 5L, 1000000L)))
+  }
 }
