@@ -1706,6 +1706,88 @@ object Similarity {
        |SELECT src, rank, dst, cosine FROM knn
        |ORDER BY src, rank""".stripMargin
 
+  // -------------------------------------------------- knn assortativity
+  //
+  // Degree ASSORTATIVITY of the k-NN graph (Newman 2002: the Pearson
+  // correlation of endpoint total degrees over edges) — the one-number
+  // topology diagnostic for a similarity graph: r > 0 means hubs link
+  // to hubs (dense semantic cores — clustering/label-prop will behave),
+  // r < 0 means hub-and-spoke (a few attractors absorb everything —
+  // exactly the regime where kNN-graph consumers degrade and degCap
+  // guards matter). Runs over THE shared knn derivation (knnGraphCtes),
+  // so the report describes exactly the graph knn_label_prop and
+  // knn_triangles consume.
+  //
+  // Exactness + scale: total degrees from one node-keyed count over the
+  // k·n edge list; edges join the degree table twice (node-keyed
+  // equi-joins); all six Pearson sums exact DECIMAL(38,0)/HUGEINT and r
+  // in IEEE double over exact sums (the events_autocorr device); zero
+  // variance degrades to NULL via identical CASE both engines. Output
+  // is one row.
+
+  def knnAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 0)
+    val edges = knnGraph(spark, dir).select(col("src"), col("dst"))
+      .localCheckpoint() // feeds the degree agg AND both endpoint joins
+    val deg = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val joined = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+    joined.agg(count(lit(1)).as("n_edges"),
+        sum(col("dx").cast(dec)).cast(dec).as("sx"),
+        sum(col("dy").cast(dec)).cast(dec).as("sy"),
+        sum((col("dx") * col("dy")).cast(dec)).cast(dec).as("sxy"),
+        sum((col("dx") * col("dx")).cast(dec)).cast(dec).as("sxx"),
+        sum((col("dy") * col("dy")).cast(dec)).cast(dec).as("syy"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), col("n_edges"),
+        expr(
+          """CASE WHEN n_edges <= 1
+            |  OR n_edges * sxx - sx * sx = 0 OR n_edges * syy - sy * sy = 0
+            |THEN NULL ELSE
+            |  (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            |  (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+            |   sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+            |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            |END""".stripMargin).as("assortativity"))
+  }
+
+  val knnAssortativitySql: String =
+    s"""WITH $knnGraphCtes,
+       |edges AS (SELECT src, dst FROM knn),
+       |deg AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT src AS node FROM edges
+       |    UNION ALL SELECT dst FROM edges)
+       |  GROUP BY node),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(sum(CAST(a.deg AS HUGEINT)) AS HUGEINT) AS sx,
+       |    CAST(sum(CAST(b.deg AS HUGEINT)) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(a.deg AS HUGEINT) * b.deg) AS HUGEINT) AS sxy,
+       |    CAST(sum(CAST(a.deg AS HUGEINT) * a.deg) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(b.deg AS HUGEINT) * b.deg) AS HUGEINT) AS syy
+       |  FROM edges e JOIN deg a ON e.src = a.node
+       |               JOIN deg b ON e.dst = b.node),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+       |SELECT n_nodes, n_edges,
+       |  CASE WHEN n_edges <= 1
+       |    OR n_edges * sxx - sx * sx = 0 OR n_edges * syy - sy * sy = 0
+       |  THEN NULL ELSE
+       |    (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |    (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |     sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END AS assortativity
+       |FROM sums, nn""".stripMargin
+
   // ------------------------------------------------------ label propagation
   //
   // Semi-supervised LABEL PROPAGATION over the k-NN graph (Zhu &

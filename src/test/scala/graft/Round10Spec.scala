@@ -290,6 +290,29 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("knn assortativity equals a driver-side Newman r over the same graph") {
+    import graft.sim.Similarity
+    val edges = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val deg = scala.collection.mutable.Map[Long, Long]()
+    edges.foreach { case (s, d) =>
+      deg(s) = deg.getOrElse(s, 0L) + 1; deg(d) = deg.getOrElse(d, 0L) + 1
+    }
+    val n = edges.length.toDouble
+    val xs = edges.map(e => deg(e._1).toDouble)
+    val ys = edges.map(e => deg(e._2).toDouble)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val row = Similarity.knnAssortativity(spark, sf).collect().head
+    assert(row.getAs[Long]("n_edges") == edges.length)
+    assert(row.getAs[Long]("n_nodes") == deg.size)
+    assert(math.abs(row.getAs[Double]("assortativity") - want) < 1e-9)
+    assert(math.abs(row.getAs[Double]("assortativity")) <= 1.0)
+  }
+
   test("aspect buckets: census matches a driver-side nearest-ratio classify") {
     val geo = Tables.documents(spark, sf)
       .select(expr("octet_length(text)").as("n")).collect()
