@@ -31,7 +31,10 @@ class EdgeEmbeddingsSpec extends AnyFunSuite {
 
   private val embQueries = Seq("sim_topk_bruteforce", "sim_ann_lsh",
     "sim_ann_ivf", "sim_pairs_threshold", "dedup_embedding",
-    "sim_label_centroids")
+    "sim_label_centroids",
+    // r10: range counting over the zero-vector corpus (NULL cosines
+    // drop out of every >= tau filter), assortativity on a 5-node graph
+    "sim_range_search", "knn_assortativity")
 
   test("every embeddings-path query survives the adversarial corpus") {
     embQueries.foreach { k =>

@@ -43,6 +43,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalCumsum equals the sequential prefix sum at any partitioning") {
+    import spark.implicits._
+    // the packing primitive's contract, quantified: the distributed
+    // two-pass prefix sum must equal the sequential scan under the same
+    // total order, at every partition layout — ties included (the
+    // tiebreak column makes the order total)
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      keys <- Gen.listOfN(n, Gen.choose(0L, 9L)) // heavy key ties
+      parts <- Gen.choose(1, 8)
+    } yield (vals, keys, parts)
+    samples(gen, 5, 911L).foreach { case (vals, keys, parts) =>
+      val df = vals.zip(keys).zipWithIndex
+        .map { case ((v, k), i) => (k, i.toLong, v) }
+        .toDF("k", "id", "v").repartition(parts)
+      val got = GlobalRank.withGlobalCumsum(df, "v", "cum", col("k"), col("id"))
+        .select(col("k"), col("id"), col("cum")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      var run = 0L
+      vals.zip(keys).zipWithIndex
+        .map { case ((v, k), i) => (k, i.toLong, v) }
+        .sortBy(t => (t._1, t._2))
+        .foreach { case (k, id, v) =>
+          run += v
+          assert(got((k, id)) == run, s"key=($k,$id)")
+        }
+    }
+  }
+
   test("waterfill first-match cap is the true optimum on random corpora") {
     // the exact derivation mixWaterfill plans (ascending sort, integer
     // floors, truncation toward zero) replayed as a pure function and
