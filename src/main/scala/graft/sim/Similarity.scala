@@ -2039,6 +2039,63 @@ object Similarity {
        |    AS BIGINT) AS accuracy_ppm
        |FROM ev GROUP BY gold ORDER BY label""".stripMargin
 
+  // --------------------------------------------------- hard negatives
+  //
+  // HARD-NEGATIVE MINING — the contrastive-training data op (DPR/SBERT
+  // recipe: the negatives that teach are the ones the current embedding
+  // space ranks HIGHEST among wrong-label candidates; random negatives
+  // are trivially separable and teach nothing): per query, the top-5
+  // most-similar OTHER-label vectors, with the query's own label and
+  // the negative's label and rank. The output table feeds a training
+  // dataloader directly (query_id, neg_id pairs in mining order).
+  //
+  // Scale shape: the sim_topk_bruteforce scorer contract (one corpus
+  // scan × broadcastable query set; label rides the same scan — no
+  // extra join), the wrong-label filter BEFORE the per-query bounded
+  // window (partial WindowGroupLimit — only ~5·|queries| rows per
+  // partition ride the shuffle). At 100 TB the scorer swaps for an ANN
+  // probe feeding the same filter+rank tail (the sim_mmr pool
+  // precedent); exhaustive scoring here is the declared exactness
+  // contract.
+
+  val hardNegK = 5
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vectors(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neg_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        cosine("v_q", "v", col("nrm_q"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= hardNegK)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("neg_id"), col("neg_label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH $vectorsSql,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS query_label,
+       |    c.vec_id AS neg_id, c.label AS neg_label,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+       |    AND c.label <> q.label)
+       |SELECT query_id, query_label,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neg_id) AS INTEGER) AS rank,
+       |  neg_id, neg_label, cosine
+       |FROM scored
+       |QUALIFY rank <= $hardNegK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------- PQ distortion
   //
   // Per-subspace QUANTIZATION-DISTORTION report — the index-health

@@ -1057,6 +1057,105 @@ object TextStats {
        |ORDER BY source, keep_pct""".stripMargin
   }
 
+  // ------------------------------------------------- vocab overlap
+  //
+  // Pairwise TOP-VOCABULARY overlap between sources — the
+  // tokenizer-fairness / domain-proximity audit (two sources whose top
+  // vocabularies barely intersect cannot share a small tokenizer budget
+  // without fertility pain — bpe_fertility shows the symptom per
+  // source, this shows WHICH source pairs are vocabulary-disjoint; it
+  // doubles as the cheap domain-similarity matrix a mix designer
+  // eyeballs before grouping sources): per source, the top-100 tokens
+  // by instance count (ties broken by the md5 token hash — an
+  // engine-neutral total order), then per source pair the shared-token
+  // count and its exact-ppm share of the SMALLER top set.
+  //
+  // Scale shape: one (source, token) two-phase count agg; the top-100
+  // cut is the bounded TopKAgg typed aggregator (k entries per
+  // source × partition ride the shuffle — NEVER a row_number window
+  // over per-source vocabularies, which are corpus-sized: the
+  // profile_top_values lesson); token strings rejoin by (source, hash)
+  // against the counts frame; the pair join runs over ≤ |sources|·100
+  // rows. Sources are a bounded dimension by contract (the driver-side
+  // source list is |sources| strings — the events-ops |types|
+  // convention).
+
+  val vocabTopK = 100
+
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAgg
+    val hashExpr = "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)"
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr(
+        "filter(split(text, ' '), x -> x <> '')")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("th", expr(hashExpr))
+      .localCheckpoint() // feeds the top-k agg AND the token join-back
+    // bounded source dimension -> a driver-side index for the typed agg
+    val srcs = counts.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val srcIdx = srcs.zipWithIndex.toMap
+    val idxCol = srcs.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (s, i)) =>
+      when(col("source") === s, lit(i.toLong)).otherwise(acc)
+    }
+    val agg = new TopKAgg.TopK(vocabTopK)
+    // TopKAgg orders (value desc, id asc); value = count, id = token
+    // hash -> deterministic cross-engine tie resolution
+    val top = counts
+      .select(idxCol.as("si"), col("c").cast("double").as("v"), col("th"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn)
+      .flatMap { (pair: (Long, Seq[TopKAgg.Entry])) =>
+        pair._2.map { case (_, th) => (srcs(pair._1.toInt), th) }
+      }
+      .toDF("source", "th")
+    val sized = top.groupBy(col("source")).agg(count(lit(1)).as("n_top"))
+    val a = top.join(sized, "source")
+      .select(col("source").as("source_a"), col("n_top").as("n_a"), col("th"))
+    val b = top.join(sized, "source")
+      .select(col("source").as("source_b"), col("n_top").as("n_b"), col("th"))
+    a.join(b, Seq("th"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("n_shared"),
+        expr("CAST(n_shared * 1000000 DIV least(n_a, n_b) AS BIGINT)")
+          .as("overlap_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val vocabOverlapSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, token, count(*) AS c,
+       |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS th
+       |  FROM (SELECT source,
+       |          unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |            AS token
+       |        FROM documents)
+       |  GROUP BY source, token),
+       |top AS (
+       |  SELECT source, th FROM (
+       |    SELECT source, th,
+       |      row_number() OVER (PARTITION BY source ORDER BY c DESC, th)
+       |        AS rk
+       |    FROM counts)
+       |  WHERE rk <= $vocabTopK),
+       |sized AS (SELECT source, count(*) AS n_top FROM top GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(sa.n_top AS BIGINT) AS n_a, CAST(sb.n_top AS BIGINT) AS n_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared,
+       |  CAST(CAST(count(*) AS HUGEINT) * 1000000
+       |    // least(sa.n_top, sb.n_top) AS BIGINT) AS overlap_ppm
+       |FROM top a JOIN top b ON a.th = b.th AND a.source < b.source
+       |JOIN sized sa ON sa.source = a.source
+       |JOIN sized sb ON sb.source = b.source
+       |GROUP BY a.source, b.source, sa.n_top, sb.n_top
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ----------------------------------------------- length histogram
   //
   // Log₂-bucket document-LENGTH census per source — the first chart of

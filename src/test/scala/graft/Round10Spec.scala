@@ -313,6 +313,73 @@ class Round10Spec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("assortativity")) <= 1.0)
   }
 
+  test("hard negatives are the top wrong-label candidates, exactly") {
+    import graft.sim.Similarity
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Similarity.hardNegatives(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    vecs.filter(_._1 < 20).foreach { case (q, ql, vq) =>
+      val want = vecs
+        .filter { case (id, l, _) => id != q && l != ql }
+        .map { case (id, l, v) => (id, l, cos(vq, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(Similarity.hardNegK)
+      val rows = got(q).sortBy(_.getAs[Int]("rank"))
+      assert(rows.length == want.length)
+      rows.zip(want).foreach { case (r, (id, l, c)) =>
+        assert(r.getAs[Long]("neg_id") == id && r.getAs[Int]("neg_label") == l,
+          s"q=$q")
+        assert(math.abs(r.getAs[Double]("cosine") - c) < 1e-9, s"q=$q")
+        assert(r.getAs[Int]("neg_label") != r.getAs[Int]("query_label"))
+      }
+    }
+  }
+
+  test("vocab overlap equals a driver-side top-k intersection") {
+    import graft.text.TextStats
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def th(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    Tables.documents(spark, sf).select("source", "text").collect()
+      .foreach { r =>
+        val s = r.getString(0)
+        r.getString(1).split(" ").filter(_.nonEmpty)
+          .foreach(t => counts((s, t)) = counts.getOrElse((s, t), 0L) + 1)
+      }
+    val tops: Map[String, Set[Long]] = counts.toSeq
+      .groupBy(_._1._1).view.mapValues { rows =>
+        rows.map { case ((_, t), c) => (c, th(t)) }
+          .sortBy { case (c, h) => (-c, h) }
+          .take(TextStats.vocabTopK).map(_._2).toSet
+      }.toMap
+    val got = TextStats.vocabOverlap(spark, sf).collect()
+    got.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val shared = (tops(a) & tops(b)).size.toLong
+      assert(r.getAs[Long]("n_shared") == shared, s"$a-$b")
+      assert(r.getAs[Long]("overlap_ppm") ==
+        shared * 1000000L / math.min(tops(a).size, tops(b).size), s"$a-$b")
+    }
+    // every overlapping pair is present (zero-overlap pairs are omitted
+    // by construction, identically in both engines)
+    val pairs = tops.keys.toSeq.sorted.combinations(2)
+      .count { case Seq(a, b) => (tops(a) & tops(b)).nonEmpty }
+    assert(got.length == pairs)
+  }
+
   test("aspect buckets: census matches a driver-side nearest-ratio classify") {
     val geo = Tables.documents(spark, sf)
       .select(expr("octet_length(text)").as("n")).collect()
