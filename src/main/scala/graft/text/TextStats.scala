@@ -1096,7 +1096,6 @@ object TextStats {
     // bounded source dimension -> a driver-side index for the typed agg
     val srcs = counts.select(col("source")).distinct()
       .collect().map(_.getString(0)).sorted
-    val srcIdx = srcs.zipWithIndex.toMap
     val idxCol = srcs.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (s, i)) =>
       when(col("source") === s, lit(i.toLong)).otherwise(acc)
     }
