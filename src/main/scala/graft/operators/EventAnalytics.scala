@@ -1470,6 +1470,68 @@ object EventAnalytics {
     sb.toString
   }
 
+  // --------------------------------------------------- new vs returning
+  //
+  // Daily NEW-vs-RETURNING activity split — the growth-accounting chart
+  // every product/ingest dashboard leads with (q_retention answers "do
+  // cohorts come back", profile_key_growth tracks the key space week
+  // over week; this is the per-day EVENT mix: how much of today's
+  // traffic is first-ever-seen users vs the existing base — a
+  // new-share collapse is stalled acquisition, a returning collapse is
+  // churn, and for an ingest pipeline the same split separates
+  // first-crawl volume from re-crawl volume). A user's events on their
+  // very first active day count as new; everything later is returning.
+  //
+  // Scale shape: one events scan → (user, day)-keyed two-phase count
+  // agg (the dedup-first device); first day per user = one user-keyed
+  // min over that aggregate (never a window over raw events); the flag
+  // join is aggregate⋈aggregate on the user key; final day-keyed
+  // rollup over calendar-bounded keys. Exact integer ppm with
+  // DECIMAL(38,0) widening.
+
+  def eventsNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val perUserDay = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+    val firstDay = perUserDay.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"))
+    perUserDay.join(firstDay, "user_id")
+      .select(col("day"), col("n"),
+        (col("day") === col("d0")).as("is_new"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("is_new"), col("n")).otherwise(0L)).as("new_events"),
+        sum(when(!col("is_new"), col("n")).otherwise(0L))
+          .as("returning_events"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("returning_users"))
+      .select(col("day"), col("new_events"), col("returning_events"),
+        col("new_users"), col("returning_users"),
+        expr("CAST(CAST(new_events AS DECIMAL(38,0)) * 1000000" +
+          " DIV (new_events + returning_events) AS BIGINT)")
+          .as("new_share_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val eventsNewVsReturningSql: String =
+    """WITH pud AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |fd AS (SELECT user_id, min(day) AS d0 FROM pud GROUP BY 1)
+      |SELECT p.day,
+      |  CAST(sum(CASE WHEN p.day = f.d0 THEN p.n ELSE 0 END) AS BIGINT)
+      |    AS new_events,
+      |  CAST(sum(CASE WHEN p.day <> f.d0 THEN p.n ELSE 0 END) AS BIGINT)
+      |    AS returning_events,
+      |  CAST(sum(CASE WHEN p.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS new_users,
+      |  CAST(sum(CASE WHEN p.day <> f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS returning_users,
+      |  CAST(CAST(sum(CASE WHEN p.day = f.d0 THEN p.n ELSE 0 END) AS HUGEINT)
+      |    * 1000000 // sum(p.n) AS BIGINT) AS new_share_ppm
+      |FROM pud p JOIN fd f USING (user_id)
+      |GROUP BY p.day ORDER BY p.day""".stripMargin
+
   // ------------------------------------------------------- pareto share
   //
   // User-concentration (Lorenz/Pareto) table: for each top-percentile

@@ -380,6 +380,31 @@ class Round10Spec extends AnyFunSuite {
     assert(got.length == pairs)
   }
 
+  test("new-vs-returning split equals a driver-side first-day replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstDay = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val byDay = ev.groupBy(_._2).view.mapValues { rows =>
+      val users = rows.groupBy(_._1)
+      val (nu, ru) = users.partition { case (u, rs) => firstDay(u) == rs.head._2 }
+      (nu.values.map(_.length).sum.toLong, ru.values.map(_.length).sum.toLong,
+        nu.size.toLong, ru.size.toLong)
+    }.toMap
+    val got = EventAnalytics.eventsNewVsReturning(spark, sf).collect()
+    assert(got.length == byDay.size)
+    got.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val (ne, re, nu, ru) = byDay(d)
+      assert(r.getAs[Long]("new_events") == ne && r.getAs[Long]("returning_events") == re, s"day $d")
+      assert(r.getAs[Long]("new_users") == nu && r.getAs[Long]("returning_users") == ru, s"day $d")
+      assert(r.getAs[Long]("new_share_ppm") == ne * 1000000L / (ne + re), s"day $d")
+    }
+    // day 1: everyone is new; new shares never exceed 1e6
+    val first = got.minBy(_.getAs[Long]("day"))
+    assert(first.getAs[Long]("returning_events") == 0L)
+  }
+
   test("aspect buckets: census matches a driver-side nearest-ratio classify") {
     val geo = Tables.documents(spark, sf)
       .select(expr("octet_length(text)").as("n")).collect()
