@@ -1,29 +1,94 @@
 package graft
 
-/** Registry of storage-backed SHARED PIPELINE ARTIFACTS — frames a whole
-  * pipeline run derives once and many downstream operators consume (the
-  * near-dup components fixpoint is the canonical case: components,
+/** Registry of lake-materialized SHARED PIPELINE ARTIFACTS — frames a
+  * whole pipeline run derives once and many downstream operators consume
+  * (the near-dup components fixpoint is the canonical case: components,
   * cluster_profile, keep_best, curation_funnel, mix_dedup_discount and
-  * split_leakage_audit all read the same table).
+  * split_leakage_audit all read the same table; the BPE token accounting
+  * table serves pack_shards_bpe / mix_weights_bpe / mix_waterfill_bpe).
   *
-  * The Bench/Verify between-query boundary frees ALL persistent RDDs so
-  * per-query numbers stay honest-cold (the b5d3212 convention) — but a
-  * shared artifact is precisely the storage a production pipeline pays
-  * for ONCE and amortizes across every consumer, so the boundary exempts
-  * RDD ids registered here. The cold derivation stays visible: the FIRST
-  * consumer's `queries_first` number carries it; later consumers measure
-  * only their own incremental work, exactly as a real pipeline would.
+  * r10 held these artifacts RESIDENT in executor storage
+  * (localCheckpoint, exempt from the Bench/Verify honest-cold boundary).
+  * That amortized the derivation but pinned a CORPUS-SIZED frame (every
+  * doc's encoded-token count; every doc's component label) in executor
+  * memory for the whole session — at 100 TB an executor-storage
+  * liability, and on the bench box measurable as storage-pool pressure
+  * inflating unrelated queries' medians (VERDICT r10 #1). A production
+  * pipeline does the other thing: it derives the shared artifact once
+  * and MATERIALIZES IT TO THE LAKE next to the corpus, then every
+  * consumer runs a plain columnar scan — no resident state, full
+  * column pruning and predicate pushdown on the re-read, survives
+  * executor loss and even session restart for free.
   *
-  * Memo owners (Dedup.componentsTable) must still handle eviction: a
-  * registered block can disappear on executor loss or an explicit free,
-  * so every memo hit re-checks the backing RDD's storage level and
-  * rebuilds when it is gone — registration is an optimization, never a
-  * correctness dependency.
+  * [[materialized]] is that path: compute once per (appId, dir, content
+  * fingerprint, name), write parquet under [[artifactRoot]], and hand
+  * every consumer a fresh `spark.read.parquet` frame. The cold
+  * derivation stays visible exactly as before: the FIRST consumer's
+  * `queries_first` number carries the derivation + write; later
+  * consumers pay only their own scan — the first-consumer-pays
+  * convention (PLANS.md). Eviction is now trivially correct: the memo
+  * re-checks the files on every hit and re-derives if they are gone,
+  * and the content fingerprint in the key re-derives when the corpus is
+  * rewritten. Only BOUNDED artifacts (the K-row trained BPE merge list,
+  * codebooks, centroids) stay as driver-memory memos.
+  *
+  * The RDD-id registry below remains for any future bounded
+  * executor-resident artifact; since r11 nothing data-sized registers.
   */
 object SharedArtifacts {
   private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
   def register(id: Int): Unit = ids.add(id)
   def contains(id: Int): Boolean = ids.contains(id)
+
+  /** Where shared artifacts land. In production this is a lake path next
+    * to the corpus (`<corpus>/_artifacts`) — here the corpus dirs are
+    * read-only test fixtures, so the default is a session-scoped local
+    * staging dir; GRAFT_ARTIFACT_DIR points it at a real lake location.
+    */
+  def artifactRoot: String = sys.env.getOrElse("GRAFT_ARTIFACT_DIR",
+    System.getProperty("java.io.tmpdir") + "/graft_artifacts")
+
+  private val pathMemo =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Derive-once / read-many: returns `<name>` for `<dir>`'s documents
+    * table, computing and writing it exactly once per (session, dir,
+    * corpus content). Thread-safe; every caller gets an independent
+    * parquet-scan frame (nothing resident, nothing shared but files).
+    *
+    * Once the artifact is on disk, any executor storage the DERIVATION
+    * persisted (iteration checkpoints, symmetrized edge caches) is dead
+    * weight — the artifact replaces it — so the compute window's newly
+    * persisted RDDs are freed right after the write (the Bench
+    * honest-cold boundary device, scoped to the derivation). Caches a
+    * CALLER persisted before entering (e.g. the shared shingle frame
+    * incremental ingest keeps probing) predate the snapshot and
+    * survive; freeing is always correctness-neutral (caches rebuild).
+    */
+  def materialized(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String)(compute: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = synchronized {
+    val key = memoKey(spark, dir, name)
+    val path = pathMemo.get(key)
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse {
+        val p = java.nio.file.Paths.get(artifactRoot,
+          spark.sparkContext.applicationId,
+          java.lang.Long.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(key).toLong
+              & 0xffffffffL) + "_" + name + ".parquet").toString
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        compute.write.mode("overwrite").parquet(p)
+        val after = spark.sparkContext.getPersistentRDDs
+        (after.keySet -- before).foreach { id =>
+          after.get(id).filterNot(r => contains(r.id))
+            .foreach(_.unpersist(blocking = false))
+        }
+        pathMemo.put(key, p)
+        p
+      }
+    spark.read.parquet(path)
+  }
 
   /** Content fingerprint of `<dir>/<table>.parquet` (file OR directory of
     * part files): every data file's (relative path, size, mtime) folded
@@ -34,7 +99,19 @@ object SharedArtifacts {
     * staleness hole the (applicationId, dir) key left open. Driver-side
     * metadata walk only: O(files in one table), microseconds at catalog
     * scale, never a data read.
+    *
+    * The fingerprint COMPLEMENTS the dir in a memo key, never replaces
+    * it: two dirs can share a fingerprint (a `cp -r`'d corpus preserves
+    * relative layout + sizes + mtimes; any table invisible to java.nio
+    * — hdfs://, s3a:// — degrades to the constant "absent"), so a
+    * fingerprint-only key would serve one corpus' artifact to another.
+    * Memo owners key on appId + dir + fingerprint ([[memoKey]]).
     */
+  def memoKey(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): String =
+    spark.sparkContext.applicationId + ":" + name + ":" + dir + ":" +
+      tableFingerprint(dir, "documents")
+
   def tableFingerprint(dir: String, table: String): String = {
     val root = java.nio.file.Paths.get(dir, s"$table.parquet")
     if (!java.nio.file.Files.exists(root)) return "absent"

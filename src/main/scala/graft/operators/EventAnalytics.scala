@@ -1558,18 +1558,21 @@ object EventAnalytics {
     val totals = ranked.agg(count(lit(1)).as("n_users"),
       sum(col("n_ev")).as("n_events"))
     val grid = ranked.crossJoin(broadcast(totals))
-    val aggs = paretoPcts.flatMap { p =>
+    val aggs = paretoPcts.map { p =>
       val k = s"($p * n_users + 99) DIV 100"
-      Seq(
-        max(expr(s"CAST($k AS BIGINT)")).as(s"k_$p"),
-        sum(when(expr(s"rk <= $k"), col("n_ev")).otherwise(lit(0L)))
-          .as(s"e_$p"))
+      sum(when(expr(s"rk <= $k"), col("n_ev")).otherwise(lit(0L)))
+        .as(s"e_$p")
     }
     val one = grid.agg(aggs.head, aggs.tail: _*)
       .crossJoin(broadcast(totals))
     paretoPcts.map { p =>
       one.select(lit(p).as("top_pct"),
-        col(s"k_$p").as("n_top_users"),
+        // n_top_users from the SCALAR totals row, not max() over the
+        // data-sized ranked frame: on an empty events table the frame
+        // aggregate yields NULL where the oracle's scalar subquery
+        // derivation yields 0 (ADVICE r10)
+        expr(s"CAST(($p * n_users + 99) DIV 100 AS BIGINT)")
+          .as("n_top_users"),
         col(s"e_$p").as("n_top_events"),
         col("n_events"),
         // DECIMAL(38,0) widening before the ×1e6 product (the

@@ -98,10 +98,12 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
     // maps TABLE→MANAGED_TABLE, VIEW→VIRTUAL_VIEW), and the server may
     // speak yet another one (Spark's thrift server answers TABLE/VIEW)
     // — a requested array can silently drop every view. Filter the
-    // RETURNED type strings instead, accepting both vocabularies:
-    // *VIEW* → view; TABLE / *_TABLE (MANAGED_TABLE, EXTERNAL_TABLE) →
-    // table; anything else (SYSTEM TABLE, SYNONYM, ALIAS, sequences) is
-    // not a survey target.
+    // RETURNED type strings instead, accepting every vocabulary in the
+    // wild: *VIEW* → view; TABLE / *_TABLE (MANAGED_TABLE,
+    // EXTERNAL_TABLE) / "* TABLE" (information-schema-derived drivers
+    // report "BASE TABLE"; ADVICE r10) → table — EXCEPT "SYSTEM TABLE",
+    // the one space-separated type that is not a survey target; anything
+    // else (SYNONYM, ALIAS, SEQUENCE) is skipped.
     val rs = c.getMetaData.getTables(null, null, "%", null)
     val buf = Seq.newBuilder[(String, String)]
     while (rs.next()) {
@@ -109,7 +111,8 @@ class JdbcSource(spark: SparkSession, url: String, tables: Seq[String] = Nil,
       val tt = Option(rs.getString("TABLE_TYPE")).getOrElse("").toUpperCase
       val kind =
         if (tt.contains("VIEW")) Some("view")
-        else if (tt == "TABLE" || tt.endsWith("_TABLE")) Some("table")
+        else if (tt == "TABLE" || tt.endsWith("_TABLE") ||
+          (tt.endsWith(" TABLE") && tt != "SYSTEM TABLE")) Some("table")
         else None
       if (!schema.toUpperCase.startsWith("SYS") &&
           !schema.equalsIgnoreCase("information_schema"))

@@ -368,7 +368,11 @@ object StreamOps {
     * segmentation verbatim — 16-token blocks standing in for paragraph
     * breaks); ONE stream-static left join against the 1-row-per-hash
     * settled index (bucketed on h at scale, the fingerprint-index
-    * story); one watermarked per-doc aggregation — state O(docs in the
+    * story); one watermarked per-doc aggregation whose grouping key
+    * INCLUDES the event-time window — a doc's blocks share one ts, so
+    * the window changes no group, but without it the watermark could
+    * never evict doc_id-keyed state (ADVICE r10) and state would grow
+    * with every doc_id ever seen. With it, state is O(docs in the
     * watermark horizon), never index-sized.
     *
     * `docs` needs (doc_id, ts, text); `blockIndex` needs (h) — the
@@ -390,7 +394,7 @@ object StreamOps {
     blocks.withWatermark("ts", "1 hour")
       .join(blockIndex.select(col("h"), lit(1L).as("known")).distinct(),
         Seq("h"), "left")
-      .groupBy(col("doc_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("known").isNull, 1L).otherwise(0L)).as("novel_blocks"),
         sum(col("toks")).as("n_tokens"),

@@ -82,8 +82,8 @@ object BpeTrainer {
 
   private def trainedMerges(spark: SparkSession, dir: String,
       merges: Int): Seq[(Int, String, String, Long)] = {
-    val key = spark.sparkContext.applicationId + ":" +
-      graft.SharedArtifacts.tableFingerprint(dir, "documents") + ":" + merges
+    val key = graft.SharedArtifacts.memoKey(spark, dir, "bpe-merges") +
+      ":" + merges
     mergesMemo.getOrElseUpdate(key, bpeTrainCompute(spark, dir, merges))
   }
 
@@ -190,37 +190,25 @@ object BpeTrainer {
   }
 
   /** The per-document BPE token accounting `(doc_id, source, toks)` as a
-    * memoized, checkpointed SHARED ARTIFACT (liveness-checked, registered
-    * — the componentsTable device verbatim). The three BPE-budgeted
+    * LAKE-MATERIALIZED SHARED ARTIFACT (SharedArtifacts.materialized —
+    * derived once per (session, dir, corpus content), written to
+    * parquet, re-read by every consumer). The three BPE-budgeted
     * curation ops (pack_shards_bpe, mix_weights_bpe, mix_waterfill_bpe)
     * evaluate this frame several times each per invocation (GlobalRank's
     * two passes, lane joins, rollups); un-memoized, every evaluation
     * re-paid the trained-merge fold over the whole corpus. A production
     * pipeline materializes the tokenized accounting column ONCE in the
-    * lake next to the text; this artifact models exactly that table.
-    * Narrow by construction — three columns, never the text.
+    * lake next to the text; this artifact IS exactly that table — and
+    * since r11 it lives on disk, not pinned in executor storage for the
+    * session (the r10 memory-pressure finding: a corpus-sized resident
+    * frame is an executor liability at 100 TB and inflated unrelated
+    * suite medians on the bench box). Narrow by construction — three
+    * columns, never the text.
     */
-  private val toksMemo = new scala.collection.concurrent.TrieMap[
-    String, (DataFrame, org.apache.spark.rdd.RDD[_])]()
-
   def bpeTokensTable(spark: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val key = spark.sparkContext.applicationId + ":bpe-toks:" +
-        graft.SharedArtifacts.tableFingerprint(dir, "documents")
-      toksMemo.get(key) match {
-        case Some((df, rdd)) if rdd.getStorageLevel !=
-            org.apache.spark.storage.StorageLevel.NONE => df
-        case _ =>
-          val ck = withBpeTokens(spark, dir)
-            .select(col("doc_id"), col("source"), col("toks"))
-            .localCheckpoint(true)
-          val rdd = ck.queryExecution.analyzed.collectLeaves().collect {
-            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-          }.head
-          graft.SharedArtifacts.register(rdd.id)
-          toksMemo.put(key, (ck, rdd))
-          ck
-      }
+    graft.SharedArtifacts.materialized(spark, dir, "bpe-toks") {
+      withBpeTokens(spark, dir)
+        .select(col("doc_id"), col("source"), col("toks"))
     }
 
   def bpeEncode(spark: SparkSession, dir: String, merges: Int = defaultMerges): DataFrame = {

@@ -784,42 +784,24 @@ object Dedup {
     else componentsCompute(spark, dir, tauNum, tauDen, maxIters)
 
   /** The components fixpoint as a SHARED PIPELINE ARTIFACT: computed
-    * once per (session, dir), localCheckpoint'ed, and served to all six
-    * consumers (components, cluster_profile, keep_best, curation_funnel,
-    * mix_dedup_discount, split_leakage_audit) — the ivfTrain
-    * one-training-many-consumers pattern applied to the most expensive
-    * derivation in the repo (prefix join + label propagation). Each hit
-    * re-checks the backing blocks' storage level and rebuilds if they
-    * were freed (executor loss, an explicit boundary), so the memo is an
-    * amortization, never a correctness dependency. The checkpoint RDD is
-    * registered with [[graft.SharedArtifacts]] so the Bench/Verify
-    * honest-cold boundary leaves it alive between consumers — a real
-    * pipeline pays this derivation once, and the bench now accounts it
-    * the same way (the first consumer's cold run carries the cost).
+    * once per (session, dir, corpus content), MATERIALIZED TO THE LAKE
+    * (SharedArtifacts.materialized — parquet write + re-read), and
+    * served to all six consumers (components, cluster_profile,
+    * keep_best, curation_funnel, mix_dedup_discount,
+    * split_leakage_audit) — the ivfTrain one-training-many-consumers
+    * pattern applied to the most expensive derivation in the repo
+    * (prefix join + label propagation). Until r10 this was a resident
+    * localCheckpoint; a per-doc label table is CORPUS-SIZED, and
+    * pinning it in executor storage for a whole session is exactly the
+    * 100 TB liability VERDICT r10 #1 names — the lake write costs one
+    * extra parquet round-trip on the first consumer and gives every
+    * later consumer a plain pruned columnar scan with zero resident
+    * state. Eviction is structural: files gone → re-derive; corpus
+    * rewritten → new fingerprint key → re-derive.
     */
-  private val compMemo = new scala.collection.concurrent.TrieMap[
-    String, (DataFrame, org.apache.spark.rdd.RDD[_])]()
-
   def componentsTable(spark: SparkSession, dir: String): DataFrame =
-    synchronized {
-      // content-fingerprinted key: a dir whose documents.parquet is
-      // REWRITTEN mid-session (Generate overwrites; tests reuse dirs)
-      // must re-derive, not serve stale labels to six consumers
-      val key = spark.sparkContext.applicationId + ":" +
-        graft.SharedArtifacts.tableFingerprint(dir, "documents")
-      compMemo.get(key) match {
-        case Some((df, rdd)) if rdd.getStorageLevel !=
-            org.apache.spark.storage.StorageLevel.NONE => df
-        case _ =>
-          val ck = componentsCompute(spark, dir, 1L, 2L, 20)
-            .localCheckpoint(true)
-          val rdd = ck.queryExecution.analyzed.collectLeaves().collect {
-            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-          }.head
-          graft.SharedArtifacts.register(rdd.id)
-          compMemo.put(key, (ck, rdd))
-          ck
-      }
+    graft.SharedArtifacts.materialized(spark, dir, "components") {
+      componentsCompute(spark, dir, 1L, 2L, 20)
     }
 
   private def componentsCompute(spark: SparkSession, dir: String,

@@ -327,29 +327,16 @@ object Incremental {
     * batch recompute, or incremental ingest can't be trusted. */
   val incrementalComponentsSql: String = Dedup.componentsSql
 
-  /** Memoized settled corpus labels (liveness-checked localCheckpoint,
-    * SharedArtifacts-registered — the componentsTable pattern). */
-  private val corpusMemo = new scala.collection.concurrent.TrieMap[
-    String, (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[_])]()
-
+  /** Settled corpus labels as a lake-materialized shared artifact
+    * (SharedArtifacts.materialized — the componentsTable pattern: the
+    * settled side of incremental ingest IS a lake table in production,
+    * never a session-resident frame). */
   private def corpusLabelsTable(spark: SparkSession, dir: String,
-      sh: DataFrame, corpusIds: DataFrame): DataFrame = synchronized {
-    val key = spark.sparkContext.applicationId + ":corpus-labels:" +
-      graft.SharedArtifacts.tableFingerprint(dir, "documents")
-    corpusMemo.get(key) match {
-      case Some((df, rdd)) if rdd.getStorageLevel !=
-          org.apache.spark.storage.StorageLevel.NONE => df
-      case _ =>
-        val pairs = Dedup.prefixVerifiedPairs(sh, corpusIds, corpusIds)
-        val ck = Dedup.propagateMinLabel(pairs, 20).localCheckpoint(true)
-        val rdd = ck.queryExecution.analyzed.collectLeaves().collect {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }.head
-        graft.SharedArtifacts.register(rdd.id)
-        corpusMemo.put(key, (ck, rdd))
-        ck
+      sh: DataFrame, corpusIds: DataFrame): DataFrame =
+    graft.SharedArtifacts.materialized(spark, dir, "corpus-labels") {
+      Dedup.propagateMinLabel(
+        Dedup.prefixVerifiedPairs(sh, corpusIds, corpusIds), 20)
     }
-  }
 
   /** The COMPOSED ingest gate — the three per-stage operators
     * (dedup_incremental's exact fingerprint, dedup_incremental_minhash's

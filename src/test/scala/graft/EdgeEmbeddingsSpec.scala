@@ -34,7 +34,9 @@ class EdgeEmbeddingsSpec extends AnyFunSuite {
     "sim_label_centroids",
     // r10: range counting over the zero-vector corpus (NULL cosines
     // drop out of every >= tau filter), assortativity on a 5-node graph
-    "sim_range_search", "knn_assortativity")
+    "sim_range_search", "knn_assortativity",
+    // r11 (ADVICE): NULL cosines inside the hard-negative ranking window
+    "sim_hard_negatives")
 
   test("every embeddings-path query survives the adversarial corpus") {
     embQueries.foreach { k =>
@@ -70,6 +72,33 @@ class EdgeEmbeddingsSpec extends AnyFunSuite {
       val ranks = rs.map(_.getAs[Int]("rank")).sorted
       assert(ranks.sameElements(1 to ranks.length))
       assert(ranks.length <= 4)
+    }
+  }
+
+  test("pq distortion survives a degenerate corpus (zero vectors, duplicates)") {
+    // sim_pq_distortion requires >= pqK seed vectors BY DESIGN (a short
+    // codebook would corrupt the flat-tensor stride — it fails loudly),
+    // so its adversarial corpus is a second dir: 20 vectors, four of
+    // them all-zero (degenerate subspace centroids that collapse onto
+    // each other) and two exact-duplicate pairs
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_eemb_pq").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(k => ((seed * 31 + k * 7) % 13 - 6) / 6.0f)
+    val rows = (0L to 19L).map { i =>
+      val v = if (i % 5 == 0) Array.fill(64)(0.0f)       // 4 zero vectors
+              else if (i == 2L || i == 7L) vec(1)        // duplicate pair
+              else vec(i.toInt)
+      (i, v, if (i % 2 == 0) "a" else "b")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_pq_distortion")(spark, dir).collect()
+    assert(out.length == 16) // one row per subspace, even degenerate ones
+    out.foreach { r =>
+      val mse = r.getAs[Any]("mse")
+      assert(mse != null && !mse.asInstanceOf[Double].isNaN &&
+        mse.asInstanceOf[Double] >= 0.0, r.toString)
     }
   }
 
