@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Inferential-statistics panel — the hypothesis-testing surface a
+  * warehouse analyst reaches for once the descriptive panels
+  * (q_funnel, profile_mutual_info) raise a "did this CHANGE?" or "are
+  * these RELATED?" question. Reference capability: dbsurveyor's
+  * statistics module reports distribution summaries per column
+  * (dbsurveyor-core/src/analysis in the artifact's table statistics);
+  * these two operators are the inferential counterparts a 100 TB
+  * deployment runs on top of the same sufficient statistics.
+  *
+  * Exactness discipline (the q_discount_elasticity device): every
+  * sufficient statistic is an EXACT integer/decimal aggregate; IEEE
+  * doubles appear only at the final z / χ² edge, composed in ONE
+  * identical expression text on both engines — division, multiplication
+  * and sqrt are correctly-rounded in Spark and DuckDB alike (never
+  * libm pow/ln, which are not cross-engine reproducible).
+  */
+object Stats {
+
+  /** 2024-01-16T00:00:00Z in epoch micros — the events-table era split
+    * (mid-range of the generator's January 2024 horizon; the
+    * qSegmentTransitions era-split idea applied to the event stream).
+    * Integer micros comparison on both engines: no timezone seam.
+    */
+  val eraSplitUs = 1705363200000000L
+
+  /** Two-proportion z-test on the signup→purchase funnel conversion
+    * between the two eras: did conversion MOVE when the era flipped,
+    * beyond what binomial noise explains? The standard pooled test:
+    *
+    *   z = (p̂₁ − p̂₂) / sqrt( p̂(1−p̂)(1/n₁ + 1/n₂) ),  p̂ pooled.
+    *
+    * Funnel semantics are q_funnel's verbatim (first signup per user;
+    * converted = any purchase at-or-after it), with the user assigned
+    * to the era of their FIRST SIGNUP — each user counts in exactly one
+    * era, preserving the test's independence assumption.
+    *
+    * Scale shape: one events scan → two user-keyed min aggregations +
+    * one user-keyed join (the q_funnel plan) → ONE global 1-row
+    * conditional aggregation. Nothing data-sized survives the agg; the
+    * z composition runs over four BIGINTs. Degrade-don't-throw: an
+    * empty era or a degenerate pool (0% or 100% everywhere) emits NULL
+    * z and NULL verdict — the oracle's CASE guards are identical.
+    */
+  def statsFunnelZtest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t_signup"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("t_us") >= col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t_purchase"))
+    val base = signup.join(purchase, Seq("user_id"), "left")
+      .select((col("t_signup") < lit(eraSplitUs)).as("pre"),
+        col("t_purchase").isNotNull.as("conv"))
+    base.agg(
+        sum(when(col("pre"), 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("pre") && col("conv"), 1L).otherwise(0L)).as("x_pre"),
+        sum(when(!col("pre"), 1L).otherwise(0L)).as("n_post"),
+        sum(when(!col("pre") && col("conv"), 1L).otherwise(0L)).as("x_post"))
+      .select(col("n_pre"), col("x_pre"), col("n_post"), col("x_post"),
+        // DECIMAL(38,0) widening before the ×1e6 product (the
+        // pack_shard_balance overflow class)
+        expr("CAST(CASE WHEN n_pre > 0 THEN CAST(x_pre AS DECIMAL(38,0)) * 1000000 DIV n_pre END AS BIGINT)")
+          .as("conv_ppm_pre"),
+        expr("CAST(CASE WHEN n_post > 0 THEN CAST(x_post AS DECIMAL(38,0)) * 1000000 DIV n_post END AS BIGINT)")
+          .as("conv_ppm_post"),
+        expr(zExprSql).as("z_score"))
+      .withColumn("significant_95",
+        expr("CASE WHEN z_score IS NULL THEN NULL ELSE abs(z_score) >= 1.96 END"))
+  }
+
+  // the one shared double composition (identical text both engines):
+  // pooled two-proportion z over the four exact counts
+  private val zExprSql: String =
+    """CASE WHEN n_pre > 0 AND n_post > 0
+      |       AND (x_pre + x_post) > 0 AND (x_pre + x_post) < (n_pre + n_post)
+      |  THEN (CAST(x_pre AS DOUBLE) / CAST(n_pre AS DOUBLE)
+      |        - CAST(x_post AS DOUBLE) / CAST(n_post AS DOUBLE))
+      |    / sqrt((CAST(x_pre + x_post AS DOUBLE) / CAST(n_pre + n_post AS DOUBLE))
+      |        * (1.0 - CAST(x_pre + x_post AS DOUBLE) / CAST(n_pre + n_post AS DOUBLE))
+      |        * (1.0 / CAST(n_pre AS DOUBLE) + 1.0 / CAST(n_post AS DOUBLE)))
+      |  ELSE CAST(NULL AS DOUBLE) END""".stripMargin
+
+  val statsFunnelZtestSql: String =
+    s"""WITH signup AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS t_signup
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       |purchase AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+       |  FROM events e JOIN signup s ON e.user_id = s.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t_signup
+       |  GROUP BY e.user_id),
+       |base AS (
+       |  SELECT s.t_signup < $eraSplitUs AS pre,
+       |         p.t_purchase IS NOT NULL AS conv
+       |  FROM signup s LEFT JOIN purchase p USING (user_id)),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+       |    CAST(sum(CASE WHEN pre AND conv THEN 1 ELSE 0 END) AS BIGINT) AS x_pre,
+       |    CAST(sum(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+       |    CAST(sum(CASE WHEN NOT pre AND conv THEN 1 ELSE 0 END) AS BIGINT) AS x_post
+       |  FROM base),
+       |z AS (
+       |  SELECT *,
+       |    ${zExprSql.replace("\n", "\n    ")} AS z_score
+       |  FROM agg)
+       |SELECT n_pre, x_pre, n_post, x_post,
+       |  CAST(CASE WHEN n_pre > 0
+       |    THEN (CAST(x_pre AS HUGEINT) * 1000000) // n_pre END AS BIGINT)
+       |    AS conv_ppm_pre,
+       |  CAST(CASE WHEN n_post > 0
+       |    THEN (CAST(x_post AS HUGEINT) * 1000000) // n_post END AS BIGINT)
+       |    AS conv_ppm_post,
+       |  z_score,
+       |  CASE WHEN z_score IS NULL THEN NULL ELSE abs(z_score) >= 1.96 END
+       |    AS significant_95
+       |FROM z""".stripMargin
+
+  /** χ² independence report over the SAME two contingency panels
+    * profile_mutual_info scores (documents: lang × source; events:
+    * event_type × day-of-week) — MI says how MUCH the pair shares; χ²
+    * says whether the association clears sampling noise at all, with
+    * the dof a significance table needs, plus Cramér's V (the
+    * effect-size normalization that survives n).
+    *
+    * Zero-cell exactness: the observed-cells aggregate omits empty
+    * cells, but the absent cells' (0−e)²/e = e mass is NOT droppable;
+    * the algebraic identity  χ² = n·(Σ_observed o²/(cx·cy) − 1)
+    * accounts for them with no cross-product materialization — the
+    * per-cell term is pure mult/div over exact counts (correctly
+    * rounded, identical both engines), quantized DECIMAL(18,9) and
+    * summed exactly (order-independent — the miPanel device), with ONE
+    * double multiply at the edge.
+    *
+    * Scale shape: one scan per table → |X|·|Y|-bounded cell aggregate
+    * (map-side combined) feeding margins/total/terms — everything
+    * after the first agg is bounded-row work with broadcast margins.
+    */
+  def statsChisqIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val docCells = Tables.documents(spark, dir)
+      .select(col("lang").as("x"), col("source").as("y"))
+    val evCells = Tables.events(spark, dir)
+      .select(col("event_type").as("x"),
+        expr("CAST(pmod((unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000 + 4, 7) AS STRING)")
+          .as("y"))
+    chisqPanel(spark, docCells, "documents", "lang", "source")
+      .unionByName(chisqPanel(spark, evCells, "events", "event_type", "dow"))
+      .orderBy(col("table_name"))
+  }
+
+  private def chisqPanel(spark: SparkSession, pairs: DataFrame, rel: String,
+      cX: String, cY: String): DataFrame = {
+    val cells = pairs.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+      // |X|·|Y|-bounded; feeds margins, the total, and the term join
+      .localCheckpoint()
+    val mx = cells.groupBy(col("x")).agg(sum(col("cnt")).as("cx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("cnt")).as("cy"))
+    val tot = cells.agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_cells"))
+    // 1-row × 1-row with an explicit hint — plans the whitelisted
+    // BroadcastNestedLoopJoin, never a CartesianProduct
+    val dims = mx.agg(count(lit(1)).as("kx"))
+      .crossJoin(broadcast(my.agg(count(lit(1)).as("ky"))))
+    val s = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .select(expr(
+        """CAST(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) /
+          |  (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))
+          |  AS DECIMAL(18,9))""".stripMargin).as("term"))
+      .agg(sum(col("term")).as("s_d"))
+    s.crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+      .select(lit(rel).as("table_name"), lit(cX).as("col_x"),
+        lit(cY).as("col_y"),
+        col("n").cast("long").as("n_rows"),
+        col("n_cells").cast("long").as("n_cells"),
+        expr("CAST((kx - 1) * (ky - 1) AS BIGINT)").as("dof"),
+        expr(chi2Sql).as("chi2"),
+        expr(cramersSql).as("cramers_v"))
+  }
+
+  // χ² = n·(s − 1) and V = sqrt(χ² / (n·min(kx−1, ky−1))) — identical
+  // double composition both engines; NULL on degenerate margins
+  private val chi2Sql =
+    """CASE WHEN n > 0 THEN
+      |  CAST(n AS DOUBLE) * (CAST(s_d AS DOUBLE) - 1.0)
+      |ELSE CAST(NULL AS DOUBLE) END""".stripMargin
+  private val cramersSql =
+    """CASE WHEN n > 0 AND kx > 1 AND ky > 1 THEN
+      |  sqrt((CAST(n AS DOUBLE) * (CAST(s_d AS DOUBLE) - 1.0))
+      |    / (CAST(n AS DOUBLE) * CAST(least(kx - 1, ky - 1) AS DOUBLE)))
+      |ELSE CAST(NULL AS DOUBLE) END""".stripMargin
+
+  val statsChisqIndependenceSql: String = {
+    val dowExpr =
+      "CAST(((((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 + 4) % 7) + 7) % 7 AS VARCHAR)"
+    def block(i: Int, cellSql: String, rel: String, cX: String,
+        cY: String): (String, String) = {
+      val ctes =
+        s"""c$i AS ($cellSql),
+           |mx$i AS (SELECT x, sum(cnt) AS cx FROM c$i GROUP BY 1),
+           |my$i AS (SELECT y, sum(cnt) AS cy FROM c$i GROUP BY 1),
+           |tot$i AS (SELECT sum(cnt) AS n, count(*) AS n_cells FROM c$i),
+           |dim$i AS (SELECT (SELECT count(*) FROM mx$i) AS kx,
+           |                 (SELECT count(*) FROM my$i) AS ky),
+           |s$i AS (
+           |  SELECT sum(CAST(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) /
+           |    (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))
+           |    AS DECIMAL(18,9))) AS s_d
+           |  FROM c$i JOIN mx$i USING (x) JOIN my$i USING (y))""".stripMargin
+      val sel =
+        s"""SELECT '$rel' AS table_name, '$cX' AS col_x, '$cY' AS col_y,
+           |  CAST(n AS BIGINT) AS n_rows, CAST(n_cells AS BIGINT) AS n_cells,
+           |  CAST((kx - 1) * (ky - 1) AS BIGINT) AS dof,
+           |  ${chi2Sql.replace("\n", "\n  ")} AS chi2,
+           |  ${cramersSql.replace("\n", "\n  ")} AS cramers_v
+           |FROM s$i, tot$i, dim$i""".stripMargin
+      (ctes, sel)
+    }
+    val (c1, s1) = block(1,
+      "SELECT lang AS x, source AS y, count(*) AS cnt FROM documents GROUP BY 1, 2",
+      "documents", "lang", "source")
+    val (c2, s2) = block(2,
+      s"SELECT event_type AS x, $dowExpr AS y, count(*) AS cnt FROM events GROUP BY 1, 2",
+      "events", "event_type", "dow")
+    s"""WITH $c1,
+       |$c2
+       |$s1
+       |UNION ALL
+       |$s2
+       |ORDER BY table_name""".stripMargin
+  }
+}

@@ -28,10 +28,19 @@ object Incremental {
   private val bucketExpr =
     "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10"
 
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalWith(spark, dir, expr(bucketExpr) === 0)
+
+  /** The exact stage at ANY batch membership — the gated entry pins the
+    * md5-bucket split; PropertySpec quantifies the stage (and the
+    * composed pipeline's precedence) over random memberships through
+    * this. `isBatch` must be a deterministic row-local predicate over
+    * doc_id. */
+  private[text] def dedupIncrementalWith(spark: SparkSession, dir: String,
+      isBatch: org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("fp"),
-        (expr(bucketExpr) === 0).as("is_batch"))
+        isBatch.as("is_batch"))
     val batch = docs.filter(col("is_batch"))
     // corpus side: ONE row per fingerprint (the index), never the raw
     // corpus — the join fan-out is bounded by distinct fingerprints
@@ -90,10 +99,16 @@ object Incremental {
     * shingle sets are settled state, and verification joins touch only
     * candidate ids.
     */
-  def dedupIncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupIncrementalMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalMinhashWith(spark, dir, expr(bucketExpr) === 0)
+
+  /** The LSH-probe stage at ANY batch membership (see
+    * dedupIncrementalWith). */
+  private[text] def dedupIncrementalMinhashWith(spark: SparkSession,
+      dir: String, isBatch: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val flags = Tables.documents(spark, dir)
-      .select(col("doc_id"), (expr(bucketExpr) === 0).as("is_batch"))
+      .select(col("doc_id"), isBatch.as("is_batch"))
     val sh = Dedup.shingleHashes(spark, dir).withColumn("hp", col("h") % Dedup.minhashP)
     val bands = Dedup.minhashBands(sh).join(flags, "doc_id")
     val bandsB = bands.filter(col("is_batch"))
@@ -363,16 +378,37 @@ object Incremental {
     * already-audited derivations + three batch-keyed equi-joins; nothing
     * new shuffles, the corpus never reshuffles.
     */
-  def ingestPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val exact = dedupIncremental(spark, dir)
+  def ingestPipeline(spark: SparkSession, dir: String): DataFrame =
+    ingestVerdict(
+      dedupIncremental(spark, dir),
+      dedupIncrementalMinhash(spark, dir),
+      incrementalComponents(spark, dir))
+
+  /** The pipeline at ANY batch membership: the same three stages, the
+    * same CASE — PropertySpec's precedence property runs the composed
+    * verdict over random corpora × random memberships through this
+    * (VERDICT r10 #4; the gated entry is the md5-bucket instance). */
+  private[text] def ingestPipelineWith(spark: SparkSession, dir: String,
+      batchIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val isBatch =
+      if (batchIds.isEmpty) lit(false) else col("doc_id").isin(batchIds: _*)
+    ingestVerdict(
+      dedupIncrementalWith(spark, dir, isBatch),
+      dedupIncrementalMinhashWith(spark, dir, isBatch),
+      incrementalComponentsWith(spark, dir, batchIds.toDF("doc_id"), 1L, 2L))
+  }
+
+  private def ingestVerdict(exactAll: DataFrame, near: DataFrame,
+      components: DataFrame): DataFrame = {
+    val exact = exactAll
       .select(col("doc_id"), col("corpus_dup"), col("batch_dup"))
-    val near = dedupIncrementalMinhash(spark, dir)
     val nearCorpus = near.filter(col("kind") === "corpus")
       .select(col("doc_id")).distinct().withColumn("nc", lit(true))
     val nearBatch = near.filter(col("kind") === "batch")
       .select(col("match_doc").as("doc_id")).distinct()
       .withColumn("nb", lit(true))
-    val canon = incrementalComponents(spark, dir)
+    val canon = components
       .select(col("doc_id"), col("canon_id"))
     exact
       .join(nearCorpus, Seq("doc_id"), "left")

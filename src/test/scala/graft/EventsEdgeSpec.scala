@@ -54,7 +54,10 @@ class EventsEdgeSpec extends AnyFunSuite {
     "events_attribution", "events_session_stats", "events_weekly_heatmap",
     "events_changepoint", "events_burstiness", "events_activity_gini",
     "profile_key_growth", "quality_psi", "events_transition_entropy",
-    "events_conversion_lag")
+    "events_conversion_lag",
+    // r11: the pareto grid (its empty-log n_top_users seam was ADVICE
+    // r10) and the inferential panel (NULL z / χ² degrade paths)
+    "events_pareto_share", "stats_funnel_ztest", "stats_chisq_independence")
 
   for ((tag, dirF) <- Seq[(String, () => String)](
       ("empty log", () => emptyDir), ("single event", () => oneDir),

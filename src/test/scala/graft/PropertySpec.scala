@@ -234,6 +234,97 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ingest pipeline precedence equals the five-way CASE over " +
+      "standalone stage verdicts on random corpora and memberships") {
+    import spark.implicits._
+    // the composed gate's contract, quantified (VERDICT r10 #4): for ANY
+    // corpus and ANY batch membership, every batch doc's action must be
+    // the FIRST matching stage of exact-corpus > exact-batch >
+    // near-corpus > near-batch > cluster-merge > keep-new, where each
+    // stage verdict is what the doc gets STANDALONE:
+    //  - exact flags re-derived driver-side from raw text equality
+    //    (fingerprint equality == text equality);
+    //  - near flags from the standalone LSH-probe stage (banding is
+    //    part of the near stage's DEFINITION — candidates only exist
+    //    where a band collides — so the stage op is its own spec here;
+    //    its J >= 1/2 verification is prefix-property-tested above);
+    //  - canon from a pure union-find over BRUTE-FORCE Jaccard >= 1/2
+    //    pairs of all docs (complete ground truth; the incremental ==
+    //    full-fixpoint property above licenses the comparison).
+    // Pipeline2Spec pins one planted instance; this proves the CASE.
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val gen = for {
+      n <- Gen.choose(8, 20)
+      docs <- Gen.listOfN(n, Gen.choose(3, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      // force exact-dup pressure: some docs copy an earlier doc
+      dups <- Gen.listOfN(n, Gen.choose(0, 3))
+      frac <- Gen.oneOf(1, 3, 5, 9, 10)
+      salt <- Gen.choose(0L, 1000L)
+    } yield (docs.zip(dups).zipWithIndex.map { case ((t, d), i) =>
+      if (d == 0 && i > 0) docs((i * 7) % i) else t
+    }, frac, salt)
+    samples(gen, 4, 1723L).foreach { case (docs, frac, salt) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_pp").toString
+      docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "src0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val batchIds = docs.indices.map(_.toLong)
+        .filter(i => ((i * 2654435761L + salt) % 10) < frac)
+      val batchSet = batchIds.toSet
+      // --- driver-side stage oracles ---
+      val byText = docs.zipWithIndex.groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2.toLong).sorted }
+      def exactCorpusDup(d: Long) =
+        byText(docs(d.toInt)).exists(o => !batchSet(o))
+      def exactBatchDup(d: Long) =
+        byText(docs(d.toInt)).exists(o => batchSet(o) && o < d)
+      val nearRows = Incremental.dedupIncrementalMinhashWith(spark, dir,
+          col("doc_id").isin(batchIds: _*)).collect()
+      val nearCorpus = nearRows.filter(_.getString(2) == "corpus")
+        .map(_.getLong(0)).toSet
+      val nearBatch = nearRows.filter(_.getString(2) == "batch")
+        .map(_.getLong(1)).toSet
+      // union-find over brute-force J >= 1/2 pairs (3-gram shingles)
+      val shing: Map[Long, Set[String]] = docs.zipWithIndex.map {
+        case (t, i) =>
+          val w = t.split(" ", -1).filter(_.nonEmpty)
+          i.toLong -> (if (w.length >= 3)
+            w.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String])
+      }.toMap
+      val parent = scala.collection.mutable.Map(
+        docs.indices.map(i => i.toLong -> i.toLong): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for {
+        a <- docs.indices.map(_.toLong); b <- docs.indices.map(_.toLong)
+        if a < b
+        c = (shing(a) & shing(b)).size.toLong
+        u = shing(a).size + shing(b).size - c
+        if u > 0 && c * 2 >= u
+      } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      def canonOf(d: Long) = find(d)
+      val want = batchIds.sorted.map { d =>
+        val action =
+          if (exactCorpusDup(d)) "drop_exact_corpus"
+          else if (exactBatchDup(d)) "drop_exact_batch"
+          else if (nearCorpus(d)) "drop_near_corpus"
+          else if (nearBatch(d)) "drop_near_batch"
+          else if (canonOf(d) != d) "merge_cluster"
+          else "keep_new"
+        (d, exactCorpusDup(d), exactBatchDup(d), nearCorpus(d), nearBatch(d),
+          canonOf(d), action)
+      }
+      val got = Incremental.ingestPipelineWith(spark, dir, batchIds)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4), r.getLong(5), r.getString(6)))
+        .toSeq.sortBy(_._1)
+      assert(got == want, s"frac=$frac salt=$salt docs=${docs.take(4)}...")
+    }
+  }
+
   test("secure envelope round-trips arbitrary payloads; tampering fails") {
     val gen = for {
       n <- Gen.choose(0, 4096)

@@ -82,6 +82,88 @@ class Round11Spec extends AnyFunSuite {
       SharedArtifacts.memoKey(spark, "/nonexistent/y", "bpe-toks"))
   }
 
+  test("stats_funnel_ztest: z equals the driver-side pooled two-proportion recompute") {
+    // synthetic two-era log (sf0.001's whole horizon lands pre-era, so
+    // the real fixture can only exercise the NULL degrade — asserted at
+    // the end); deterministic conversions in both eras
+    import spark.implicits._
+    val sf = {
+      val dir = Files.createTempDirectory("graft_zt").toString
+      val pre = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+      val post = java.sql.Timestamp.valueOf("2024-01-20 12:00:00")
+      val later = java.sql.Timestamp.valueOf("2024-01-25 12:00:00")
+      val rows = (1L to 40L).flatMap { u =>
+        val t = if (u <= 22) pre else post
+        Seq((u * 10, t, u, "signup", 1.0, "{}")) ++
+          (if (u % 3 == 0) Seq((u * 10 + 1, later, u, "purchase", 5.0, "{}"))
+           else Seq.empty)
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val row = SparkEntry.queries("stats_funnel_ztest")(spark, sf)
+      .collect().head
+    // stage recompute from raw events, pure Scala
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tSignup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val conv = tSignup.keySet.filter(u => ev.exists(e =>
+      e._1 == u && e._2 == "purchase" && e._3 >= tSignup(u)))
+    val pre = tSignup.filter(_._2 < graft.operators.Stats.eraSplitUs).keySet
+    val (n1, x1) = (pre.size.toLong, (pre & conv).size.toLong)
+    val n2 = tSignup.size.toLong - n1
+    val x2 = conv.size.toLong - x1
+    assert(row.getAs[Long]("n_pre") == n1 && row.getAs[Long]("x_pre") == x1)
+    assert(row.getAs[Long]("n_post") == n2 && row.getAs[Long]("x_post") == x2)
+    assert(row.getAs[Long]("conv_ppm_pre") == x1 * 1000000L / n1)
+    val p = (x1 + x2).toDouble / (n1 + n2).toDouble
+    val z = (x1.toDouble / n1.toDouble - x2.toDouble / n2.toDouble) /
+      math.sqrt(p * (1.0 - p) * (1.0 / n1.toDouble + 1.0 / n2.toDouble))
+    assert(math.abs(row.getAs[Double]("z_score") - z) < 1e-12, s"z=$z vs $row")
+    assert(row.getAs[Boolean]("significant_95") == (math.abs(z) >= 1.96))
+    // the real sf0.001 fixture: its one-sided horizon must DEGRADE to
+    // NULL z (empty post era), never divide by zero
+    val real = SparkEntry.queries("stats_funnel_ztest")(spark, TestSession.sf)
+      .collect().head
+    assert(real.getAs[Long]("n_post") == 0L || real.getAs[Long]("n_pre") == 0L
+      || real.getAs[Any]("z_score") != null)
+    if (real.getAs[Long]("n_post") == 0L)
+      assert(real.getAs[Any]("z_score") == null &&
+        real.getAs[Any]("significant_95") == null)
+  }
+
+  test("stats_chisq_independence: the zero-cell identity equals the textbook sum") {
+    val sf = TestSession.sf
+    val rows = SparkEntry.queries("stats_chisq_independence")(spark, sf)
+      .collect().map(r => r.getAs[String]("table_name") -> r).toMap
+    // textbook recompute over the FULL margin cross product (absent
+    // cells contribute (0-e)^2/e = e) — the identity the operator uses
+    // must agree, zero cells included
+    val cells = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val xs = cells.keys.map(_._1).toSeq.distinct
+    val ys = cells.keys.map(_._2).toSeq.distinct
+    val n = cells.values.sum.toDouble
+    val cx = xs.map(x => x -> cells.filter(_._1._1 == x).values.sum.toDouble).toMap
+    val cy = ys.map(y => y -> cells.filter(_._1._2 == y).values.sum.toDouble).toMap
+    val chi2 = (for { x <- xs; y <- ys } yield {
+      val e = cx(x) * cy(y) / n
+      val o = cells.getOrElse((x, y), 0L).toDouble
+      (o - e) * (o - e) / e
+    }).sum
+    val got = rows("documents")
+    assert(got.getAs[Long]("dof") == (xs.size - 1).toLong * (ys.size - 1))
+    assert(math.abs(got.getAs[Double]("chi2") - chi2) /
+      math.max(chi2, 1.0) < 1e-6,
+      s"chi2=$chi2 vs ${got.getAs[Double]("chi2")}")
+    val v = math.sqrt(chi2 / (n * math.min(xs.size - 1, ys.size - 1)))
+    assert(math.abs(got.getAs[Double]("cramers_v") - v) < 1e-6)
+  }
+
   test("shared artifacts pin no executor storage (lake spill path)") {
     val dir = mkCorpus(Seq("one two three four", "five six seven eight",
       "one two three four"))
