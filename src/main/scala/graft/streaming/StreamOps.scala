@@ -774,4 +774,61 @@ object StreamOps {
           }.iterator
         })
   }
+
+  case class PackDoc(doc_id: Long, t_us: Long, lane: Long, toks: Long)
+  case class PackSpan(lane: Long, seq_id: Long, doc_id: Long,
+      start_tok: Long, end_tok: Long, span_tokens: Long,
+      doc_start: Boolean, doc_end: Boolean)
+  case class PackCursor(cursor: Long)
+
+  /** Streaming ATTENTION-SPAN emitter — pack_attention_spans' live twin
+    * (the packing family's last batch-only face). The batch op packs by
+    * a GLOBAL prefix sum over the settled corpus; a stream can't hold a
+    * global cursor without a single-task bottleneck, so the streaming
+    * shape is the one a production packed-shard WRITER actually has:
+    * docs are routed to parallel packing LANES (shard writers — the
+    * lane id is the stream's partition key; |lanes| is config-sized),
+    * and each lane keeps ONE running token cursor as its entire state.
+    * Every arriving doc appends at the lane cursor and emits its
+    * within-sequence spans immediately — identical span arithmetic to
+    * the batch op (seq_id = offset DIV seqLen, [start_tok, end_tok)
+    * 0-based within the sequence, doc_start/doc_end for position-id
+    * resets and block-diagonal masks).
+    *
+    * State: one Long per lane — bounded by configuration, no watermark
+    * or TTL needed. Emission is append-only and incremental-exact: the
+    * cursor carries across micro-batches, so ANY batch split of the
+    * same arrival order emits byte-identical spans (asserted in
+    * StreamingSpec). Docs are assumed arrival-ordered per lane within a
+    * batch (replayed logs; the funnel/sessionize convention) and sorted
+    * (t_us, doc_id) for determinism; zero-token docs emit nothing.
+    */
+  def packSpans(docs: Dataset[PackDoc],
+      seqLen: Long = graft.text.Curation.seqLen): Dataset[PackSpan] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.lane)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (lane: Long, ds: Iterator[PackDoc], state: GroupState[PackCursor]) => {
+          val sorted = ds.toSeq.filter(_.toks > 0).sortBy(d => (d.t_us, d.doc_id))
+          var cur = state.getOption.map(_.cursor).getOrElse(0L)
+          val out = Seq.newBuilder[PackSpan]
+          for (d <- sorted) {
+            val start = cur
+            val end = cur + d.toks
+            var seq = start / seqLen
+            while (seq <= (end - 1) / seqLen) {
+              val s = math.max(start, seq * seqLen)
+              val e = math.min(end, (seq + 1) * seqLen)
+              out += PackSpan(lane, seq, d.doc_id,
+                s - seq * seqLen, e - seq * seqLen, e - s,
+                start / seqLen == seq, (end - 1) / seqLen == seq)
+              seq += 1
+            }
+            cur = end
+          }
+          state.update(PackCursor(cur))
+          out.result().iterator
+        })
+  }
 }

@@ -677,4 +677,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 1L, 16L, 16L, 1000000L)))
     assert(got(4L) == ((1L, 1L, 5L, 5L, 1000000L)))
   }
+
+  test("streaming pack spans: batch-split invariant and span-exact per lane") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seqLen = 16L
+    // two lanes; doc token counts chosen to straddle sequence
+    // boundaries (10+10 crosses at 16; 32 spans two full sequences)
+    val arrivals = Seq(
+      (1L, 1000L, 0L, 10L), (2L, 2000L, 0L, 10L), (3L, 3000L, 0L, 32L),
+      (4L, 1500L, 1L, 16L), (5L, 2500L, 1L, 5L), (6L, 3500L, 1L, 0L))
+    def run(batches: Seq[Seq[(Long, Long, Long, Long)]],
+        name: String): Seq[(Long, Long, Long, Long, Long, Long, Boolean, Boolean)] = {
+      val mem = MemoryStream[(Long, Long, Long, Long)]
+      val q = StreamOps.packSpans(
+          mem.toDF().toDF("doc_id", "t_us", "lane", "toks")
+            .as[StreamOps.PackDoc], seqLen)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getBoolean(6), r.getBoolean(7))).toSeq
+        .sortBy(t => (t._1, t._2, t._4))
+    }
+    val oneShot = run(Seq(arrivals), "pspan_one")
+    val split = run(Seq(arrivals.take(3), arrivals.drop(3)), "pspan_split")
+    // the cursor carries across micro-batches: any split of the same
+    // arrival order emits identical spans
+    assert(oneShot == split)
+    // driver recompute of the span arithmetic (the batch op's formula)
+    val want = arrivals.groupBy(_._3).toSeq.flatMap { case (lane, ds) =>
+      var cur = 0L
+      ds.sortBy(d => (d._2, d._1)).filter(_._4 > 0).flatMap { d =>
+        val start = cur; val end = cur + d._4; cur = end
+        (start / seqLen to (end - 1) / seqLen).map { seq =>
+          val s = math.max(start, seq * seqLen)
+          val e = math.min(end, (seq + 1) * seqLen)
+          (lane, seq, d._1, s - seq * seqLen, e - seq * seqLen, e - s,
+            start / seqLen == seq, (end - 1) / seqLen == seq)
+        }
+      }
+    }.sortBy(t => (t._1, t._2, t._4))
+    assert(oneShot == want)
+    // lane 0: doc 3 (32 toks at offset 20) must span three sequences
+    assert(oneShot.count(t => t._3 == 3L) == 3)
+    // zero-token doc 6 emits nothing
+    assert(!oneShot.exists(_._3 == 6L))
+  }
 }
