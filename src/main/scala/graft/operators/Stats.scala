@@ -125,6 +125,207 @@ object Stats {
        |    AS significant_95
        |FROM z""".stripMargin
 
+  /** Welch's unequal-variance t-test on order value between the two
+    * order eras (q_segment_transitions' 1998-01-01 split): did the
+    * average basket CHANGE across the era, without assuming the eras
+    * share a variance (they don't have to — Welch is the default a
+    * careful analyst reaches for; Student's equal-variance t is the
+    * special case).
+    *
+    * Sufficient statistics per era: n, Σx, Σx² — accumulated EXACTLY in
+    * decimals with x scaled to thousands first (DECIMAL(18,5), exact:
+    * prices are 2-dp), so Σx² stays far below 2^53 at any realistic SF
+    * and the one decimal→double conversion at the edge is seam-free
+    * (the known >2^53 decimal→double rounding seam). t and the
+    * Satterthwaite dof are scale-invariant, so the thousands unit
+    * cancels; means are reported in original units (×1000, one double
+    * multiply). All edge math is div/mult/sqrt over identical
+    * expression text. Scale shape: ONE orders scan → a 1-row
+    * conditional aggregation; six numbers leave the executor.
+    */
+  val orderEraSplit = "1998-01-01"
+
+  def statsWelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select((col("o_orderdate") < lit(orderEraSplit).cast("timestamp"))
+        .as("pre"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) / 1000 AS DECIMAL(18,5))")
+          .as("xk"))
+    base.agg(
+        sum(when(col("pre"), 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("pre"), col("xk"))).as("s_pre0"),
+        sum(when(col("pre"), expr("xk * xk"))).as("q_pre0"),
+        sum(when(!col("pre"), 1L).otherwise(0L)).as("n_post"),
+        sum(when(!col("pre"), col("xk"))).as("s_post0"),
+        sum(when(!col("pre"), expr("xk * xk"))).as("q_post0"))
+      // Σx² carries 10 exact decimals — its UNSCALED value passes 2^53
+      // even at tiny SF, and decimal→double above 2^53 is the one
+      // conversion the engines round differently (and DuckDB TRUNCATES
+      // decimal downcasts where Spark rounds, so re-quantizing via CAST
+      // is a seam too). Device: floor(q·10⁴) is an EXACT integer both
+      // engines (floor of an exact decimal), far below 2^53 at any
+      // realistic SF; the edge divides it back by 1e4 in doubles — one
+      // correctly-rounded division, bit-identical.
+      .select(col("n_pre"), col("n_post"),
+        expr("CAST(s_pre0 AS DECIMAL(38,5))").as("s_pre"),
+        expr("CAST(floor(q_pre0 * 10000) AS DECIMAL(38,0))").as("q_pre"),
+        expr("CAST(s_post0 AS DECIMAL(38,5))").as("s_post"),
+        expr("CAST(floor(q_post0 * 10000) AS DECIMAL(38,0))").as("q_post"))
+      .withColumn("mean_pre", expr(meanSql("pre")))
+      .withColumn("mean_post", expr(meanSql("post")))
+      .withColumn("v_pre", expr(varSql("pre")))
+      .withColumn("v_post", expr(varSql("post")))
+      .withColumn("t_stat", expr(welchTSql))
+      .withColumn("welch_dof", expr(welchDofSql))
+      .select(col("n_pre"), col("n_post"), col("mean_pre"), col("mean_post"),
+        col("t_stat"), col("welch_dof"),
+        expr("CASE WHEN t_stat IS NULL THEN NULL ELSE abs(t_stat) >= 1.96 END")
+          .as("significant_95"))
+  }
+
+  // identical edge compositions, spliced into BOTH engines' texts
+  private def meanSql(e: String) =
+    s"CASE WHEN n_$e > 0 THEN CAST(s_$e AS DOUBLE) / CAST(n_$e AS DOUBLE) * 1000.0 END"
+  private def varSql(e: String) =
+    s"""CASE WHEN n_$e > 1 THEN
+       |  (CAST(q_$e AS DOUBLE) / 10000.0
+       |   - CAST(s_$e AS DOUBLE) * CAST(s_$e AS DOUBLE)
+       |    / CAST(n_$e AS DOUBLE)) / (CAST(n_$e AS DOUBLE) - 1.0) END""".stripMargin
+  private val welchTSql =
+    """CASE WHEN n_pre > 1 AND n_post > 1
+      |       AND (v_pre / CAST(n_pre AS DOUBLE)
+      |            + v_post / CAST(n_post AS DOUBLE)) > 0
+      |  THEN (CAST(s_pre AS DOUBLE) / CAST(n_pre AS DOUBLE)
+      |        - CAST(s_post AS DOUBLE) / CAST(n_post AS DOUBLE))
+      |    / sqrt(v_pre / CAST(n_pre AS DOUBLE)
+      |           + v_post / CAST(n_post AS DOUBLE)) END""".stripMargin
+  private val welchDofSql =
+    """CASE WHEN n_pre > 1 AND n_post > 1
+      |       AND (v_pre / CAST(n_pre AS DOUBLE)
+      |            + v_post / CAST(n_post AS DOUBLE)) > 0
+      |  THEN (v_pre / CAST(n_pre AS DOUBLE) + v_post / CAST(n_post AS DOUBLE))
+      |     * (v_pre / CAST(n_pre AS DOUBLE) + v_post / CAST(n_post AS DOUBLE))
+      |    / ((v_pre / CAST(n_pre AS DOUBLE)) * (v_pre / CAST(n_pre AS DOUBLE))
+      |         / (CAST(n_pre AS DOUBLE) - 1.0)
+      |       + (v_post / CAST(n_post AS DOUBLE)) * (v_post / CAST(n_post AS DOUBLE))
+      |         / (CAST(n_post AS DOUBLE) - 1.0)) END""".stripMargin
+
+  val statsWelchTtestSql: String =
+    s"""WITH agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+       |    CAST(sum(CASE WHEN pre THEN xk END) AS DECIMAL(38,5)) AS s_pre,
+       |    CAST(floor(sum(CASE WHEN pre THEN xk * xk END) * 10000) AS DECIMAL(38,0)) AS q_pre,
+       |    CAST(sum(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+       |    CAST(sum(CASE WHEN NOT pre THEN xk END) AS DECIMAL(38,5)) AS s_post,
+       |    CAST(floor(sum(CASE WHEN NOT pre THEN xk * xk END) * 10000) AS DECIMAL(38,0)) AS q_post
+       |  FROM (
+       |    SELECT o_orderdate < TIMESTAMP '$orderEraSplit' AS pre,
+       |      CAST(CAST(o_totalprice AS DECIMAL(14,2)) / 1000 AS DECIMAL(18,5)) AS xk
+       |    FROM orders)),
+       |m AS (
+       |  SELECT *,
+       |    ${meanSql("pre")} AS mean_pre,
+       |    ${meanSql("post")} AS mean_post,
+       |    ${varSql("pre").replace("\n", "\n    ")} AS v_pre,
+       |    ${varSql("post").replace("\n", "\n    ")} AS v_post
+       |  FROM agg),
+       |t AS (
+       |  SELECT *,
+       |    ${welchTSql.replace("\n", "\n    ")} AS t_stat,
+       |    ${welchDofSql.replace("\n", "\n    ")} AS welch_dof
+       |  FROM m)
+       |SELECT n_pre, n_post, mean_pre, mean_post, t_stat, welch_dof,
+       |  CASE WHEN t_stat IS NULL THEN NULL ELSE abs(t_stat) >= 1.96 END
+       |    AS significant_95
+       |FROM t""".stripMargin
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) on event `value` between the
+    * click and view streams — the NONPARAMETRIC "did the distribution
+    * shift" test (no normality assumption; what an analyst uses on
+    * skewed engagement values where a t-test lies). Tie-exact:
+    *
+    * Rank structure lives entirely in the VALUE-keyed aggregate: for a
+    * distinct value with c₁ click rows of c total, every row gets
+    * midrank cum_before + (c+1)/2, so 2·R₁ = Σ c₁·(2·(cum−c) + c + 1) —
+    * a pure integer, no .5 ever materialized. The tie correction
+    * Σ(c³−c) is integer-exact too. Both widen through DECIMAL(38,0)
+    * (n² magnitudes). z = (2U₁ − n₁n₂) / (2·sqrt(n₁n₂/12 · (N+1 −
+    * tie/(N(N−1))))) — one identical double composition; NULL when a
+    * group is empty or every value ties (zero variance).
+    *
+    * Scale shape: one events scan → value-keyed count agg (bounded by
+    * the value grid, data-independent) → ONE GlobalRank prefix-sum
+    * range exchange over that aggregate (never a global window) → a
+    * 1-row aggregation. The oracle mirrors the midrank algebra with a
+    * window over the same distinct-value frame.
+    */
+  def statsMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("c"))
+    val cum = graft.operators.GlobalRank
+      .withGlobalCumsum(vals, "c", "cum", col("value"))
+    cum.agg(
+        sum(col("c1")).as("n1"),
+        sum(col("c") - col("c1")).as("n2"),
+        sum(expr(
+          "CAST(c1 AS DECIMAL(38,0)) * (2 * (cum - c) + c + 1)")).as("tr0"),
+        sum(expr(
+          "CAST(c AS DECIMAL(38,0)) * c * c - c")).as("tie0"))
+      .select(col("n1").as("n_click"), col("n2").as("n_view"),
+        expr("CAST(tr0 AS DECIMAL(38,0))").as("two_r1"),
+        expr("CAST(tie0 AS DECIMAL(38,0))").as("tie_sum"))
+      .withColumn("z_score", expr(mwZSql))
+      .withColumn("significant_95",
+        expr("CASE WHEN z_score IS NULL THEN NULL ELSE abs(z_score) >= 1.96 END"))
+  }
+
+  private val mwZSql =
+    """CASE WHEN n_click > 0 AND n_view > 0
+      |       AND (CAST(n_click + n_view AS DOUBLE) + 1.0
+      |            - CAST(tie_sum AS DOUBLE)
+      |              / (CAST(n_click + n_view AS DOUBLE)
+      |                 * (CAST(n_click + n_view AS DOUBLE) - 1.0))) > 0
+      |  THEN (CAST(two_r1 AS DOUBLE)
+      |        - CAST(n_click AS DOUBLE) * (CAST(n_click AS DOUBLE) + 1.0)
+      |        - CAST(n_click AS DOUBLE) * CAST(n_view AS DOUBLE))
+      |    / (2.0 * sqrt(CAST(n_click AS DOUBLE) * CAST(n_view AS DOUBLE) / 12.0
+      |        * (CAST(n_click + n_view AS DOUBLE) + 1.0
+      |           - CAST(tie_sum AS DOUBLE)
+      |             / (CAST(n_click + n_view AS DOUBLE)
+      |                * (CAST(n_click + n_view AS DOUBLE) - 1.0))))) END"""
+      .stripMargin
+
+  val statsMannWhitneySql: String =
+    s"""WITH vals AS (
+       |  SELECT value,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    count(*) AS c
+       |  FROM events WHERE event_type IN ('click', 'view')
+       |  GROUP BY value),
+       |cum AS (
+       |  SELECT *, sum(c) OVER (ORDER BY value
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vals),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(c1) AS BIGINT) AS n_click,
+       |    CAST(sum(c - c1) AS BIGINT) AS n_view,
+       |    CAST(sum(CAST(c1 AS HUGEINT) * (2 * (cum - c) + c + 1)) AS DECIMAL(38,0)) AS two_r1,
+       |    CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS DECIMAL(38,0)) AS tie_sum
+       |  FROM cum),
+       |z AS (
+       |  SELECT *,
+       |    ${mwZSql.replace("\n", "\n    ")} AS z_score
+       |  FROM agg)
+       |SELECT n_click, n_view, two_r1, tie_sum, z_score,
+       |  CASE WHEN z_score IS NULL THEN NULL ELSE abs(z_score) >= 1.96 END
+       |    AS significant_95
+       |FROM z""".stripMargin
+
   /** χ² independence report over the SAME two contingency panels
     * profile_mutual_info scores (documents: lang × source; events:
     * event_type × day-of-week) — MI says how MUCH the pair shares; χ²

@@ -57,7 +57,8 @@ class EventsEdgeSpec extends AnyFunSuite {
     "events_conversion_lag",
     // r11: the pareto grid (its empty-log n_top_users seam was ADVICE
     // r10) and the inferential panel (NULL z / χ² degrade paths)
-    "events_pareto_share", "stats_funnel_ztest", "stats_chisq_independence")
+    "events_pareto_share", "stats_funnel_ztest", "stats_chisq_independence",
+    "stats_mannwhitney")
 
   for ((tag, dirF) <- Seq[(String, () => String)](
       ("empty log", () => emptyDir), ("single event", () => oneDir),

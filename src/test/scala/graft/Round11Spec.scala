@@ -164,6 +164,63 @@ class Round11Spec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("cramers_v") - v) < 1e-6)
   }
 
+  test("stats_welch_ttest: t and dof equal the driver-side Welch recompute") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_welch_ttest")(spark, sf).collect().head
+    val xs = graft.Tables.orders(spark, sf)
+      .select(col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1)))
+    def stats(pre: Boolean) = {
+      val v = xs.filter(_._1 == pre).map(_._2 / 1000.0)
+      val n = v.length.toDouble
+      val m = v.sum / n
+      (n, m, v.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (n1, m1, v1) = stats(true)
+    val (n2, m2, v2) = stats(false)
+    assert(row.getAs[Long]("n_pre") == n1.toLong &&
+      row.getAs[Long]("n_post") == n2.toLong)
+    assert(math.abs(row.getAs[Double]("mean_pre") - m1 * 1000.0) < 1e-6)
+    val se = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / math.sqrt(se)
+    val dof = se * se /
+      ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    // the operator floors Σx² at 1e-4 (the 2^53 edge device), so the
+    // recompute agrees to ~1e-6 relative, not bit-exactly
+    assert(math.abs(row.getAs[Double]("t_stat") - t) < 1e-5, s"t=$t vs $row")
+    assert(math.abs(row.getAs[Double]("welch_dof") - dof) / dof < 1e-5)
+    assert(row.getAs[Boolean]("significant_95") == (math.abs(t) >= 1.96))
+  }
+
+  test("stats_mannwhitney: midrank algebra equals the textbook rank sums") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_mannwhitney")(spark, sf).collect().head
+    val xs = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // textbook midranks over the combined sample
+    val sorted = xs.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+      v -> g.map(_._2 + 1).sum.toDouble / g.length // midrank (1-based)
+    }
+    val clicks = xs.filter(_._1 == "click")
+    val r1 = clicks.map(x => rankOf(x._2)).sum
+    val (n1, n2) = (clicks.length.toDouble, xs.length - clicks.length.toDouble)
+    assert(row.getAs[Long]("n_click") == n1.toLong &&
+      row.getAs[Long]("n_view") == n2.toLong)
+    // 2R1 is integer-exact in the operator; textbook midranks are .5s
+    assert(row.getAs[java.math.BigDecimal]("two_r1").doubleValue() == 2 * r1)
+    val nAll = n1 + n2
+    val tie = xs.map(_._2).groupBy(identity).values
+      .map(g => g.length.toDouble).map(c => c * c * c - c).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2
+    val z = (u1 - n1 * n2 / 2) /
+      math.sqrt(n1 * n2 / 12.0 * (nAll + 1 - tie / (nAll * (nAll - 1))))
+    assert(math.abs(row.getAs[Double]("z_score") - z) < 1e-9, s"z=$z vs $row")
+  }
+
   test("shared artifacts pin no executor storage (lake spill path)") {
     val dir = mkCorpus(Seq("one two three four", "five six seven eight",
       "one two three four"))
