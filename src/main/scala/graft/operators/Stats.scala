@@ -326,6 +326,111 @@ object Stats {
        |    AS significant_95
        |FROM z""".stripMargin
 
+  /** One-way ANOVA on order value across the five market segments —
+    * the k-group generalization of the Welch pair ("does ANY segment's
+    * average basket differ"): F = (SSB/(k−1)) / (SSW/(N−k)), plus η²
+    * (the effect size a report quotes alongside F).
+    *
+    * Sufficient statistics per group: n, Σx, Σx² — the Welch devices
+    * verbatim (thousands-scaled exact decimals; Σx² floored ×10⁴ to an
+    * exact integer). The one NEW seam a k-group test adds: Σ_g s_g²/n_g
+    * sums DOUBLES across groups, and Spark's aggregation order is
+    * nondeterministic — so each group's term is composed in ONE double
+    * expression and quantized DECIMAL(24,2) (the miPanel
+    * order-independence device; 0.01 thousands² of quantization on
+    * ~1e10 magnitudes is noise to F), then summed exactly.
+    *
+    * Scale shape: orders ⋈ customer co-shuffle on the customer key
+    * (customer grows with data — never broadcast, the q7 rule; AQE may
+    * still pick one at small SF) → \|segments\|-keyed agg → 5-row
+    * bounded math. Degrade: k≤1, N≤k or zero within-variance → NULL F.
+    */
+  def statsAnovaSegments(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) / 1000 AS DECIMAL(18,5))")
+          .as("xk"))
+    val g = x.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("xk")).as("s_g0"),
+        sum(expr("xk * xk")).as("q_g0"))
+      .select(col("n_g"),
+        expr("CAST(s_g0 AS DECIMAL(38,5))").as("s_g"),
+        expr("CAST(floor(q_g0 * 10000) AS DECIMAL(38,0))").as("q4_g"))
+      .withColumn("t_g", expr(anovaTermSql))
+    g.agg(count(lit(1)).as("k_groups"),
+        sum(col("n_g")).as("n_total"),
+        sum(col("s_g")).as("s_all0"),
+        sum(col("q4_g")).as("q4_all0"),
+        sum(col("t_g")).as("t_all0"))
+      .select(col("k_groups"), col("n_total"),
+        expr("CAST(s_all0 AS DECIMAL(38,5))").as("s_all"),
+        expr("CAST(q4_all0 AS DECIMAL(38,0))").as("q4_all"),
+        expr("CAST(t_all0 AS DECIMAL(38,2))").as("t_all"))
+      .withColumn("ssb", expr(ssbSql))
+      .withColumn("ssw", expr(sswSql))
+      .select(col("k_groups"), col("n_total"),
+        expr("CAST(k_groups - 1 AS BIGINT)").as("dof_between"),
+        expr("CAST(n_total - k_groups AS BIGINT)").as("dof_within"),
+        expr(fSql).as("f_stat"),
+        expr(etaSql).as("eta_sq"))
+  }
+
+  private val anovaTermSql =
+    """CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+      |  AS DECIMAL(24,2))""".stripMargin
+  private val ssbSql =
+    """CAST(t_all AS DOUBLE)
+      |  - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+      |    / CAST(n_total AS DOUBLE)""".stripMargin
+  private val sswSql =
+    "CAST(q4_all AS DOUBLE) / 10000.0 - CAST(t_all AS DOUBLE)"
+  private val fSql =
+    """CASE WHEN k_groups > 1 AND n_total > k_groups AND ssw > 0
+      |  THEN (ssb / (CAST(k_groups AS DOUBLE) - 1.0))
+      |     / (ssw / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+      |  END""".stripMargin
+  private val etaSql =
+    """CASE WHEN k_groups > 1 AND n_total > k_groups AND (ssb + ssw) > 0
+      |  THEN ssb / (ssb + ssw) END""".stripMargin
+
+  val statsAnovaSegmentsSql: String =
+    s"""WITH g AS (
+       |  SELECT c.c_mktsegment AS seg,
+       |    count(*) AS n_g,
+       |    CAST(sum(xk) AS DECIMAL(38,5)) AS s_g,
+       |    CAST(floor(sum(xk * xk) * 10000) AS DECIMAL(38,0)) AS q4_g
+       |  FROM (
+       |    SELECT o_custkey,
+       |      CAST(CAST(o_totalprice AS DECIMAL(14,2)) / 1000 AS DECIMAL(18,5)) AS xk
+       |    FROM orders) o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT *,
+       |    ${anovaTermSql.replace("\n", "\n    ")} AS t_g
+       |  FROM g),
+       |a AS (
+       |  SELECT count(*) AS k_groups,
+       |    CAST(sum(n_g) AS BIGINT) AS n_total,
+       |    CAST(sum(s_g) AS DECIMAL(38,5)) AS s_all,
+       |    CAST(sum(q4_g) AS DECIMAL(38,0)) AS q4_all,
+       |    CAST(sum(t_g) AS DECIMAL(38,2)) AS t_all
+       |  FROM t),
+       |s AS (
+       |  SELECT *,
+       |    ${ssbSql.replace("\n", "\n    ")} AS ssb,
+       |    ${sswSql} AS ssw
+       |  FROM a)
+       |SELECT k_groups, n_total,
+       |  CAST(k_groups - 1 AS BIGINT) AS dof_between,
+       |  CAST(n_total - k_groups AS BIGINT) AS dof_within,
+       |  ${fSql.replace("\n", "\n  ")} AS f_stat,
+       |  ${etaSql.replace("\n", "\n  ")} AS eta_sq
+       |FROM s""".stripMargin
+
   /** χ² independence report over the SAME two contingency panels
     * profile_mutual_info scores (documents: lang × source; events:
     * event_type × day-of-week) — MI says how MUCH the pair shares; χ²

@@ -193,6 +193,40 @@ class Round11Spec extends AnyFunSuite {
     assert(row.getAs[Boolean]("significant_95") == (math.abs(t) >= 1.96))
   }
 
+  test("stats_anova_segments: F and eta-squared equal the textbook recompute") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_anova_segments")(spark, sf)
+      .collect().head
+    val xs = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1) / 1000.0))
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = xs.length.toDouble
+    val k = groups.size.toDouble
+    val grand = xs.map(_._2).sum / n
+    val ssb = groups.values.map { g =>
+      val m = g.sum / g.length
+      g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.flatMap { g =>
+      val m = g.sum / g.length
+      g.map(x => (x - m) * (x - m))
+    }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(row.getAs[Long]("k_groups") == k.toLong &&
+      row.getAs[Long]("n_total") == n.toLong)
+    assert(row.getAs[Long]("dof_between") == (k - 1).toLong &&
+      row.getAs[Long]("dof_within") == (n - k).toLong)
+    // operator floors Sx^2 at 1e-4 and quantizes group terms at 1e-2
+    // thousands^2 — textbook agreement to ~1e-5 relative
+    assert(math.abs(row.getAs[Double]("f_stat") - f) /
+      math.max(f, 1.0) < 1e-4, s"f=$f vs $row")
+    val eta = ssb / (ssb + ssw)
+    assert(math.abs(row.getAs[Double]("eta_sq") - eta) < 1e-6)
+  }
+
   test("stats_mannwhitney: midrank algebra equals the textbook rank sums") {
     val sf = TestSession.sf
     val row = SparkEntry.queries("stats_mannwhitney")(spark, sf).collect().head
