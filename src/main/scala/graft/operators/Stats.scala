@@ -179,9 +179,21 @@ object Stats {
       .withColumn("welch_dof", expr(welchDofSql))
       .select(col("n_pre"), col("n_post"), col("mean_pre"), col("mean_post"),
         col("t_stat"), col("welch_dof"),
-        expr("CASE WHEN t_stat IS NULL THEN NULL ELSE abs(t_stat) >= 1.96 END")
-          .as("significant_95"))
+        expr(welchSigSql).as("significant_95"))
   }
+
+  /** significant_95 uses the NORMAL approximation to the t distribution
+    * (1.96 = z₀.₀₂₅): an exact t quantile at fractional Satterthwaite dof
+    * is not expressible cross-engine (no inverse-beta in either SQL
+    * dialect). The approximation is only honest when dof is large, so it
+    * is GATED on welch_dof ≥ 30 (t₀.₀₂₅,₃₀ = 2.042 — within 4% of 1.96;
+    * below that the verdict is NULL, "compute it offline", rather than an
+    * overstated significance) — the r11 ADVICE fix.
+    */
+  private val welchSigSql =
+    """CASE WHEN t_stat IS NULL OR welch_dof IS NULL THEN NULL
+      |  WHEN welch_dof < 30.0 THEN NULL
+      |  ELSE abs(t_stat) >= 1.96 END""".stripMargin
 
   // identical edge compositions, spliced into BOTH engines' texts
   private def meanSql(e: String) =
@@ -236,8 +248,7 @@ object Stats {
        |    ${welchDofSql.replace("\n", "\n    ")} AS welch_dof
        |  FROM m)
        |SELECT n_pre, n_post, mean_pre, mean_post, t_stat, welch_dof,
-       |  CASE WHEN t_stat IS NULL THEN NULL ELSE abs(t_stat) >= 1.96 END
-       |    AS significant_95
+       |  ${welchSigSql.replace("\n", "\n  ")} AS significant_95
        |FROM t""".stripMargin
 
   /** Mann–Whitney U (Wilcoxon rank-sum) on event `value` between the
@@ -259,10 +270,28 @@ object Stats {
     * range exchange over that aggregate (never a global window) → a
     * 1-row aggregation. The oracle mirrors the midrank algebra with a
     * window over the same distinct-value frame.
+    *
+    * NULL values are excluded SYMMETRICALLY in both engines (r11
+    * ADVICE): a rank test has no rank for an unobserved value, and the
+    * engines would otherwise order the NULL group differently (Spark's
+    * range exchange sorts NULLS FIRST; DuckDB's ORDER BY window defaults
+    * NULLS LAST) — a live hash seam on any corpus with NULL values.
+    *
+    * Hashed-surface discipline (r11: the driver gate hash-flagged this
+    * op while three-SF replays were bit-identical — the one gated query
+    * emitting raw DECIMAL(38,0) beside a raw IEEE double): the exact
+    * integer statistics present as BIGINT — two_r1 ≤ N·(2N+1) is safe to
+    * ~2·10⁹ click/view events, tie_sum ≤ Σc³ to a ~2·10⁶-row largest tie
+    * group; z and every internal step compose over the DECIMAL(38,0)
+    * EXACT values (safe to N ~ 10¹²), so the BIGINT columns are
+    * presentation-only — and z presents through the §6 rule-8
+    * quantization, CAST(… AS DECIMAL(18,9)) over the identical double
+    * composition in BOTH engines. No raw double rides the hash.
     */
   def statsMannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.events(spark, dir)
-      .filter(col("event_type").isin("click", "view"))
+      .filter(col("event_type").isin("click", "view") &&
+        col("value").isNotNull)
       .groupBy(col("value"))
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
         count(lit(1)).as("c"))
@@ -278,10 +307,23 @@ object Stats {
       .select(col("n1").as("n_click"), col("n2").as("n_view"),
         expr("CAST(tr0 AS DECIMAL(38,0))").as("two_r1"),
         expr("CAST(tie0 AS DECIMAL(38,0))").as("tie_sum"))
-      .withColumn("z_score", expr(mwZSql))
+      // z composes over the EXACT decimals; the BIGINT presentation below
+      // never feeds arithmetic
+      .withColumn("z_score",
+        expr(s"CAST(($mwZSql) AS DECIMAL(18,9))"))
+      .select(col("n_click"), col("n_view"),
+        expr("CAST(two_r1 AS BIGINT)").as("two_r1"),
+        expr("CAST(tie_sum AS BIGINT)").as("tie_sum"),
+        col("z_score"))
       .withColumn("significant_95",
-        expr("CASE WHEN z_score IS NULL THEN NULL ELSE abs(z_score) >= 1.96 END"))
+        expr(mwSigSql))
   }
+
+  // significance off the QUANTIZED z (the hashed value is the judged
+  // value), via one explicit decimal→double edge — identical both engines
+  private val mwSigSql =
+    """CASE WHEN z_score IS NULL THEN NULL
+      |  ELSE abs(CAST(z_score AS DOUBLE)) >= 1.96 END""".stripMargin
 
   private val mwZSql =
     """CASE WHEN n_click > 0 AND n_view > 0
@@ -304,7 +346,8 @@ object Stats {
        |  SELECT value,
        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
        |    count(*) AS c
-       |  FROM events WHERE event_type IN ('click', 'view')
+       |  FROM events
+       |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
        |  GROUP BY value),
        |cum AS (
        |  SELECT *, sum(c) OVER (ORDER BY value
@@ -319,11 +362,13 @@ object Stats {
        |  FROM cum),
        |z AS (
        |  SELECT *,
-       |    ${mwZSql.replace("\n", "\n    ")} AS z_score
+       |    CAST((${mwZSql.replace("\n", "\n    ")}) AS DECIMAL(18,9)) AS z_score
        |  FROM agg)
-       |SELECT n_click, n_view, two_r1, tie_sum, z_score,
-       |  CASE WHEN z_score IS NULL THEN NULL ELSE abs(z_score) >= 1.96 END
-       |    AS significant_95
+       |SELECT n_click, n_view,
+       |  CAST(two_r1 AS BIGINT) AS two_r1,
+       |  CAST(tie_sum AS BIGINT) AS tie_sum,
+       |  z_score,
+       |  ${mwSigSql.replace("\n", "\n  ")} AS significant_95
        |FROM z""".stripMargin
 
   /** One-way ANOVA on order value across the five market segments —

@@ -190,7 +190,10 @@ class Round11Spec extends AnyFunSuite {
     // recompute agrees to ~1e-6 relative, not bit-exactly
     assert(math.abs(row.getAs[Double]("t_stat") - t) < 1e-5, s"t=$t vs $row")
     assert(math.abs(row.getAs[Double]("welch_dof") - dof) / dof < 1e-5)
-    assert(row.getAs[Boolean]("significant_95") == (math.abs(t) >= 1.96))
+    // significant_95 mirrors the operator's dof >= 30 normal-approx gate
+    if (dof >= 30.0)
+      assert(row.getAs[Boolean]("significant_95") == (math.abs(t) >= 1.96))
+    else assert(row.getAs[Any]("significant_95") == null)
   }
 
   test("stats_anova_segments: F and eta-squared equal the textbook recompute") {
@@ -231,7 +234,8 @@ class Round11Spec extends AnyFunSuite {
     val sf = TestSession.sf
     val row = SparkEntry.queries("stats_mannwhitney")(spark, sf).collect().head
     val xs = graft.Tables.events(spark, sf)
-      .filter(col("event_type").isin("click", "view"))
+      .filter(col("event_type").isin("click", "view") &&
+        col("value").isNotNull)
       .select(col("event_type"), col("value"))
       .collect().map(r => (r.getString(0), r.getDouble(1)))
     // textbook midranks over the combined sample
@@ -245,14 +249,17 @@ class Round11Spec extends AnyFunSuite {
     assert(row.getAs[Long]("n_click") == n1.toLong &&
       row.getAs[Long]("n_view") == n2.toLong)
     // 2R1 is integer-exact in the operator; textbook midranks are .5s
-    assert(row.getAs[java.math.BigDecimal]("two_r1").doubleValue() == 2 * r1)
+    assert(row.getAs[Long]("two_r1").toDouble == 2 * r1)
     val nAll = n1 + n2
     val tie = xs.map(_._2).groupBy(identity).values
       .map(g => g.length.toDouble).map(c => c * c * c - c).sum
+    assert(row.getAs[Long]("tie_sum").toDouble == tie)
     val u1 = r1 - n1 * (n1 + 1) / 2
     val z = (u1 - n1 * n2 / 2) /
       math.sqrt(n1 * n2 / 12.0 * (nAll + 1 - tie / (nAll * (nAll - 1))))
-    assert(math.abs(row.getAs[Double]("z_score") - z) < 1e-9, s"z=$z vs $row")
+    // z is presented quantized DECIMAL(18,9) (the r12 hashed-surface fix)
+    val zGot = row.getAs[java.math.BigDecimal]("z_score").doubleValue()
+    assert(math.abs(zGot - z) < 1e-8, s"z=$z vs $row")
   }
 
   test("shared artifacts pin no executor storage (lake spill path)") {
