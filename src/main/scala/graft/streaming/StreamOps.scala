@@ -796,12 +796,17 @@ object StreamOps {
     * resets and block-diagonal masks).
     *
     * State: one Long per lane — bounded by configuration, no watermark
-    * or TTL needed. Emission is append-only and incremental-exact: the
-    * cursor carries across micro-batches, so ANY batch split of the
-    * same arrival order emits byte-identical spans (asserted in
-    * StreamingSpec). Docs are assumed arrival-ordered per lane within a
-    * batch (replayed logs; the funnel/sessionize convention) and sorted
-    * (t_us, doc_id) for determinism; zero-token docs emit nothing.
+    * or TTL needed. Emission is append-only and incremental-exact, with
+    * the split-invariance guarantee scoped PRECISELY (r11 ADVICE): the
+    * cursor carries across micro-batches and each batch sorts its docs
+    * by (t_us, doc_id) per lane, so when arrivals are per-lane
+    * (t_us, doc_id)-ordered — replayed logs, the funnel/sessionize
+    * convention — every batch split of that order emits byte-identical
+    * spans (asserted in StreamingSpec). For OUT-OF-ORDER arrivals the
+    * in-batch sort cannot reorder across a batch boundary, so different
+    * splits may assign different spans — packing order is then
+    * arrival-order up to in-batch sorting, not a global (t_us, doc_id)
+    * order. Zero-token docs emit nothing.
     */
   def packSpans(docs: Dataset[PackDoc],
       seqLen: Long = graft.text.Curation.seqLen): Dataset[PackSpan] = {
