@@ -588,4 +588,315 @@ object Stats {
        |$s2
        |ORDER BY table_name""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Rank-based panel (r12): Spearman ρ and Kruskal–Wallis H — the two
+  // siblings the r11 devices already pay for (GlobalRank midranks +
+  // exact integer sufficient statistics).
+  // ---------------------------------------------------------------------
+
+  /** The >2^53 LADDER device: rank-statistic magnitudes grow as N² (group
+    * rank-sum deviations) and N³ (rank sums of squares), and an exact
+    * decimal whose value exceeds 2^53 converts to double DIFFERENTLY in
+    * the two engines (last-ulp; the §6 rule-8 seam, bitten at sf1 in
+    * r11's Welch rehearsal). Device: integer-FLOOR-divide the exact
+    * statistic by a power of 10 chosen by a CASE ladder over N — both
+    * engines truncate integer division toward zero (Spark `DIV`, DuckDB
+    * `//`; verified), so the quotient is the same exact integer < 2^53 on
+    * both sides, and its double conversion is seam-free. The divisor
+    * re-multiplies inside the one shared double composition (an exact
+    * power-of-10 double). Relative truncation error ≤ divisor/statistic —
+    * ~1e-12 on N³-magnitude denominators, and bounded by design on the
+    * N²-magnitude group deviations (the ladders keep quotients in the
+    * 1e6–1e7 range). Cross-engine the truncation is IDENTICAL, so the
+    * hash gate sees one value.
+    */
+  private def ladder3Sql(n: String): String =
+    s"""CASE WHEN $n <= 100000 THEN 1
+       |  WHEN $n <= 1000000 THEN 1000
+       |  WHEN $n <= 10000000 THEN 1000000
+       |  WHEN $n <= 100000000 THEN 1000000000
+       |  WHEN $n <= 1000000000 THEN 1000000000000
+       |  ELSE 1000000000000000 END""".stripMargin
+
+  private def ladder2Sql(n: String): String =
+    s"""CASE WHEN $n <= 3000 THEN 1
+       |  WHEN $n <= 30000 THEN 100
+       |  WHEN $n <= 300000 THEN 10000
+       |  WHEN $n <= 3000000 THEN 1000000
+       |  WHEN $n <= 30000000 THEN 100000000
+       |  WHEN $n <= 300000000 THEN 10000000000
+       |  ELSE 1000000000000 END""".stripMargin
+
+  /** Engine-specific exact integer division over a wide decimal: Spark's
+    * `DIV` returns BIGINT (quotients here are ladder-bounded < 2^53, so
+    * it never overflows); DuckDB routes through HUGEINT so the dividend
+    * never degrades to double. Both truncate toward zero.
+    */
+  private val sparkIntDiv: (String, String) => String =
+    (a, b) => s"($a DIV $b)"
+  private val duckIntDiv: (String, String) => String =
+    (a, b) => s"(CAST($a AS HUGEINT) // $b)"
+
+  /** Numeric columns of the Spearman panel — the first three of
+    * profile_correlations' Pearson panel, so an analyst reads monotone
+    * (rank) association next to linear association over the same pairs.
+    */
+  val spearmanCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  private val spearmanPairs: Seq[(Int, Int)] =
+    for { i <- spearmanCols.indices; j <- spearmanCols.indices if i < j }
+      yield (i, j)
+
+  /** Spearman rank correlation over the lineitem numeric panel — the
+    * monotone-association sibling of profile_correlations (Pearson):
+    * what an analyst reaches for when the scatter is curved or
+    * heavy-tailed and "correlation" should mean "do the RANKS move
+    * together". Tie-exact: Pearson over MIDRANKS is the standard
+    * tie-corrected Spearman, and with u = 2·midrank − (N+1) (an exact
+    * integer: 2·midrank = 2·cum_before + c + 1 from the value-keyed
+    * count aggregate, the stats_mannwhitney device) the marginals center
+    * exactly (Σ c·u = 0), so ρ = Σ uₓu_y / sqrt(Σ uₓ² · Σ u_y²) over
+    * exact DECIMAL(38,0) sums (≤ N³ — exact to N ~ 10¹²).
+    *
+    * Rows with a NULL in ANY panel column are excluded LISTWISE (one
+    * shared N, one rank universe per column — the same exclusion both
+    * engines, the mannwhitney NULL discipline).
+    *
+    * Scale shape: one lineitem scan per marginal count aggregate (3,
+    * each bounded by its value grid) + GlobalRank prefix-sum range
+    * exchanges (never a global window); the row-level frame joins the
+    * three rank tables by value equijoin (small grids broadcast
+    * themselves under AQE) and feeds ONE 1-row aggregation computing
+    * every pair's sums in a single pass (the profile_correlations
+    * shape). The edge: the [[ladder3Sql]] device divides each N³-scale
+    * sum to < 2^53, then ONE identical double composition per pair,
+    * quantized DECIMAL(18,9) — no raw double rides the hash.
+    */
+  def statsSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val cs = spearmanCols
+    val base = Tables.lineitem(spark, dir)
+      .select(cs.map(col): _*)
+      .filter(cs.map(col(_).isNotNull).reduce(_ && _))
+    val nTot = base.agg(count(lit(1)).as("n_all")).localCheckpoint()
+    val ranks = cs.zipWithIndex.map { case (c, i) =>
+      val vals = base.groupBy(col(c)).agg(count(lit(1)).as("c_cnt"))
+      val cum = GlobalRank.withGlobalCumsum(vals, "c_cnt", "cum", col(c))
+      cum.crossJoin(broadcast(nTot))
+        .select(col(c), expr("2 * cum - c_cnt - n_all").as(s"u_$i"))
+    }
+    val joined = ranks.zipWithIndex.foldLeft(base) { case (df, (r, i)) =>
+      df.join(r, cs(i))
+    }
+    val aggs =
+      Seq(count(lit(1)).cast("long").as("n_pair")) ++
+        cs.indices.map(i => sum(
+          expr(s"CAST(u_$i AS DECIMAL(38,0)) * u_$i")).as(s"s_${i}_$i")) ++
+        spearmanPairs.map { case (i, j) => sum(
+          expr(s"CAST(u_$i AS DECIMAL(38,0)) * u_$j")).as(s"s_${i}_$j") }
+    val s = joined.agg(aggs.head, aggs.tail: _*)
+      .withColumn("dd", expr(ladder3Sql("n_pair")))
+    val structs = spearmanPairs.map { case (i, j) =>
+      struct(lit(cs(i)).as("col_x"), lit(cs(j)).as("col_y"),
+        col("n_pair").as("n_pair"),
+        expr(spearmanRhoSql(sparkIntDiv)(s"s_${i}_$j", s"s_${i}_$i",
+          s"s_${j}_$j")).as("rho_spearman"))
+    }
+    s.select(explode(array(structs: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.n_pair").as("n_pair"),
+        col("p.rho_spearman").as("rho_spearman"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  // ρ = A/sqrt(B·C) over the ladder-reduced exact sums; NULL when either
+  // marginal has zero rank variance (a constant column)
+  private def spearmanRhoSql(intdiv: (String, String) => String)(
+      a: String, b: String, c: String): String = {
+    val (aq, bq, cq) = (intdiv(a, "dd"), intdiv(b, "dd"), intdiv(c, "dd"))
+    s"""CAST(CASE WHEN $bq > 0 AND $cq > 0
+       |  THEN CAST($aq AS DOUBLE)
+       |    / sqrt(CAST($bq AS DOUBLE) * CAST($cq AS DOUBLE))
+       |END AS DECIMAL(18,9))""".stripMargin
+  }
+
+  val statsSpearmanSql: String = {
+    val cs = spearmanCols
+    val notNull = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val baseCols = cs.zipWithIndex.map { case (c, i) => s"$c AS x$i" }
+      .mkString(", ")
+    val rankCtes = cs.indices.map { i =>
+      s"""v$i AS (SELECT x$i, count(*) AS c FROM base GROUP BY 1),
+         |r$i AS (SELECT x$i,
+         |  CAST(2 * sum(c) OVER (ORDER BY x$i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - c - (SELECT n_all FROM tot) AS BIGINT) AS u_$i
+         |  FROM v$i)""".stripMargin
+    }.mkString(",\n")
+    val joins = cs.indices.map(i => s"JOIN r$i USING (x$i)").mkString(" ")
+    val sums =
+      cs.indices.map(i =>
+        s"CAST(sum(CAST(u_$i AS HUGEINT) * u_$i) AS DECIMAL(38,0)) AS s_${i}_$i") ++
+        spearmanPairs.map { case (i, j) =>
+          s"CAST(sum(CAST(u_$i AS HUGEINT) * u_$j) AS DECIMAL(38,0)) AS s_${i}_$j" }
+    val selects = spearmanPairs.map { case (i, j) =>
+      s"""SELECT '${cs(i)}' AS col_x, '${cs(j)}' AS col_y, n_pair,
+         |  ${spearmanRhoSql(duckIntDiv)(s"s_${i}_$j", s"s_${i}_$i", s"s_${j}_$j")
+             .replace("\n", "\n  ")} AS rho_spearman
+         |FROM d""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT $baseCols FROM lineitem WHERE $notNull),
+       |tot AS (SELECT count(*) AS n_all FROM base),
+       |$rankCtes,
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pair,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM base $joins),
+       |d AS (SELECT *,
+       |  ${ladder3Sql("n_pair").replace("\n", "\n  ")} AS dd
+       |  FROM s)
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
+  /** Kruskal–Wallis H across the five market segments on order value —
+    * the k-group Mann–Whitney (does ANY segment's basket DISTRIBUTION
+    * sit higher), and the rank-based sibling of stats_anova_segments for
+    * skewed values where the F-test's normality assumption lies.
+    *
+    * Tie-exact midrank formulation: with u = 2·midrank − (N+1) per
+    * distinct value (exact integers, the stats_mannwhitney device),
+    *   H = (N−1) · Σ_g wᵍ²/nᵍ / Σᵥ cᵥ·uᵥ²   where wᵍ = Σᵥ c_gᵥ·uᵥ,
+    * which IS the classic tie-corrected H (the centered SST identity
+    * Σc·u²/4 = (N³−N−Σ(c³−c))/12). Sufficient statistics are exact
+    * decimals: wᵍ ≤ N² per group, SST·4 ≤ N³ global. The [[ladder2Sql]]
+    * device floor-divides wᵍ before squaring (quotients ≤ ~10⁷, squares
+    * < 2^53, per-group terms wq²DIV nᵍ are exact BIGINTs — their sum is
+    * ORDER-INDEPENDENT, the anova t_g concern solved without a double
+    * sum), [[ladder3Sql]] reduces the denominator, and ONE shared double
+    * composition emits H quantized DECIMAL(18,9). Truncation error is
+    * ~√N/10⁷ RELATIVE on a null-effect H (identical both engines) —
+    * orders of magnitude below H's own sampling noise at any N.
+    *
+    * significant_95 compares H to the χ²(dof) 0.95 critical value via a
+    * dof≤10 CASE lookup (3.841 … 18.307) — an exact-quantile χ² isn't
+    * expressible cross-engine; beyond dof 10 the verdict is NULL.
+    * Degenerate inputs (k ≤ 1, all values tied → zero rank variance)
+    * emit NULL H, never a division by zero.
+    *
+    * Scale shape: orders ⋈ customer co-shuffle (the anova plan) → one
+    * value-keyed count aggregate + GlobalRank prefix sum (never a global
+    * window) → (segment, value)-keyed aggregate joined to the rank table
+    * → |segments|-row bounded math → 1-row edge.
+    */
+  def statsKruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+      .filter(col("v").isNotNull)
+    val vals = x.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = GlobalRank.withGlobalCumsum(vals, "c", "cum", col("v"))
+    val nTot = cum.agg(sum(col("c")).cast("long").as("n_all")).localCheckpoint()
+    val rt = cum.crossJoin(broadcast(nTot))
+      .select(col("v"), expr("2 * cum - c - n_all").as("u"), col("c"),
+        col("n_all"))
+    val sst = rt.agg(
+      sum(expr("CAST(c AS DECIMAL(38,0)) * u * u")).as("t4_0"),
+      max(col("n_all")).as("n_total"))
+    val g = x.groupBy(col("seg"), col("v")).agg(count(lit(1)).as("c_gv"))
+      .join(rt.select(col("v"), col("u")), "v")
+      .groupBy(col("seg"))
+      .agg(sum(col("c_gv")).as("n_g"),
+        sum(expr("CAST(c_gv AS DECIMAL(38,0)) * u")).as("w_g"))
+    val terms = g.crossJoin(broadcast(sst))
+      .withColumn("ddw", expr(ladder2Sql("n_total")))
+      .withColumn("tq_g", expr(kwTermSql(sparkIntDiv)))
+    terms.agg(count(lit(1)).cast("long").as("k_groups"),
+        max(col("n_total")).as("n_total"),
+        sum(col("tq_g")).cast("long").as("a4_0"),
+        max(col("ddw")).as("ddw"),
+        max(col("t4_0")).as("t4_0"))
+      .withColumn("dd3", expr(ladder3Sql("n_total")))
+      .withColumn("h_stat", expr(kwHSql(sparkIntDiv)))
+      .withColumn("epsilon_sq", expr(kwEpsSql))
+      .withColumn("significant_95", expr(kwSigSql))
+      .select(col("k_groups"), col("n_total"),
+        expr("CAST(k_groups - 1 AS BIGINT)").as("dof"),
+        col("h_stat"), col("epsilon_sq"), col("significant_95"))
+  }
+
+  // per-group exact integer term: (w/ddw)² DIV n — order-independent sum
+  private def kwTermSql(intdiv: (String, String) => String): String = {
+    val wq = intdiv("w_g", "ddw")
+    intdiv(s"($wq * $wq)", "n_g")
+  }
+
+  // H = (N−1)·(A4·ddw²)/T4 — the 4s of SSB·4 and SST·4 cancel
+  private def kwHSql(intdiv: (String, String) => String): String = {
+    val tq = intdiv("t4_0", "dd3")
+    s"""CASE WHEN k_groups > 1 AND n_total > 1 AND $tq > 0
+       |  THEN CAST((CAST(n_total AS DOUBLE) - 1.0)
+       |    * CAST(a4_0 AS DOUBLE)
+       |    * CAST(ddw AS DOUBLE) * CAST(ddw AS DOUBLE)
+       |    / (CAST($tq AS DOUBLE) * CAST(dd3 AS DOUBLE))
+       |  AS DECIMAL(18,9)) END""".stripMargin
+  }
+
+  private val kwEpsSql =
+    """CASE WHEN h_stat IS NULL OR n_total <= 1 THEN NULL
+      |  ELSE CAST(CAST(h_stat AS DOUBLE)
+      |    / (CAST(n_total AS DOUBLE) - 1.0) AS DECIMAL(18,9)) END"""
+      .stripMargin
+
+  // χ²(dof) 0.95 critical values, dof 1..10 (Abramowitz & Stegun tables)
+  private val kwSigSql =
+    """CASE WHEN h_stat IS NULL OR k_groups - 1 < 1 OR k_groups - 1 > 10
+      |  THEN NULL
+      |  ELSE CAST(h_stat AS DOUBLE) >= (CASE k_groups - 1
+      |    WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+      |    WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+      |    WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
+      |    ELSE 18.307 END) END""".stripMargin
+
+  val statsKruskalWallisSql: String =
+    s"""WITH x AS (
+       |  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE o.o_totalprice IS NOT NULL),
+       |vals AS (SELECT v, count(*) AS c FROM x GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM vals),
+       |rt AS (SELECT v, c,
+       |  CAST(2 * sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - c - (SELECT n_all FROM tot) AS HUGEINT) AS u
+       |  FROM vals),
+       |sst AS (SELECT
+       |  CAST(sum(CAST(c AS HUGEINT) * u * u) AS DECIMAL(38,0)) AS t4_0,
+       |  (SELECT n_all FROM tot) AS n_total
+       |  FROM rt),
+       |g AS (SELECT seg, CAST(sum(c_gv) AS BIGINT) AS n_g,
+       |  CAST(sum(CAST(c_gv AS HUGEINT) * u) AS DECIMAL(38,0)) AS w_g
+       |  FROM (SELECT seg, v, count(*) AS c_gv FROM x GROUP BY 1, 2) gv
+       |  JOIN rt USING (v) GROUP BY 1),
+       |terms AS (SELECT g.*, sst.n_total, sst.t4_0,
+       |  ${ladder2Sql("sst.n_total").replace("\n", "\n  ")} AS ddw
+       |  FROM g, sst),
+       |tq AS (SELECT *, ${kwTermSql(duckIntDiv)} AS tq_g FROM terms),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+       |  max(n_total) AS n_total,
+       |  CAST(sum(tq_g) AS BIGINT) AS a4_0,
+       |  max(ddw) AS ddw, max(t4_0) AS t4_0 FROM tq),
+       |h0 AS (SELECT *,
+       |  ${ladder3Sql("n_total").replace("\n", "\n  ")} AS dd3 FROM a),
+       |h1 AS (SELECT *,
+       |  ${kwHSql(duckIntDiv).replace("\n", "\n  ")} AS h_stat FROM h0)
+       |SELECT k_groups, n_total,
+       |  CAST(k_groups - 1 AS BIGINT) AS dof,
+       |  h_stat,
+       |  ${kwEpsSql.replace("\n", "\n  ")} AS epsilon_sq,
+       |  ${kwSigSql.replace("\n", "\n  ")} AS significant_95
+       |FROM h1""".stripMargin
 }

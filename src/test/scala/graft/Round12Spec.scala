@@ -1,7 +1,8 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.{CountDownLatch, TimeUnit}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-12 regression specs for the SharedArtifacts hardening:
@@ -95,5 +96,127 @@ class Round12Spec extends AnyFunSuite {
       fail("second consumer must memo-hit"); null
     }
     assert(second.count() == 1L)
+  }
+
+  // -------------------------------------------------------------------
+  // Rank-statistics panel (r12): textbook recomputes + adversarial sweeps
+  // -------------------------------------------------------------------
+
+  private def midranks(v: Seq[Double]): Map[Double, Double] =
+    v.sorted.zipWithIndex.groupBy(_._1)
+      .map { case (x, g) => x -> g.map(_._2 + 1).sum.toDouble / g.length }
+
+  test("stats_spearman equals Pearson over textbook midranks") {
+    val sf = TestSession.sf
+    val got = SparkEntry.queries("stats_spearman")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val cs = graft.operators.Stats.spearmanCols
+    val data = graft.Tables.lineitem(spark, sf)
+      .select(cs.map(col): _*).na.drop().collect()
+      .map(r => cs.indices.map(i => r.get(i).toString.toDouble).toVector)
+    val n = data.length.toDouble
+    val mr = cs.indices.map(i => midranks(data.map(_(i))))
+    for {
+      i <- cs.indices; j <- cs.indices if i < j
+    } {
+      val rx = data.map(row => mr(i)(row(i)))
+      val ry = data.map(row => mr(j)(row(j)))
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val sxx = rx.map(a => a * a).sum
+      val syy = ry.map(a => a * a).sum
+      val rho = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val row = got((cs(i), cs(j)))
+      assert(row.getAs[Long]("n_pair") == n.toLong)
+      val rhoGot = row.getAs[java.math.BigDecimal]("rho_spearman").doubleValue()
+      assert(math.abs(rhoGot - rho) < 1e-6, s"rho($i,$j)=$rho vs $rhoGot")
+    }
+  }
+
+  test("stats_kruskal_wallis equals the textbook tie-corrected H") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_kruskal_wallis")(spark, sf)
+      .collect().head
+    val xs = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.get(1).toString.toDouble))
+    val n = xs.length.toDouble
+    val mr = midranks(xs.map(_._2))
+    val rbar = (n + 1) / 2.0
+    val groups = xs.groupBy(_._1).view
+      .mapValues(_.map(x => mr(x._2))).toMap
+    val ssb = groups.values.map { g =>
+      val m = g.sum / g.length
+      g.length * (m - rbar) * (m - rbar)
+    }.sum
+    val sst = xs.map(x => (mr(x._2) - rbar) * (mr(x._2) - rbar)).sum
+    val h = (n - 1) * ssb / sst
+    assert(row.getAs[Long]("k_groups") == groups.size.toLong)
+    assert(row.getAs[Long]("n_total") == n.toLong)
+    assert(row.getAs[Long]("dof") == groups.size.toLong - 1)
+    val hGot = row.getAs[java.math.BigDecimal]("h_stat").doubleValue()
+    assert(math.abs(hGot - h) / math.max(h, 1.0) < 1e-6, s"H=$h vs $hGot")
+    val epsGot = row.getAs[java.math.BigDecimal]("epsilon_sq").doubleValue()
+    assert(math.abs(epsGot - h / (n - 1)) < 1e-6)
+    if (groups.size == 5) // chi2(4) 0.95 critical value
+      assert(row.getAs[Boolean]("significant_95") == (hGot >= 9.488))
+  }
+
+  /** sf0.001 clone with one table swapped for an adversarial variant —
+    * the EventsEdgeSpec device pointed at orders/lineitem. */
+  private def cloneWithTable(tag: String, table: String)
+      (transform: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): String = {
+    val dir = Files.createTempDirectory(s"graft_r12edge_$tag").toString
+    val src = Paths.get("/root/testdata/sf0.001")
+    Files.list(src).forEach { p =>
+      val name = p.getFileName.toString
+      if (name != s"$table.parquet")
+        Files.copy(p, Paths.get(dir, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    transform(spark.read.parquet(s"/root/testdata/sf0.001/$table.parquet"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    dir
+  }
+
+  test("rank panel degrades on adversarial orders/lineitem, never throws") {
+    // all order values tie -> zero rank variance -> NULL H
+    val tiesDir = cloneWithTable("ties", "orders")(
+      _.withColumn("o_totalprice", lit(java.math.BigDecimal.valueOf(100.00))
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+    val tied = SparkEntry.queries("stats_kruskal_wallis")(spark, tiesDir)
+      .collect().head
+    assert(tied.getAs[Any]("h_stat") == null &&
+      tied.getAs[Any]("significant_95") == null)
+    // empty orders -> k_groups 0, NULL H, no exception
+    val emptyDir = cloneWithTable("empty", "orders")(_.limit(0))
+    val empty = SparkEntry.queries("stats_kruskal_wallis")(spark, emptyDir)
+      .collect().head
+    assert(empty.getAs[Long]("k_groups") == 0L &&
+      empty.getAs[Any]("h_stat") == null)
+    // single order -> k = 1 -> NULL H
+    val oneDir = cloneWithTable("one", "orders")(_.limit(1))
+    val one = SparkEntry.queries("stats_kruskal_wallis")(spark, oneDir)
+      .collect().head
+    assert(one.getAs[Long]("k_groups") == 1L &&
+      one.getAs[Any]("h_stat") == null)
+    // constant lineitem column -> NULL rho on its pairs, defined elsewhere
+    val constDir = cloneWithTable("const", "lineitem")(
+      _.withColumn("l_discount", lit(java.math.BigDecimal.valueOf(0.05))
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+    val rhos = SparkEntry.queries("stats_spearman")(spark, constDir)
+      .collect().map(r => (r.getString(0), r.getString(1))
+        -> r.getAs[java.math.BigDecimal]("rho_spearman")).toMap
+    assert(rhos(("l_quantity", "l_discount")) == null)
+    assert(rhos(("l_extendedprice", "l_discount")) == null)
+    assert(rhos(("l_quantity", "l_extendedprice")) != null)
+    // empty lineitem -> three rows, all NULL rho
+    val emptyLi = cloneWithTable("emptyli", "lineitem")(_.limit(0))
+    val er = SparkEntry.queries("stats_spearman")(spark, emptyLi).collect()
+    assert(er.length == 3 &&
+      er.forall(_.getAs[Any]("rho_spearman") == null))
   }
 }
