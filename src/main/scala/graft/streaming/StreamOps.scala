@@ -489,6 +489,54 @@ object StreamOps {
         (col("actual") * 65536 * 2 < col("ewma_x65536")).as("stall"))
   }
 
+  /** Streaming two-proportion z monitor — stats_funnel_ztest's live twin
+    * (r11 VERDICT #7): each CLOSING day window's conversion rate is
+    * tested against the SETTLED-ERA baseline with the batch op's exact
+    * pooled two-proportion arithmetic,
+    *
+    *   z = (p̂_w − p̂_base) / sqrt( p̂(1−p̂)(1/n_w + 1/n_base) ),  p̂ pooled,
+    *
+    * so a product launch watches "did conversion MOVE beyond binomial
+    * noise" land window by window instead of re-running the batch test.
+    * The baseline (n_base, x_base) is the batch test's settled-era
+    * sufficient statistic — two Longs, baked into the plan as literals
+    * (the psiGate frozen-baseline device; re-deploy the query to
+    * re-baseline, which is exactly what "settled era" means
+    * operationally). conv_ppm uses the house integer-ppm device; the z
+    * composition mirrors the batch zExprSql guards — NULL on an empty
+    * window, an empty baseline, or a degenerate pool (0%/100%
+    * everywhere), never a division by zero.
+    *
+    * State: the single windowed aggregation, watermark-bounded —
+    * O(active windows) rows of (n, x). `trials` needs (ts, converted:
+    * boolean) — one row per funnel entry, pre-shaped by the caller
+    * (proof the shape composes: the batch op's signup→purchase frame is
+    * exactly this projection).
+    */
+  def funnelZGate(trials: DataFrame, nBase: Long, xBase: Long,
+      critical: Double = 1.96): DataFrame = {
+    val agg = trials
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_w"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("x_w"))
+    val zSql =
+      s"""CASE WHEN n_w > 0 AND $nBase > 0
+         |       AND (x_w + $xBase) > 0 AND (x_w + $xBase) < (n_w + $nBase)
+         |  THEN (CAST(x_w AS DOUBLE) / CAST(n_w AS DOUBLE)
+         |        - CAST($xBase AS DOUBLE) / CAST($nBase AS DOUBLE))
+         |    / sqrt((CAST(x_w + $xBase AS DOUBLE) / CAST(n_w + $nBase AS DOUBLE))
+         |        * (1.0 - CAST(x_w + $xBase AS DOUBLE) / CAST(n_w + $nBase AS DOUBLE))
+         |        * (1.0 / CAST(n_w AS DOUBLE) + 1.0 / CAST($nBase AS DOUBLE)))
+         |  ELSE CAST(NULL AS DOUBLE) END""".stripMargin
+    agg.select(col("w.start").as("day"), col("n_w"), col("x_w"),
+        expr("CAST(CASE WHEN n_w > 0 THEN CAST(x_w AS DECIMAL(38,0)) * 1000000 DIV n_w END AS BIGINT)")
+          .as("conv_ppm"),
+        expr(zSql).as("z_score"))
+      .withColumn("shifted",
+        expr(s"CASE WHEN z_score IS NULL THEN NULL ELSE abs(z_score) >= $critical END"))
+  }
+
   /** Streaming PSI drift gate — quality_psi's live twin: each closing
     * window's value distribution is binned with the REFERENCE slice's
     * frozen edges and scored as PSI against the reference bin counts,

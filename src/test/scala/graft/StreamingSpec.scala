@@ -386,6 +386,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2)._2 == 3 && !got(2)._3 && got(2)._4)
   }
 
+  test("streaming funnel z gate flags a planted conversion shift per closing day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def day(d: Int, k: Int) =
+      new java.sql.Timestamp(1700000000000L / 86400000L * 86400000L
+        + d * 86400000L + k * 1000L)
+    // settled-era baseline: 1000 trials, 100 conversions (10%)
+    val (nBase, xBase) = (1000L, 100L)
+    // day 5: 100 trials at the baseline rate (10 conv) -> not shifted;
+    // day 6: 100 trials, 30 conv (a planted 3x shift) -> shifted
+    val mem = MemoryStream[(java.sql.Timestamp, Boolean)]
+    mem.addData(
+      (0 until 100).map(k => (day(5, k), k < 10)) ++
+        (0 until 100).map(k => (day(6, k), k < 30)))
+    val q = StreamOps.funnelZGate(mem.toDF().toDF("ts", "converted"),
+        nBase, xBase)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("funnelz_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("funnelz_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").getTime,
+        r.getAs[Long]("n_w"), r.getAs[Long]("x_w"),
+        r.getAs[Long]("conv_ppm"), r.getAs[Double]("z_score"),
+        r.getAs[Boolean]("shifted"))).sortBy(_._1)
+    assert(got.length == 2)
+    // the batch op's pooled-z arithmetic, recomputed by hand per window
+    def zOf(n: Long, x: Long): Double = {
+      val p = (x + xBase).toDouble / (n + nBase).toDouble
+      (x.toDouble / n - xBase.toDouble / nBase) /
+        math.sqrt(p * (1 - p) * (1.0 / n + 1.0 / nBase))
+    }
+    assert(got(0)._2 == 100 && got(0)._3 == 10 && got(0)._4 == 100000L)
+    assert(math.abs(got(0)._5 - zOf(100, 10)) < 1e-12 && !got(0)._6)
+    assert(got(1)._2 == 100 && got(1)._3 == 30 && got(1)._4 == 300000L)
+    assert(math.abs(got(1)._5 - zOf(100, 30)) < 1e-12 && got(1)._6)
+    assert(math.abs(got(0)._5) < 1.96 && math.abs(got(1)._5) >= 1.96)
+  }
+
   test("streaming psi gate scores each window like the batch PSI formula") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
