@@ -148,12 +148,26 @@ object SynthGen {
       "events")
 
     // documents: the fixture vocab, weighted langs (en 41%, 4×~15%),
-    // 20 sources, ~0.16% exact duplicates (seed-shared text)
+    // 20 sources, ~0.16% exact duplicates (seed-shared text).
+    //
+    // Vocabulary GROWS with SF (r11 VERDICT #3): a fixed 30-word vocab
+    // makes docs-per-shingle grow linearly with corpus size, so every
+    // pair-family query (LSH candidates, all-pairs Jaccard oracles) goes
+    // QUADRATIC for corpus-densification reasons and the rehearsal
+    // measures the corpus, not the operators. Real corpora obey Heaps'
+    // law (vocabulary ∝ corpusᵝ); here V = 30·(sf/0.1) keeps
+    // docs-per-shingle FLAT across decades, which is the property the
+    // rehearsal needs. At sf ≤ 0.1 this reduces exactly to the fixture's
+    // 30 words; beyond, synthetic "tokN" types extend the grid.
     val vocab = array(Seq("batch", "part", "spark", "line", "column",
       "order", "small", "sort", "fast", "value", "scan", "hash", "slow",
       "a", "vector", "query", "agg", "table", "key", "group", "the",
       "filter", "customer", "stream", "join", "shuffle", "cache", "read",
       "write", "plan").map(lit): _*)
+    val vSize = math.max(30L, math.round(300.0 * sf))
+    def tokOf(idx: Column): Column =
+      when(idx < 30, element_at(vocab, (idx + 1).cast("int")))
+        .otherwise(concat(lit("tok"), idx.cast("string")))
     val langSel = h(100, 32, col("seed"))
     write(spark.range(nDoc).select(col("id"),
         when(col("id") % 625 === 0 && col("id") > 0, col("id") - 1)
@@ -161,8 +175,7 @@ object SynthGen {
       .select(col("id").as("doc_id"),
         concat_ws(" ", transform(
           sequence(lit(1), (h(100, 33, col("seed")) + 8).cast("int")),
-          j => element_at(vocab,
-            (pmod(xxhash64(lit(34), col("seed"), j), lit(30)) + 1).cast("int"))))
+          j => tokOf(pmod(xxhash64(lit(34), col("seed"), j), lit(vSize)))))
           .as("text"),
         when(langSel < 41, "en").when(langSel < 56, "de")
           .when(langSel < 71, "es").when(langSel < 86, "fr")
@@ -171,16 +184,24 @@ object SynthGen {
       .withColumn("n_chars", length(col("text")).cast("long")),
       "documents")
 
-    // embeddings: 10 labeled clusters in 64-d; cluster centroid +
-    // per-vector noise, float32 like the fixture
+    // embeddings: labeled clusters in 64-d; cluster centroid +
+    // per-vector noise, float32 like the fixture. The CLUSTER COUNT
+    // grows with SF for the same Heaps reason as the vocabulary: 10
+    // fixed clusters make every LSH/IVF bucket (and the oracle's
+    // bucketed pair enumeration) grow linearly in size, so pair counts
+    // go quadratic with corpus size — flat-density clusters
+    // (nClust = 10·(sf/0.1), i.e. constant vectors-per-cluster) keep the
+    // rehearsal measuring the operators. Reduces exactly to the
+    // fixture's 10 clusters at sf ≤ 0.1.
+    val nClust = math.max(10L, math.round(100.0 * sf))
     write(spark.range(nVec).select(
       col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)), k =>
-        ((pmod(xxhash64(lit(36), pmod(col("id"), lit(10)), k), lit(2000))
+        ((pmod(xxhash64(lit(36), pmod(col("id"), lit(nClust)), k), lit(2000))
           / 1000.0 - 1.0) * 0.3 +
          (pmod(xxhash64(lit(37), col("id"), k), lit(2000))
           / 1000.0 - 1.0) * 0.15).cast("float")).as("embedding"),
-      pmod(col("id"), lit(10)).cast("int").as("label")),
+      pmod(col("id"), lit(nClust)).cast("int").as("label")),
       "embeddings")
   }
 
