@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local replay of the driver's correctness gate.
 
-Usage: python3 scripts/oracle_check.py [sfDir] [outDir]
+Usage: python3 scripts/oracle_check.py [sfDir] [outDir] [name1,name2,...]
+
+The optional third arg restricts the compare to named queries (the
+targeted-iteration loop; without it every oracle_sql.json entry runs and
+undumped queries report FAIL-no-spark-output noise). For beyond-fixture
+scale rehearsals set GRAFT_DUCKDB_MEM (e.g. 100GB) and GRAFT_DUCKDB_TMP
+(a spill directory) — sf1 oracles exceed DuckDB's default memory budget.
 
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has already produced
 <outDir>/<name>/ parquet dirs + oracle_sql.json. Registers each testdata
@@ -34,8 +40,13 @@ def canon(rows, colnames):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    if os.environ.get("GRAFT_DUCKDB_TMP"):
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -43,6 +54,8 @@ def main():
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(sqls):
+        if only is not None and name not in only:
+            continue
         spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_glob:
             print(f"FAIL {name}: no spark output")
