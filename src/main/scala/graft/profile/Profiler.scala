@@ -115,17 +115,83 @@ object Profiler {
     * extension).
     *
     * Exactness contract: never a double sum (order-dependent at any
-    * partition count). Inputs quantize to DECIMAL(18,4); all 21 sums
-    * (5 Σx, 5 Σx², 10 Σxy, n) are EXACT decimal aggregates in ONE
-    * aggregation over one scan — plain sums, no countDistinct, so no
-    * Expand (PLANS.md risk #1). Pearson's formula then runs in double
-    * over the decimal-exact sums with the identical operation order in
-    * both engines (IEEE *,-,/ and correctly-rounded sqrt) — bit-exact
-    * without rounding. The final unpivot explodes a 10-element struct
-    * array on the ONE aggregated row.
+    * partition count). All 21 sums (5 Σx, 5 Σx², 10 Σxy, n) are EXACT
+    * decimal aggregates in ONE aggregation over one scan — plain sums,
+    * no countDistinct, so no Expand (PLANS.md risk #1), unpivoted by
+    * exploding a 10-element struct array on the ONE aggregated row.
+    *
+    * r12 seam fix (caught by the sf1 sweep, the Welch Σx² class):
+    * raw-moment money sums cross 2^53 UNSCALED at one decade up
+    * (Σ price² ≈ 6·10¹⁶ at sf1), and decimal→double conversion above
+    * 2^53 rounds differently per engine — profile_correlations was the
+    * one remaining op converting such sums raw (measured: an 11th-digit
+    * corr_r divergence at sf1). Fix = the composed house devices,
+    * exploiting Pearson's invariance under positive affine maps:
+    * (1) each column is SHIFTED and SCALED by fixed domain constants
+    * ([[corrXk]]) so sums sit at spread scale (Σx² ~ n·var, not
+    * n·E[x²]); (2) each exact decimal sum floors ×10⁴ to an exact
+    * integer (the Welch device — floor is toward −∞ in BOTH engines, so
+    * negative shifted sums stay identical); (3) a CASE-over-n LADDER
+    * (the stats_spearman device) integer-divides the moments below 2^53
+    * at ANY n, with the divisor re-multiplied inside the one shared
+    * double composition; (4) corr_r presents quantized DECIMAL(18,9) —
+    * no raw double rides the hash (the §6 rule-8 discipline).
     */
   val corrCols: Seq[String] = Seq("l_quantity", "l_extendedprice",
     "l_discount", "l_tax", "l_linenumber")
+
+  /** Fixed affine normalization per column: thousands-scale the money
+    * column, shift every column near its domain center. Constants are
+    * FIXED (never data-derived — a data-derived center would itself be a
+    * cross-engine seam); any positive-scale affine map leaves Pearson r
+    * unchanged, the constants only tame magnitudes.
+    */
+  private val corrXk: Seq[(String, String)] = Seq(
+    ("l_quantity",
+      "CAST(CAST(l_quantity AS DECIMAL(14,2)) - 25 AS DECIMAL(18,5))"),
+    ("l_extendedprice",
+      "CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) / 1000 AS DECIMAL(18,5)) - 50 AS DECIMAL(18,5))"),
+    ("l_discount",
+      "CAST(CAST(l_discount AS DECIMAL(14,2)) - 0.05 AS DECIMAL(18,5))"),
+    ("l_tax",
+      "CAST(CAST(l_tax AS DECIMAL(14,2)) - 0.04 AS DECIMAL(18,5))"),
+    ("l_linenumber",
+      "CAST(CAST(l_linenumber AS DECIMAL(14,2)) - 4 AS DECIMAL(18,5))"))
+
+  // shifted-moment magnitudes are n·var ~ n·10³·10⁴(floor scale): < 2^53
+  // to n ≈ 5·10⁸ undivided; each decade beyond divides by another 10²
+  private def corrLadderSql(n: String): String =
+    s"""CASE WHEN $n <= 500000000 THEN 1
+       |  WHEN $n <= 50000000000 THEN 100
+       |  WHEN $n <= 5000000000000 THEN 10000
+       |  ELSE 1000000 END""".stripMargin
+
+  /** r over the ladder-reduced integer moments. With A = floor(S·10⁴)
+    * DIV dd for each moment and dq = dd/10⁴, every term of
+    * (n·Sxy − SxSy)/sqrt((n·Sxx − Sx²)(n·Syy − Sy²)) carries one factor
+    * 10⁴/dd, which cancels between numerator and the sqrt — so the
+    * composition below equals Pearson's r on the exact sums up to the
+    * ~1e-12 relative floor/ladder truncation, identically in both
+    * engines (the divisions are exact integer ops; everything double is
+    * deterministic IEEE arithmetic on < 2^53 inputs).
+    */
+  private def corrRSql(intdiv: (String, String) => String)(
+      i: Int, j: Int): String = {
+    def d(x: String) = s"CAST(${intdiv(x, "dd")} AS DOUBLE)"
+    val dq = "(CAST(dd AS DOUBLE) / 10000.0)"
+    val nD = "CAST(n AS DOUBLE)"
+    def den(k: Int) =
+      s"($nD * ${d(s"s_${k}_$k")} - ${d(s"b_$k")} * ${d(s"b_$k")} * $dq)"
+    s"""CAST(CASE WHEN ${den(i)} > 0 AND ${den(j)} > 0
+       |  THEN ($nD * ${d(s"s_${i}_$j")} - ${d(s"b_$i")} * ${d(s"b_$j")} * $dq)
+       |    / sqrt(${den(i)} * ${den(j)})
+       |END AS DECIMAL(18,9))""".stripMargin
+  }
+
+  private val corrIntDivSpark: (String, String) => String =
+    (a, b) => s"($a DIV $b)"
+  private val corrIntDivDuck: (String, String) => String =
+    (a, b) => s"(CAST($a AS HUGEINT) // $b)"
 
   /** Temporal freshness profile of the time-bearing tables — the
     * "is this source still flowing, and how fast" survey row (staleness
@@ -295,24 +361,25 @@ object Profiler {
     for { i <- corrCols.indices; j <- corrCols.indices if i < j } yield (i, j)
 
   def profileCorrelations(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    def d(c: String) = col(c).cast(DecimalType(18, 4))
     val aggs =
-      Seq(count(lit(1)).cast(DoubleType).as("n")) ++
-        corrCols.zipWithIndex.map { case (c, i) =>
-          sum(d(c)).cast(DoubleType).as(s"sx_$i") } ++
-        corrCols.zipWithIndex.map { case (c, i) =>
-          sum(d(c) * d(c)).cast(DoubleType).as(s"sq_$i") } ++
-        corrPairs.map { case (i, j) =>
-          sum(d(corrCols(i)) * d(corrCols(j))).cast(DoubleType).as(s"sp_${i}_$j") }
+      Seq(count(lit(1)).cast("long").as("n")) ++
+        corrCols.indices.map { i => expr(
+          s"CAST(floor(sum(xk_$i) * 10000) AS DECIMAL(38,0))").as(s"b_$i") } ++
+        corrCols.indices.map { i => expr(
+          s"CAST(floor(sum(xk_$i * xk_$i) * 10000) AS DECIMAL(38,0))")
+          .as(s"s_${i}_$i") } ++
+        corrPairs.map { case (i, j) => expr(
+          s"CAST(floor(sum(xk_$i * xk_$j) * 10000) AS DECIMAL(38,0))")
+          .as(s"s_${i}_$j") }
     val structs = corrPairs.map { case (i, j) =>
       struct(lit(corrCols(i)).as("col_x"), lit(corrCols(j)).as("col_y"),
-        expr(s"(n * sp_${i}_$j - sx_$i * sx_$j) / " +
-          s"sqrt((n * sq_$i - sx_$i * sx_$i) * (n * sq_$j - sx_$j * sx_$j))")
-          .as("corr_r"))
+        expr(corrRSql(corrIntDivSpark)(i, j)).as("corr_r"))
     }
     Tables.lineitem(spark, dir)
+      .select(corrXk.zipWithIndex.map { case ((_, e), i) =>
+        expr(e).as(s"xk_$i") }: _*)
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("dd", expr(corrLadderSql("n")))
       .select(explode(array(structs: _*)).as("p"))
       .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
         col("p.corr_r").as("corr_r"))
@@ -320,28 +387,29 @@ object Profiler {
   }
 
   val profileCorrelationsSql: String = {
-    // DECIMAL(19,4), not (18,4): DuckDB multiplies width-18 decimals in
-    // int64 and overflows on squared money values; width 19 forces
-    // int128 (product DECIMAL(38,8), still exact). Spark stays (18,4) —
-    // its (37,8) product is exact too, so the VALUES agree even though
-    // the declared widths differ.
-    def d(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    val xks = corrXk.zipWithIndex.map { case ((c, e), i) => s"$e AS xk_$i" }
     val sums =
-      corrCols.zipWithIndex.map { case (c, i) =>
-        s"CAST(sum(${d(c)}) AS DOUBLE) AS sx_$i" } ++
-        corrCols.zipWithIndex.map { case (c, i) =>
-          s"CAST(sum(${d(c)} * ${d(c)}) AS DOUBLE) AS sq_$i" } ++
+      corrCols.indices.map { i =>
+        s"CAST(floor(sum(xk_$i) * 10000) AS DECIMAL(38,0)) AS b_$i" } ++
+        corrCols.indices.map { i =>
+          s"CAST(floor(sum(xk_$i * xk_$i) * 10000) AS DECIMAL(38,0)) AS s_${i}_$i" } ++
         corrPairs.map { case (i, j) =>
-          s"CAST(sum(${d(corrCols(i))} * ${d(corrCols(j))}) AS DOUBLE) AS sp_${i}_$j" }
+          s"CAST(floor(sum(xk_$i * xk_$j) * 10000) AS DECIMAL(38,0)) AS s_${i}_$j" }
     val selects = corrPairs.map { case (i, j) =>
       s"""SELECT '${corrCols(i)}' AS col_x, '${corrCols(j)}' AS col_y,
-         |  (n * sp_${i}_$j - sx_$i * sx_$j) / sqrt((n * sq_$i - sx_$i * sx_$i) * (n * sq_$j - sx_$j * sx_$j)) AS corr_r
-         |FROM s""".stripMargin
+         |  ${corrRSql(corrIntDivDuck)(i, j).replace("\n", "\n  ")} AS corr_r
+         |FROM d""".stripMargin
     }
-    s"""WITH s AS (
-       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+    s"""WITH x AS (
+       |  SELECT ${xks.mkString(",\n    ")}
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
        |  ${sums.mkString(",\n  ")}
-       |  FROM lineitem)
+       |  FROM x),
+       |d AS (SELECT *,
+       |  ${corrLadderSql("n").replace("\n", "\n  ")} AS dd
+       |  FROM s)
        |${selects.mkString("\nUNION ALL\n")}
        |ORDER BY col_x, col_y""".stripMargin
   }
