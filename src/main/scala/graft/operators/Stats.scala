@@ -861,6 +861,128 @@ object Stats {
       |    WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
       |    ELSE 18.307 END) END""".stripMargin
 
+  /** Mood's median test across the five market segments on order value —
+    * the quantile-robust k-group test (does ANY segment put more than
+    * its share of orders ABOVE the grand median): where Kruskal–Wallis
+    * weighs the whole rank distribution, the median test only asks
+    * about the 50% split, so single extreme orders cannot move it at
+    * all — the "is the middle of the business shifting" question.
+    *
+    * Grand median by the house nearest-rank device: the smallest
+    * distinct value whose GlobalRank prefix-sum count reaches rank
+    * (n+1) DIV 2 — pure integer rank algebra, identical both engines
+    * (never an interpolated percentile, which is a float seam). Each
+    * group then splits into exact counts above/at-or-below the median
+    * and the k×2 contingency table scores with the
+    * stats_chisq_independence zero-cell identity χ² = N·(Σ o²/(r·c) − 1)
+    * — per-cell terms quantized DECIMAL(18,9) and summed exactly over
+    * the 2k bounded cells. χ² presents quantized DECIMAL(18,9);
+    * significance via the χ²(dof ≤ 10) critical-value CASE (the
+    * stats_kruskal_wallis convention). Degenerate inputs (k ≤ 1, every
+    * value above-split empty or full — a zero margin) emit NULL.
+    *
+    * Scale shape: the anova/KW orders ⋈ customer co-shuffle → value-grid
+    * count aggregate + ONE GlobalRank prefix sum → a 1-row median frame
+    * broadcast into the |segments|-keyed conditional aggregate →
+    * bounded-row math.
+    */
+  def statsMedianTest(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+      .filter(col("v").isNotNull)
+    val vals = x.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = GlobalRank.withGlobalCumsum(vals, "c", "cum", col("v"))
+    val nTot = cum.agg(sum(col("c")).cast("long").as("n_all")).localCheckpoint()
+    val med = cum.crossJoin(broadcast(nTot))
+      .filter(expr("cum >= (n_all + 1) DIV 2"))
+      .agg(min(col("v")).as("med_v"))
+    val g = x.crossJoin(broadcast(med))
+      .groupBy(col("seg"))
+      .agg(sum(when(col("v") > col("med_v"), 1L).otherwise(0L)).as("n_hi"),
+        count(lit(1)).as("n_g"))
+      .withColumn("n_lo", expr("n_g - n_hi"))
+    val tot = g.agg(sum(col("n_hi")).cast("long").as("t_hi"),
+      sum(col("n_lo")).cast("long").as("t_lo"),
+      sum(col("n_g")).cast("long").as("n_total"),
+      count(lit(1)).cast("long").as("k_groups"))
+    g.crossJoin(broadcast(tot))
+      .select(col("k_groups"), col("n_total"),
+        expr(medianCellSql).as("term"))
+      .groupBy(col("k_groups"), col("n_total"))
+      .agg(sum(col("term")).as("term_sum"))
+      .crossJoin(broadcast(med))
+      .withColumn("chi2", expr(medianChi2Sql))
+      .select(col("k_groups"), col("n_total"),
+        col("med_v").as("median_value"),
+        expr("CAST(k_groups - 1 AS BIGINT)").as("dof"),
+        col("chi2"),
+        expr(medianSigSql).as("significant_95"))
+  }
+
+  // Σ o²/(row·col) over the k×2 observed cells, each term one double
+  // composition quantized DECIMAL(18,9) (exact order-independent sum
+  // over the 2k bounded cells — the chisqPanel device); zero margins
+  // degrade the whole statistic to NULL via the guard below
+  private val medianCellSql =
+    """CASE WHEN t_hi > 0 AND t_lo > 0 AND n_g > 0 THEN
+      |  CAST(CAST(n_hi AS DOUBLE) * CAST(n_hi AS DOUBLE)
+      |      / (CAST(n_g AS DOUBLE) * CAST(t_hi AS DOUBLE))
+      |    + CAST(n_lo AS DOUBLE) * CAST(n_lo AS DOUBLE)
+      |      / (CAST(n_g AS DOUBLE) * CAST(t_lo AS DOUBLE))
+      |    AS DECIMAL(18,9))
+      |END""".stripMargin
+  private val medianChi2Sql =
+    """CASE WHEN k_groups > 1 AND n_total > 0 AND term_sum IS NOT NULL THEN
+      |  CAST(CAST(n_total AS DOUBLE) * (CAST(term_sum AS DOUBLE) - 1.0)
+      |    AS DECIMAL(18,9))
+      |END""".stripMargin
+  private val medianSigSql =
+    """CASE WHEN chi2 IS NULL OR k_groups - 1 < 1 OR k_groups - 1 > 10
+      |  THEN NULL
+      |  ELSE CAST(chi2 AS DOUBLE) >= (CASE k_groups - 1
+      |    WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+      |    WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+      |    WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
+      |    ELSE 18.307 END) END""".stripMargin
+
+  val statsMedianTestSql: String =
+    s"""WITH x AS (
+       |  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE o.o_totalprice IS NOT NULL),
+       |vals AS (SELECT v, count(*) AS c FROM x GROUP BY 1),
+       |tot0 AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM vals),
+       |cum AS (SELECT v, c,
+       |  sum(c) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vals),
+       |med AS (SELECT min(v) AS med_v FROM cum
+       |  WHERE cum >= ((SELECT n_all FROM tot0) + 1) // 2),
+       |g AS (SELECT seg,
+       |  CAST(sum(CASE WHEN v > (SELECT med_v FROM med) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hi,
+       |  count(*) AS n_g
+       |  FROM x GROUP BY 1),
+       |g2 AS (SELECT seg, n_hi, n_g, n_g - n_hi AS n_lo FROM g),
+       |tot AS (SELECT CAST(sum(n_hi) AS BIGINT) AS t_hi,
+       |  CAST(sum(n_lo) AS BIGINT) AS t_lo,
+       |  CAST(sum(n_g) AS BIGINT) AS n_total,
+       |  CAST(count(*) AS BIGINT) AS k_groups FROM g2),
+       |terms AS (SELECT k_groups, n_total,
+       |  ${medianCellSql.replace("\n", "\n  ")} AS term
+       |  FROM g2, tot),
+       |agg AS (SELECT k_groups, n_total, sum(term) AS term_sum
+       |  FROM terms GROUP BY 1, 2),
+       |res AS (SELECT *,
+       |  ${medianChi2Sql.replace("\n", "\n  ")} AS chi2
+       |  FROM agg, med)
+       |SELECT k_groups, n_total, med_v AS median_value,
+       |  CAST(k_groups - 1 AS BIGINT) AS dof, chi2,
+       |  ${medianSigSql.replace("\n", "\n  ")} AS significant_95
+       |FROM res""".stripMargin
+
   val statsKruskalWallisSql: String =
     s"""WITH x AS (
        |  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v

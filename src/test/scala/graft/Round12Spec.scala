@@ -165,6 +165,39 @@ class Round12Spec extends AnyFunSuite {
       assert(row.getAs[Boolean]("significant_95") == (hGot >= 9.488))
   }
 
+  test("stats_median_test equals the textbook k-x-2 chi-square on the median split") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_median_test")(spark, sf)
+      .collect().head
+    val xs = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.get(1).toString.toDouble))
+    val n = xs.length
+    // nearest-rank median: smallest value whose cum count >= (n+1) DIV 2
+    val med = xs.map(_._2).sorted.apply((n + 1) / 2 - 1)
+    assert(row.get(row.fieldIndex("median_value")).toString.toDouble == med)
+    val groups = xs.groupBy(_._1)
+    val hi = groups.view.mapValues(_.count(_._2 > med).toDouble).toMap
+    val ng = groups.view.mapValues(_.length.toDouble).toMap
+    val (tHi, tot) = (hi.values.sum, n.toDouble)
+    val tLo = tot - tHi
+    // textbook chi2 over the full k x 2 expected table
+    val chi2 = groups.keys.map { g =>
+      val eHi = ng(g) * tHi / tot
+      val eLo = ng(g) * tLo / tot
+      val oHi = hi(g); val oLo = ng(g) - hi(g)
+      (oHi - eHi) * (oHi - eHi) / eHi + (oLo - eLo) * (oLo - eLo) / eLo
+    }.sum
+    val got = row.getAs[java.math.BigDecimal]("chi2").doubleValue()
+    assert(math.abs(got - chi2) / math.max(chi2, 1.0) < 1e-6,
+      s"chi2=$chi2 vs $got")
+    assert(row.getAs[Long]("dof") == groups.size.toLong - 1)
+    if (groups.size == 5)
+      assert(row.getAs[Boolean]("significant_95") == (got >= 9.488))
+  }
+
   /** sf0.001 clone with one table swapped for an adversarial variant —
     * the EventsEdgeSpec device pointed at orders/lineitem. */
   private def cloneWithTable(tag: String, table: String)
@@ -191,18 +224,31 @@ class Round12Spec extends AnyFunSuite {
       .collect().head
     assert(tied.getAs[Any]("h_stat") == null &&
       tied.getAs[Any]("significant_95") == null)
+    // median test on all-tied values: nothing sits above the median ->
+    // zero high margin -> NULL chi2, never a division by zero
+    val tiedMed = SparkEntry.queries("stats_median_test")(spark, tiesDir)
+      .collect().head
+    assert(tiedMed.getAs[Any]("chi2") == null &&
+      tiedMed.getAs[Any]("significant_95") == null)
     // empty orders -> k_groups 0, NULL H, no exception
     val emptyDir = cloneWithTable("empty", "orders")(_.limit(0))
     val empty = SparkEntry.queries("stats_kruskal_wallis")(spark, emptyDir)
       .collect().head
     assert(empty.getAs[Long]("k_groups") == 0L &&
       empty.getAs[Any]("h_stat") == null)
+    // median test on an empty log: zero rows out (both engines), no throw
+    assert(SparkEntry.queries("stats_median_test")(spark, emptyDir)
+      .count() == 0L)
     // single order -> k = 1 -> NULL H
     val oneDir = cloneWithTable("one", "orders")(_.limit(1))
     val one = SparkEntry.queries("stats_kruskal_wallis")(spark, oneDir)
       .collect().head
     assert(one.getAs[Long]("k_groups") == 1L &&
       one.getAs[Any]("h_stat") == null)
+    val oneMed = SparkEntry.queries("stats_median_test")(spark, oneDir)
+      .collect().head
+    assert(oneMed.getAs[Long]("k_groups") == 1L &&
+      oneMed.getAs[Any]("chi2") == null)
     // constant lineitem column -> NULL rho on its pairs, defined elsewhere
     val constDir = cloneWithTable("const", "lineitem")(
       _.withColumn("l_discount", lit(java.math.BigDecimal.valueOf(0.05))
