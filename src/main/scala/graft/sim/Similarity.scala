@@ -85,19 +85,41 @@ object Similarity {
   // APPROXIMATE, recall-bounded operators by declared semantics (pairs
   // missed by every band are not emitted; the oracle runs the identical
   // banding, so parity proves the computation, not exhaustiveness).
-  // 16 bands x 6 bits: at this corpus's low-cosine regime (thresholds
-  // 0.4/0.45, where sign agreement p ~ 0.65 puts hyperplane LSH near its
-  // floor) the measured recall vs the all-pairs baseline is ~0.6-0.7
-  // (DedupSimSpec pins the measured value); at a dedup pipeline's usual
-  // cosine >= 0.9 the same config recalls > 99.9%
-  // (1-(1-(1-acos(.9)/pi)^6)^16). Candidates scale ~ bands * n^2 / 2^bits
-  // per band at random bucketing — widen bits with corpus size like
-  // annLsh, add bands to buy recall. Hyperplanes are md5-derived literals
-  // shared verbatim with the DuckDB oracle, so both engines bucket
-  // identically.
+  // 16 bands x ADAPTIVE bits (6..12, CASE-over-n ladder): at this
+  // corpus's low-cosine regime (thresholds 0.4/0.45, where sign
+  // agreement p ~ 0.65 puts hyperplane LSH near its floor) the measured
+  // recall vs the all-pairs baseline is ~0.6-0.7 (DedupSimSpec pins the
+  // measured value); at a dedup pipeline's usual cosine >= 0.9 the
+  // 6-bit config recalls > 99.9% (1-(1-(1-acos(.9)/pi)^6)^16) and the
+  // 10-bit sf1 config still > 97% (p^10 per band over 16 bands).
+  // Candidates scale ~ bands * n^2 / 2^bits per band at random
+  // bucketing, so a FIXED keyspace goes quadratic at scale: the r12 sf1
+  // root cause was exactly this — 64 buckets cannot separate 20k
+  // vectors (>= 1-of-16-band collision p ~ 22% regardless of cluster
+  // structure). The key width therefore grows with the corpus via the
+  // house CASE-over-n ladder (target occupancy <= 32 vectors/bucket,
+  // floor 6 so every fixture SF <= 2048 vectors keys identically to the
+  // fixed-6-bit config, cap 12): both engines derive the SAME width —
+  // Spark keys with the first `bits` planes per band; the oracle
+  // computes the full 12-bit key and masks it by the ladder (bit j
+  // carries weight 2^j, so `key % 2^bits` IS the first-`bits`-planes
+  // key). Hyperplanes are md5-derived literals shared verbatim with the
+  // DuckDB oracle, so both engines bucket identically. Bands stay 16:
+  // recall is bought with bands (linear cost), separation with bits
+  // (free once keyed) — grow maxPairBits with log2(n) beyond 1e6
+  // vectors.
 
   val pairBands = 16
-  val pairBits = 6
+  val pairBits = 6            // ladder floor: the width every fixture SF keys at
+  val maxPairBits = 12        // ladder cap: 4096 buckets/band
+  /** Smallest width in [6, 12] with n <= 32 * 2^bits — pure integer
+    * comparisons, identical in both engines (no log2 seam). */
+  def pairBitsFor(n: Long): Int =
+    if (n <= 2048L) 6 else if (n <= 4096L) 7 else if (n <= 8192L) 8
+    else if (n <= 16384L) 9 else if (n <= 32768L) 10
+    else if (n <= 65536L) 11 else 12
+  /** Bits 0..5 of every band — the original 96 planes, seed unchanged,
+    * so ladder-floor keys are bit-identical to the historical config. */
   lazy val pairPlanes: Array[Array[Double]] = {
     val mdt = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(pairBands * pairBits, dim) { (j, k) =>
@@ -106,19 +128,37 @@ object Similarity {
       ((java.lang.Long.parseLong(hex, 16) % 1000) - 499.5) / 1000.0
     }
   }
+  /** Bits 6..11 of every band (extension planes, distinct md5 stream). */
+  lazy val pairPlanesExt: Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(pairBands * (maxPairBits - pairBits), dim) { (j, k) =>
+      val hex = mdt.digest(s"ppx${j}_$k".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex, 16) % 1000) - 499.5) / 1000.0
+    }
+  }
+  private def pairPlane(band: Int, bit: Int): Array[Double] =
+    if (bit < pairBits) pairPlanes(band * pairBits + bit)
+    else pairPlanesExt(band * (maxPairBits - pairBits) + (bit - pairBits))
 
   /** All 16 band keys in ONE native expression pass (HyperplaneBandKeys):
     * the first cut built 96 independent dot-product expressions whose
     * generated code made codegen+JIT the operator's cold path. Keys are
     * bit-identical to the fold form (same accumulation order, sign rule
-    * and bit weights), so candidates and hashes are unchanged. */
-  private def pairBandKeysAll(v: String): Column =
+    * and bit weights), so candidates and hashes are unchanged. Only the
+    * ladder-selected `bits` planes per band are evaluated — at the
+    * fixture SFs that is exactly the historical 96-plane pass. */
+  private def pairBandKeysAll(v: String, bits: Int): Column = {
+    val planes = Array.tabulate(pairBands, bits)((b, j) => pairPlane(b, j))
     graft.functions.VectorOps.band_keys(col(v),
-      typedLit(pairPlanes.flatten.toSeq), pairBands, pairBits)
+      typedLit(planes.flatten.flatten.toSeq), pairBands, bits)
+  }
 
+  /** Full 12-bit key; the ladder mask (`% 2^bits`) is applied by the
+    * caller, which equals keying with the first `bits` planes. */
   private def pairBandKeySql(v: String, band: Int): String =
-    (0 until pairBits).map { j =>
-      s"CASE WHEN list_dot_product($v, ${sqlArray(pairPlanes(band * pairBits + j))}) >= 0 THEN ${1L << j} ELSE 0 END"
+    (0 until maxPairBits).map { j =>
+      s"CASE WHEN list_dot_product($v, ${sqlArray(pairPlane(band, j))}) >= 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   /** Exactly-verified candidate pairs from the banded equi-join. The band
@@ -132,15 +172,23 @@ object Similarity {
   /** Same banded pipeline over an arbitrary (vec_id, label, v, nrm)
     * frame — lets DedupSimSpec measure recall on PLANTED high-cosine
     * near-duplicates, where the analytic >99.9% claim actually applies.
+    * `bitsOverride` pins the key width (spec use only: the refinement
+    * and widened-key recall tests compare widths on one frame).
     */
-  private[graft] def lshPairsFor(vectorsIn: DataFrame): DataFrame = {
+  private[graft] def lshPairsFor(vectorsIn: DataFrame,
+      bitsOverride: Option[Int] = None): DataFrame = {
     // persisted: vecs feeds the band keying and both vector join-backs
     // (3 consumers); keyed feeds both sides of the self-join whose
     // differing projections defeat exchange reuse — without these the
     // embeddings scan runs 4x and the 48 dot products per row run twice
     val vecs = vectorsIn.persist()
+    // one bounded driver action (a single scalar) selects the ladder
+    // width; it doubles as the persist materialization the three
+    // downstream consumers need anyway. The oracle derives the same
+    // width from count(*) in its pmask CTE.
+    val bits = bitsOverride.getOrElse(pairBitsFor(vecs.count()))
     val keyed = vecs.select(col("vec_id"),
-      posexplode(pairBandKeysAll("v")).as(Seq("band", "bkey"))).persist()
+      posexplode(pairBandKeysAll("v", bits)).as(Seq("band", "bkey"))).persist()
     val cand = keyed
       .join(keyed.select(col("band"), col("bkey"), col("vec_id").as("vec_id_b")),
         Seq("band", "bkey"))
@@ -159,16 +207,24 @@ object Similarity {
 
   private lazy val lshPairsSql: String = {
     val bandSelects = (0 until pairBands).map(b =>
-      s"SELECT vec_id, $b AS band, ${pairBandKeySql("v", b)} AS bkey FROM e")
+      s"SELECT vec_id, $b AS band, ${pairBandKeySql("v", b)} % (SELECT m FROM pmask) AS bkey FROM e")
       .mkString("\nUNION ALL\n")
     s"""$vectorsSql,
-       |keyed AS (
+       |pmask AS (
+       |  SELECT CASE WHEN count(*) <= 2048 THEN 64
+       |              WHEN count(*) <= 4096 THEN 128
+       |              WHEN count(*) <= 8192 THEN 256
+       |              WHEN count(*) <= 16384 THEN 512
+       |              WHEN count(*) <= 32768 THEN 1024
+       |              WHEN count(*) <= 65536 THEN 2048
+       |              ELSE 4096 END AS m FROM e),
+       |keyed AS MATERIALIZED (
        |$bandSelects),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
        |  FROM keyed a JOIN keyed b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-       |lsh_pairs AS (
+       |lsh_pairs AS MATERIALIZED (
        |  SELECT c.vec_id_a, c.vec_id_b,
        |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine,
        |    x.label = y.label AS same_label
@@ -1685,6 +1741,14 @@ object Similarity {
   /** Shared CTE chain deriving the k-NN graph — knn_graph's oracle AND
     * the base of knn_label_prop's, so the two cannot drift (the
     * BpeTrainer/pack_shards_bpe shared-derivation discipline). */
+  // Oracle-side CTE discipline: every multiply-referenced CTE in this
+  // chain (keyed's self-join, lsh_pairs' two directed arms, knn's
+  // consumers, the triangle orientation tables) carries AS MATERIALIZED.
+  // DuckDB otherwise INLINES a CTE per reference — each inline of the
+  // knn chain recomputes the banded pair join with the 64-double vectors
+  // attached, which at sf1 spilled ~80 GB on knn_triangles' three `o`
+  // references. A pure planner hint: values are unchanged; the oracle
+  // computes each chain stage once, like the Spark side's persists.
   private lazy val knnGraphCtes: String =
     s"""$lshPairsSql,
        |directed AS (
@@ -1693,7 +1757,7 @@ object Similarity {
        |  UNION ALL
        |  SELECT vec_id_b AS src, vec_id_a AS dst, cosine FROM lsh_pairs
        |  WHERE cosine IS NOT NULL),
-       |knn AS (
+       |knn AS MATERIALIZED (
        |  SELECT src, rank, dst, cosine FROM (
        |    SELECT src, dst, cosine,
        |      CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
@@ -1760,7 +1824,7 @@ object Similarity {
   val knnAssortativitySql: String =
     s"""WITH $knnGraphCtes,
        |edges AS (SELECT src, dst FROM knn),
-       |deg AS (
+       |deg AS MATERIALIZED (
        |  SELECT node, count(*) AS deg FROM (
        |    SELECT src AS node FROM edges
        |    UNION ALL SELECT dst FROM edges)
@@ -1943,12 +2007,12 @@ object Similarity {
 
   val knnTrianglesSql: String =
     s"""WITH $knnGraphCtes,
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn),
-       |deg AS (
+       |deg AS MATERIALIZED (
        |  SELECT v, count(*) AS degree FROM (
        |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
-       |o AS (
+       |o AS MATERIALIZED (
        |  SELECT CASE WHEN da.degree < db.degree
        |                OR (da.degree = db.degree AND und.a < und.b)
        |           THEN und.a ELSE und.b END AS u,
@@ -1963,7 +2027,7 @@ object Similarity {
        |  SELECT o1.u, o1.v, o2.v AS w
        |  FROM o o1 JOIN o o2 ON o1.u = o2.u
        |  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
-       |tris AS (
+       |tris AS MATERIALIZED (
        |  SELECT wedges.u, wedges.v, wedges.w
        |  FROM wedges JOIN o oc ON wedges.v = oc.u AND wedges.w = oc.v),
        |pernode AS (

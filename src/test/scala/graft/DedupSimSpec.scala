@@ -165,6 +165,64 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.99, s"high-cosine planted recall $recall over ${planted.size} pairs")
   }
 
+  test("pair-key ladder: width grows one bit per corpus doubling, floor 6, cap 12") {
+    // fixture SFs (500/500/2000 vectors) all sit on the floor, so every
+    // driver-gate hash is unchanged by the adaptive keyspace
+    assert(Similarity.pairBitsFor(1L) == 6)
+    assert(Similarity.pairBitsFor(2048L) == 6)
+    assert(Similarity.pairBitsFor(2049L) == 7)
+    assert(Similarity.pairBitsFor(4096L) == 7)
+    assert(Similarity.pairBitsFor(20000L) == 10)   // the sf1 corpus
+    assert(Similarity.pairBitsFor(65537L) == 12)
+    assert(Similarity.pairBitsFor(Long.MaxValue) == 12)
+    // the ladder invariant: occupancy target n/2^bits <= 32 until the cap
+    Seq(100L, 2048L, 5000L, 20000L, 65536L).foreach { n =>
+      val b = Similarity.pairBitsFor(n)
+      assert(n <= 32L * (1L << b), s"occupancy broken at n=$n bits=$b")
+    }
+  }
+
+  test("pair-key ladder: wider keys REFINE the floor candidates (pairs only drop)") {
+    // bit j carries weight 2^j, so a (band, key) collision at width 7
+    // implies the same collision at width 6 (key % 64 equal) — adaptive
+    // candidates are a subset of floor candidates on the SAME frame.
+    // 2500 vectors puts the ladder one step up (7 bits).
+    val wide = {
+      val rnd = new scala.util.Random(7)
+      (0 until 2500).map(i =>
+        (i.toLong, i % 25, Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    }
+    import spark.implicits._
+    val df = wide.toDF("vec_id", "label", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VectorOps.dot_product(col("v"), col("v"))))
+      .repartition(8)
+    def pairSet(bits: Option[Int]) =
+      Similarity.lshPairsFor(df, bits).select("vec_id_a", "vec_id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val floor = pairSet(Some(6))
+    val adaptive = pairSet(None)   // count()=2500 -> 7 bits via the ladder
+    assert(adaptive.subsetOf(floor),
+      s"${(adaptive -- floor).size} adaptive pairs missing from the floor set")
+    // and the wider key actually separates: strictly fewer random-collision
+    // candidates on this label-unstructured frame
+    assert(adaptive.size < floor.size,
+      s"7-bit candidates ${adaptive.size} not below 6-bit ${floor.size}")
+  }
+
+  test("pair-key ladder: planted high-cosine recall survives the 12-bit cap") {
+    // analytic at cosine 0.9: p = 1-acos(.9)/pi ~ 0.856, per-band hit
+    // p^12 ~ 0.155, 16 bands -> 1-(1-p^12)^16 ~ 0.93; the plant spreads
+    // cosines over [0.90, 0.99] where recall is higher still
+    val planted = plantedPairs.filter(_._3 >= 0.9)
+    val found = Similarity.lshPairsFor(plantedDF, Some(Similarity.maxPairBits))
+      .filter(col("cosine") >= 0.9)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count(p => found((p._1, p._2))).toDouble / planted.size
+    assert(recall >= 0.85, s"12-bit planted recall $recall over ${planted.size} pairs")
+  }
+
   test("banded pairs-threshold tally counts only exactly-verified candidates") {
     val banded = Similarity.pairsThreshold(spark, sf).collect()
       .map(r => r.getAs[Boolean]("same_label") -> r.getAs[Long]("n_pairs")).toMap
