@@ -983,6 +983,242 @@ object Stats {
        |  ${medianSigSql.replace("\n", "\n  ")} AS significant_95
        |FROM res""".stripMargin
 
+  /** Brown–Forsythe (median-centered Levene) test across the five market
+    * segments on order value — the VARIANCE-homogeneity sibling of
+    * stats_anova_segments: anova asks whether any segment's MEAN sits
+    * apart; this asks whether any segment's SPREAD does (a dispersion
+    * shift is what anova's own F assumes away, so an analyst runs this
+    * first), robust to heavy tails because the centering is each
+    * group's MEDIAN, not its mean.
+    *
+    * Exactness: group medians come from the house nearest-rank device —
+    * the per-group value-grid prefix sum (ONE GlobalRank range exchange
+    * over (seg, v); within-group cum = global cum − the group's
+    * preceding total, a k-row broadcast) — so med_g is an exact
+    * DECIMAL both engines, never an interpolated percentile. The
+    * absolute deviations z = |v − med_g| are exact decimals of the
+    * anova xk magnitude, so the ENTIRE statsAnovaSegments sufficient-
+    * statistic pipeline (per-group exact sums, the floor(q·10⁴) >2^53
+    * device, the shared ssb/ssw/F composition) applies verbatim over z;
+    * W presents quantized DECIMAL(18,9) (no raw double rides the hash).
+    * significant_95 uses the asymptotic (k−1)·W → χ²(k−1) device GATED
+    * on dof_within ≥ 30 (the stats_welch_ttest convention — below the
+    * gate the verdict is NULL, not an overstated cutoff).
+    *
+    * Scale shape: the anova orders ⋈ customer co-shuffle → value-grid
+    * count aggregate + ONE composite-key GlobalRank prefix sum (never a
+    * per-group window over data) → k-row median broadcast back into the
+    * row stream → |segments|-row bounded math → 1-row edge.
+    */
+  def statsBrownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+      .filter(col("v").isNotNull)
+    val vals = x.groupBy(col("seg"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = GlobalRank.withGlobalCumsum(vals, "c", "cum", col("seg"), col("v"))
+    val segTot = cum.groupBy(col("seg"))
+      .agg(max(col("cum")).as("cum_end"), sum(col("c")).cast("long").as("n_g0"))
+    val med = cum.join(broadcast(segTot), "seg")
+      .filter(expr("cum - (cum_end - n_g0) >= (n_g0 + 1) DIV 2"))
+      .groupBy(col("seg")).agg(min(col("v")).as("med_g"))
+    val a = x.join(broadcast(med), "seg")
+      .select(col("seg"),
+        expr("CAST(abs(CAST(v AS DECIMAL(14,2)) - med_g) / 1000 AS DECIMAL(18,5))")
+          .as("zk"))
+    val g = a.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("zk")).as("s_g0"),
+        sum(expr("zk * zk")).as("q_g0"))
+      .select(col("n_g"),
+        expr("CAST(s_g0 AS DECIMAL(38,5))").as("s_g"),
+        expr("CAST(floor(q_g0 * 10000) AS DECIMAL(38,0))").as("q4_g"))
+      .withColumn("t_g", expr(anovaTermSql))
+    val medStats = med.agg(min(col("med_g")).as("med_min"),
+      max(col("med_g")).as("med_max")).localCheckpoint()
+    g.agg(count(lit(1)).as("k_groups"),
+        sum(col("n_g")).as("n_total"),
+        sum(col("s_g")).as("s_all0"),
+        sum(col("q4_g")).as("q4_all0"),
+        sum(col("t_g")).as("t_all0"))
+      .select(col("k_groups"), col("n_total"),
+        expr("CAST(s_all0 AS DECIMAL(38,5))").as("s_all"),
+        expr("CAST(q4_all0 AS DECIMAL(38,0))").as("q4_all"),
+        expr("CAST(t_all0 AS DECIMAL(38,2))").as("t_all"))
+      .withColumn("ssb", expr(ssbSql))
+      .withColumn("ssw", expr(sswSql))
+      .withColumn("w_stat", expr(bfWSql))
+      .crossJoin(broadcast(medStats))
+      .select(col("k_groups"), col("n_total"),
+        expr("CAST(k_groups - 1 AS BIGINT)").as("dof_between"),
+        expr("CAST(n_total - k_groups AS BIGINT)").as("dof_within"),
+        col("med_min"), col("med_max"), col("w_stat"),
+        expr(bfSigSql).as("significant_95"))
+  }
+
+  // the anova F composition over the deviation stream, quantized — the
+  // mannwhitney hashed-surface rule
+  private val bfWSql =
+    s"""CAST(($fSql) AS DECIMAL(18,9))"""
+  private val bfSigSql =
+    """CASE WHEN w_stat IS NULL OR n_total - k_groups < 30
+      |    OR k_groups - 1 < 1 OR k_groups - 1 > 10 THEN NULL
+      |  ELSE (CAST(k_groups AS DOUBLE) - 1.0) * CAST(w_stat AS DOUBLE)
+      |    >= (CASE k_groups - 1
+      |    WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+      |    WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+      |    WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
+      |    ELSE 18.307 END) END""".stripMargin
+
+  val statsBrownForsytheSql: String =
+    s"""WITH x AS (
+       |  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE o.o_totalprice IS NOT NULL),
+       |vals AS (SELECT seg, v, count(*) AS c FROM x GROUP BY 1, 2),
+       |cum AS (SELECT seg, v, c,
+       |  sum(c) OVER (PARTITION BY seg ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wcum,
+       |  sum(c) OVER (PARTITION BY seg) AS n_g0
+       |  FROM vals),
+       |med AS (SELECT seg, min(v) AS med_g FROM cum
+       |  WHERE wcum >= (n_g0 + 1) // 2 GROUP BY 1),
+       |a AS (SELECT x.seg,
+       |  CAST(abs(CAST(x.v AS DECIMAL(14,2)) - m.med_g) / 1000 AS DECIMAL(18,5)) AS zk
+       |  FROM x JOIN med m ON x.seg = m.seg),
+       |g AS (SELECT seg, count(*) AS n_g,
+       |  CAST(sum(zk) AS DECIMAL(38,5)) AS s_g,
+       |  CAST(floor(sum(zk * zk) * 10000) AS DECIMAL(38,0)) AS q4_g
+       |  FROM a GROUP BY 1),
+       |t AS (SELECT *,
+       |  ${anovaTermSql.replace("\n", "\n  ")} AS t_g
+       |  FROM g),
+       |agg AS (SELECT count(*) AS k_groups,
+       |  CAST(sum(n_g) AS BIGINT) AS n_total,
+       |  CAST(sum(s_g) AS DECIMAL(38,5)) AS s_all,
+       |  CAST(sum(q4_g) AS DECIMAL(38,0)) AS q4_all,
+       |  CAST(sum(t_g) AS DECIMAL(38,2)) AS t_all
+       |  FROM t),
+       |ms AS (SELECT min(med_g) AS med_min, max(med_g) AS med_max FROM med),
+       |s AS (SELECT *,
+       |  ${ssbSql.replace("\n", "\n  ")} AS ssb,
+       |  ${sswSql} AS ssw
+       |  FROM agg),
+       |w AS (SELECT *,
+       |  ${bfWSql.replace("\n", "\n  ")} AS w_stat
+       |  FROM s)
+       |SELECT k_groups, n_total,
+       |  CAST(k_groups - 1 AS BIGINT) AS dof_between,
+       |  CAST(n_total - k_groups AS BIGINT) AS dof_within,
+       |  med_min, med_max, w_stat,
+       |  ${bfSigSql.replace("\n", "\n  ")} AS significant_95
+       |FROM w, ms""".stripMargin
+
+  /** Kendall's τ-b between daily event volume and daily event value over
+    * the events stream — the BOUNDED-series monotone-association test
+    * ("do busier days also transact more"), the concordance-based
+    * sibling of stats_spearman: τ counts order agreements pair-by-pair,
+    * so it is the statistic of record for short ordinal series where ρ's
+    * moment algebra over-weights a single extreme day.
+    *
+    * The series is day-grained by construction, so n_days is bounded by
+    * the time horizon (thousands, not data-sized) REGARDLESS of corpus
+    * size: the data-sized work is one exact day-keyed aggregation
+    * (count + DECIMAL(12,2) value sum, the events presentation device);
+    * the O(n_days²) concordance tally runs over the bounded series via
+    * a broadcast self-join (the deliberate bounded BNLJ pattern — for
+    * data-sized series use stats_spearman, whose rank algebra is
+    * linear). Days whose value sum is NULL (no non-NULL values) are
+    * excluded listwise, both engines.
+    *
+    * All sufficient statistics are exact BIGINT pair counts:
+    * concordant, discordant, ties_x, ties_y (tie pairs counted on each
+    * marginal, the τ-b denominator convention n0−T). τ-b and the
+    * no-ties normal z both present quantized DECIMAL(18,9) through ONE
+    * shared composition; significant_95 reads the QUANTIZED z, gated on
+    * n_days ≥ 30 (the z variance ignores tie corrections — documented
+    * normal approximation, the Welch convention; below the gate the
+    * verdict is NULL).
+    */
+  def statsKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(value AS DECIMAL(12,2))")).as("y"))
+      .filter(col("y").isNotNull)
+    val d2 = daily.select(col("day").as("day_b"), col("x").as("x_b"),
+      col("y").as("y_b"))
+    val tallies = daily.join(broadcast(d2), col("day") < col("day_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("x") < col("x_b") && col("y") < col("y_b"))
+          || (col("x") > col("x_b") && col("y") > col("y_b")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("x") < col("x_b") && col("y") > col("y_b"))
+          || (col("x") > col("x_b") && col("y") < col("y_b")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("x") === col("x_b"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("y") === col("y_b"), 1L).otherwise(0L)).as("ties_y"))
+    val nDays = daily.agg(count(lit(1)).cast("long").as("n_days"))
+      .localCheckpoint()
+    tallies.crossJoin(broadcast(nDays))
+      .withColumn("tau_b", expr(kendallTauSql))
+      .withColumn("z_approx", expr(kendallZSql))
+      .select(col("n_days"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"),
+        col("tau_b"), col("z_approx"),
+        expr(kendallSigSql).as("significant_95"))
+  }
+
+  // τ-b = (C−D)/sqrt((n0−Tx)(n0−Ty)) — NULL when either marginal is
+  // fully tied (zero effective pairs)
+  private val kendallTauSql =
+    """CASE WHEN n_pairs - ties_x > 0 AND n_pairs - ties_y > 0
+      |  THEN CAST(CAST(concordant - discordant AS DOUBLE)
+      |    / sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+      |         * CAST(n_pairs - ties_y AS DOUBLE)) AS DECIMAL(18,9))
+      |END""".stripMargin
+  // normal approximation: z = 3(C−D)/sqrt(n(n−1)(2n+5)/2) (no tie
+  // correction — see scaladoc); div/mult/sqrt only
+  private val kendallZSql =
+    """CASE WHEN n_days > 1
+      |  THEN CAST(3.0 * CAST(concordant - discordant AS DOUBLE)
+      |    / sqrt(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+      |         * (2.0 * CAST(n_days AS DOUBLE) + 5.0) / 2.0)
+      |    AS DECIMAL(18,9))
+      |END""".stripMargin
+  private val kendallSigSql =
+    """CASE WHEN z_approx IS NULL OR n_days < 30 THEN NULL
+      |  ELSE abs(CAST(z_approx AS DOUBLE)) >= 1.96 END""".stripMargin
+
+  val statsKendallTauSql: String =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    sum(CAST(value AS DECIMAL(12,2))) AS y
+       |  FROM events GROUP BY 1),
+       |d AS (SELECT * FROM daily WHERE y IS NOT NULL),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+       |t AS (SELECT
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+       |    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS concordant,
+       |  CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+       |    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS discordant,
+       |  CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+       |  CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+       |  FROM d a JOIN d b ON a.day < b.day),
+       |z AS (SELECT t.*, nd.n_days,
+       |  ${kendallTauSql.replace("\n", "\n  ")} AS tau_b,
+       |  ${kendallZSql.replace("\n", "\n  ")} AS z_approx
+       |  FROM t, nd)
+       |SELECT n_days, n_pairs, concordant, discordant, ties_x, ties_y,
+       |  tau_b, z_approx,
+       |  ${kendallSigSql.replace("\n", "\n  ")} AS significant_95
+       |FROM z""".stripMargin
+
   val statsKruskalWallisSql: String =
     s"""WITH x AS (
        |  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v

@@ -198,6 +198,89 @@ class Round12Spec extends AnyFunSuite {
       assert(row.getAs[Boolean]("significant_95") == (got >= 9.488))
   }
 
+  test("stats_brown_forsythe equals the textbook median-centered Levene W") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_brown_forsythe")(spark, sf)
+      .collect().head
+    val xs = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.get(1).toString.toDouble))
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // nearest-rank group medians (the operator's device)
+    val med = groups.view.mapValues { g =>
+      g.sorted.apply((g.length + 1) / 2 - 1)
+    }.toMap
+    val z = xs.map { case (s, v) => (s, math.abs(v - med(s))) }
+    val n = z.length.toDouble
+    val k = groups.size.toDouble
+    val zbar = z.map(_._2).sum / n
+    val zg = z.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ssb = zg.values.map { g =>
+      val m = g.sum / g.length; g.length * (m - zbar) * (m - zbar)
+    }.sum
+    val ssw = zg.values.map { g =>
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(row.getAs[Long]("k_groups") == groups.size.toLong)
+    assert(row.getAs[Long]("n_total") == z.length.toLong)
+    assert(row.getAs[Long]("dof_between") == groups.size.toLong - 1)
+    assert(row.getAs[Long]("dof_within") == z.length.toLong - groups.size)
+    assert(row.get(row.fieldIndex("med_min")).toString.toDouble
+      == med.values.min)
+    assert(row.get(row.fieldIndex("med_max")).toString.toDouble
+      == med.values.max)
+    val wGot = row.getAs[java.math.BigDecimal]("w_stat").doubleValue()
+    assert(math.abs(wGot - w) / math.max(w, 1.0) < 1e-6, s"W=$w vs $wGot")
+    // dof_within >= 30 at every fixture SF, k-1 = 4 -> chi2 gate is live
+    if (groups.size == 5 && z.length - groups.size >= 30)
+      assert(row.getAs[Boolean]("significant_95") == (4.0 * wGot >= 9.488))
+  }
+
+  test("stats_kendall_tau equals a brute-force concordance tally over the daily series") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_kendall_tau")(spark, sf)
+      .collect().head
+    // re-derive the daily series with the operator's exact aggregation
+    // (day truncation + DECIMAL(12,2) sum are gated devices elsewhere);
+    // the recompute targets the NEW math: the pair concordance algebra
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(value AS DECIMAL(12,2))")).as("y"))
+      .filter(col("y").isNotNull)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("day").getTime,
+        r.getAs[Long]("x"), r.getAs[java.math.BigDecimal]("y")))
+      .sortBy(_._1)
+    val n = daily.length
+    var (c, d, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val sx = daily(i)._2.compare(daily(j)._2).sign
+      val sy = daily(i)._3.compareTo(daily(j)._3).sign
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+      if (sx * sy > 0) c += 1 else if (sx * sy < 0) d += 1
+    }
+    val n0 = n.toLong * (n - 1) / 2
+    assert(row.getAs[Long]("n_days") == n.toLong)
+    assert(row.getAs[Long]("n_pairs") == n0)
+    assert(row.getAs[Long]("concordant") == c)
+    assert(row.getAs[Long]("discordant") == d)
+    assert(row.getAs[Long]("ties_x") == tx)
+    assert(row.getAs[Long]("ties_y") == ty)
+    val tau = (c - d).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty))
+    val tauGot = row.getAs[java.math.BigDecimal]("tau_b").doubleValue()
+    assert(math.abs(tauGot - tau) < 1e-9, s"tau=$tau vs $tauGot")
+    val z = 3.0 * (c - d) /
+      math.sqrt(n.toDouble * (n - 1) * (2.0 * n + 5.0) / 2.0)
+    val zGot = row.getAs[java.math.BigDecimal]("z_approx").doubleValue()
+    assert(math.abs(zGot - z) < 1e-9, s"z=$z vs $zGot")
+    if (n >= 30)
+      assert(row.getAs[Boolean]("significant_95") == (math.abs(zGot) >= 1.96))
+  }
+
   /** sf0.001 clone with one table swapped for an adversarial variant —
     * the EventsEdgeSpec device pointed at orders/lineitem. */
   private def cloneWithTable(tag: String, table: String)
@@ -264,5 +347,60 @@ class Round12Spec extends AnyFunSuite {
     val er = SparkEntry.queries("stats_spearman")(spark, emptyLi).collect()
     assert(er.length == 3 &&
       er.forall(_.getAs[Any]("rho_spearman") == null))
+  }
+
+  test("brown_forsythe/kendall degrade on adversarial corpora, never throw") {
+    // all order values tie -> every |v - med| is zero -> SSW 0 -> NULL W
+    val tiesDir = cloneWithTable("bfties", "orders")(
+      _.withColumn("o_totalprice", lit(java.math.BigDecimal.valueOf(100.00))
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+    val tied = SparkEntry.queries("stats_brown_forsythe")(spark, tiesDir)
+      .collect().head
+    assert(tied.getAs[Any]("w_stat") == null &&
+      tied.getAs[Any]("significant_95") == null)
+    // empty orders -> zero groups, NULL W, no exception
+    val emptyDir = cloneWithTable("bfempty", "orders")(_.limit(0))
+    val empty = SparkEntry.queries("stats_brown_forsythe")(spark, emptyDir)
+      .collect().head
+    assert(empty.getAs[Long]("k_groups") == 0L &&
+      empty.getAs[Any]("w_stat") == null)
+    // single order -> k = 1 -> NULL W
+    val oneDir = cloneWithTable("bfone", "orders")(_.limit(1))
+    val one = SparkEntry.queries("stats_brown_forsythe")(spark, oneDir)
+      .collect().head
+    assert(one.getAs[Long]("k_groups") == 1L &&
+      one.getAs[Any]("w_stat") == null)
+
+    // kendall: empty events -> 1 row, zero days, NULL tau, no throw
+    val evEmpty = cloneWithTable("ktempty", "events")(_.limit(0))
+    val ke = SparkEntry.queries("stats_kendall_tau")(spark, evEmpty)
+      .collect().head
+    assert(ke.getAs[Long]("n_days") == 0L && ke.getAs[Any]("tau_b") == null
+      && ke.getAs[Any]("significant_95") == null)
+    // single day -> zero pairs -> NULL tau and NULL z (n guard)
+    val evOne = cloneWithTable("ktone", "events")(_.limit(1))
+    val k1 = SparkEntry.queries("stats_kendall_tau")(spark, evOne)
+      .collect().head
+    assert(k1.getAs[Long]("n_days") <= 1L && k1.getAs[Long]("n_pairs") == 0L
+      && k1.getAs[Any]("tau_b") == null)
+    // all values NULL -> every day's sum is NULL -> listwise-empty series
+    val evNull = cloneWithTable("ktnull", "events")(
+      _.withColumn("value", lit(null)
+        .cast(org.apache.spark.sql.types.DoubleType)))
+    val kn = SparkEntry.queries("stats_kendall_tau")(spark, evNull)
+      .collect().head
+    assert(kn.getAs[Long]("n_days") == 0L && kn.getAs[Any]("tau_b") == null)
+    // constant per-event value -> daily y = 1.00 * x, a monotone image of
+    // x: ties coincide exactly and every untied pair is concordant ->
+    // tau_b is EXACTLY 1 (the concordance algebra's identity check)
+    val evConst = cloneWithTable("ktconst", "events")(
+      _.withColumn("value", lit(1.0)))
+    val kc = SparkEntry.queries("stats_kendall_tau")(spark, evConst)
+      .collect().head
+    assert(kc.getAs[Long]("ties_y") == kc.getAs[Long]("ties_x"))
+    assert(kc.getAs[Long]("discordant") == 0L)
+    assert(kc.getAs[Long]("concordant")
+      == kc.getAs[Long]("n_pairs") - kc.getAs[Long]("ties_x"))
+    assert(kc.getAs[java.math.BigDecimal]("tau_b").doubleValue() == 1.0)
   }
 }
