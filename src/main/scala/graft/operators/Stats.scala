@@ -1219,6 +1219,142 @@ object Stats {
        |  ${kendallSigSql.replace("\n", "\n  ")} AS significant_95
        |FROM z""".stripMargin
 
+  /** Friedman test of day-of-week effect on daily event value — the
+    * REPEATED-MEASURES rank test (k = 7 weekday treatments ranked
+    * WITHIN each week block, so week-to-week level shifts cancel by
+    * design): the question stats_kruskal_wallis cannot ask, because its
+    * groups must be independent — here every week contributes one
+    * observation to every treatment, and the blocking removes the
+    * between-week variance before the ranks are compared. The analyst
+    * read: "does the weekly rhythm exist, net of growth/season".
+    *
+    * Calendar-seam-free blocking: day_num = epoch-microseconds DIV
+    * 86400000000 (pure integer, both engines — never a week-of-year
+    * function, whose ISO conventions differ); block = day_num DIV 7,
+    * treatment = day_num % 7. Blocks missing any of the 7 days (horizon
+    * edges, all-NULL-value days excluded listwise) are dropped whole —
+    * an incomplete block has no within-block ranking.
+    *
+    * Tie-exact integer algebra: within a 7-row block, the DOUBLED
+    * midrank s = 2·(#less) + (#equal incl. self) + 1 is an exact
+    * integer from the block self-join (7×7 bounded rows per block), and
+    * the tie-corrected Friedman statistic is a pure integer ratio:
+    *   χ²_F = (k−1)·Σ_j (2R_j − n(k+1))² / (Σ s² − n·k·(k+1)²)
+    * (the classic 12/(nk(k+1)) form when no ties — the scaled-by-4
+    * identity). Magnitudes ≤ (2kn)² — horizon-bounded, no ladder
+    * needed. χ²_F and Kendall's W = χ²/(n(k−1)) present quantized
+    * DECIMAL(18,9); significant_95 via the χ²(dof ≤ 10) CASE.
+    * Degenerate inputs (no complete block, every block fully tied →
+    * zero denominator) emit NULL.
+    *
+    * Scale shape: the data-sized work is ONE day-keyed exact aggregate;
+    * everything after is horizon-bounded (≤ thousands of rows): the
+    * block self-join is 7×7 per block, the treatment aggregate is
+    * 7 rows, the edge is 1 row.
+    */
+  def statsFriedman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .as("day_num"))
+      .agg(sum(expr("CAST(value AS DECIMAL(12,2))")).as("y"))
+      .filter(col("y").isNotNull)
+      .select(expr("day_num DIV 7").as("blk"),
+        expr("day_num % 7").as("dow"), col("y"))
+    val complete = daily.groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_in_blk")).filter(col("n_in_blk") === 7)
+      .select(col("blk"))
+    val d = daily.join(complete, "blk")
+    val s = d.join(d.select(col("blk"), col("y").as("y_o")), "blk")
+      .groupBy(col("blk"), col("dow"), col("y"))
+      .agg(sum(when(col("y_o") < col("y"), 2L).otherwise(0L)).as("less2"),
+        sum(when(col("y_o") === col("y"), 1L).otherwise(0L)).as("eq"))
+      .select(col("blk"), col("dow"),
+        expr("less2 + eq + 1").as("s"))
+    val perDow = s.groupBy(col("dow"))
+      .agg(sum(col("s")).as("r2_j"), sum(expr("s * s")).as("s2_j"),
+        count(lit(1)).cast("long").as("n_j"))
+    perDow.agg(count(lit(1)).cast("long").as("k_treat"),
+        max(col("n_j")).as("n_blocks"),
+        sum(expr("CAST((r2_j - n_j * 8) AS DECIMAL(38,0)) * (r2_j - n_j * 8)"))
+          .as("num4"),
+        sum(col("s2_j")).as("a4"))
+      .withColumn("chi2_f", expr(friedmanChi2Sql))
+      .select(col("n_blocks"), col("k_treat"),
+        expr("CAST(CASE WHEN k_treat > 0 THEN k_treat - 1 END AS BIGINT)")
+          .as("dof"),
+        col("chi2_f"),
+        expr(friedmanWSql).as("kendalls_w"),
+        expr(friedmanSigSql).as("significant_95"))
+  }
+
+  // χ²_F = (k−1)·num4 / (a4 − n·k·(k+1)²); num4 already carries the
+  // (2R_j − n(k+1))² scaling — with k pinned at 7 by the dow universe,
+  // n(k+1) = 8n. NULL when no block survives or the denominator is 0
+  // (every block fully tied).
+  private val friedmanChi2Sql =
+    """CASE WHEN k_treat > 1 AND n_blocks > 0
+      |    AND (CAST(a4 AS DOUBLE)
+      |         - CAST(n_blocks * k_treat AS DOUBLE)
+      |           * CAST((k_treat + 1) * (k_treat + 1) AS DOUBLE)) > 0
+      |  THEN CAST((CAST(k_treat AS DOUBLE) - 1.0) * CAST(num4 AS DOUBLE)
+      |    / (CAST(a4 AS DOUBLE)
+      |       - CAST(n_blocks * k_treat AS DOUBLE)
+      |         * CAST((k_treat + 1) * (k_treat + 1) AS DOUBLE))
+      |    AS DECIMAL(18,9))
+      |END""".stripMargin
+  private val friedmanWSql =
+    """CASE WHEN chi2_f IS NULL OR n_blocks = 0 OR k_treat <= 1 THEN NULL
+      |  ELSE CAST(CAST(chi2_f AS DOUBLE)
+      |    / (CAST(n_blocks AS DOUBLE) * (CAST(k_treat AS DOUBLE) - 1.0))
+      |    AS DECIMAL(18,9)) END""".stripMargin
+  private val friedmanSigSql =
+    """CASE WHEN chi2_f IS NULL OR k_treat - 1 < 1 OR k_treat - 1 > 10
+      |  THEN NULL
+      |  ELSE CAST(chi2_f AS DOUBLE) >= (CASE k_treat - 1
+      |    WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+      |    WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+      |    WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
+      |    ELSE 18.307 END) END""".stripMargin
+
+  val statsFriedmanSql: String =
+    s"""WITH daily0 AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num,
+       |    sum(CAST(value AS DECIMAL(12,2))) AS y
+       |  FROM events GROUP BY 1),
+       |daily AS (
+       |  SELECT day_num // 7 AS blk, day_num % 7 AS dow, y
+       |  FROM daily0 WHERE y IS NOT NULL),
+       |complete AS (
+       |  SELECT blk FROM daily GROUP BY blk HAVING count(*) = 7),
+       |d AS (SELECT daily.* FROM daily JOIN complete USING (blk)),
+       |s AS (
+       |  SELECT a.blk, a.dow,
+       |    CAST(sum(CASE WHEN b.y < a.y THEN 2 ELSE 0 END)
+       |      + sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1 AS BIGINT) AS s
+       |  FROM d a JOIN d b USING (blk)
+       |  GROUP BY a.blk, a.dow, a.y),
+       |perdow AS (
+       |  SELECT dow, CAST(sum(s) AS BIGINT) AS r2_j,
+       |    CAST(sum(s * s) AS BIGINT) AS s2_j,
+       |    CAST(count(*) AS BIGINT) AS n_j
+       |  FROM s GROUP BY dow),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_treat,
+       |    max(n_j) AS n_blocks,
+       |    CAST(sum(CAST((r2_j - n_j * 8) AS HUGEINT) * (r2_j - n_j * 8))
+       |      AS DECIMAL(38,0)) AS num4,
+       |    CAST(sum(s2_j) AS DECIMAL(38,0)) AS a4
+       |  FROM perdow),
+       |res AS (SELECT *,
+       |  ${friedmanChi2Sql.replace("\n", "\n  ")} AS chi2_f
+       |  FROM agg)
+       |SELECT n_blocks, k_treat,
+       |  CAST(CASE WHEN k_treat > 0 THEN k_treat - 1 END AS BIGINT) AS dof,
+       |  chi2_f,
+       |  ${friedmanWSql.replace("\n", "\n  ")} AS kendalls_w,
+       |  ${friedmanSigSql.replace("\n", "\n  ")} AS significant_95
+       |FROM res""".stripMargin
+
   val statsKruskalWallisSql: String =
     s"""WITH x AS (
        |  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v

@@ -810,4 +810,182 @@ object Quality {
        |  greatest(${gaps.mkString(", ")}) AS ks_d
        |FROM c ORDER BY event_type""".stripMargin
   }
+
+  // -------------------------------------------------------- CUSUM drift
+
+  /** Two-sided Page–Hinkley (CUSUM) mean-shift monitor on the daily
+    * event-value mean — the SEQUENTIAL drift detector next to the
+    * distribution-snapshot monitors (quality_psi bins, quality_ks_drift
+    * CDF gaps): those compare two eras as wholes; this walks the series
+    * in time order and reports the largest SUSTAINED excursion of the
+    * slack-adjusted cumulative deviation — the statistic that fires on
+    * a persistent small shift long before any single day looks
+    * anomalous, and stays quiet on isolated spikes.
+    *
+    * Exactness: daily means live in exact integer µ-value units
+    * (mu6 = cents·10⁴ DIV n — identical truncation both engines); the
+    * slack (the PH drift allowance δ = σ/2) is floor-quantized to the
+    * same integer units from the one shared σ composition, so BOTH
+    * cumulative detectors (up: Σ(dev − δ), down: Σ(dev + δ)) and their
+    * running extrema are pure BIGINT algebra — the hash carries no raw
+    * double. σ itself composes once from exact moments (Σmu6 BIGINT,
+    * Σmu6² DECIMAL(38,0) floor-DIV 10⁴ to stay < 2^53 — the ladder
+    * class) and presents DECIMAL(18,9); excursions present both raw
+    * (BIGINT µ) and σ-relative (quantized); drifted = max excursion ≥
+    * 5σ (the classic CUSUM h = 5, δ = σ/2 tabular parameters —
+    * documented convention). Peak days are the FIRST day attaining each
+    * maximal excursion (min day_num tiebreak, deterministic).
+    *
+    * Scale shape: the data-sized work is ONE day-keyed exact aggregate;
+    * the cumulative windows run over the horizon-BOUNDED daily series
+    * (≤ thousands of rows — same boundedness argument as
+    * stats_kendall_tau), so the empty-partition window is data-bounded
+    * by construction. Degenerate inputs (no valued days, zero variance)
+    * emit NULL excursions and NULL verdict, never a throw.
+    */
+  def qualityCusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .as("day_num"))
+      .agg(count(lit(1)).as("n_d"),
+        expr("CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS DECIMAL(38,0))")
+          .as("cents_d"))
+      .withColumn("mu6", expr("CAST(cents_d * 10000 DIV n_d AS BIGINT)"))
+    val glob = daily.agg(
+        count(lit(1)).cast("long").as("n_days"),
+        sum(col("n_d")).cast("long").as("n_events"),
+        sum(col("cents_d")).as("cents_all0"),
+        sum(col("mu6")).cast("long").as("smu"),
+        sum(expr("CAST(mu6 AS DECIMAL(38,0)) * mu6")).as("qmu0"))
+      .select(col("n_days"), col("n_events"),
+        expr("CAST(CASE WHEN n_events > 0 THEN CAST(cents_all0 AS DECIMAL(38,0)) * 10000 DIV n_events END AS BIGINT)")
+          .as("mu6_all"),
+        col("smu"),
+        expr("CAST(CASE WHEN qmu0 IS NOT NULL THEN qmu0 DIV 10000 END AS BIGINT)")
+          .as("qmu4"))
+      .withColumn("sigma6", expr(cusumSigmaSql))
+      .withColumn("slack6", expr(cusumSlackSql))
+      .localCheckpoint()
+    val wcum = Window.orderBy(col("day_num"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.crossJoin(broadcast(glob))
+      .withColumn("dev", expr("mu6 - mu6_all"))
+      .withColumn("cup", sum(expr("dev - slack6")).over(wcum))
+      .withColumn("cdn", sum(expr("dev + slack6")).over(wcum))
+      // the running extrema include the virtual zero start (C_0 = 0):
+      // up_t = cup_t - min(0, min prefix cup) IS the textbook recursion
+      // C+_t = max(0, C+_{t-1} + dev - k) unrolled
+      .withColumn("up", col("cup") - least(lit(0L), min(col("cup")).over(wcum)))
+      .withColumn("down", greatest(lit(0L), max(col("cdn")).over(wcum)) - col("cdn"))
+    val exc = cum.agg(max(col("up")).as("maxup6"), max(col("down")).as("maxdn6"))
+      .localCheckpoint()
+    val peaks = cum.crossJoin(broadcast(exc))
+      .agg(max(col("maxup6")).as("max_up_mu"),
+        max(col("maxdn6")).as("max_down_mu"),
+        min(when(col("up") === col("maxup6"), col("day_num"))).as("peak_up_day"),
+        min(when(col("down") === col("maxdn6"), col("day_num"))).as("peak_down_day"))
+    glob.crossJoin(broadcast(peaks))
+      .select(col("n_days"), col("n_events"),
+        col("mu6_all").as("mean_mu6"), col("sigma6").as("sigma_mu6"),
+        col("slack6").as("slack_mu6"),
+        col("max_up_mu"), col("max_down_mu"),
+        col("peak_up_day"), col("peak_down_day"),
+        expr(cusumRelSql("max_up_mu")).as("up_sigma"),
+        expr(cusumRelSql("max_down_mu")).as("down_sigma"),
+        expr(cusumDriftedSql).as("drifted"))
+  }
+
+  // σ of the daily means in µ units: sqrt(Σmu6²/n − (Σmu6/n)²) over the
+  // exact reduced moments — ONE shared composition. Presented at
+  // DECIMAL(18,3), NOT the usual (18,9): σ is ~10⁶ in µ units, and a
+  // double scaled by 10⁹ sits past 2^52 where every value is a .0/.5
+  // rounding TIE that Spark (HALF_UP) and DuckDB resolve differently —
+  // the quantization device is only seam-free while |x|·10^scale stays
+  // well under 2^52. The σ-relative ratios below are O(1) and read the
+  // QUANTIZED σ, so their (18,9) presentation is safe.
+  private val cusumSigmaSql =
+    """CASE WHEN n_days > 1
+      |    AND (CAST(qmu4 AS DOUBLE) * 10000.0 / CAST(n_days AS DOUBLE)
+      |         - (CAST(smu AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |           * (CAST(smu AS DOUBLE) / CAST(n_days AS DOUBLE))) > 0
+      |  THEN CAST(sqrt(CAST(qmu4 AS DOUBLE) * 10000.0 / CAST(n_days AS DOUBLE)
+      |         - (CAST(smu AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |           * (CAST(smu AS DOUBLE) / CAST(n_days AS DOUBLE)))
+      |    AS DECIMAL(18,3))
+      |END""".stripMargin
+  // PH drift allowance δ = σ/2, floor-quantized to integer µ units so
+  // the cumulative detectors stay exact BIGINT algebra
+  private val cusumSlackSql =
+    """CAST(CASE WHEN sigma6 IS NOT NULL
+      |  THEN floor(CAST(sigma6 AS DOUBLE) / 2.0) END AS BIGINT)"""
+      .stripMargin
+  private def cusumRelSql(c: String): String =
+    s"""CASE WHEN sigma6 IS NOT NULL AND $c IS NOT NULL
+       |  THEN CAST(CAST($c AS DOUBLE) / CAST(sigma6 AS DOUBLE)
+       |    AS DECIMAL(18,9))
+       |END""".stripMargin
+  private val cusumDriftedSql =
+    """CASE WHEN up_sigma IS NULL OR down_sigma IS NULL THEN NULL
+      |  ELSE greatest(CAST(up_sigma AS DOUBLE), CAST(down_sigma AS DOUBLE))
+      |    >= 5.0 END""".stripMargin
+
+  val cusumDriftSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num,
+       |    CAST(count(*) AS BIGINT) AS n_d,
+       |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS DECIMAL(38,0)) AS cents_d
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |daily2 AS (SELECT *,
+       |  CAST(CAST(cents_d AS HUGEINT) * 10000 // n_d AS BIGINT) AS mu6
+       |  FROM daily),
+       |glob0 AS (SELECT
+       |  CAST(count(*) AS BIGINT) AS n_days,
+       |  CAST(sum(n_d) AS BIGINT) AS n_events,
+       |  CAST(sum(cents_d) AS DECIMAL(38,0)) AS cents_all0,
+       |  CAST(sum(mu6) AS BIGINT) AS smu,
+       |  CAST(sum(CAST(mu6 AS HUGEINT) * mu6) AS DECIMAL(38,0)) AS qmu0
+       |  FROM daily2),
+       |glob1 AS (SELECT n_days, n_events,
+       |  CAST(CASE WHEN n_events > 0
+       |    THEN CAST(cents_all0 AS HUGEINT) * 10000 // n_events END AS BIGINT)
+       |    AS mu6_all,
+       |  smu,
+       |  CAST(CASE WHEN qmu0 IS NOT NULL
+       |    THEN CAST(qmu0 AS HUGEINT) // 10000 END AS BIGINT) AS qmu4
+       |  FROM glob0),
+       |gsig AS (SELECT *, ${cusumSigmaSql.replace("\n", "\n  ")} AS sigma6
+       |  FROM glob1),
+       |globs AS (SELECT *, ${cusumSlackSql.replace("\n", "\n  ")} AS slack6
+       |  FROM gsig),
+       |cum0 AS (SELECT d.day_num, d.mu6 - g.mu6_all AS dev, g.slack6
+       |  FROM daily2 d, globs g),
+       |cum1 AS (SELECT *,
+       |  sum(dev - slack6) OVER (ORDER BY day_num
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cup,
+       |  sum(dev + slack6) OVER (ORDER BY day_num
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdn
+       |  FROM cum0),
+       |cum2 AS (SELECT *,
+       |  cup - least(0, min(cup) OVER (ORDER BY day_num
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS up,
+       |  greatest(0, max(cdn) OVER (ORDER BY day_num
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - cdn AS down
+       |  FROM cum1),
+       |exc AS (SELECT CAST(max(up) AS BIGINT) AS maxup6,
+       |  CAST(max(down) AS BIGINT) AS maxdn6 FROM cum2),
+       |peaks AS (SELECT
+       |  max(e.maxup6) AS max_up_mu, max(e.maxdn6) AS max_down_mu,
+       |  min(CASE WHEN c.up = e.maxup6 THEN c.day_num END) AS peak_up_day,
+       |  min(CASE WHEN c.down = e.maxdn6 THEN c.day_num END) AS peak_down_day
+       |  FROM cum2 c, exc e),
+       |res AS (SELECT g.*, p.* FROM globs g, peaks p)
+       |SELECT n_days, n_events, mu6_all AS mean_mu6, sigma6 AS sigma_mu6,
+       |  slack6 AS slack_mu6, max_up_mu, max_down_mu,
+       |  peak_up_day, peak_down_day,
+       |  ${cusumRelSql("max_up_mu").replace("\n", "\n  ")} AS up_sigma,
+       |  ${cusumRelSql("max_down_mu").replace("\n", "\n  ")} AS down_sigma,
+       |  ${cusumDriftedSql.replace("\n", "\n  ")} AS drifted
+       |FROM res""".stripMargin
 }

@@ -884,4 +884,57 @@ object StreamOps {
           out.result().iterator
         })
   }
+
+  case class CusumDay(lane: Long, day_num: Long, mu6: Long)
+  case class CusumState(cup: Long, minCup: Long, cdn: Long, maxCdn: Long)
+  case class CusumOut(lane: Long, day_num: Long, up_mu: Long, down_mu: Long,
+      alarm_up: Boolean, alarm_down: Boolean)
+
+  /** Streaming CUSUM drift gate — quality_cusum_drift's live twin: the
+    * batch op replays the whole daily series per run; a monitor wants
+    * each day's slack-adjusted excursion the moment the day closes.
+    * State per lane is FOUR Longs (the two cumulative detectors and
+    * their running extrema — the batch op's window pass folded into a
+    * register), so a million monitored lanes cost a few MB.
+    *
+    * Arithmetic is the batch op's verbatim, in the same exact integer
+    * µ-value units: dev = mu6 − baseline; up_t = cup_t − min(0, min
+    * prefix cup) (the textbook C⁺ recursion unrolled, virtual zero
+    * start), down_t mirrored; alarm at excursion ≥ h6. The baseline
+    * (mu6Base, slack6, h6 = the batch op's mean_mu6 / slack_mu6 /
+    * 5·sigma floor) is frozen as literals — the psiGate frozen-baseline
+    * device; re-deploy to re-baseline. Like packSpans, per-lane arrival
+    * order (day_num ascending) is the caller's contract — each batch is
+    * sorted per lane, and the running registers make any batch SPLIT of
+    * ordered arrivals emit identical rows.
+    *
+    * `daily` carries (lane, day_num, mu6) — one row per closed day,
+    * pre-shaped by the caller (the batch op's day-keyed aggregate is
+    * exactly this projection).
+    */
+  def cusumGate(daily: Dataset[CusumDay], mu6Base: Long, slack6: Long,
+      h6: Long): Dataset[CusumOut] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.lane)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (lane: Long, ds: Iterator[CusumDay], state: GroupState[CusumState]) => {
+          val sorted = ds.toSeq.sortBy(_.day_num)
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[CusumOut]
+          for (d <- sorted) {
+            val dev = d.mu6 - mu6Base
+            val cup = st.cup + dev - slack6
+            val cdn = st.cdn + dev + slack6
+            val minCup = math.min(st.minCup, cup)
+            val maxCdn = math.max(st.maxCdn, cdn)
+            val up = cup - minCup
+            val dn = maxCdn - cdn
+            out += CusumOut(lane, d.day_num, up, dn, up >= h6, dn >= h6)
+            st = CusumState(cup, minCup, cdn, maxCdn)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
 }

@@ -281,6 +281,171 @@ class Round12Spec extends AnyFunSuite {
       assert(row.getAs[Boolean]("significant_95") == (math.abs(zGot) >= 1.96))
   }
 
+  test("stats_friedman equals the textbook tie-corrected repeated-measures chi-square") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_friedman")(spark, sf).collect().head
+    // re-derive the daily series with the operator's exact aggregation;
+    // the recompute targets the NEW math: within-block midranks and the
+    // tie-corrected Friedman composition
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .as("day_num"))
+      .agg(sum(expr("CAST(value AS DECIMAL(12,2))")).as("y"))
+      .filter(col("y").isNotNull)
+      .collect().map(r => (r.getAs[Long]("day_num"),
+        r.getAs[java.math.BigDecimal]("y")))
+    val blocks = daily.groupBy(_._1 / 7).filter(_._2.length == 7)
+      .view.mapValues(_.sortBy(_._1 % 7).map(_._2)).toMap
+    val n = blocks.size
+    if (n == 0) {
+      assert(row.getAs[Any]("chi2_f") == null)
+    } else {
+      val k = 7
+      // within-block midranks (ties averaged)
+      val ranks = blocks.values.toSeq.map { ys =>
+        ys.map(y => ys.count(_.compareTo(y) < 0) + 1.0
+          + (ys.count(_.compareTo(y) == 0) - 1) / 2.0)
+      }
+      val rj = (0 until k).map(j => ranks.map(_(j)).sum)
+      val num = rj.map(r => (r - n * (k + 1) / 2.0)).map(x => x * x).sum
+      val a = ranks.flatten.map(x => x * x).sum
+      val c = n * k * (k + 1) * (k + 1) / 4.0
+      val chi2 = (k - 1) * num / (a - c)
+      assert(row.getAs[Long]("n_blocks") == n.toLong)
+      assert(row.getAs[Long]("k_treat") == k.toLong)
+      assert(row.getAs[Long]("dof") == k - 1L)
+      val got = row.getAs[java.math.BigDecimal]("chi2_f").doubleValue()
+      assert(math.abs(got - chi2) / math.max(chi2, 1.0) < 1e-9,
+        s"chi2_F=$chi2 vs $got")
+      val wGot = row.getAs[java.math.BigDecimal]("kendalls_w").doubleValue()
+      assert(math.abs(wGot - chi2 / (n * (k - 1))) < 1e-9)
+      assert(row.getAs[Boolean]("significant_95") == (got >= 12.592))
+    }
+  }
+
+  test("stats_friedman degrades on adversarial event streams, never throws") {
+    // empty events -> no blocks -> NULL statistic
+    val evEmpty = cloneWithTable("frempty", "events")(_.limit(0))
+    val fe = SparkEntry.queries("stats_friedman")(spark, evEmpty)
+      .collect().head
+    assert(fe.getAs[Any]("chi2_f") == null
+      && fe.getAs[Any]("significant_95") == null)
+    // constant value -> every block's daily sums vary only with counts;
+    // force FULL ties by making value NULL-free constant AND zeroing ts
+    // spread is not possible here, so instead: all values NULL -> every
+    // day drops listwise -> no blocks -> NULL
+    val evNull = cloneWithTable("frnull", "events")(
+      _.withColumn("value", lit(null)
+        .cast(org.apache.spark.sql.types.DoubleType)))
+    val fn = SparkEntry.queries("stats_friedman")(spark, evNull)
+      .collect().head
+    assert(fn.getAs[Any]("chi2_f") == null)
+    // single event -> one day -> no complete 7-day block -> NULL
+    val evOne = cloneWithTable("frone", "events")(_.limit(1))
+    val fo = SparkEntry.queries("stats_friedman")(spark, evOne)
+      .collect().head
+    assert(fo.getAs[Any]("chi2_f") == null)
+  }
+
+  test("quality_cusum_drift equals a driver-side Page-Hinkley recompute") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("quality_cusum_drift")(spark, sf)
+      .collect().head
+    // integer recompute with the operator's exact devices
+    val daily = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .as("day_num"))
+      .agg(count(lit(1)).as("n_d"),
+        expr("CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS DECIMAL(38,0))")
+          .as("cents_d"))
+      .collect().map(r => (r.getAs[Long]("day_num"), r.getAs[Long]("n_d"),
+        r.getAs[java.math.BigDecimal]("cents_d").toBigInteger.longValueExact()))
+      .sortBy(_._1)
+    // toward-zero division, the engines' verified DIV/`//` semantics
+    // (values are positive here, where it equals floor)
+    val mu6 = daily.map { case (d, n, c) => (d, c * 10000L / n) }
+    val nDays = mu6.length
+    val nEvents = daily.map(_._2).sum
+    val mu6All = daily.map(_._3).sum * 10000L / nEvents
+    val smu = mu6.map(_._2).sum
+    val qmu4 = mu6.map(m => BigInt(m._2) * m._2).sum / 10000
+    val sigma = math.sqrt(qmu4.toDouble * 10000.0 / nDays
+      - (smu.toDouble / nDays) * (smu.toDouble / nDays))
+    // the row's σ is the (18,3)-quantized presentation of this double;
+    // downstream integer algebra reads the QUANTIZED value, so take the
+    // operator's σ (tolerance-checked) as the recompute's input too
+    val sigmaGot = row.getAs[java.math.BigDecimal]("sigma_mu6").doubleValue()
+    assert(math.abs(sigmaGot - sigma) < 0.0015, s"sigma=$sigma vs $sigmaGot")
+    val sigmaQ = BigDecimal(sigmaGot)
+    val slack = math.floor(sigmaQ.toDouble / 2.0).toLong
+    var (cup, cdn, minCup, maxCdn, maxUp, maxDn) = (0L, 0L, 0L, 0L, 0L, 0L)
+    var (peakUp, peakDn) = (-1L, -1L)
+    mu6.foreach { case (d, m) =>
+      val dev = m - mu6All
+      cup += dev - slack; cdn += dev + slack
+      minCup = math.min(minCup, cup); maxCdn = math.max(maxCdn, cdn)
+      val up = cup - minCup; val dn = maxCdn - cdn
+      if (up > maxUp) { maxUp = up; peakUp = d }
+      if (dn > maxDn) { maxDn = dn; peakDn = d }
+    }
+    // first day attaining the max (the operator's min-day tiebreak):
+    // recompute pass 2 since the streaming fold above keeps the LAST arg
+    var (c2, m2, x2) = (0L, 0L, 0L); var firstUp = -1L; var firstDn = -1L
+    var c3 = 0L
+    mu6.foreach { case (d, m) =>
+      c2 += (m - mu6All) - slack; m2 = math.min(m2, c2)
+      if (firstUp < 0 && c2 - m2 == maxUp) firstUp = d
+      c3 += (m - mu6All) + slack; x2 = math.max(x2, c3)
+      if (firstDn < 0 && x2 - c3 == maxDn) firstDn = d
+    }
+    assert(row.getAs[Long]("n_days") == nDays.toLong)
+    assert(row.getAs[Long]("n_events") == nEvents)
+    assert(row.getAs[Long]("mean_mu6") == mu6All)
+    assert(row.getAs[Long]("slack_mu6") == slack)
+    assert(row.getAs[Long]("max_up_mu") == maxUp)
+    assert(row.getAs[Long]("max_down_mu") == maxDn)
+    assert(row.getAs[Long]("peak_up_day") == firstUp)
+    assert(row.getAs[Long]("peak_down_day") == firstDn)
+    val upS = row.getAs[java.math.BigDecimal]("up_sigma").doubleValue()
+    assert(math.abs(upS - maxUp / sigmaQ.toDouble) < 1e-8)
+    assert(row.getAs[Boolean]("drifted")
+      == (math.max(maxUp, maxDn) / sigmaQ.toDouble >= 5.0))
+  }
+
+  test("quality_cusum_drift fires on a planted sustained mean shift and degrades clean") {
+    // plant: +40% value on the last 12 days — a sustained small-ish
+    // shift no single-day anomaly scan would flag
+    val shiftDir = cloneWithTable("cusumshift", "events") { df =>
+      df.withColumn("value",
+        when(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000 >= 19741"),
+          col("value") * 1.4).otherwise(col("value")))
+    }
+    val shifted = SparkEntry.queries("quality_cusum_drift")(spark, shiftDir)
+      .collect().head
+    assert(shifted.getAs[Boolean]("drifted"),
+      s"planted shift not detected: up=${shifted.getAs[Any]("up_sigma")}")
+    assert(shifted.getAs[Long]("peak_up_day") >= 19741L,
+      "peak excursion should sit inside the shifted era")
+    // baseline corpus does not alarm (asserted against the recompute's
+    // own verdict in the previous test; here: the planted run's UP
+    // excursion strictly exceeds the baseline's)
+    val base = SparkEntry.queries("quality_cusum_drift")(spark, TestSession.sf)
+      .collect().head
+    assert(shifted.getAs[Long]("max_up_mu") > base.getAs[Long]("max_up_mu"))
+    // empty + all-NULL degrade
+    val evEmpty = cloneWithTable("cusumempty", "events")(_.limit(0))
+    val ce = SparkEntry.queries("quality_cusum_drift")(spark, evEmpty)
+      .collect().head
+    assert(ce.getAs[Long]("n_days") == 0L && ce.getAs[Any]("drifted") == null)
+    val evNull = cloneWithTable("cusumnull", "events")(
+      _.withColumn("value", lit(null)
+        .cast(org.apache.spark.sql.types.DoubleType)))
+    val cn = SparkEntry.queries("quality_cusum_drift")(spark, evNull)
+      .collect().head
+    assert(cn.getAs[Long]("n_days") == 0L && cn.getAs[Any]("drifted") == null)
+  }
+
   /** sf0.001 clone with one table swapped for an adversarial variant —
     * the EventsEdgeSpec device pointed at orders/lineitem. */
   private def cloneWithTable(tag: String, table: String)

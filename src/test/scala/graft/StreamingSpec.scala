@@ -764,4 +764,58 @@ class StreamingSpec extends AnyFunSuite {
     // zero-token doc 6 emits nothing
     assert(!oneShot.exists(_._3 == 6L))
   }
+
+  test("streaming cusum gate: batch-split invariant, textbook registers, planted drift fires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen baseline: mean 1000 µ, slack 50 µ, alarm at h = 500 µ
+    val (mu6Base, slack6, h6) = (1000L, 50L, 500L)
+    // lane 0: noise around the baseline, then a sustained +200 µ shift
+    // from day 10 (fires the UP detector after ~4 shifted days:
+    // 4·(200−50) = 600 ≥ 500); lane 1: a mirrored DOWNWARD shift
+    val lane0 = (0 until 10).map(d => (0L, d.toLong,
+      1000L + (if (d % 2 == 0) 40L else -40L))) ++
+      (10 until 16).map(d => (0L, d.toLong, 1200L))
+    val lane1 = (0 until 10).map(d => (1L, d.toLong,
+      1000L + (if (d % 3 == 0) 30L else -15L))) ++
+      (10 until 16).map(d => (1L, d.toLong, 800L))
+    val arrivals = (lane0 ++ lane1).sortBy(t => (t._2, t._1))
+    def run(batches: Seq[Seq[(Long, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val q = StreamOps.cusumGate(
+          mem.toDF().toDF("lane", "day_num", "mu6")
+            .as[StreamOps.CusumDay], mu6Base, slack6, h6)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    val oneShot = run(Seq(arrivals), "cusum_one")
+    val split = run(Seq(arrivals.take(11), arrivals.slice(11, 20),
+      arrivals.drop(20)), "cusum_split")
+    // the four per-lane registers carry across micro-batches: any split
+    // of the same per-lane day order emits identical rows
+    assert(oneShot == split)
+    // driver recompute: the batch op's virtual-zero textbook recursion
+    val want = (lane0 ++ lane1).groupBy(_._1).toSeq.flatMap { case (lane, ds) =>
+      var (cup, cdn, mn, mx) = (0L, 0L, 0L, 0L)
+      ds.sortBy(_._2).map { case (_, d, m) =>
+        cup += (m - mu6Base) - slack6; cdn += (m - mu6Base) + slack6
+        mn = math.min(mn, cup); mx = math.max(mx, cdn)
+        (lane, d, cup - mn, mx - cdn, cup - mn >= h6, mx - cdn >= h6)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(oneShot == want)
+    // the planted shifts fire the matching detector and not the other
+    val l0 = oneShot.filter(_._1 == 0L)
+    assert(!l0.take(10).exists(_._5), "no UP alarm before the shift")
+    assert(l0.drop(10).exists(_._5), "UP alarm after the +200 shift")
+    assert(!l0.exists(_._6), "downward detector stays quiet on lane 0")
+    val l1 = oneShot.filter(_._1 == 1L)
+    assert(l1.drop(10).exists(_._6), "DOWN alarm after the -200 shift")
+    assert(!l1.exists(_._5), "upward detector stays quiet on lane 1")
+  }
 }
