@@ -1355,6 +1355,127 @@ object Stats {
        |  ${friedmanSigSql.replace("\n", "\n  ")} AS significant_95
        |FROM res""".stripMargin
 
+  /** Theil–Sen robust trend + Mann–Kendall trend test on the daily
+    * event-value series — the trend kit an analyst runs when
+    * events_ewma_forecast's adaptive baseline says "something moved"
+    * and the question becomes "is there a MONOTONE trend, and how
+    * steep": Sen's slope (the median of all pairwise slopes — one wild
+    * day moves it not at all, where OLS chases it) with the
+    * Mann–Kendall S test (Kendall's τ machinery against TIME itself)
+    * for the significance verdict.
+    *
+    * Exactness: the series is the stats_kendall_tau daily aggregate
+    * (exact DECIMAL(12,2) sums, NULL-day listwise exclusion); S and the
+    * tie-corrected ×18 variance (n(n−1)(2n+5) − Σ tᵧ(tᵧ−1)(2tᵧ+5)) are
+    * exact BIGINTs; pairwise slopes are IEEE doubles composed
+    * identically both engines (decimal→double under the §6 rule-8
+    * digit bound, one shared division), so the nearest-rank median —
+    * the house integer-rank device over the SORTED bounded slope set —
+    * selects the same double on both sides; sen_slope and the MK z
+    * (continuity-corrected, the documented normal approximation gated
+    * n ≥ 10) present quantized DECIMAL(18,9), trend reads the QUANTIZED
+    * z. Degenerate inputs (< 2 days, all-tied values → zero variance)
+    * emit NULL slope/z and NULL trend.
+    *
+    * Scale shape: the data-sized work is ONE day-keyed aggregate; the
+    * O(days²) slope/concordance set and its median rank run over the
+    * horizon-BOUNDED series (the stats_kendall_tau boundedness
+    * argument; the median window sorts ≤ ~10⁵ bounded rows).
+    */
+  def statsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .as("day_num"))
+      .agg(sum(expr("CAST(value AS DECIMAL(12,2))")).as("y"))
+      .filter(col("y").isNotNull)
+    val b = daily.select(col("day_num").as("day_b"), col("y").as("y_b"))
+    val pairs = daily.join(broadcast(b), col("day_num") < col("day_b"))
+      .select(col("day_num"), col("day_b"), col("y"), col("y_b"),
+        expr("(CAST(y_b AS DOUBLE) - CAST(y AS DOUBLE)) / CAST(day_b - day_num AS DOUBLE)")
+          .as("slope"))
+      .localCheckpoint()
+    val tallies = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("y_b") > col("y"), 1L)
+        .when(col("y_b") < col("y"), -1L).otherwise(0L)).cast("long").as("s_stat"))
+    val wrank = Window.orderBy(col("slope"), col("day_num"), col("day_b"))
+    val med = pairs
+      .withColumn("rk", row_number().over(wrank))
+      .crossJoin(broadcast(tallies.select(col("n_pairs").as("m"))))
+      .filter(expr("rk >= (m + 1) DIV 2")).agg(min(col("slope")).as("sen_raw"))
+    val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("tc"))
+      .agg(sum(expr("tc * (tc - 1) * (2 * tc + 5)")).cast("long").as("tie18"),
+        count(lit(1)).cast("long").as("n_vals"))
+    val nd = daily.agg(count(lit(1)).cast("long").as("n_days"))
+    tallies.crossJoin(broadcast(nd)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(med))
+      .withColumn("var18",
+        expr("CAST(CASE WHEN n_days > 1 THEN n_days * (n_days - 1) * (2 * n_days + 5) - coalesce(tie18, 0) END AS BIGINT)"))
+      .withColumn("z_mk", expr(theilZSql))
+      .select(col("n_days"), col("n_pairs"), col("s_stat"),
+        col("var18"),
+        expr("CAST(CASE WHEN n_pairs > 0 THEN sen_raw END AS DECIMAL(18,9))")
+          .as("sen_slope"),
+        col("z_mk"),
+        expr(theilTrendSql).as("trend"))
+  }
+
+  // continuity-corrected MK z over the ×18 exact variance; NULL below
+  // the n >= 10 normal-approximation gate or at zero variance
+  private val theilZSql =
+    """CASE WHEN n_days >= 10 AND var18 > 0
+      |  THEN CAST((CAST(s_stat AS DOUBLE)
+      |      - (CASE WHEN s_stat > 0 THEN 1.0
+      |              WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END))
+      |    / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS DECIMAL(18,9))
+      |END""".stripMargin
+  private val theilTrendSql =
+    """CASE WHEN z_mk IS NULL THEN CAST(NULL AS STRING)
+      |  WHEN CAST(z_mk AS DOUBLE) >= 1.96 THEN 'increasing'
+      |  WHEN CAST(z_mk AS DOUBLE) <= -1.96 THEN 'decreasing'
+      |  ELSE 'none' END""".stripMargin
+
+  val statsTheilSenSql: String =
+    s"""WITH daily0 AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num,
+       |    sum(CAST(value AS DECIMAL(12,2))) AS y
+       |  FROM events GROUP BY 1),
+       |d AS (SELECT * FROM daily0 WHERE y IS NOT NULL),
+       |pairs AS (
+       |  SELECT a.day_num, b.day_num AS day_b, a.y, b.y AS y_b,
+       |    (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+       |      / CAST(b.day_num - a.day_num AS DOUBLE) AS slope
+       |  FROM d a JOIN d b ON a.day_num < b.day_num),
+       |tallies AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN y_b > y THEN 1 WHEN y_b < y THEN -1 ELSE 0 END)
+       |    AS BIGINT) AS s_stat
+       |  FROM pairs),
+       |ranked AS (SELECT slope,
+       |  row_number() OVER (ORDER BY slope, day_num, day_b) AS rk
+       |  FROM pairs),
+       |med AS (SELECT min(slope) AS sen_raw FROM ranked
+       |  WHERE rk >= ((SELECT n_pairs FROM tallies) + 1) // 2),
+       |ties AS (SELECT
+       |  CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie18
+       |  FROM (SELECT count(*) AS tc FROM d GROUP BY y)),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+       |a AS (SELECT t.*, n.n_days, x.tie18, m.sen_raw
+       |  FROM tallies t, nd n, ties x, med m),
+       |v AS (SELECT *,
+       |  CAST(CASE WHEN n_days > 1
+       |    THEN n_days * (n_days - 1) * (2 * n_days + 5) - coalesce(tie18, 0)
+       |    END AS BIGINT) AS var18
+       |  FROM a),
+       |z AS (SELECT *,
+       |  ${theilZSql.replace("\n", "\n  ")} AS z_mk
+       |  FROM v)
+       |SELECT n_days, n_pairs, s_stat, var18,
+       |  CAST(CASE WHEN n_pairs > 0 THEN sen_raw END AS DECIMAL(18,9))
+       |    AS sen_slope,
+       |  z_mk,
+       |  ${theilTrendSql.replace("\n", "\n  ")} AS trend
+       |FROM z""".stripMargin
+
   val statsKruskalWallisSql: String =
     s"""WITH x AS (
        |  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v

@@ -446,6 +446,78 @@ class Round12Spec extends AnyFunSuite {
     assert(cn.getAs[Long]("n_days") == 0L && cn.getAs[Any]("drifted") == null)
   }
 
+  test("stats_theil_sen equals brute-force Sen slope + Mann-Kendall recompute") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_theil_sen")(spark, sf).collect().head
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .as("day_num"))
+      .agg(sum(expr("CAST(value AS DECIMAL(12,2))")).as("y"))
+      .filter(col("y").isNotNull)
+      .collect().map(r => (r.getAs[Long]("day_num"),
+        r.getAs[java.math.BigDecimal]("y"))).sortBy(_._1)
+    val n = daily.length
+    val slopes = scala.collection.mutable.ArrayBuffer[(Double, Long, Long)]()
+    var s = 0L
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val sgn = daily(j)._2.compareTo(daily(i)._2).sign
+      s += sgn
+      slopes += (((daily(j)._2.doubleValue() - daily(i)._2.doubleValue())
+        / (daily(j)._1 - daily(i)._1), daily(i)._1, daily(j)._1))
+    }
+    val m = slopes.length
+    // nearest-rank median under the operator's total order
+    val sen = slopes.sortBy(t => (t._1, t._2, t._3)).apply((m + 1) / 2 - 1)._1
+    val tie18 = daily.groupBy(_._2).values
+      .map(g => g.length.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n.toLong * (n - 1) * (2L * n + 5) - tie18
+    assert(row.getAs[Long]("n_days") == n.toLong)
+    assert(row.getAs[Long]("n_pairs") == m.toLong)
+    assert(row.getAs[Long]("s_stat") == s)
+    assert(row.getAs[Long]("var18") == var18)
+    val senGot = row.getAs[java.math.BigDecimal]("sen_slope").doubleValue()
+    assert(math.abs(senGot - sen) < 1e-8, s"sen=$sen vs $senGot")
+    if (n >= 10 && var18 > 0) {
+      val z = (s - s.sign).toDouble / math.sqrt(var18 / 18.0)
+      val zGot = row.getAs[java.math.BigDecimal]("z_mk").doubleValue()
+      assert(math.abs(zGot - z) < 1e-8, s"z=$z vs $zGot")
+      val want = if (zGot >= 1.96) "increasing"
+        else if (zGot <= -1.96) "decreasing" else "none"
+      assert(row.getAs[String]("trend") == want)
+    }
+  }
+
+  test("stats_theil_sen: planted linear trend recovered, degrades clean") {
+    // plant: ×1.3 compounding growth per day (a Spark-only clone, so
+    // power() is fine here) — +30% day-over-day dominates the
+    // fixture's daily-sum noise on every pair horizon
+    val trendDir = cloneWithTable("tstrend", "events") { df =>
+      df.withColumn("value", col("value")
+        * expr("power(1.3, CAST(unix_micros(date_trunc('DAY', ts)) DIV 86400000000 - 19720 AS DOUBLE))"))
+    }
+    val t = SparkEntry.queries("stats_theil_sen")(spark, trendDir)
+      .collect().head
+    assert(t.getAs[String]("trend") == "increasing", s"$t")
+    assert(t.getAs[Long]("s_stat") >= t.getAs[Long]("n_pairs") * 9 / 10,
+      s"planted ramp should concord on nearly every pair: $t")
+    assert(t.getAs[java.math.BigDecimal]("sen_slope").doubleValue() > 0)
+    // empty events -> 1 row, NULL slope/z/trend
+    val evEmpty = cloneWithTable("tsempty", "events")(_.limit(0))
+    val e = SparkEntry.queries("stats_theil_sen")(spark, evEmpty)
+      .collect().head
+    assert(e.getAs[Long]("n_days") == 0L && e.getAs[Any]("sen_slope") == null
+      && e.getAs[Any]("trend") == null)
+    // constant value -> daily sums vary only with counts; force FULL
+    // ties via a constant value AND one event per day is not plantable
+    // here, so assert the all-NULL degrade instead (listwise-empty)
+    val evNull = cloneWithTable("tsnull", "events")(
+      _.withColumn("value", lit(null)
+        .cast(org.apache.spark.sql.types.DoubleType)))
+    val nn = SparkEntry.queries("stats_theil_sen")(spark, evNull)
+      .collect().head
+    assert(nn.getAs[Long]("n_days") == 0L && nn.getAs[Any]("z_mk") == null)
+  }
+
   /** sf0.001 clone with one table swapped for an adversarial variant —
     * the EventsEdgeSpec device pointed at orders/lineitem. */
   private def cloneWithTable(tag: String, table: String)
