@@ -1383,7 +1383,6 @@ object Stats {
     * argument; the median window sorts ≤ ~10⁵ bounded rows).
     */
   def statsTheilSen(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)
       .groupBy(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
         .as("day_num"))
@@ -1398,9 +1397,11 @@ object Stats {
     val tallies = pairs.agg(count(lit(1)).as("n_pairs"),
       sum(when(col("y_b") > col("y"), 1L)
         .when(col("y_b") < col("y"), -1L).otherwise(0L)).cast("long").as("s_stat"))
-    val wrank = Window.orderBy(col("slope"), col("day_num"), col("day_b"))
-    val med = pairs
-      .withColumn("rk", row_number().over(wrank))
+    // the median rank rides the GlobalRank range exchange — bounded here,
+    // but the device keeps the shape scale-safe (and the class-guard
+    // clean) if a caller ever feeds a finer-than-day series
+    val med = GlobalRank
+      .withGlobalRank(pairs, "rk", col("slope"), col("day_num"), col("day_b"))
       .crossJoin(broadcast(tallies.select(col("n_pairs").as("m"))))
       .filter(expr("rk >= (m + 1) DIV 2")).agg(min(col("slope")).as("sen_raw"))
     val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("tc"))

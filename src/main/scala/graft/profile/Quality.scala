@@ -847,8 +847,12 @@ object Quality {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
-      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
-        .as("day_num"))
+      // project day_num BEFORE grouping: a computed groupBy key plans as
+      // an anonymous _groupingexpression, which the horizon-bounded-dims
+      // class guard (PlanInvariantSpec) can't recognize by name
+      .select(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .as("day_num"), col("value"))
+      .groupBy(col("day_num"))
       .agg(count(lit(1)).as("n_d"),
         expr("CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS DECIMAL(38,0))")
           .as("cents_d"))

@@ -154,6 +154,8 @@ class PlanInvariantSpec extends AnyFunSuite {
       "event_type",  // events type alphabet (5)
       "bucket",      // fixed histogram/grid bucket ids
       "week",        // bounded reporting horizon of the temporal ops
+      "day_num",     // calendar-day grain — horizon-bounded like week
+                     // (quality_cusum_drift's cumulative detectors)
       "dow",         // day-of-week (7) — events_seasonality cells
       "hod"          // hour-of-day (24)
     ) ++
