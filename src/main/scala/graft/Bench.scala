@@ -14,6 +14,30 @@ import org.apache.spark.sql.SparkSession
   * numbers measure the plan, not JVM startup.
   */
 object Bench {
+  /** Box-load evidence (r12 VERDICT #3): two driver benches in a row were
+    * dominated by co-tenant contention the artifact couldn't prove (r12:
+    * 76 untouched queries >2× slower, all at r10 levels when isolated).
+    * Record /proc/loadavg and the /proc/stat busy fraction so a
+    * driver-vs-isolate dispute becomes a one-line read of BENCH_r{N}.
+    */
+  private def loadavg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (total, idle) jiffies from /proc/stat line 1 — idle+iowait counts
+    * as idle; the delta pair over the run yields the box-wide busy
+    * fraction INCLUDING co-tenants (our own local[32] work explains at
+    * most 32/ncpu of it).
+    */
+  private def procStat(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val l = try f.getLines().next().trim.split("\\s+").drop(1)
+        .map(_.toLong) finally f.close()
+      (l.sum, l(3) + (if (l.length > 4) l(4) else 0L))
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -39,6 +63,8 @@ object Bench {
     // up to 2x); "queries" reports the MEDIAN so round-over-round regressions
     // are attributable, "queries_min" the best observed run
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val loadStart = loadavg1()
+    val (statT0, statI0) = procStat()
     val results = ordered.map { case (name, fn) =>
       // cache-clean boundary BETWEEN queries: ops that persist() reused
       // frames (LSH signatures, band indexes, IVF lists) keep them alive
@@ -85,11 +111,12 @@ object Bench {
       // repeated-invocation cost
       val first = if (times.head >= 0) times.head else -1.0
       // intermittent failures must stay visible even when the median is
-      // healthy — queries_fails carries the per-query failed-run count
-      (name, median, min, (times.size - ok.size).toDouble, first)
+      // healthy — queries_fails carries the per-query failed-run count;
+      // queries_load the 1-min loadavg observed as the query finished
+      (name, median, min, (times.size - ok.size).toDouble, first, loadavg1())
     }
-    def fmt(f: ((String, Double, Double, Double, Double)) => Double): String = results
-      .map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    def fmt(f: ((String, Double, Double, Double, Double, Double)) => Double): String =
+      results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     // failures stay visible as -1 per query but must not reduce the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalFirst = results.map(_._5).filter(_ >= 0).sum
@@ -97,24 +124,33 @@ object Bench {
     // known file — the driver's stdout capture is a 2000-char tail, far
     // smaller than 4 maps x 100+ queries, which is exactly why BENCH_r04/
     // r05 recorded "parsed": null.
+    val loadEnd = loadavg1()
+    val (statT1, statI1) = procStat()
+    val busyFrac =
+      if (statT0 < 0 || statT1 <= statT0) -1.0
+      else 1.0 - (statI1 - statI0).toDouble / (statT1 - statT0)
+    val ncpu = Runtime.getRuntime.availableProcessors
+    val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"busy_frac":$busyFrac,"ncpu":$ncpu}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_first":$totalFirst,"queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"queries_first":${fmt(_._5)},"queries_fails":${fmt(_._4)},"runs":$nRuns,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_first":$totalFirst,"queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"queries_first":${fmt(_._5)},"queries_fails":${fmt(_._4)},"queries_load":${fmt(_._6)},"load":$loadJson,"runs":$nRuns,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json"), detail)
     // The stdout contract line must survive that 2000-char tail TOGETHER
-    // with sbt's trailing "[success] Total time" line, so it carries:
-    // aggregates, a sparse fails map (empty when healthy), the 10 slowest
-    // queries as a proper map, and EVERY per-query median as a positional
-    // array ordered by sorted query name (the same name-sorted order
-    // `queries` iterates in) — ~900 bytes for 106 queries.
+    // with sbt's trailing "[success] Total time" line. r12 lesson: the
+    // per-query medians array at 252 queries (~1800 chars) pushed the
+    // line past the tail and BENCH_r12 recorded "parsed": null — the
+    // driver got NO structured numbers. The line now carries only
+    // aggregates, a sparse fails map (empty when healthy), the 10
+    // slowest queries, and the box-load evidence (~700 bytes at 253
+    // queries); every per-query median/min/first/load lives in
+    // bench_out.json (committed per round as bench_full_r{N}.json).
     def f3(x: Double): String = BigDecimal(x)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val failsMap = results.filter(_._4 > 0)
       .map(r => "\"" + r._1 + "\":" + r._4.toInt).mkString("{", ",", "}")
     val top10 = results.sortBy(-_._2).take(10)
       .map(r => "\"" + r._1 + "\":" + f3(r._2)).mkString("{", ",", "}")
-    val medArr = results.map(r => f3(r._2)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_first":${f3(totalFirst)},"n_queries":${results.size},"fails":$failsMap,"queries":$top10,"medians_by_sorted_name":$medArr,"runs":$nRuns,"sf":"$sfDir","detail_file":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_first":${f3(totalFirst)},"n_queries":${results.size},"fails":$failsMap,"queries":$top10,"load":$loadJson,"runs":$nRuns,"sf":"$sfDir","detail_file":"bench_out.json"}""")
     spark.stop()
   }
 }

@@ -277,16 +277,21 @@ object Stats {
     * range exchange sorts NULLS FIRST; DuckDB's ORDER BY window defaults
     * NULLS LAST) — a live hash seam on any corpus with NULL values.
     *
-    * Hashed-surface discipline (r11: the driver gate hash-flagged this
-    * op while three-SF replays were bit-identical — the one gated query
-    * emitting raw DECIMAL(38,0) beside a raw IEEE double): the exact
-    * integer statistics present as BIGINT — two_r1 ≤ N·(2N+1) is safe to
+    * Hashed-surface discipline (r12→r13 reversal): the exact integer
+    * statistics present as BIGINT — two_r1 ≤ N·(2N+1) is safe to
     * ~2·10⁹ click/view events, tie_sum ≤ Σc³ to a ~2·10⁶-row largest tie
     * group; z and every internal step compose over the DECIMAL(38,0)
     * EXACT values (safe to N ~ 10¹²), so the BIGINT columns are
-    * presentation-only — and z presents through the §6 rule-8
-    * quantization, CAST(… AS DECIMAL(18,9)) over the identical double
-    * composition in BOTH engines. No raw double rides the hash.
+    * presentation-only — and z presents as the RAW IEEE double of ONE
+    * identical composition in BOTH engines (the funnel_ztest/welch/anova
+    * convention, driver-green for two rounds). r12 quantized z through
+    * CAST(… AS DECIMAL(18,9)) and the driver gate flagged exactly the
+    * ten ops carrying that final cast: double→decimal rounding is a
+    * cross-engine/cross-build seam (Spark rounds the shortest decimal
+    * repr HALF_UP; DuckDB rounds the binary expansion), while a raw
+    * double from correctly-rounded div/mult/sqrt over exact ints is
+    * bit-identical everywhere. See stats_cast_canary for the per-device
+    * fingerprint.
     */
   def statsMannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.events(spark, dir)
@@ -309,8 +314,7 @@ object Stats {
         expr("CAST(tie0 AS DECIMAL(38,0))").as("tie_sum"))
       // z composes over the EXACT decimals; the BIGINT presentation below
       // never feeds arithmetic
-      .withColumn("z_score",
-        expr(s"CAST(($mwZSql) AS DECIMAL(18,9))"))
+      .withColumn("z_score", expr(mwZSql))
       .select(col("n_click"), col("n_view"),
         expr("CAST(two_r1 AS BIGINT)").as("two_r1"),
         expr("CAST(tie_sum AS BIGINT)").as("tie_sum"),
@@ -319,8 +323,9 @@ object Stats {
         expr(mwSigSql))
   }
 
-  // significance off the QUANTIZED z (the hashed value is the judged
-  // value), via one explicit decimal→double edge — identical both engines
+  // significance off the presented z — the hashed value is the judged
+  // value (z is the raw double; the inner CAST is a no-op kept for one
+  // identical text both engines)
   private val mwSigSql =
     """CASE WHEN z_score IS NULL THEN NULL
       |  ELSE abs(CAST(z_score AS DOUBLE)) >= 1.96 END""".stripMargin
@@ -362,7 +367,7 @@ object Stats {
        |  FROM cum),
        |z AS (
        |  SELECT *,
-       |    CAST((${mwZSql.replace("\n", "\n    ")}) AS DECIMAL(18,9)) AS z_score
+       |    ${mwZSql.replace("\n", "\n    ")} AS z_score
        |  FROM agg)
        |SELECT n_click, n_view,
        |  CAST(two_r1 AS BIGINT) AS two_r1,
@@ -672,7 +677,9 @@ object Stats {
     * every pair's sums in a single pass (the profile_correlations
     * shape). The edge: the [[ladder3Sql]] device divides each N³-scale
     * sum to < 2^53, then ONE identical double composition per pair,
-    * quantized DECIMAL(18,9) — no raw double rides the hash.
+    * presented RAW (the r13 presentation reversal — see the
+    * statsMannWhitney scaladoc; the r12 DECIMAL(18,9) quantization was
+    * itself the cross-build hash seam).
     */
   def statsSpearman(spark: SparkSession, dir: String): DataFrame = {
     val cs = spearmanCols
@@ -715,10 +722,10 @@ object Stats {
   private def spearmanRhoSql(intdiv: (String, String) => String)(
       a: String, b: String, c: String): String = {
     val (aq, bq, cq) = (intdiv(a, "dd"), intdiv(b, "dd"), intdiv(c, "dd"))
-    s"""CAST(CASE WHEN $bq > 0 AND $cq > 0
+    s"""CASE WHEN $bq > 0 AND $cq > 0
        |  THEN CAST($aq AS DOUBLE)
        |    / sqrt(CAST($bq AS DOUBLE) * CAST($cq AS DOUBLE))
-       |END AS DECIMAL(18,9))""".stripMargin
+       |END""".stripMargin
   }
 
   val statsSpearmanSql: String = {
@@ -776,7 +783,8 @@ object Stats {
     * < 2^53, per-group terms wq²DIV nᵍ are exact BIGINTs — their sum is
     * ORDER-INDEPENDENT, the anova t_g concern solved without a double
     * sum), [[ladder3Sql]] reduces the denominator, and ONE shared double
-    * composition emits H quantized DECIMAL(18,9). Truncation error is
+    * composition emits H as a raw double (r13 reversal — see the
+    * statsMannWhitney scaladoc). Truncation error is
     * ~√N/10⁷ RELATIVE on a null-effect H (identical both engines) —
     * orders of magnitude below H's own sampling noise at any N.
     *
@@ -838,17 +846,17 @@ object Stats {
   private def kwHSql(intdiv: (String, String) => String): String = {
     val tq = intdiv("t4_0", "dd3")
     s"""CASE WHEN k_groups > 1 AND n_total > 1 AND $tq > 0
-       |  THEN CAST((CAST(n_total AS DOUBLE) - 1.0)
+       |  THEN (CAST(n_total AS DOUBLE) - 1.0)
        |    * CAST(a4_0 AS DOUBLE)
        |    * CAST(ddw AS DOUBLE) * CAST(ddw AS DOUBLE)
        |    / (CAST($tq AS DOUBLE) * CAST(dd3 AS DOUBLE))
-       |  AS DECIMAL(18,9)) END""".stripMargin
+       |  END""".stripMargin
   }
 
   private val kwEpsSql =
     """CASE WHEN h_stat IS NULL OR n_total <= 1 THEN NULL
-      |  ELSE CAST(CAST(h_stat AS DOUBLE)
-      |    / (CAST(n_total AS DOUBLE) - 1.0) AS DECIMAL(18,9)) END"""
+      |  ELSE CAST(h_stat AS DOUBLE)
+      |    / (CAST(n_total AS DOUBLE) - 1.0) END"""
       .stripMargin
 
   // χ²(dof) 0.95 critical values, dof 1..10 (Abramowitz & Stegun tables)
@@ -876,8 +884,11 @@ object Stats {
     * and the k×2 contingency table scores with the
     * stats_chisq_independence zero-cell identity χ² = N·(Σ o²/(r·c) − 1)
     * — per-cell terms quantized DECIMAL(18,9) and summed exactly over
-    * the 2k bounded cells. χ² presents quantized DECIMAL(18,9);
-    * significance via the χ²(dof ≤ 10) critical-value CASE (the
+    * the 2k bounded cells (an INTERNAL device, driver-green in
+    * stats_chisq_independence for two rounds). χ² presents as the raw
+    * double of the final composition (r13 reversal — see the
+    * statsMannWhitney scaladoc); significance via the χ²(dof ≤ 10)
+    * critical-value CASE (the
     * stats_kruskal_wallis convention). Degenerate inputs (k ≤ 1, every
     * value above-split empty or full — a zero margin) emit NULL.
     *
@@ -935,8 +946,7 @@ object Stats {
       |END""".stripMargin
   private val medianChi2Sql =
     """CASE WHEN k_groups > 1 AND n_total > 0 AND term_sum IS NOT NULL THEN
-      |  CAST(CAST(n_total AS DOUBLE) * (CAST(term_sum AS DOUBLE) - 1.0)
-      |    AS DECIMAL(18,9))
+      |  CAST(n_total AS DOUBLE) * (CAST(term_sum AS DOUBLE) - 1.0)
       |END""".stripMargin
   private val medianSigSql =
     """CASE WHEN chi2 IS NULL OR k_groups - 1 < 1 OR k_groups - 1 > 10
@@ -1000,7 +1010,8 @@ object Stats {
     * anova xk magnitude, so the ENTIRE statsAnovaSegments sufficient-
     * statistic pipeline (per-group exact sums, the floor(q·10⁴) >2^53
     * device, the shared ssb/ssw/F composition) applies verbatim over z;
-    * W presents quantized DECIMAL(18,9) (no raw double rides the hash).
+    * W presents as the raw double of that one composition (r13
+    * reversal — see the statsMannWhitney scaladoc).
     * significant_95 uses the asymptotic (k−1)·W → χ²(k−1) device GATED
     * on dof_within ≥ 30 (the stats_welch_ttest convention — below the
     * gate the verdict is NULL, not an overstated cutoff).
@@ -1057,10 +1068,9 @@ object Stats {
         expr(bfSigSql).as("significant_95"))
   }
 
-  // the anova F composition over the deviation stream, quantized — the
-  // mannwhitney hashed-surface rule
-  private val bfWSql =
-    s"""CAST(($fSql) AS DECIMAL(18,9))"""
+  // the anova F composition over the deviation stream, presented raw —
+  // the funnel_ztest/welch/anova hashed-surface convention
+  private val bfWSql: String = fSql
   private val bfSigSql =
     """CASE WHEN w_stat IS NULL OR n_total - k_groups < 30
       |    OR k_groups - 1 < 1 OR k_groups - 1 > 10 THEN NULL
@@ -1134,11 +1144,17 @@ object Stats {
     *
     * All sufficient statistics are exact BIGINT pair counts:
     * concordant, discordant, ties_x, ties_y (tie pairs counted on each
-    * marginal, the τ-b denominator convention n0−T). τ-b and the
-    * no-ties normal z both present quantized DECIMAL(18,9) through ONE
-    * shared composition; significant_95 reads the QUANTIZED z, gated on
-    * n_days ≥ 30 (the z variance ignores tie corrections — documented
-    * normal approximation, the Welch convention; below the gate the
+    * marginal, the τ-b denominator convention n0−T). The z variance is
+    * TIE-CORRECTED (r12 ADVICE: daily counts tie frequently, and the
+    * no-ties n(n−1)(2n+5) variance overstates significance): var18 =
+    * n(n−1)(2n+5) − Σ tₓ(tₓ−1)(2tₓ+5) − Σ t_y(t_y−1)(2t_y+5) over the
+    * marginal tie-GROUP sizes — the stats_theil_sen MK device applied
+    * to both margins (the joint O(1/n) cross terms of the full tie
+    * variance are omitted; documented approximation). τ-b and the
+    * continuity-corrected z present as RAW doubles of ONE shared
+    * composition each (the r13 presentation reversal — see the
+    * statsMannWhitney scaladoc); significant_95 reads the presented z,
+    * gated on n_days ≥ 30 (the Welch convention; below the gate the
     * verdict is NULL).
     */
   def statsKendallTau(spark: SparkSession, dir: String): DataFrame = {
@@ -1161,11 +1177,19 @@ object Stats {
         sum(when(col("y") === col("y_b"), 1L).otherwise(0L)).as("ties_y"))
     val nDays = daily.agg(count(lit(1)).cast("long").as("n_days"))
       .localCheckpoint()
+    val tieX = daily.groupBy(col("x")).agg(count(lit(1)).as("tc"))
+      .agg(sum(expr("tc * (tc - 1) * (2 * tc + 5)")).cast("long")
+        .as("tie18_x"))
+    val tieY = daily.groupBy(col("y")).agg(count(lit(1)).as("tc"))
+      .agg(sum(expr("tc * (tc - 1) * (2 * tc + 5)")).cast("long")
+        .as("tie18_y"))
     tallies.crossJoin(broadcast(nDays))
+      .crossJoin(broadcast(tieX)).crossJoin(broadcast(tieY))
+      .withColumn("var18", expr(kendallVarSql))
       .withColumn("tau_b", expr(kendallTauSql))
       .withColumn("z_approx", expr(kendallZSql))
       .select(col("n_days"), col("n_pairs"), col("concordant"),
-        col("discordant"), col("ties_x"), col("ties_y"),
+        col("discordant"), col("ties_x"), col("ties_y"), col("var18"),
         col("tau_b"), col("z_approx"),
         expr(kendallSigSql).as("significant_95"))
   }
@@ -1174,18 +1198,25 @@ object Stats {
   // fully tied (zero effective pairs)
   private val kendallTauSql =
     """CASE WHEN n_pairs - ties_x > 0 AND n_pairs - ties_y > 0
-      |  THEN CAST(CAST(concordant - discordant AS DOUBLE)
+      |  THEN CAST(concordant - discordant AS DOUBLE)
       |    / sqrt(CAST(n_pairs - ties_x AS DOUBLE)
-      |         * CAST(n_pairs - ties_y AS DOUBLE)) AS DECIMAL(18,9))
+      |         * CAST(n_pairs - ties_y AS DOUBLE))
       |END""".stripMargin
-  // normal approximation: z = 3(C−D)/sqrt(n(n−1)(2n+5)/2) (no tie
-  // correction — see scaladoc); div/mult/sqrt only
+  // tie-corrected ×18 variance of S (both-margin MK correction; exact
+  // BIGINT — n_days is horizon-bounded, magnitudes ≤ 2n³)
+  private val kendallVarSql =
+    """CAST(CASE WHEN n_days > 1
+      |  THEN n_days * (n_days - 1) * (2 * n_days + 5)
+      |    - coalesce(tie18_x, 0) - coalesce(tie18_y, 0)
+      |END AS BIGINT)""".stripMargin
+  // continuity-corrected normal z over the tie-corrected variance —
+  // the stats_theil_sen MK composition; div/mult/sqrt only
   private val kendallZSql =
-    """CASE WHEN n_days > 1
-      |  THEN CAST(3.0 * CAST(concordant - discordant AS DOUBLE)
-      |    / sqrt(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
-      |         * (2.0 * CAST(n_days AS DOUBLE) + 5.0) / 2.0)
-      |    AS DECIMAL(18,9))
+    """CASE WHEN var18 IS NOT NULL AND var18 > 0
+      |  THEN (CAST(concordant - discordant AS DOUBLE)
+      |      - (CASE WHEN concordant > discordant THEN 1.0
+      |              WHEN concordant < discordant THEN -1.0 ELSE 0.0 END))
+      |    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
       |END""".stripMargin
   private val kendallSigSql =
     """CASE WHEN z_approx IS NULL OR n_days < 30 THEN NULL
@@ -1199,6 +1230,10 @@ object Stats {
        |  FROM events GROUP BY 1),
        |d AS (SELECT * FROM daily WHERE y IS NOT NULL),
        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+       |tx AS (SELECT CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+       |  AS tie18_x FROM (SELECT count(*) AS tc FROM d GROUP BY x)),
+       |ty AS (SELECT CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+       |  AS tie18_y FROM (SELECT count(*) AS tc FROM d GROUP BY y)),
        |t AS (SELECT
        |  CAST(count(*) AS BIGINT) AS n_pairs,
        |  CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
@@ -1210,12 +1245,15 @@ object Stats {
        |  CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
        |  CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
        |  FROM d a JOIN d b ON a.day < b.day),
-       |z AS (SELECT t.*, nd.n_days,
+       |v AS (SELECT t.*, nd.n_days, tx.tie18_x, ty.tie18_y,
+       |  ${kendallVarSql.replace("\n", "\n  ")} AS var18
+       |  FROM t, nd, tx, ty),
+       |z AS (SELECT *,
        |  ${kendallTauSql.replace("\n", "\n  ")} AS tau_b,
        |  ${kendallZSql.replace("\n", "\n  ")} AS z_approx
-       |  FROM t, nd)
+       |  FROM v)
        |SELECT n_days, n_pairs, concordant, discordant, ties_x, ties_y,
-       |  tau_b, z_approx,
+       |  var18, tau_b, z_approx,
        |  ${kendallSigSql.replace("\n", "\n  ")} AS significant_95
        |FROM z""".stripMargin
 
@@ -1242,8 +1280,13 @@ object Stats {
     *   χ²_F = (k−1)·Σ_j (2R_j − n(k+1))² / (Σ s² − n·k·(k+1)²)
     * (the classic 12/(nk(k+1)) form when no ties — the scaled-by-4
     * identity). Magnitudes ≤ (2kn)² — horizon-bounded, no ladder
-    * needed. χ²_F and Kendall's W = χ²/(n(k−1)) present quantized
-    * DECIMAL(18,9); significant_95 via the χ²(dof ≤ 10) CASE.
+    * needed. The centering term n(k+1) is computed from the DATA's
+    * treatment count (k_treat cross-joined into the per-treatment
+    * aggregate — r12 ADVICE: the former hardcoded n_j·8 was correct
+    * only under the k=7 complete-block invariant). χ²_F and Kendall's
+    * W = χ²/(n(k−1)) present as raw doubles of one composition each
+    * (the r13 presentation reversal — see the statsMannWhitney
+    * scaladoc); significant_95 via the χ²(dof ≤ 10) CASE.
     * Degenerate inputs (no complete block, every block fully tied →
     * zero denominator) emit NULL.
     *
@@ -1273,11 +1316,16 @@ object Stats {
     val perDow = s.groupBy(col("dow"))
       .agg(sum(col("s")).as("r2_j"), sum(expr("s * s")).as("s2_j"),
         count(lit(1)).cast("long").as("n_j"))
-    perDow.agg(count(lit(1)).cast("long").as("k_treat"),
+    // the centering term n_j·(k+1) reads the DATA's treatment count —
+    // a 1-row cross join, never a hardcoded blocking grain
+    val kk = perDow.agg(count(lit(1)).cast("long").as("k_treat"))
+    perDow.crossJoin(broadcast(kk))
+      .agg(max(col("k_treat")).as("k_treat"),
         max(col("n_j")).as("n_blocks"),
-        sum(expr("CAST((r2_j - n_j * 8) AS DECIMAL(38,0)) * (r2_j - n_j * 8)"))
+        sum(expr("CAST((r2_j - n_j * (k_treat + 1)) AS DECIMAL(38,0)) * (r2_j - n_j * (k_treat + 1))"))
           .as("num4"),
         sum(col("s2_j")).as("a4"))
+      .withColumn("k_treat", expr("coalesce(k_treat, 0)"))
       .withColumn("chi2_f", expr(friedmanChi2Sql))
       .select(col("n_blocks"), col("k_treat"),
         expr("CAST(CASE WHEN k_treat > 0 THEN k_treat - 1 END AS BIGINT)")
@@ -1288,25 +1336,24 @@ object Stats {
   }
 
   // χ²_F = (k−1)·num4 / (a4 − n·k·(k+1)²); num4 already carries the
-  // (2R_j − n(k+1))² scaling — with k pinned at 7 by the dow universe,
-  // n(k+1) = 8n. NULL when no block survives or the denominator is 0
-  // (every block fully tied).
+  // (2R_j − n(k+1))² scaling, with k READ from the data (the kk cross
+  // join). NULL when no block survives or the denominator is 0 (every
+  // block fully tied). Presented raw (the r13 reversal).
   private val friedmanChi2Sql =
     """CASE WHEN k_treat > 1 AND n_blocks > 0
       |    AND (CAST(a4 AS DOUBLE)
       |         - CAST(n_blocks * k_treat AS DOUBLE)
       |           * CAST((k_treat + 1) * (k_treat + 1) AS DOUBLE)) > 0
-      |  THEN CAST((CAST(k_treat AS DOUBLE) - 1.0) * CAST(num4 AS DOUBLE)
+      |  THEN (CAST(k_treat AS DOUBLE) - 1.0) * CAST(num4 AS DOUBLE)
       |    / (CAST(a4 AS DOUBLE)
       |       - CAST(n_blocks * k_treat AS DOUBLE)
       |         * CAST((k_treat + 1) * (k_treat + 1) AS DOUBLE))
-      |    AS DECIMAL(18,9))
       |END""".stripMargin
   private val friedmanWSql =
     """CASE WHEN chi2_f IS NULL OR n_blocks = 0 OR k_treat <= 1 THEN NULL
-      |  ELSE CAST(CAST(chi2_f AS DOUBLE)
+      |  ELSE CAST(chi2_f AS DOUBLE)
       |    / (CAST(n_blocks AS DOUBLE) * (CAST(k_treat AS DOUBLE) - 1.0))
-      |    AS DECIMAL(18,9)) END""".stripMargin
+      |  END""".stripMargin
   private val friedmanSigSql =
     """CASE WHEN chi2_f IS NULL OR k_treat - 1 < 1 OR k_treat - 1 > 10
       |  THEN NULL
@@ -1338,13 +1385,15 @@ object Stats {
        |    CAST(sum(s * s) AS BIGINT) AS s2_j,
        |    CAST(count(*) AS BIGINT) AS n_j
        |  FROM s GROUP BY dow),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k_treat FROM perdow),
        |agg AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS k_treat,
+       |  SELECT CAST(coalesce(max(kk.k_treat), 0) AS BIGINT) AS k_treat,
        |    max(n_j) AS n_blocks,
-       |    CAST(sum(CAST((r2_j - n_j * 8) AS HUGEINT) * (r2_j - n_j * 8))
+       |    CAST(sum(CAST((r2_j - n_j * (kk.k_treat + 1)) AS HUGEINT)
+       |        * (r2_j - n_j * (kk.k_treat + 1)))
        |      AS DECIMAL(38,0)) AS num4,
        |    CAST(sum(s2_j) AS DECIMAL(38,0)) AS a4
-       |  FROM perdow),
+       |  FROM perdow, kk),
        |res AS (SELECT *,
        |  ${friedmanChi2Sql.replace("\n", "\n  ")} AS chi2_f
        |  FROM agg)
@@ -1373,8 +1422,9 @@ object Stats {
     * the house integer-rank device over the SORTED bounded slope set —
     * selects the same double on both sides; sen_slope and the MK z
     * (continuity-corrected, the documented normal approximation gated
-    * n ≥ 10) present quantized DECIMAL(18,9), trend reads the QUANTIZED
-    * z. Degenerate inputs (< 2 days, all-tied values → zero variance)
+    * n ≥ 10) present as RAW doubles (the r13 presentation reversal —
+    * see the statsMannWhitney scaladoc), trend reads the presented z.
+    * Degenerate inputs (< 2 days, all-tied values → zero variance)
     * emit NULL slope/z and NULL trend.
     *
     * Scale shape: the data-sized work is ONE day-keyed aggregate; the
@@ -1415,8 +1465,7 @@ object Stats {
       .withColumn("z_mk", expr(theilZSql))
       .select(col("n_days"), col("n_pairs"), col("s_stat"),
         col("var18"),
-        expr("CAST(CASE WHEN n_pairs > 0 THEN sen_raw END AS DECIMAL(18,9))")
-          .as("sen_slope"),
+        expr("CASE WHEN n_pairs > 0 THEN sen_raw END").as("sen_slope"),
         col("z_mk"),
         expr(theilTrendSql).as("trend"))
   }
@@ -1425,10 +1474,10 @@ object Stats {
   // the n >= 10 normal-approximation gate or at zero variance
   private val theilZSql =
     """CASE WHEN n_days >= 10 AND var18 > 0
-      |  THEN CAST((CAST(s_stat AS DOUBLE)
+      |  THEN (CAST(s_stat AS DOUBLE)
       |      - (CASE WHEN s_stat > 0 THEN 1.0
       |              WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END))
-      |    / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS DECIMAL(18,9))
+      |    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
       |END""".stripMargin
   private val theilTrendSql =
     """CASE WHEN z_mk IS NULL THEN CAST(NULL AS STRING)
@@ -1471,11 +1520,106 @@ object Stats {
        |  ${theilZSql.replace("\n", "\n  ")} AS z_mk
        |  FROM v)
        |SELECT n_days, n_pairs, s_stat, var18,
-       |  CAST(CASE WHEN n_pairs > 0 THEN sen_raw END AS DECIMAL(18,9))
-       |    AS sen_slope,
+       |  CASE WHEN n_pairs > 0 THEN sen_raw END AS sen_slope,
        |  z_mk,
        |  ${theilTrendSql.replace("\n", "\n  ")} AS trend
        |FROM z""".stripMargin
+
+  /** Driver-environment cast canary (r12 VERDICT #2) — a BOUNDED literal
+    * grid exercising each presentation device the gated queries rely on,
+    * so a cross-build divergence pinpoints WHICH device the driver's
+    * engines disagree on instead of costing a round per theory:
+    *
+    *   - `as_double`  — string→double parse (correctly rounded, both)
+    *   - `dec9_spark` / `dec9_duck` — the §6 rule-8 double→DECIMAL(18,9)
+    *                    cast, fingerprinted PER ENGINE: Spark rounds the
+    *                    double's SHORTEST decimal repr HALF_UP; DuckDB
+    *                    rounds the full binary expansion — they disagree
+    *                    on grid rows 3 ("1.0000000005" → 1.000000001 vs
+    *                    1.000000000) and 8 ("987654321.123456789" →
+    *                    …6800 vs …6896) in THIS container already, which
+    *                    is why a naive computed-vs-computed dec9 column
+    *                    can never gate green and why r13 removed the
+    *                    device from every gated output. Here each side
+    *                    COMPUTES its own cast and is compared against
+    *                    the OTHER side's recorded expectation (the
+    *                    spark9/duck9 grid constants): dec9_spark is
+    *                    computed by Spark and presented as a literal by
+    *                    the oracle; dec9_duck vice-versa. Green locally
+    *                    by construction; a red cell in the driver env
+    *                    names WHICH engine's rounding build moved.
+    *   - `floor_ppb`  — the rule-9 floor-scaled BIGINT device (floor of
+    *                    an identical IEEE double after an identical
+    *                    multiply — build-independent by design)
+    *   - `intdiv_wide`— wide-decimal integer division (Spark DIV over
+    *                    DECIMAL(38,0) vs DuckDB HUGEINT `//`)
+    *   - `comp_raw`   — a raw-double sqrt/div composition (the
+    *                    funnel_ztest device — correctly-rounded IEEE,
+    *                    expected bit-identical everywhere)
+    *
+    * Reads NO table (the literal grid is the fixture — `dir` unused);
+    * costs nothing at any SF. A red canary row in CORRECTNESS is the
+    * diagnostic, not a defect: its per-column diff names the device.
+    */
+  def statsCastCanary(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.createDataFrame(canaryGrid)
+      .toDF("id", "src", "spark9", "duck9")
+    df.select(col("id"), col("src"),
+        expr("CAST(src AS DOUBLE)").as("as_double"),
+        expr("CAST(CAST(src AS DOUBLE) AS DECIMAL(18,9))").as("dec9_spark"),
+        expr("CAST(duck9 AS DECIMAL(18,9))").as("dec9_duck"),
+        expr("CAST(floor(CAST(src AS DOUBLE) * 1000000000.0) AS BIGINT)")
+          .as("floor_ppb"),
+        expr("CAST(CAST(id AS DECIMAL(38,0)) * 1000000007 DIV 97 AS BIGINT)")
+          .as("intdiv_wide"),
+        expr("sqrt(abs(CAST(src AS DOUBLE))) / (1.0 + abs(CAST(src AS DOUBLE)))")
+          .as("comp_raw"))
+      .orderBy(col("id"))
+  }
+
+  /** The canary grid — (id, src, spark-expected dec9, duck-expected
+    * dec9): tie-boundary magnitudes for the dec9 device (a 10th decimal
+    * digit of 5 in the shortest repr — the HALF_UP-vs-binary
+    * discriminator), a HALF_EVEN discriminator (2.5e-9), signed values
+    * (HALF_UP rounds away from zero; floor goes toward −∞), a
+    * 2^20+2^-30 exact-binary row, and exact/no-rounding controls. The
+    * expectation constants were recorded from Spark 4.1.2 and the
+    * container's DuckDB on 2026-08-16; rows 3 and 8 are the live
+    * engine-disagreement exhibits.
+    */
+  private val canaryGrid: Seq[(Long, String, String, String)] = Seq(
+    (1L, "0.1234567895", "0.123456790", "0.123456790"),
+    (2L, "3.9999999995", "4.000000000", "4.000000000"),
+    (3L, "1.0000000005", "1.000000001", "1.000000000"),
+    (4L, "0.0000000025", "0.000000003", "0.000000003"),
+    (5L, "-0.1234567895", "-0.123456790", "-0.123456790"),
+    (6L, "123.456789012345", "123.456789012", "123.456789012"),
+    (7L, "0.1", "0.100000000", "0.100000000"),
+    (8L, "987654321.123456789", "987654321.123456800",
+      "987654321.123456896"),
+    (9L, "7.25", "7.250000000", "7.250000000"),
+    (10L, "0.3333333333333333", "0.333333333", "0.333333333"),
+    (11L, "1048576.000000000931322574615478515625", "1048576.000000001",
+      "1048576.000000001"),
+    (12L, "-3.9999999995", "-4.000000000", "-4.000000000"))
+
+  val statsCastCanarySql: String = {
+    val rows = canaryGrid.map { case (i, s, sp, du) =>
+      s"($i, '$s', '$sp', '$du')" }.mkString(",\n    ")
+    s"""SELECT CAST(id AS BIGINT) AS id, src,
+       |  CAST(src AS DOUBLE) AS as_double,
+       |  CAST(spark9 AS DECIMAL(18,9)) AS dec9_spark,
+       |  CAST(CAST(src AS DOUBLE) AS DECIMAL(18,9)) AS dec9_duck,
+       |  CAST(floor(CAST(src AS DOUBLE) * 1000000000.0) AS BIGINT)
+       |    AS floor_ppb,
+       |  CAST(CAST(id AS HUGEINT) * 1000000007 // 97 AS BIGINT)
+       |    AS intdiv_wide,
+       |  sqrt(abs(CAST(src AS DOUBLE))) / (1.0 + abs(CAST(src AS DOUBLE)))
+       |    AS comp_raw
+       |FROM (VALUES
+       |    $rows) t(id, src, spark9, duck9)
+       |ORDER BY id""".stripMargin
+  }
 
   val statsKruskalWallisSql: String =
     s"""WITH x AS (

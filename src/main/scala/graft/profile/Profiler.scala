@@ -134,8 +134,12 @@ object Profiler {
     * negative shifted sums stay identical); (3) a CASE-over-n LADDER
     * (the stats_spearman device) integer-divides the moments below 2^53
     * at ANY n, with the divisor re-multiplied inside the one shared
-    * double composition; (4) corr_r presents quantized DECIMAL(18,9) —
-    * no raw double rides the hash (the §6 rule-8 discipline).
+    * double composition; (4) corr_r presents as the RAW double of that
+    * composition — the r13 reversal of the r12 DECIMAL(18,9)
+    * quantization, which was itself the cross-build hash seam (this op
+    * is the controlled A/B: driver-green in r11 presenting the raw
+    * double, driver-red in r12 after the quantization; see the
+    * statsMannWhitney scaladoc and stats_cast_canary).
     */
   val corrCols: Seq[String] = Seq("l_quantity", "l_extendedprice",
     "l_discount", "l_tax", "l_linenumber")
@@ -182,10 +186,10 @@ object Profiler {
     val nD = "CAST(n AS DOUBLE)"
     def den(k: Int) =
       s"($nD * ${d(s"s_${k}_$k")} - ${d(s"b_$k")} * ${d(s"b_$k")} * $dq)"
-    s"""CAST(CASE WHEN ${den(i)} > 0 AND ${den(j)} > 0
+    s"""CASE WHEN ${den(i)} > 0 AND ${den(j)} > 0
        |  THEN ($nD * ${d(s"s_${i}_$j")} - ${d(s"b_$i")} * ${d(s"b_$j")} * $dq)
        |    / sqrt(${den(i)} * ${den(j)})
-       |END AS DECIMAL(18,9))""".stripMargin
+       |END""".stripMargin
   }
 
   private val corrIntDivSpark: (String, String) => String =

@@ -823,15 +823,22 @@ object Quality {
     * anomalous, and stays quiet on isolated spikes.
     *
     * Exactness: daily means live in exact integer µ-value units
-    * (mu6 = cents·10⁴ DIV n — identical truncation both engines); the
-    * slack (the PH drift allowance δ = σ/2) is floor-quantized to the
-    * same integer units from the one shared σ composition, so BOTH
-    * cumulative detectors (up: Σ(dev − δ), down: Σ(dev + δ)) and their
-    * running extrema are pure BIGINT algebra — the hash carries no raw
-    * double. σ itself composes once from exact moments (Σmu6 BIGINT,
-    * Σmu6² DECIMAL(38,0) floor-DIV 10⁴ to stay < 2^53 — the ladder
-    * class) and presents DECIMAL(18,9); excursions present both raw
-    * (BIGINT µ) and σ-relative (quantized); drifted = max excursion ≥
+    * (mu6 = cents·10⁴ DIV n — identical truncation both engines). The
+    * CUSUM baseline is the MEAN OF THE DAILY MEANS (smu DIV n_days —
+    * r12 ADVICE: the former event-weighted global mean mixed
+    * populations — when daily volume correlates with value, the daily
+    * means do not center on it and every day feeds a constant bias
+    * into one detector), so dev and σ describe the SAME series. The
+    * slack (the PH drift allowance δ = σ/2) is floor-quantized to
+    * integer µ units from the raw σ double, so BOTH cumulative
+    * detectors (up: Σ(dev − δ), down: Σ(dev + δ)) and their running
+    * extrema are pure BIGINT algebra. σ itself composes once from
+    * exact moments (Σmu6 BIGINT, Σmu6² DECIMAL(38,0) floor-DIV 10⁴ to
+    * stay < 2^53 — the ladder class) and presents as that RAW double
+    * (the r13 presentation reversal — the r12 double→decimal casts
+    * were themselves the driver-gate hash seam; see the
+    * statsMannWhitney scaladoc); excursions present both raw (BIGINT
+    * µ) and σ-relative (raw-double ratio); drifted = max excursion ≥
     * 5σ (the classic CUSUM h = 5, δ = σ/2 tabular parameters —
     * documented convention). Peak days are the FIRST day attaining each
     * maximal excursion (min day_num tiebreak, deterministic).
@@ -860,11 +867,12 @@ object Quality {
     val glob = daily.agg(
         count(lit(1)).cast("long").as("n_days"),
         sum(col("n_d")).cast("long").as("n_events"),
-        sum(col("cents_d")).as("cents_all0"),
         sum(col("mu6")).cast("long").as("smu"),
         sum(expr("CAST(mu6 AS DECIMAL(38,0)) * mu6")).as("qmu0"))
       .select(col("n_days"), col("n_events"),
-        expr("CAST(CASE WHEN n_events > 0 THEN CAST(cents_all0 AS DECIMAL(38,0)) * 10000 DIV n_events END AS BIGINT)")
+        // baseline = mean of the daily means: the same population σ is
+        // computed from (r12 ADVICE population-mix fix)
+        expr("CAST(CASE WHEN n_days > 0 THEN smu DIV n_days END AS BIGINT)")
           .as("mu6_all"),
         col("smu"),
         expr("CAST(CASE WHEN qmu0 IS NOT NULL THEN qmu0 DIV 10000 END AS BIGINT)")
@@ -902,33 +910,30 @@ object Quality {
   }
 
   // σ of the daily means in µ units: sqrt(Σmu6²/n − (Σmu6/n)²) over the
-  // exact reduced moments — ONE shared composition. Presented at
-  // DECIMAL(18,3), NOT the usual (18,9): σ is ~10⁶ in µ units, and a
-  // double scaled by 10⁹ sits past 2^52 where every value is a .0/.5
-  // rounding TIE that Spark (HALF_UP) and DuckDB resolve differently —
-  // the quantization device is only seam-free while |x|·10^scale stays
-  // well under 2^52. The σ-relative ratios below are O(1) and read the
-  // QUANTIZED σ, so their (18,9) presentation is safe.
+  // exact reduced moments — ONE shared composition, presented RAW (the
+  // r13 reversal: the former DECIMAL(18,3)/(18,9) presentations were
+  // the driver-gate hash seam; a raw double from correctly-rounded
+  // div/mult/sqrt over exact ints is bit-identical cross-engine, and
+  // floor() of that identical double is build-independent too).
   private val cusumSigmaSql =
     """CASE WHEN n_days > 1
       |    AND (CAST(qmu4 AS DOUBLE) * 10000.0 / CAST(n_days AS DOUBLE)
       |         - (CAST(smu AS DOUBLE) / CAST(n_days AS DOUBLE))
       |           * (CAST(smu AS DOUBLE) / CAST(n_days AS DOUBLE))) > 0
-      |  THEN CAST(sqrt(CAST(qmu4 AS DOUBLE) * 10000.0 / CAST(n_days AS DOUBLE)
+      |  THEN sqrt(CAST(qmu4 AS DOUBLE) * 10000.0 / CAST(n_days AS DOUBLE)
       |         - (CAST(smu AS DOUBLE) / CAST(n_days AS DOUBLE))
       |           * (CAST(smu AS DOUBLE) / CAST(n_days AS DOUBLE)))
-      |    AS DECIMAL(18,3))
       |END""".stripMargin
   // PH drift allowance δ = σ/2, floor-quantized to integer µ units so
-  // the cumulative detectors stay exact BIGINT algebra
+  // the cumulative detectors stay exact BIGINT algebra (floor of the
+  // identical raw double — seam-free)
   private val cusumSlackSql =
     """CAST(CASE WHEN sigma6 IS NOT NULL
       |  THEN floor(CAST(sigma6 AS DOUBLE) / 2.0) END AS BIGINT)"""
       .stripMargin
   private def cusumRelSql(c: String): String =
     s"""CASE WHEN sigma6 IS NOT NULL AND $c IS NOT NULL
-       |  THEN CAST(CAST($c AS DOUBLE) / CAST(sigma6 AS DOUBLE)
-       |    AS DECIMAL(18,9))
+       |  THEN CAST($c AS DOUBLE) / CAST(sigma6 AS DOUBLE)
        |END""".stripMargin
   private val cusumDriftedSql =
     """CASE WHEN up_sigma IS NULL OR down_sigma IS NULL THEN NULL
@@ -947,13 +952,12 @@ object Quality {
        |glob0 AS (SELECT
        |  CAST(count(*) AS BIGINT) AS n_days,
        |  CAST(sum(n_d) AS BIGINT) AS n_events,
-       |  CAST(sum(cents_d) AS DECIMAL(38,0)) AS cents_all0,
        |  CAST(sum(mu6) AS BIGINT) AS smu,
        |  CAST(sum(CAST(mu6 AS HUGEINT) * mu6) AS DECIMAL(38,0)) AS qmu0
        |  FROM daily2),
        |glob1 AS (SELECT n_days, n_events,
-       |  CAST(CASE WHEN n_events > 0
-       |    THEN CAST(cents_all0 AS HUGEINT) * 10000 // n_events END AS BIGINT)
+       |  CAST(CASE WHEN n_days > 0
+       |    THEN CAST(smu AS HUGEINT) // n_days END AS BIGINT)
        |    AS mu6_all,
        |  smu,
        |  CAST(CASE WHEN qmu0 IS NOT NULL
@@ -992,4 +996,120 @@ object Quality {
        |  ${cusumRelSql("max_down_mu").replace("\n", "\n  ")} AS down_sigma,
        |  ${cusumDriftedSql.replace("\n", "\n  ")} AS drifted
        |FROM res""".stripMargin
+
+  // ------------------------------------------------ quality score history
+
+  /** Per-survey quality-METRIC HISTORY (r12 VERDICT #5 — the reference's
+    * analyzer emits a weighted quality score per survey run
+    * [dbsurveyor-core analyzer.rs: completeness/consistency/anomaly
+    * rolled into a scored report], and repeated surveys of the same
+    * source yield the metric history an operator actually watches;
+    * Collector.diff covers the SCHEMA drift axis — this completes the
+    * story with the score drift axis): each calendar week of the events
+    * stream is one survey epoch (weekly incremental survey shards — the
+    * rows that arrived since the last run), scored on the house metric
+    * triple, with the week-over-week delta and a verdict.
+    *
+    *   - completeness_ppm: non-NULL `value` share (the analyzer's
+    *     completeness axis)
+    *   - uniqueness_ppm:   distinct event_id share (key-duplication axis)
+    *   - consistency_ppm:  non-negative share among valued rows (domain
+    *     rule; vacuous weeks — no valued rows — score the full 1e6, the
+    *     analyzer's no-evidence-no-penalty convention)
+    *   - score_ppm:        (50·completeness + 30·uniqueness +
+    *     20·consistency) DIV 100 — the reference's weighted roll-up
+    *     shape with fixed house weights
+    *
+    * Exactness: every metric is an exact integer ppm
+    * (DECIMAL(38,0)·10⁶ DIV n — the funnel_ztest widening); the
+    * week-over-week delta is BIGINT subtraction over a LAG window;
+    * status thresholds (±1% = 10⁴ ppm) compare exact integers. No
+    * doubles anywhere.
+    *
+    * Scale shape: the data-sized work is ONE week-keyed aggregate
+    * (map-side combined; week_num projected BEFORE grouping so the
+    * horizon-bounded-dims class guard recognizes the key); the LAG
+    * window runs over the horizon-BOUNDED weekly series (the
+    * quality_cusum_drift boundedness argument). Degenerate inputs
+    * (empty events) emit zero rows, never a throw.
+    */
+  def qualityScoreHistory(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.events(spark, dir)
+      .select(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000 DIV 7")
+        .as("week_num"), col("event_id"), col("value"))
+      .groupBy(col("week_num"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("n_value"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(when(col("value").isNotNull && col("value") >= 0, 1L)
+          .otherwise(0L)).as("n_nonneg"))
+      .select(col("week_num"), col("n_rows"),
+        expr(ppmSql("n_value", "n_rows")).as("completeness_ppm"),
+        expr(ppmSql("n_distinct", "n_rows")).as("uniqueness_ppm"),
+        expr(s"""CASE WHEN n_value > 0
+                |  THEN ${ppmSql("n_nonneg", "n_value")}
+                |  ELSE CAST(1000000 AS BIGINT) END""".stripMargin)
+          .as("consistency_ppm"))
+      .withColumn("score_ppm", expr(scoreRollupSql))
+    val w = Window.orderBy(col("week_num"))
+    weekly
+      .withColumn("prev_score_ppm", lag(col("score_ppm"), 1).over(w))
+      .withColumn("score_delta_ppm",
+        expr("CAST(score_ppm - prev_score_ppm AS BIGINT)"))
+      .select(col("week_num"), col("n_rows"), col("completeness_ppm"),
+        col("uniqueness_ppm"), col("consistency_ppm"), col("score_ppm"),
+        col("score_delta_ppm"),
+        expr(scoreStatusSql).as("status"))
+      .orderBy(col("week_num"))
+  }
+
+  // exact ppm share: widen before the ×1e6 product (funnel_ztest device)
+  private def ppmSql(num: String, den: String): String =
+    s"CAST(CASE WHEN $den > 0 THEN CAST($num AS DECIMAL(38,0)) * 1000000 DIV $den END AS BIGINT)"
+  private val scoreRollupSql =
+    """CAST((completeness_ppm * 50 + uniqueness_ppm * 30
+      |  + consistency_ppm * 20) DIV 100 AS BIGINT)""".stripMargin
+  private val scoreStatusSql =
+    """CASE WHEN score_delta_ppm IS NULL THEN 'baseline'
+      |  WHEN score_delta_ppm <= -10000 THEN 'degraded'
+      |  WHEN score_delta_ppm >= 10000 THEN 'improved'
+      |  ELSE 'stable' END""".stripMargin
+
+  val qualityScoreHistorySql: String =
+    s"""WITH weekly AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 // 7
+       |      AS week_num,
+       |    count(*) AS n_rows,
+       |    CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_value,
+       |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       |    CAST(sum(CASE WHEN value IS NOT NULL AND value >= 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg
+       |  FROM events GROUP BY 1),
+       |m AS (SELECT week_num, n_rows,
+       |  ${duckPpmSql("n_value", "n_rows")} AS completeness_ppm,
+       |  ${duckPpmSql("n_distinct", "n_rows")} AS uniqueness_ppm,
+       |  CASE WHEN n_value > 0
+       |    THEN ${duckPpmSql("n_nonneg", "n_value")}
+       |    ELSE CAST(1000000 AS BIGINT) END AS consistency_ppm
+       |  FROM weekly),
+       |sc AS (SELECT *,
+       |  CAST((completeness_ppm * 50 + uniqueness_ppm * 30
+       |    + consistency_ppm * 20) // 100 AS BIGINT) AS score_ppm
+       |  FROM m),
+       |d AS (SELECT *,
+       |  lag(score_ppm) OVER (ORDER BY week_num) AS prev_score_ppm
+       |  FROM sc)
+       |SELECT week_num, CAST(n_rows AS BIGINT) AS n_rows,
+       |  completeness_ppm, uniqueness_ppm, consistency_ppm, score_ppm,
+       |  CAST(score_ppm - prev_score_ppm AS BIGINT) AS score_delta_ppm,
+       |  CASE WHEN score_ppm - prev_score_ppm IS NULL THEN 'baseline'
+       |    WHEN score_ppm - prev_score_ppm <= -10000 THEN 'degraded'
+       |    WHEN score_ppm - prev_score_ppm >= 10000 THEN 'improved'
+       |    ELSE 'stable' END AS status
+       |FROM d ORDER BY week_num""".stripMargin
+
+  private def duckPpmSql(num: String, den: String): String =
+    s"CAST(CASE WHEN $den > 0 THEN CAST($num AS HUGEINT) * 1000000 // $den END AS BIGINT)"
 }

@@ -156,6 +156,8 @@ class PlanInvariantSpec extends AnyFunSuite {
       "week",        // bounded reporting horizon of the temporal ops
       "day_num",     // calendar-day grain — horizon-bounded like week
                      // (quality_cusum_drift's cumulative detectors)
+      "week_num",    // calendar-week grain — horizon-bounded
+                     // (quality_score_history's survey epochs)
       "dow",         // day-of-week (7) — events_seasonality cells
       "hod"          // hour-of-day (24)
     ) ++

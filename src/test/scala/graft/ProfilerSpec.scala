@@ -69,8 +69,9 @@ class ProfilerSpec extends AnyFunSuite {
     val li = Tables.lineitem(spark, sf)
     rows.foreach { r =>
       val (x, y) = (r.getAs[String]("col_x"), r.getAs[String]("col_y"))
-      // corr_r presents quantized DECIMAL(18,9) since the r12 seam fix
-      val got = r.getAs[java.math.BigDecimal]("corr_r").doubleValue()
+      // corr_r presents the raw double since the r13 reversal (the r12
+      // DECIMAL(18,9) quantization was itself the driver-gate seam)
+      val got = r.getAs[Double]("corr_r")
       assert(got >= -1.0000001 && got <= 1.0000001, s"$x/$y out of range: $got")
       // built-in corr uses double accumulation (order-dependent), so
       // compare loosely — the operator's decimal-exact path is the oracle

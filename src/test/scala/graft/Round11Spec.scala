@@ -257,8 +257,9 @@ class Round11Spec extends AnyFunSuite {
     val u1 = r1 - n1 * (n1 + 1) / 2
     val z = (u1 - n1 * n2 / 2) /
       math.sqrt(n1 * n2 / 12.0 * (nAll + 1 - tie / (nAll * (nAll - 1))))
-    // z is presented quantized DECIMAL(18,9) (the r12 hashed-surface fix)
-    val zGot = row.getAs[java.math.BigDecimal]("z_score").doubleValue()
+    // z presents the raw double since the r13 reversal (the r12
+    // DECIMAL(18,9) quantization was itself the driver-gate seam)
+    val zGot = row.getAs[Double]("z_score")
     assert(math.abs(zGot - z) < 1e-8, s"z=$z vs $row")
   }
 

@@ -129,7 +129,7 @@ class Round12Spec extends AnyFunSuite {
         math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
       val row = got((cs(i), cs(j)))
       assert(row.getAs[Long]("n_pair") == n.toLong)
-      val rhoGot = row.getAs[java.math.BigDecimal]("rho_spearman").doubleValue()
+      val rhoGot = row.getAs[Double]("rho_spearman")
       assert(math.abs(rhoGot - rho) < 1e-6, s"rho($i,$j)=$rho vs $rhoGot")
     }
   }
@@ -157,9 +157,9 @@ class Round12Spec extends AnyFunSuite {
     assert(row.getAs[Long]("k_groups") == groups.size.toLong)
     assert(row.getAs[Long]("n_total") == n.toLong)
     assert(row.getAs[Long]("dof") == groups.size.toLong - 1)
-    val hGot = row.getAs[java.math.BigDecimal]("h_stat").doubleValue()
+    val hGot = row.getAs[Double]("h_stat")
     assert(math.abs(hGot - h) / math.max(h, 1.0) < 1e-6, s"H=$h vs $hGot")
-    val epsGot = row.getAs[java.math.BigDecimal]("epsilon_sq").doubleValue()
+    val epsGot = row.getAs[Double]("epsilon_sq")
     assert(math.abs(epsGot - h / (n - 1)) < 1e-6)
     if (groups.size == 5) // chi2(4) 0.95 critical value
       assert(row.getAs[Boolean]("significant_95") == (hGot >= 9.488))
@@ -190,7 +190,7 @@ class Round12Spec extends AnyFunSuite {
       val oHi = hi(g); val oLo = ng(g) - hi(g)
       (oHi - eHi) * (oHi - eHi) / eHi + (oLo - eLo) * (oLo - eLo) / eLo
     }.sum
-    val got = row.getAs[java.math.BigDecimal]("chi2").doubleValue()
+    val got = row.getAs[Double]("chi2")
     assert(math.abs(got - chi2) / math.max(chi2, 1.0) < 1e-6,
       s"chi2=$chi2 vs $got")
     assert(row.getAs[Long]("dof") == groups.size.toLong - 1)
@@ -232,7 +232,7 @@ class Round12Spec extends AnyFunSuite {
       == med.values.min)
     assert(row.get(row.fieldIndex("med_max")).toString.toDouble
       == med.values.max)
-    val wGot = row.getAs[java.math.BigDecimal]("w_stat").doubleValue()
+    val wGot = row.getAs[Double]("w_stat")
     assert(math.abs(wGot - w) / math.max(w, 1.0) < 1e-6, s"W=$w vs $wGot")
     // dof_within >= 30 at every fixture SF, k-1 = 4 -> chi2 gate is live
     if (groups.size == 5 && z.length - groups.size >= 30)
@@ -271,11 +271,19 @@ class Round12Spec extends AnyFunSuite {
     assert(row.getAs[Long]("ties_x") == tx)
     assert(row.getAs[Long]("ties_y") == ty)
     val tau = (c - d).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty))
-    val tauGot = row.getAs[java.math.BigDecimal]("tau_b").doubleValue()
+    val tauGot = row.getAs[Double]("tau_b")
     assert(math.abs(tauGot - tau) < 1e-9, s"tau=$tau vs $tauGot")
-    val z = 3.0 * (c - d) /
-      math.sqrt(n.toDouble * (n - 1) * (2.0 * n + 5.0) / 2.0)
-    val zGot = row.getAs[java.math.BigDecimal]("z_approx").doubleValue()
+    // r13: tie-corrected MK variance over BOTH marginal tie-group
+    // profiles, continuity-corrected z (the theil_sen device)
+    val tie18x = daily.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val tie18y = daily.map(_._3).groupBy(identity).values
+      .map(_.length.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n.toLong * (n - 1) * (2L * n + 5) - tie18x - tie18y
+    assert(row.getAs[Long]("var18") == var18)
+    val s = c - d
+    val z = (s - s.sign).toDouble / math.sqrt(var18 / 18.0)
+    val zGot = row.getAs[Double]("z_approx")
     assert(math.abs(zGot - z) < 1e-9, s"z=$z vs $zGot")
     if (n >= 30)
       assert(row.getAs[Boolean]("significant_95") == (math.abs(zGot) >= 1.96))
@@ -314,10 +322,10 @@ class Round12Spec extends AnyFunSuite {
       assert(row.getAs[Long]("n_blocks") == n.toLong)
       assert(row.getAs[Long]("k_treat") == k.toLong)
       assert(row.getAs[Long]("dof") == k - 1L)
-      val got = row.getAs[java.math.BigDecimal]("chi2_f").doubleValue()
+      val got = row.getAs[Double]("chi2_f")
       assert(math.abs(got - chi2) / math.max(chi2, 1.0) < 1e-9,
         s"chi2_F=$chi2 vs $got")
-      val wGot = row.getAs[java.math.BigDecimal]("kendalls_w").doubleValue()
+      val wGot = row.getAs[Double]("kendalls_w")
       assert(math.abs(wGot - chi2 / (n * (k - 1))) < 1e-9)
       assert(row.getAs[Boolean]("significant_95") == (got >= 12.592))
     }
@@ -367,18 +375,18 @@ class Round12Spec extends AnyFunSuite {
     val mu6 = daily.map { case (d, n, c) => (d, c * 10000L / n) }
     val nDays = mu6.length
     val nEvents = daily.map(_._2).sum
-    val mu6All = daily.map(_._3).sum * 10000L / nEvents
     val smu = mu6.map(_._2).sum
+    // r13 baseline fix: the mean of the DAILY MEANS — the population σ
+    // describes — not the event-weighted global mean
+    val mu6All = smu / nDays
     val qmu4 = mu6.map(m => BigInt(m._2) * m._2).sum / 10000
     val sigma = math.sqrt(qmu4.toDouble * 10000.0 / nDays
       - (smu.toDouble / nDays) * (smu.toDouble / nDays))
-    // the row's σ is the (18,3)-quantized presentation of this double;
-    // downstream integer algebra reads the QUANTIZED value, so take the
-    // operator's σ (tolerance-checked) as the recompute's input too
-    val sigmaGot = row.getAs[java.math.BigDecimal]("sigma_mu6").doubleValue()
-    assert(math.abs(sigmaGot - sigma) < 0.0015, s"sigma=$sigma vs $sigmaGot")
-    val sigmaQ = BigDecimal(sigmaGot)
-    val slack = math.floor(sigmaQ.toDouble / 2.0).toLong
+    // σ presents RAW since r13 (the quantized presentations were the
+    // driver-gate seam); the recompute composition is identical IEEE
+    val sigmaGot = row.getAs[Double]("sigma_mu6")
+    assert(math.abs(sigmaGot - sigma) < 1e-9, s"sigma=$sigma vs $sigmaGot")
+    val slack = math.floor(sigmaGot / 2.0).toLong
     var (cup, cdn, minCup, maxCdn, maxUp, maxDn) = (0L, 0L, 0L, 0L, 0L, 0L)
     var (peakUp, peakDn) = (-1L, -1L)
     mu6.foreach { case (d, m) =>
@@ -407,10 +415,10 @@ class Round12Spec extends AnyFunSuite {
     assert(row.getAs[Long]("max_down_mu") == maxDn)
     assert(row.getAs[Long]("peak_up_day") == firstUp)
     assert(row.getAs[Long]("peak_down_day") == firstDn)
-    val upS = row.getAs[java.math.BigDecimal]("up_sigma").doubleValue()
-    assert(math.abs(upS - maxUp / sigmaQ.toDouble) < 1e-8)
+    val upS = row.getAs[Double]("up_sigma")
+    assert(math.abs(upS - maxUp / sigmaGot) < 1e-8)
     assert(row.getAs[Boolean]("drifted")
-      == (math.max(maxUp, maxDn) / sigmaQ.toDouble >= 5.0))
+      == (math.max(maxUp, maxDn) / sigmaGot >= 5.0))
   }
 
   test("quality_cusum_drift fires on a planted sustained mean shift and degrades clean") {
@@ -475,11 +483,11 @@ class Round12Spec extends AnyFunSuite {
     assert(row.getAs[Long]("n_pairs") == m.toLong)
     assert(row.getAs[Long]("s_stat") == s)
     assert(row.getAs[Long]("var18") == var18)
-    val senGot = row.getAs[java.math.BigDecimal]("sen_slope").doubleValue()
+    val senGot = row.getAs[Double]("sen_slope")
     assert(math.abs(senGot - sen) < 1e-8, s"sen=$sen vs $senGot")
     if (n >= 10 && var18 > 0) {
       val z = (s - s.sign).toDouble / math.sqrt(var18 / 18.0)
-      val zGot = row.getAs[java.math.BigDecimal]("z_mk").doubleValue()
+      val zGot = row.getAs[Double]("z_mk")
       assert(math.abs(zGot - z) < 1e-8, s"z=$z vs $zGot")
       val want = if (zGot >= 1.96) "increasing"
         else if (zGot <= -1.96) "decreasing" else "none"
@@ -500,7 +508,7 @@ class Round12Spec extends AnyFunSuite {
     assert(t.getAs[String]("trend") == "increasing", s"$t")
     assert(t.getAs[Long]("s_stat") >= t.getAs[Long]("n_pairs") * 9 / 10,
       s"planted ramp should concord on nearly every pair: $t")
-    assert(t.getAs[java.math.BigDecimal]("sen_slope").doubleValue() > 0)
+    assert(t.getAs[Double]("sen_slope") > 0)
     // empty events -> 1 row, NULL slope/z/trend
     val evEmpty = cloneWithTable("tsempty", "events")(_.limit(0))
     val e = SparkEntry.queries("stats_theil_sen")(spark, evEmpty)
@@ -575,7 +583,7 @@ class Round12Spec extends AnyFunSuite {
         .cast(org.apache.spark.sql.types.DecimalType(12, 2))))
     val rhos = SparkEntry.queries("stats_spearman")(spark, constDir)
       .collect().map(r => (r.getString(0), r.getString(1))
-        -> r.getAs[java.math.BigDecimal]("rho_spearman")).toMap
+        -> r.getAs[Any]("rho_spearman")).toMap
     assert(rhos(("l_quantity", "l_discount")) == null)
     assert(rhos(("l_extendedprice", "l_discount")) == null)
     assert(rhos(("l_quantity", "l_extendedprice")) != null)
@@ -638,6 +646,6 @@ class Round12Spec extends AnyFunSuite {
     assert(kc.getAs[Long]("discordant") == 0L)
     assert(kc.getAs[Long]("concordant")
       == kc.getAs[Long]("n_pairs") - kc.getAs[Long]("ties_x"))
-    assert(kc.getAs[java.math.BigDecimal]("tau_b").doubleValue() == 1.0)
+    assert(kc.getAs[Double]("tau_b") == 1.0)
   }
 }
