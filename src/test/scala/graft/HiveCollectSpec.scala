@@ -199,6 +199,33 @@ class HiveCollectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Collector.validate(artifact).isEmpty)
   }
 
+  test("degrade matrix: every HiveServer2 surface pins its documented degrade (r12 VERDICT #6)") {
+    // the dialect-poor engine: catalog surfaces degrade exactly as
+    // documented — keys fall back to inference, views are visible
+    // without bodies, and every pure-catalog surface is absent. The
+    // matrix makes the degrades a TABLE a third dialect extends, not
+    // behavior scattered across assertions.
+    // NB suite-order fact: the in-process Hive metastore (DataNucleus on
+    // embedded Derby) must initialize BEFORE any jdbc:derby:memory:* use
+    // in the same JVM — `sbt test` runs suites sequentially in one
+    // forked JVM with H < J, so this holds; a hand-ordered
+    // `testOnly Jdbc... Hive...` wedges the metastore (pre-existing,
+    // observed r13).
+    SurfaceMatrix.assertMatrix("hive2", artifact, Map(
+      "primary_keys"      -> "inferred",  // withKeys inference path
+      "foreign_keys"      -> "inferred",  // no FK catalog; KeyInference
+                                          // proposes the person_id edge
+      "indexes"           -> "absent",    // no index catalog
+      "views"             -> "discovered-no-definition",
+      "routines"          -> "absent",    // getProcedures yields nothing
+      "custom_types"      -> "absent",    // no getUDTs surface
+      "triggers"          -> "absent",    // engine has no DML triggers
+      "check_constraints" -> "absent",    // no constraint catalog
+      "identity_defaults" -> "absent",    // no identity/defaults via JDBC
+      "samples"           -> "collected",
+      "row_counts"        -> "collected"))
+  }
+
   test("partition-bounded parallel read works through the hive2 dialect") {
     // 2 slices, not 4: outer JDBC slices wait on the in-process server,
     // which needs a free slot of the SAME local[4] scheduler (see

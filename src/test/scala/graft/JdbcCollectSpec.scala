@@ -362,6 +362,42 @@ class JdbcCollectSpec extends AnyFunSuite {
     assert(empFks.size == 1 && empFks.head.provenance == "collected")
   }
 
+  test("degrade matrix: every Derby metadata surface collects (r12 VERDICT #6)") {
+    ready
+    // widen the fixture to cover EVERY surface in one artifact: the view
+    // (discovery test creates it too — idempotent) and an identity +
+    // default table in the SAME database
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP VIEW emp_pay") catch { case _: Exception => }
+      st.execute("CREATE VIEW emp_pay AS SELECT emp_id, salary FROM emp")
+      try st.execute("DROP TABLE audit_trail") catch { case _: Exception => }
+      st.execute(
+        """CREATE TABLE audit_trail(
+          |  log_id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          |  note VARCHAR(30) DEFAULT 'none')""".stripMargin)
+      st.execute("INSERT INTO audit_trail(note) VALUES ('a')")
+      st.close()
+    } finally conn.close()
+    val a = Collector.collect(
+      new JdbcSource(spark, url, Seq("dept", "emp", "assign", "emp_pay",
+        "audit_trail")), sampleSize = 2)
+    // the SQL-standard catalog-rich engine: every surface answers
+    SurfaceMatrix.assertMatrix("derby", a, Map(
+      "primary_keys"      -> "collected",
+      "foreign_keys"      -> "collected",
+      "indexes"           -> "collected",
+      "views"             -> "collected", // SYS.SYSVIEWS has the text
+      "routines"          -> "collected",
+      "custom_types"      -> "collected",
+      "triggers"          -> "collected",
+      "check_constraints" -> "collected",
+      "identity_defaults" -> "collected",
+      "samples"           -> "collected",
+      "row_counts"        -> "collected"))
+  }
+
   test("connection test probes the engine without collecting; failures degrade") {
     val urlT = "jdbc:derby:memory:graftprobe;create=true"
     val c = java.sql.DriverManager.getConnection(urlT)
