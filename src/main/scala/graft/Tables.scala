@@ -54,4 +54,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Fan a SMALL-cardinality frame out to full parallelism before
+    * per-row-HEAVY work (gram explosion, per-token md5): the fixture's
+    * single-file parquet tables read as 1-2 partitions, so a downstream
+    * explode that multiplies row count ~300× runs on 1-2 cores no matter
+    * how many the session has — measured r13 at sf1: mm_dedup_phash's
+    * 19M-gram explosion took 45 s on the 2-partition scan and 5 s fanned
+    * out. Hash-partitioning by the eventual grouping key lets the
+    * post-explode keyed aggregate REUSE the exchange (no second
+    * shuffle). At 100 TB the input arrives pre-parallel and this narrow
+    * shuffle of the small frame is noise — the helper is cheap
+    * insurance, not a fixture hack: any lake can hand back a
+    * few-large-files table whose scan parallelism undershoots its
+    * per-row compute.
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 }

@@ -1070,7 +1070,10 @@ object Dedup {
     * hamming distance.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // fan out before the token explosion + per-token md5 (the
+    // Tables.fanOut under-parallel-scan insurance; doc_id keying feeds
+    // the signature agg's exchange)
+    val toks = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
@@ -1083,14 +1086,26 @@ object Dedup {
     * Shared by the token SimHash above and the multimodal byte-gram
     * pHash (mm.Multimodal.phashPairs). */
   def simhashPairsFromHashes(toks: DataFrame): DataFrame = {
+    // branch-free bit tally: Σ(2·bit − 1) ≡ the ±1 majority vote, but
+    // shift/and/mul beats the former div/mod/compare per row — this agg
+    // evaluates 60 expressions per EXPLODED gram row (the op's hot
+    // loop: ~50M rows × 60 at sf1, measured r13 on the densified
+    // corpus), so the per-expression constant is the whole cost
     val bitSums = (0 until 60).map { b =>
-      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1L).otherwise(-1L)).as(s"s_$b")
+      sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"s_$b")
     }
+    // materialize the per-doc signature frame (ONE row per doc) before
+    // the banded self-join: without this the plan re-derives the entire
+    // explode+60-way aggregate pipeline on BOTH join sides (measured r13
+    // at sf1: the duplicated pipeline re-ran inside the broadcast build
+    // per action — 6-170 s run variance; checkpointed it's seconds,
+    // stable). The house GlobalRank/componentsTable lineage discipline.
     val sigs = toks.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 60).map(b =>
           when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+      .localCheckpoint()
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
