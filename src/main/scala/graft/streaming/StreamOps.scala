@@ -937,4 +937,58 @@ object StreamOps {
           out.result().iterator
         })
   }
+
+  case class ScoreWeek(lane: Long, week_num: Long, n_rows: Long,
+      n_value: Long, n_distinct: Long, n_nonneg: Long)
+  case class ScoreState(prevScore: Long)
+  case class ScoreOut(lane: Long, week_num: Long, score_ppm: Long,
+      score_delta_ppm: Option[Long], status: String)
+
+  /** Streaming quality-score gate — quality_score_history's live twin:
+    * the batch op replays every survey epoch per run; an operator wants
+    * each week's score verdict the moment the week closes. State per
+    * lane is ONE Long (the previous week's score), so a million
+    * monitored lanes cost a few MB.
+    *
+    * Arithmetic is the batch op's verbatim in exact integer ppm
+    * (BigInt·10⁶ / n — the DECIMAL(38,0) widening's driver-side
+    * equal), the 50/30/20 roll-up, the vacuous-consistency full score,
+    * and the ±1% (10⁴ ppm) status thresholds. The caller feeds one row
+    * per CLOSED (lane, week) with the four exact counts — the batch
+    * op's weekly aggregate is exactly this projection — under the
+    * cusumGate/packSpans per-lane ordered-arrival contract (each batch
+    * sorted per lane), so any batch split of ordered arrivals emits
+    * identical rows.
+    */
+  def scoreGate(weeks: Dataset[ScoreWeek]): Dataset[ScoreOut] = {
+    import weeks.sparkSession.implicits._
+    def ppm(num: Long, den: Long): Long =
+      (BigInt(num) * 1000000 / den).toLong
+    weeks
+      .groupByKey(_.lane)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (lane: Long, ws: Iterator[ScoreWeek], state: GroupState[ScoreState]) => {
+          val sorted = ws.toSeq.sortBy(_.week_num)
+          var prev = state.getOption.map(_.prevScore)
+          val out = Seq.newBuilder[ScoreOut]
+          for (w <- sorted if w.n_rows > 0) {
+            val comp = ppm(w.n_value, w.n_rows)
+            val uniq = ppm(w.n_distinct, w.n_rows)
+            val cons = if (w.n_value > 0) ppm(w.n_nonneg, w.n_value)
+              else 1000000L
+            val score = (comp * 50 + uniq * 30 + cons * 20) / 100
+            val delta = prev.map(score - _)
+            val status = delta match {
+              case None => "baseline"
+              case Some(d) if d <= -10000 => "degraded"
+              case Some(d) if d >= 10000 => "improved"
+              case _ => "stable"
+            }
+            out += ScoreOut(lane, w.week_num, score, delta, status)
+            prev = Some(score)
+          }
+          prev.foreach(p => state.update(ScoreState(p)))
+          out.result().iterator
+        })
+  }
 }

@@ -818,4 +818,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(l1.drop(10).exists(_._6), "DOWN alarm after the -200 shift")
     assert(!l1.exists(_._5), "upward detector stays quiet on lane 1")
   }
+
+  test("streaming score gate: batch-split invariant, matches the batch op's ppm algebra") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // lane 0: healthy weeks, then a completeness collapse (NULL era);
+    // lane 1: a duplicate-flood week (uniqueness drop), then recovery
+    val lane0 = Seq(
+      (0L, 100L, 1000L, 990L, 1000L, 990L),
+      (0L, 101L, 1200L, 1190L, 1200L, 1190L),
+      (0L, 102L, 1100L, 0L, 1100L, 0L),     // all values NULL
+      (0L, 103L, 900L, 890L, 900L, 890L))
+    val lane1 = Seq(
+      (1L, 100L, 800L, 800L, 800L, 800L),
+      (1L, 101L, 1600L, 1600L, 400L, 1600L), // 4x duplicated ids
+      (1L, 102L, 700L, 700L, 700L, 700L))
+    val arrivals = (lane0 ++ lane1).sortBy(t => (t._2, t._1))
+    def run(batches: Seq[Seq[(Long, Long, Long, Long, Long, Long)]],
+        name: String) = {
+      val mem = MemoryStream[(Long, Long, Long, Long, Long, Long)]
+      val q = StreamOps.scoreGate(
+          mem.toDF().toDF("lane", "week_num", "n_rows", "n_value",
+            "n_distinct", "n_nonneg").as[StreamOps.ScoreWeek])
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getString(4))).toSeq.sortBy(t => (t._1, t._2))
+    }
+    val oneShot = run(Seq(arrivals), "score_one")
+    val split = run(Seq(arrivals.take(3), arrivals.slice(3, 5),
+      arrivals.drop(5)), "score_split")
+    // the one-Long register carries across micro-batches
+    assert(oneShot == split)
+    // driver recompute with the batch op's exact ppm algebra
+    def ppm(n: Long, d: Long) = (BigInt(n) * 1000000 / d).toLong
+    val want = (lane0 ++ lane1).groupBy(_._1).toSeq.flatMap {
+      case (lane, ws) =>
+        var prev: Option[Long] = None
+        ws.sortBy(_._2).map { case (_, w, n, nv, nd, nn) =>
+          val score = (ppm(nv, n) * 50 + ppm(nd, n) * 30 +
+            (if (nv > 0) ppm(nn, nv) else 1000000L) * 20) / 100
+          val delta = prev.map(score - _)
+          val status = delta match {
+            case None => "baseline"
+            case Some(d) if d <= -10000 => "degraded"
+            case Some(d) if d >= 10000 => "improved"
+            case _ => "stable"
+          }
+          prev = Some(score)
+          (lane, w, score, delta, status)
+        }
+    }.sortBy(t => (t._1, t._2))
+    assert(oneShot == want)
+    // the planted incidents read as the right verdicts
+    val l0 = oneShot.filter(_._1 == 0L).map(_._5)
+    assert(l0 == Seq("baseline", "stable", "degraded", "improved"))
+    val l1s = oneShot.filter(_._1 == 1L).map(_._5)
+    assert(l1s == Seq("baseline", "degraded", "improved"))
+  }
 }
