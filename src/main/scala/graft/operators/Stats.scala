@@ -1525,6 +1525,135 @@ object Stats {
        |  ${theilTrendSql.replace("\n", "\n  ")} AS trend
        |FROM z""".stripMargin
 
+  /** Wald–Wolfowitz runs test on the daily event-value mean — the
+    * RANDOMNESS check of the bounded-series panel ("is the day-to-day
+    * path a coin flip around its median, or does it streak/alternate"):
+    * stats_theil_sen asks for a monotone trend, quality_cusum_drift for
+    * a sustained level shift; this asks the weaker-but-broader question
+    * whose rejection flags EITHER clustering (too few runs — regimes,
+    * drift) or over-alternation (too many — negative autocorrelation,
+    * e.g. a batch/backfill see-saw).
+    *
+    * Exactness: the series is the quality_cusum_drift daily aggregate
+    * (mu6 = cents·10⁴ DIV n exact integer µ-units); the split point is
+    * the nearest-rank MEDIAN of the daily mu6 values (the house integer
+    * rank device — never an interpolated percentile); days EQUAL to the
+    * median are excluded (the standard dichotomization, documented —
+    * both engines exclude identically since mu6 is an exact integer).
+    * n_above/n_below and the run count R are exact BIGINTs (R = 1 + Σ
+    * sign-changes over the day-ordered LAG — the horizon-bounded window
+    * class, day_num grain); z = (R − μ_R)/σ_R with μ_R = 2n₁n₂/N + 1,
+    * σ_R² = 2n₁n₂(2n₁n₂−N)/(N²(N−1)) presents as the RAW double of ONE
+    * identical composition (§6 rule-10); significant_95 gated on
+    * min(n₁,n₂) ≥ 10 (the normal-approximation convention). Degenerate
+    * inputs (empty series, all days tied at the median → N = 0, or a
+    * one-sided split → σ undefined) emit NULL z and NULL verdict.
+    *
+    * Scale shape: the data-sized work is ONE day-keyed exact aggregate;
+    * the median rank and the LAG window run over the horizon-BOUNDED
+    * daily series (the cusum boundedness argument).
+    */
+  def statsRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .as("day_num"), col("value"))
+      .groupBy(col("day_num"))
+      .agg(count(lit(1)).as("n_d"),
+        expr("CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS DECIMAL(38,0))")
+          .as("cents_d"))
+      .select(col("day_num"),
+        expr("CAST(cents_d * 10000 DIV n_d AS BIGINT)").as("mu6"))
+    val vals = daily.groupBy(col("mu6")).agg(count(lit(1)).as("c"))
+    val cum = GlobalRank.withGlobalCumsum(vals, "c", "cum", col("mu6"))
+    val nTot = cum.agg(sum(col("c")).cast("long").as("n_days"))
+      .localCheckpoint()
+    val med = cum.crossJoin(broadcast(nTot))
+      .filter(expr("cum >= (n_days + 1) DIV 2"))
+      .agg(min(col("mu6")).as("med_mu6")).localCheckpoint()
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("mu6") =!= col("med_mu6"))
+      .select(col("day_num"),
+        when(col("mu6") > col("med_mu6"), 1L).otherwise(-1L).as("sgn"))
+    val w = Window.orderBy(col("day_num"))
+    val runs = signed
+      .withColumn("prev", lag(col("sgn"), 1).over(w))
+      .agg(
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_above"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).cast("long")
+          .as("n_below"),
+        expr("CAST(sum(CASE WHEN prev IS NULL OR sgn != prev THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_runs"))
+    runs.crossJoin(broadcast(med)).crossJoin(broadcast(nTot))
+      .select(col("n_days"), col("med_mu6"),
+        expr("coalesce(n_above, 0)").as("n_above"),
+        expr("coalesce(n_below, 0)").as("n_below"),
+        expr("coalesce(n_runs, 0)").as("n_runs"))
+      .withColumn("z_runs", expr(runsZSql))
+      .withColumn("significant_95", expr(runsSigSql))
+  }
+
+  // z over the exact (n1, n2, R): μ = 2n1n2/N + 1, σ² = 2n1n2(2n1n2−N)
+  // / (N²(N−1)) — div/mult/sqrt only, ONE identical composition, raw
+  private val runsZSql =
+    """CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+      |    AND (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |         * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |            - CAST(n_above + n_below AS DOUBLE))) > 0
+      |  THEN (CAST(n_runs AS DOUBLE)
+      |      - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |         / CAST(n_above + n_below AS DOUBLE) + 1.0))
+      |    / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |        * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |           - CAST(n_above + n_below AS DOUBLE))
+      |        / (CAST(n_above + n_below AS DOUBLE)
+      |           * CAST(n_above + n_below AS DOUBLE)
+      |           * (CAST(n_above + n_below AS DOUBLE) - 1.0)))
+      |END""".stripMargin
+  private val runsSigSql =
+    """CASE WHEN z_runs IS NULL OR least(n_above, n_below) < 10 THEN NULL
+      |  ELSE abs(CAST(z_runs AS DOUBLE)) >= 1.96 END""".stripMargin
+
+  val statsRunsTestSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num,
+       |    CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS HUGEINT)
+       |      * 10000 // count(*) AS BIGINT) AS mu6
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |vals AS (SELECT mu6, count(*) AS c FROM daily GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_days FROM vals),
+       |cum AS (SELECT mu6, c,
+       |  sum(c) OVER (ORDER BY mu6
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vals),
+       |med AS (SELECT min(mu6) AS med_mu6 FROM cum
+       |  WHERE cum >= ((SELECT n_days FROM nt) + 1) // 2),
+       |signed AS (SELECT day_num,
+       |  CASE WHEN mu6 > (SELECT med_mu6 FROM med) THEN 1 ELSE -1 END AS sgn
+       |  FROM daily WHERE mu6 != (SELECT med_mu6 FROM med)),
+       |lagged AS (SELECT sgn,
+       |  lag(sgn) OVER (ORDER BY day_num) AS prev
+       |  FROM signed),
+       |r AS (SELECT
+       |  CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       |  CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       |  CAST(sum(CASE WHEN prev IS NULL OR sgn != prev THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_runs
+       |  FROM lagged),
+       |z AS (SELECT nt.n_days, med.med_mu6,
+       |  coalesce(r.n_above, 0) AS n_above,
+       |  coalesce(r.n_below, 0) AS n_below,
+       |  coalesce(r.n_runs, 0) AS n_runs
+       |  FROM r, med, nt),
+       |f AS (SELECT *,
+       |  ${runsZSql.replace("\n", "\n  ")} AS z_runs
+       |  FROM z)
+       |SELECT n_days, med_mu6, n_above, n_below, n_runs, z_runs,
+       |  ${runsSigSql.replace("\n", "\n  ")} AS significant_95
+       |FROM f""".stripMargin
+
   /** Driver-environment cast canary (r12 VERDICT #2) — a BOUNDED literal
     * grid exercising each presentation device the gated queries rely on,
     * so a cross-build divergence pinpoints WHICH device the driver's

@@ -184,6 +184,77 @@ class Round13Spec extends AnyFunSuite {
       Seq("NULL", "7", "NULL")))
   }
 
+  // ------------------------------------------------ runs test
+
+  test("stats_runs_test equals a brute-force Wald-Wolfowitz recompute") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_runs_test")(spark, sf)
+      .collect().head
+    val daily = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .as("day_num"))
+      .agg(count(lit(1)).as("n_d"),
+        expr("CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS DECIMAL(38,0))")
+          .as("cents_d"))
+      .collect().map(r => (r.getAs[Long]("day_num"),
+        r.getAs[java.math.BigDecimal]("cents_d").toBigInteger.longValueExact()
+          * 10000L / r.getAs[Long]("n_d")))
+      .sortBy(_._1)
+    val n = daily.length
+    // nearest-rank median of the daily means
+    val med = daily.map(_._2).sorted.apply((n + 1) / 2 - 1)
+    val signs = daily.map(_._2).filter(_ != med).map(m => m > med)
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.count(!_).toLong
+    val runs = if (signs.isEmpty) 0L
+      else 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    assert(row.getAs[Long]("n_days") == n.toLong)
+    assert(row.getAs[Long]("med_mu6") == med)
+    assert(row.getAs[Long]("n_above") == n1)
+    assert(row.getAs[Long]("n_below") == n2)
+    assert(row.getAs[Long]("n_runs") == runs)
+    val nn = (n1 + n2).toDouble
+    if (n1 > 0 && n2 > 0 && nn > 1 && 2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) > 0) {
+      val mu = 2.0 * n1 * n2 / nn + 1.0
+      val sig = math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+        / (nn * nn * (nn - 1.0)))
+      val z = (runs - mu) / sig
+      val zGot = row.getAs[Double]("z_runs")
+      assert(math.abs(zGot - z) < 1e-9, s"z=$z vs $zGot")
+      if (math.min(n1, n2) >= 10)
+        assert(row.getAs[Boolean]("significant_95") == (math.abs(zGot) >= 1.96))
+    }
+  }
+
+  test("stats_runs_test: planted regimes collapse runs; degrades clean") {
+    // plant: first half of the horizon scaled down, second half up ->
+    // two long regimes -> far fewer runs than chance -> significant
+    val dir = cloneWithTable("runs_regime", "events") { df =>
+      df.withColumn("value",
+        when(expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000 < 19738"),
+          col("value") * 0.5).otherwise(col("value") * 2.0))
+    }
+    val r = SparkEntry.queries("stats_runs_test")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_runs") <= 4L, r.toString)
+    assert(r.getAs[Double]("z_runs") < 0, "regimes mean too FEW runs")
+    // empty events -> NULL stats, no throw
+    val empty = cloneWithTable("runs_empty", "events")(_.limit(0))
+    val e = SparkEntry.queries("stats_runs_test")(spark, empty)
+      .collect().head
+    assert(e.getAs[Any]("z_runs") == null
+      && e.getAs[Any]("significant_95") == null)
+    // constant value -> every daily mean can still differ via counts;
+    // force FULL ties: one event per day is not plantable, so all-NULL
+    // values -> empty series -> NULL
+    val nulls = cloneWithTable("runs_null", "events")(
+      _.withColumn("value", lit(null)
+        .cast(org.apache.spark.sql.types.DoubleType)))
+    val nr = SparkEntry.queries("stats_runs_test")(spark, nulls)
+      .collect().head
+    assert(nr.getAs[Any]("z_runs") == null)
+  }
+
   /** sf0.001 clone with one table swapped (the Round12Spec device). */
   private def cloneWithTable(tag: String, table: String)
       (transform: org.apache.spark.sql.DataFrame
