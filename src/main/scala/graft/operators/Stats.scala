@@ -1525,6 +1525,153 @@ object Stats {
        |  ${theilTrendSql.replace("\n", "\n  ")} AS trend
        |FROM z""".stripMargin
 
+  /** Jarque–Bera normality test on order value — the distribution-shape
+    * gate of the parametric panel: stats_welch_ttest and
+    * stats_anova_segments assume roughly-normal residuals; this reports
+    * whether the value distribution's skewness/kurtosis reject that
+    * outright (and by how much), the "should I trust the t/F panel or
+    * read the rank panel instead" answer. JB = n/6·(g₁² + g₂²/4) with
+    * g₁ = m₃/m₂^{3/2}, g₂ = m₄/m₂² − 3.
+    *
+    * Exactness (the profile_correlations moment kit, one degree up —
+    * and a quartic decimal product BLOWS the 38-digit width rule in
+    * both engines with DIFFERENT loss behavior, §6 rule-7, so the
+    * moments run on pure INTEGERS instead): x is the DOLLAR-truncated
+    * order value (cents DIV 100 — identical truncation both engines; a
+    * documented quantization of the measured variable, statistically
+    * invisible at ~10⁵-dollar spreads), centered at the fixed domain
+    * constant 150 000 (skewness/kurtosis are affine-invariant); the
+    * four raw power sums are exact DECIMAL(38,0) integer sums (|x|⁴ ≤
+    * 1.3e23/row — 38 digits hold to n ~ 10¹⁵); a CASE-over-n LADDER per
+    * moment integer-divides each sum < 2^53 before its ONE double
+    * conversion (divisors re-multiply inside the shared composition —
+    * exact powers of 10); central moments compose from the raw sums via
+    * the standard identities (m₂ = S₂/n − m², m₃ = S₃/n − 3m·S₂/n +
+    * 2m³, m₄ = S₄/n − 4m·S₃/n + 6m²·S₂/n − 3m⁴) in div/mult/sqrt-only
+    * IEEE — deterministic both engines; JB, g₁, g₂ present RAW
+    * (§6 rule-10).
+    * significant_95 compares JB to the χ²(2) 0.95 critical value 5.991,
+    * GATED on n ≥ 2000 (the JB χ² approximation is notoriously
+    * anti-conservative below that — documented convention; below the
+    * gate the verdict is NULL). Degenerate inputs (n ≤ 1, zero
+    * variance) emit NULL statistics.
+    *
+    * Scale shape: ONE orders scan → a 1-row exact aggregate; everything
+    * after is driver-free 1-row math.
+    */
+  def statsJarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .filter(col("o_totalprice").isNotNull)
+      .select(expr(
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) DIV 100 - 150000 AS BIGINT)")
+        .as("xd"))
+    x.agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("xd")).cast("long").as("s1"),
+        expr("CAST(sum(CAST(xd AS DECIMAL(38,0)) * xd) AS DECIMAL(38,0))")
+          .as("s2"),
+        expr("CAST(sum(CAST(xd AS DECIMAL(38,0)) * xd * xd) AS DECIMAL(38,0))")
+          .as("s3"),
+        expr("CAST(sum(CAST(xd AS DECIMAL(38,0)) * xd * xd * xd) AS DECIMAL(38,0))")
+          .as("s4"))
+      .withColumn("d2", expr(jbLadderSql("n_rows", 20000L, 1L)))
+      .withColumn("d3", expr(jbLadderSql("n_rows", 30L, 1000L)))
+      .withColumn("d4", expr(jbLadderSql("n_rows", 1L, 100000000L)))
+      .withColumn("skewness", expr(jbSkewSql(sparkIntDiv)))
+      .withColumn("kurtosis_excess", expr(jbKurtSql(sparkIntDiv)))
+      .withColumn("jb_stat", expr(jbStatSql))
+      .select(col("n_rows"), col("skewness"), col("kurtosis_excess"),
+        col("jb_stat"), expr(jbSigSql).as("significant_95"))
+  }
+
+  // per-moment >2^53 ladders with |xd| ≤ 6e5 (dollar-truncated,
+  // centered): Sk ≤ n·(6e5)^k, so each moment divides by a FIXED floor
+  // mult ≈ (6e5)^k/2^53 (1 / 10³ / 10⁸ for k = 2/3/4) times a
+  // CASE-over-n factor stepping ×100 per two decades past the moment's
+  // base threshold — quotients stay under 2^53 at any n (ELSE branch
+  // covers n to ~10¹⁰⁺, documented), relative truncation ≤ ~1e-11 on
+  // typical moments, identical both engines (integer division
+  // truncates toward zero in both).
+  private def jbLadderSql(n: String, base: Long, mult: Long): String = {
+    val steps = (0 to 4).map { k =>
+      s"WHEN $n <= ${base * math.pow(100, k).toLong} THEN ${mult * math.pow(100, k).toLong}"
+    }
+    s"""CASE ${steps.head}
+       |  ${steps.tail.mkString("\n  ")}
+       |  ELSE ${mult * 10000000000L} END""".stripMargin
+  }
+
+  // shared double composition over the ladder-reduced exact integers:
+  // rk = Sk/n as a double = (Sk DIV dk) · dk / n, central moments by
+  // the standard raw→central identities
+  private def jbCentralSql(intdiv: (String, String) => String,
+      which: String): String = {
+    def r(s: String, d: String) =
+      s"(CAST(${intdiv(s, d)} AS DOUBLE) * CAST($d AS DOUBLE) / CAST(n_rows AS DOUBLE))"
+    val m = r("s1", "d2")
+    val r2 = r("s2", "d2")
+    val r3 = r("s3", "d3")
+    val r4 = r("s4", "d4")
+    which match {
+      case "m2" => s"($r2 - $m * $m)"
+      case "m3" => s"($r3 - 3.0 * $m * $r2 + 2.0 * $m * $m * $m)"
+      case "m4" =>
+        s"($r4 - 4.0 * $m * $r3 + 6.0 * $m * $m * $r2 - 3.0 * $m * $m * $m * $m)"
+    }
+  }
+
+  private def jbSkewSql(intdiv: (String, String) => String): String = {
+    val m2 = jbCentralSql(intdiv, "m2")
+    val m3 = jbCentralSql(intdiv, "m3")
+    s"""CASE WHEN n_rows > 1 AND $m2 > 0
+       |  THEN $m3 / ($m2 * sqrt($m2))
+       |END""".stripMargin
+  }
+  private def jbKurtSql(intdiv: (String, String) => String): String = {
+    val m2 = jbCentralSql(intdiv, "m2")
+    val m4 = jbCentralSql(intdiv, "m4")
+    s"""CASE WHEN n_rows > 1 AND $m2 > 0
+       |  THEN $m4 / ($m2 * $m2) - 3.0
+       |END""".stripMargin
+  }
+  private val jbStatSql =
+    """CASE WHEN skewness IS NOT NULL AND kurtosis_excess IS NOT NULL
+      |  THEN CAST(n_rows AS DOUBLE) / 6.0
+      |    * (skewness * skewness
+      |       + kurtosis_excess * kurtosis_excess / 4.0)
+      |END""".stripMargin
+  private val jbSigSql =
+    """CASE WHEN jb_stat IS NULL OR n_rows < 2000 THEN NULL
+      |  ELSE CAST(jb_stat AS DOUBLE) >= 5.991 END""".stripMargin
+
+  val statsJarqueBeraSql: String =
+    s"""WITH x AS (
+       |  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+       |    AS BIGINT) // 100 - 150000 AS BIGINT) AS xd
+       |  FROM orders WHERE o_totalprice IS NOT NULL),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(xd) AS BIGINT) AS s1,
+       |    CAST(sum(CAST(xd AS HUGEINT) * xd) AS DECIMAL(38,0)) AS s2,
+       |    CAST(sum(CAST(xd AS HUGEINT) * xd * xd) AS DECIMAL(38,0)) AS s3,
+       |    CAST(sum(CAST(xd AS HUGEINT) * xd * xd * xd) AS DECIMAL(38,0))
+       |      AS s4
+       |  FROM x),
+       |d AS (SELECT *,
+       |  ${jbLadderSql("n_rows", 20000L, 1L).replace("\n", "\n  ")} AS d2,
+       |  ${jbLadderSql("n_rows", 30L, 1000L).replace("\n", "\n  ")} AS d3,
+       |  ${jbLadderSql("n_rows", 1L, 100000000L).replace("\n", "\n  ")} AS d4
+       |  FROM s),
+       |g AS (SELECT *,
+       |  ${jbSkewSql(duckIntDiv).replace("\n", "\n  ")} AS skewness,
+       |  ${jbKurtSql(duckIntDiv).replace("\n", "\n  ")} AS kurtosis_excess
+       |  FROM d),
+       |j AS (SELECT *,
+       |  ${jbStatSql.replace("\n", "\n  ")} AS jb_stat
+       |  FROM g)
+       |SELECT n_rows, skewness, kurtosis_excess, jb_stat,
+       |  ${jbSigSql.replace("\n", "\n  ")} AS significant_95
+       |FROM j""".stripMargin
+
   /** Wald–Wolfowitz runs test on the daily event-value mean — the
     * RANDOMNESS check of the bounded-series panel ("is the day-to-day
     * path a coin flip around its median, or does it streak/alternate"):

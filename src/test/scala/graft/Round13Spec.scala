@@ -255,6 +255,54 @@ class Round13Spec extends AnyFunSuite {
     assert(nr.getAs[Any]("z_runs") == null)
   }
 
+  // ------------------------------------------------ jarque-bera
+
+  test("stats_jarque_bera tracks a driver-side moment recompute") {
+    val sf = TestSession.sf
+    val row = SparkEntry.queries("stats_jarque_bera")(spark, sf)
+      .collect().head
+    // the op's dollar-truncated integer units: cents DIV 100 − 150000
+    val xs = graft.Tables.orders(spark, sf)
+      .select(col("o_totalprice")).na.drop().collect()
+      .map(r => (BigDecimal(r.get(0).toString) * 100).toLongExact
+        / 100 - 150000L)
+      .map(_.toDouble)
+    val n = xs.length.toDouble
+    val m = xs.sum / n
+    def cm(k: Int) = xs.map(x => math.pow(x - m, k)).sum / n
+    val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+    val skew = m3 / (m2 * math.sqrt(m2))
+    val kurt = m4 / (m2 * m2) - 3.0
+    val jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    assert(row.getAs[Long]("n_rows") == n.toLong)
+    // the op floors the raw power sums at 1e-4 (ladder device); the
+    // driver recompute is full-precision — compare loosely
+    assert(math.abs(row.getAs[Double]("skewness") - skew) < 1e-5,
+      s"skew=$skew vs $row")
+    assert(math.abs(row.getAs[Double]("kurtosis_excess") - kurt) < 1e-4)
+    assert(math.abs(row.getAs[Double]("jb_stat") - jb)
+      / math.max(jb, 1.0) < 1e-4, s"jb=$jb vs $row")
+    if (n >= 2000)
+      assert(row.getAs[Boolean]("significant_95")
+        == (row.getAs[Double]("jb_stat") >= 5.991))
+    else assert(row.getAs[Any]("significant_95") == null)
+  }
+
+  test("stats_jarque_bera degrades on empty/constant orders, never throws") {
+    val empty = cloneWithTable("jb_empty", "orders")(_.limit(0))
+    val e = SparkEntry.queries("stats_jarque_bera")(spark, empty)
+      .collect().head
+    assert(e.getAs[Long]("n_rows") == 0L && e.getAs[Any]("jb_stat") == null)
+    // all values tied -> zero variance -> NULL statistics
+    val const = cloneWithTable("jb_const", "orders")(
+      _.withColumn("o_totalprice", lit(java.math.BigDecimal.valueOf(100.00))
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+    val c = SparkEntry.queries("stats_jarque_bera")(spark, const)
+      .collect().head
+    assert(c.getAs[Any]("skewness") == null && c.getAs[Any]("jb_stat") == null
+      && c.getAs[Any]("significant_95") == null)
+  }
+
   /** sf0.001 clone with one table swapped (the Round12Spec device). */
   private def cloneWithTable(tag: String, table: String)
       (transform: org.apache.spark.sql.DataFrame
