@@ -883,9 +883,13 @@ object Stats {
     * group then splits into exact counts above/at-or-below the median
     * and the k×2 contingency table scores with the
     * stats_chisq_independence zero-cell identity χ² = N·(Σ o²/(r·c) − 1)
-    * — per-cell terms quantized DECIMAL(18,9) and summed exactly over
-    * the 2k bounded cells (an INTERNAL device, driver-green in
-    * stats_chisq_independence for two rounds). χ² presents as the raw
+    * — per-cell terms floor-scaled to exact ppb BIGINTs (rule-9:
+    * floor(term·10⁹) of an identical IEEE double composition — r14
+    * closed the last internal CAST(double AS DECIMAL(18,9)) seam the
+    * r13 reversal removed everywhere else; each term ≤ 2 since both
+    * cell fractions are ≤ 1, so the scaled sum stays far inside BIGINT
+    * at any N) and summed exactly over the 2k bounded cells, re-divided
+    * in the final raw-double composition. χ² presents as the raw
     * double of the final composition (r13 reversal — see the
     * statsMannWhitney scaladoc); significance via the χ²(dof ≤ 10)
     * critical-value CASE (the
@@ -933,20 +937,25 @@ object Stats {
   }
 
   // Σ o²/(row·col) over the k×2 observed cells, each term one double
-  // composition quantized DECIMAL(18,9) (exact order-independent sum
-  // over the 2k bounded cells — the chisqPanel device); zero margins
-  // degrade the whole statistic to NULL via the guard below
+  // composition floor-scaled to an exact ppb BIGINT (rule-9: floor of
+  // an identical IEEE double after identical ops is build-independent —
+  // the DECIMAL(18,9) per-cell cast this replaced was the exact HALF_UP
+  // vs binary-expansion seam the grid canary's rows 3/8 exhibit; order-
+  // independent exact sum over the 2k bounded cells, each term ≤ 2 so
+  // the scaled sum is ≤ 4k·10⁹); zero margins degrade the whole
+  // statistic to NULL via the guard below
   private val medianCellSql =
     """CASE WHEN t_hi > 0 AND t_lo > 0 AND n_g > 0 THEN
-      |  CAST(CAST(n_hi AS DOUBLE) * CAST(n_hi AS DOUBLE)
+      |  CAST(floor((CAST(n_hi AS DOUBLE) * CAST(n_hi AS DOUBLE)
       |      / (CAST(n_g AS DOUBLE) * CAST(t_hi AS DOUBLE))
       |    + CAST(n_lo AS DOUBLE) * CAST(n_lo AS DOUBLE)
-      |      / (CAST(n_g AS DOUBLE) * CAST(t_lo AS DOUBLE))
-      |    AS DECIMAL(18,9))
+      |      / (CAST(n_g AS DOUBLE) * CAST(t_lo AS DOUBLE)))
+      |    * 1000000000.0) AS BIGINT)
       |END""".stripMargin
   private val medianChi2Sql =
     """CASE WHEN k_groups > 1 AND n_total > 0 AND term_sum IS NOT NULL THEN
-      |  CAST(n_total AS DOUBLE) * (CAST(term_sum AS DOUBLE) - 1.0)
+      |  CAST(n_total AS DOUBLE)
+      |    * (CAST(term_sum AS DOUBLE) / 1000000000.0 - 1.0)
       |END""".stripMargin
   private val medianSigSql =
     """CASE WHEN chi2 IS NULL OR k_groups - 1 < 1 OR k_groups - 1 > 10
@@ -1836,6 +1845,17 @@ object Stats {
     * Reads NO table (the literal grid is the fixture — `dir` unused);
     * costs nothing at any SF. A red canary row in CORRECTNESS is the
     * diagnostic, not a defect: its per-column diff names the device.
+    *
+    * r14 (VERDICT r13 #1): the combined grid is DEMOTED to test-only —
+    * CORRECTNESS carries one hash bit per KEY, so a red on the 12×8
+    * grid named nothing. The gate now carries six single-device
+    * projections of the same grid (canary_parse / canary_floor /
+    * canary_intdiv / canary_comp are build-independent — a red one is
+    * a REAL defect; canary_dec9_spark / canary_dec9_duck are
+    * expectation-pinned — whichever reads red names the engine whose
+    * build moved). The red SET is the diagnosis, readable straight off
+    * the CORRECTNESS key list. Round14Spec identity-tests this combined
+    * view against the six projections.
     */
   def statsCastCanary(spark: SparkSession, dir: String): DataFrame = {
     val df = spark.createDataFrame(canaryGrid)
@@ -1879,9 +1899,86 @@ object Stats {
       "1048576.000000001"),
     (12L, "-3.9999999995", "-4.000000000", "-4.000000000"))
 
+  private val canaryValuesSql: String = canaryGrid.map {
+    case (i, s, sp, du) => s"($i, '$s', '$sp', '$du')" }.mkString(",\n    ")
+
+  private def canaryBase(spark: SparkSession): DataFrame =
+    spark.createDataFrame(canaryGrid).toDF("id", "src", "spark9", "duck9")
+
+  private def canaryDeviceSql(selectList: String): String =
+    s"""SELECT CAST(id AS BIGINT) AS id, $selectList
+       |FROM (VALUES
+       |    $canaryValuesSql) t(id, src, spark9, duck9)
+       |ORDER BY id""".stripMargin
+
+  /** Single-device canary projections (r14, VERDICT r13 #1) — each a
+    * gated key over the SAME literal grid so the driver's red set names
+    * the device. The first four are build-independent (IEEE-correctly-
+    * rounded parse / multiply+floor / exact wide-integer division / a
+    * raw sqrt-div composition): a red on any of them in ANY environment
+    * is a real engine defect, not build skew. Costs nothing at any SF
+    * (12 literal rows, no table read — `dir` unused).
+    */
+  def canaryParse(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark).select(col("id"), col("src"),
+      expr("CAST(src AS DOUBLE)").as("as_double")).orderBy(col("id"))
+
+  val canaryParseSql: String =
+    canaryDeviceSql("src,\n  CAST(src AS DOUBLE) AS as_double")
+
+  def canaryFloor(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark).select(col("id"),
+      expr("CAST(floor(CAST(src AS DOUBLE) * 1000000000.0) AS BIGINT)")
+        .as("floor_ppb")).orderBy(col("id"))
+
+  val canaryFloorSql: String = canaryDeviceSql(
+    "CAST(floor(CAST(src AS DOUBLE) * 1000000000.0) AS BIGINT)\n    AS floor_ppb")
+
+  def canaryIntdiv(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark).select(col("id"),
+      expr("CAST(CAST(id AS DECIMAL(38,0)) * 1000000007 DIV 97 AS BIGINT)")
+        .as("intdiv_wide")).orderBy(col("id"))
+
+  val canaryIntdivSql: String = canaryDeviceSql(
+    "CAST(CAST(id AS HUGEINT) * 1000000007 // 97 AS BIGINT)\n    AS intdiv_wide")
+
+  def canaryComp(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark).select(col("id"),
+      expr("sqrt(abs(CAST(src AS DOUBLE))) / (1.0 + abs(CAST(src AS DOUBLE)))")
+        .as("comp_raw")).orderBy(col("id"))
+
+  val canaryCompSql: String = canaryDeviceSql(
+    "sqrt(abs(CAST(src AS DOUBLE))) / (1.0 + abs(CAST(src AS DOUBLE)))\n    AS comp_raw")
+
+  /** Expectation-pinned dec9 fingerprints: canary_dec9_spark COMPUTES
+    * the double→DECIMAL(18,9) cast in Spark and the oracle presents the
+    * recorded Spark-4.1.2 constant — a red means the DRIVER'S SPARK
+    * build rounds the cast differently than the build container.
+    * canary_dec9_duck is the mirror: Spark presents the recorded DuckDB
+    * constant, the oracle computes its own cast — a red names the
+    * driver's DUCKDB build. Green locally by construction (constants
+    * recorded 2026-08-16 in this container); at most these two keys may
+    * read red in a skewed driver env, and which one is, is the
+    * diagnosis.
+    */
+  def canaryDec9Spark(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark).select(col("id"),
+      expr("CAST(CAST(src AS DOUBLE) AS DECIMAL(18,9))").as("dec9_spark"))
+      .orderBy(col("id"))
+
+  val canaryDec9SparkSql: String =
+    canaryDeviceSql("CAST(spark9 AS DECIMAL(18,9)) AS dec9_spark")
+
+  def canaryDec9Duck(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark).select(col("id"),
+      expr("CAST(duck9 AS DECIMAL(18,9))").as("dec9_duck"))
+      .orderBy(col("id"))
+
+  val canaryDec9DuckSql: String = canaryDeviceSql(
+    "CAST(CAST(src AS DOUBLE) AS DECIMAL(18,9)) AS dec9_duck")
+
   val statsCastCanarySql: String = {
-    val rows = canaryGrid.map { case (i, s, sp, du) =>
-      s"($i, '$s', '$sp', '$du')" }.mkString(",\n    ")
+    val rows = canaryValuesSql
     s"""SELECT CAST(id AS BIGINT) AS id, src,
        |  CAST(src AS DOUBLE) AS as_double,
        |  CAST(spark9 AS DECIMAL(18,9)) AS dec9_spark,

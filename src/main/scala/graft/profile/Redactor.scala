@@ -109,7 +109,12 @@ object Redactor {
       val types = t.columns.map(c => c.name -> c.dataType).toMap
       val rows = t.sampleRows.map { r =>
         t.sampleHeader.zip(r).map { case (name, v) =>
-          maskCell(name, types.getOrElse(name, ""), v, mode)
+          // FAIL CLOSED on a header column with no recorded ColumnInfo
+          // (r13 ADVICE): a malformed/hand-edited artifact must not
+          // smuggle credential-named string cells past the mask because
+          // its columns list went stale — an unknown-typed cell is
+          // treated as maskable ("string"), never passed through.
+          maskCell(name, types.getOrElse(name, "string"), v, mode)
         }
       }
       t.copy(sampleRows = rows)

@@ -142,4 +142,24 @@ object CatalogSurvey {
       .toDF("function_name", "is_temporary")
     fns.orderBy(col("function_name"))
   }
+
+  /** One-row engine fingerprint (r13 VERDICT #6): every CORRECTNESS
+    * artifact self-describes the Spark-side engine build, so a
+    * build-skew dispute (r12's ten red rows, r13's canary) is a
+    * one-line read instead of a round of theories. Environment-specific
+    * BY PURPOSE: rows-only check (no oracle could hash-match a
+    * fingerprint); the oracle-side DuckDB build is named by which — if
+    * either — of canary_dec9_spark / canary_dec9_duck reads red.
+    */
+  def envFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val jvm = System.getProperty("java.version", "unknown")
+    val vendor = System.getProperty("java.vendor", "unknown")
+    val os = System.getProperty("os.name", "unknown") + " " +
+      System.getProperty("os.arch", "unknown")
+    spark.createDataFrame(Seq(
+      (spark.version, scala.util.Properties.versionNumberString, jvm,
+        vendor, os, spark.sessionState.conf.numShufflePartitions)))
+      .toDF("spark_version", "scala_version", "java_version",
+        "java_vendor", "os", "shuffle_partitions")
+  }
 }

@@ -15,7 +15,10 @@ class Round13Spec extends AnyFunSuite {
   // ------------------------------------------------------ cast canary
 
   test("stats_cast_canary: devices deterministic, rows 3/8 exhibit the engine split") {
-    val rows = SparkEntry.queries("stats_cast_canary")(spark, TestSession.sf)
+    // r14: the combined grid is test-only (the gate carries the six
+    // single-device projections); the device semantics asserted here
+    // are unchanged.
+    val rows = operators.Stats.statsCastCanary(spark, TestSession.sf)
       .collect().map(r => r.getAs[Long]("id") -> r).toMap
     assert(rows.size == 12)
     // the two recorded engine-disagreement exhibits: Spark's shortest-
