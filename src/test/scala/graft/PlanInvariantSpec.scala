@@ -134,6 +134,76 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(!wh.contains("event_type") && !wh.contains("props"), wh)
   }
 
+  // Fixed-domain grouping keys (domain size in parens) — a groupBy on a
+  // subset of these is bounded regardless of data volume:
+  private lazy val boundedDims = Set(
+    "decile",      // ntile(10) bucket id (10)
+    "p_brand",     // part brand domain (25)
+    "digit",       // benford leading digit (9)
+    "source",      // documents source mixture lanes (4)
+    "lang",        // documents language tags (bounded tag set)
+    "event_type",  // events type alphabet (5)
+    "bucket",      // fixed histogram/grid bucket ids
+    "week",        // bounded reporting horizon of the temporal ops
+    "day_num",     // calendar-day grain — horizon-bounded like week
+                   // (quality_cusum_drift's cumulative detectors)
+    "week_num",    // calendar-week grain — horizon-bounded
+                   // (quality_score_history's survey epochs)
+    "dow",         // day-of-week (7) — events_seasonality cells
+    "hod"          // hour-of-day (24)
+  ) ++
+    // the profiler's declared bounded-categorical registry (the entropy
+    // profile exists exactly because these have fixed small domains)
+    profile.Profiler.entropyCols.map(_._2)
+
+  // Calendar-grain names are only horizon-bounded if they really ARE
+  // calendar grains. r14 (two-round VERDICT nit): the allowance for
+  // these is keyed on the PRODUCING expression, not the column name —
+  // somewhere below the window an Alias of that name must derive from a
+  // timestamp/date attribute (the unix_micros(date_trunc(...)) DIV
+  // family). A data-sized LONG column smuggled in under the name
+  // `day_num` has no temporal producer and FAILS the sweep (negative
+  // test below).
+  private val grainDims = Set("week", "day_num", "week_num")
+
+  private def temporallyProduced(
+      w: org.apache.spark.sql.execution.SparkPlan, grain: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    w.exists(node => node.expressions.exists(_.exists {
+      case a: Alias if a.name == grain =>
+        a.child.exists {
+          case ar: AttributeReference =>
+            ar.dataType == TimestampType || ar.dataType == DateType
+          case _ => false
+        }
+      case _ => false
+    }))
+  }
+
+  /** The class-guard checker, factored out so the negative test below
+    * can run it against a deliberately-violating plan.
+    */
+  private def globalWindowViolations(
+      name: String,
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val violations = scala.collection.mutable.ListBuffer.empty[String]
+    p.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        val grouping = w.child.collectFirst {
+          case a: BaseAggregateExec => a.groupingExpressions.map(_.name).toSet
+        }
+        val allowed = grouping.exists(g =>
+          g.nonEmpty && g.subsetOf(boundedDims) &&
+            g.intersect(grainDims).forall(temporallyProduced(w, _)))
+        if (!allowed) violations += s"$name (grouping=$grouping)"
+      case _ => ()
+    }
+    violations.toSeq
+  }
+
   test("class guard: no empty-partitionBy WindowExec over non-aggregate-sized input") {
     // An empty-partitionBy window plans a SINGLE-partition WindowExec —
     // every input row sorted through one task. That is only tolerable when
@@ -141,45 +211,29 @@ class PlanInvariantSpec extends AnyFunSuite {
     // keys all have fixed, data-independent domains. This sweep is the
     // CLASS guard (VERDICT r5 next-steps #8): any future query that puts a
     // global window over a data-sized frame fails here, by construction.
-    import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    // Fixed-domain grouping keys (domain size in parens) — a groupBy on a
-    // subset of these is bounded regardless of data volume:
-    val boundedDims = Set(
-      "decile",      // ntile(10) bucket id (10)
-      "p_brand",     // part brand domain (25)
-      "digit",       // benford leading digit (9)
-      "source",      // documents source mixture lanes (4)
-      "lang",        // documents language tags (bounded tag set)
-      "event_type",  // events type alphabet (5)
-      "bucket",      // fixed histogram/grid bucket ids
-      "week",        // bounded reporting horizon of the temporal ops
-      "day_num",     // calendar-day grain — horizon-bounded like week
-                     // (quality_cusum_drift's cumulative detectors)
-      "week_num",    // calendar-week grain — horizon-bounded
-                     // (quality_score_history's survey epochs)
-      "dow",         // day-of-week (7) — events_seasonality cells
-      "hod"          // hour-of-day (24)
-    ) ++
-      // the profiler's declared bounded-categorical registry (the entropy
-      // profile exists exactly because these have fixed small domains)
-      profile.Profiler.entropyCols.map(_._2)
-    val violations = scala.collection.mutable.ListBuffer.empty[String]
-    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val p = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
-      p.foreach {
-        case w: WindowExec if w.partitionSpec.isEmpty =>
-          val grouping = w.child.collectFirst {
-            case a: BaseAggregateExec => a.groupingExpressions.map(_.name).toSet
-          }
-          if (!grouping.exists(g => g.nonEmpty && g.subsetOf(boundedDims)))
-            violations += s"$name (grouping=$grouping)"
-        case _ => ()
-      }
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) => globalWindowViolations(name,
+        SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan)
     }
     assert(violations.isEmpty,
       s"global (empty-partitionBy) WindowExec over non-bounded input — " +
         s"use GlobalRank instead:\n${violations.mkString("\n")}")
+  }
+
+  test("class guard rejects a data-sized column smuggled in as day_num") {
+    // The r12-r13 blind spot, pinned shut: a LONG id column renamed to
+    // a calendar-grain name rides a groupBy into a global window. The
+    // name matches boundedDims; the producing expression is NOT a
+    // temporal derivation — the guard must flag it.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Tables.events(spark, sf)
+      .select(col("event_id").as("day_num"))
+      .groupBy(col("day_num")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("day_num"))))
+    val v = globalWindowViolations("smuggled_day_num",
+      df.queryExecution.sparkPlan)
+    assert(v.nonEmpty, "a data-sized day_num must fail the class guard")
   }
 
   test("ks drift is pure conditional aggregation — no window, no sort-based ECDF") {
