@@ -44,6 +44,70 @@ object GlobalRank {
     spark.createDataFrame(ranked, schema).localCheckpoint()
   }
 
+  /** FUSED multi-ordering rank assignment (r13 VERDICT #2 — the
+    * q_rfm_segmentation isolate): chaining three `withGlobalRank` calls
+    * paid, PER PASS, a range-sampling job + zipWithIndex's count job +
+    * an eager localCheckpoint job (~9 scheduler round-trips), which is
+    * what a loaded driver box inflates 4.5× (min≈median — latency, not
+    * compute). This fusion keeps the identical rank semantics (same
+    * sampled range exchange + per-partition sort + contiguous offsets
+    * per ordering — ranks are a pure function of each total order) but:
+    *
+    *   - sizes the exchange from the caller's known row count: a frame
+    *     of n rows gets ceil(n / 64k) partitions capped at the session
+    *     parallelism — a 15k-row per-customer frame becomes ONE
+    *     single-task sort per ordering (and RangePartitioner skips its
+    *     sampling job entirely at 1 partition) instead of 32 near-empty
+    *     tasks × 3 passes; at cluster scale the cap restores full
+    *     parallelism, so the adaptation is strictly about not
+    *     over-partitioning small aggregates;
+    *   - persists each pass's sorted RDD so the count pass and the next
+    *     ordering's exchange read it instead of recomputing the chain,
+    *     and localCheckpoints ONCE at the end (one materialization job
+    *     instead of three).
+    *
+    * `specs` = (rankCol, ordering keys) pairs; each ordering must embed
+    * a unique tiebreak, as in withGlobalRank.
+    */
+  def withGlobalRanks(df: DataFrame, n: Long,
+      specs: Seq[(String, Seq[Column])]): DataFrame = {
+    val spark = df.sparkSession
+    val maxParts = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(maxParts.toLong,
+      (n + RowsPerRankPartition - 1) / RowsPerRankPartition)).toInt
+    var cur = df
+    val persisted = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[Row]]
+    for ((rankCol, keys) <- specs) {
+      val sorted = cur.repartitionByRange(parts, keys: _*)
+        .sortWithinPartitions(keys: _*)
+      val rdd = sorted.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += rdd
+      val counts = rdd.mapPartitionsWithIndex { case (pid, it) =>
+        var c = 0L; it.foreach(_ => c += 1); Iterator((pid, c))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val schema = StructType(sorted.schema :+
+        StructField(rankCol, LongType, nullable = false))
+      val ranked = rdd.mapPartitionsWithIndex { case (pid, it) =>
+        var r = offsets(pid)
+        it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+      }
+      cur = spark.createDataFrame(ranked, schema)
+    }
+    val out = cur.localCheckpoint()
+    persisted.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Target rows per partition for the size-aware rank exchange: exact
+    * ranking is cheap per row, so 64k rows is a light task — the point
+    * is the LOWER bound (1 partition for small aggregates), not an
+    * upper bound on parallelism (capped at the session setting).
+    */
+  private val RowsPerRankPartition = 65536L
+
   /** Adds an inclusive global PREFIX SUM of `valueCol` (must be LONG)
     * under the given total order — the scale-safe replacement for
     * `sum(x).over(Window.orderBy(...))`, which plans the same

@@ -99,12 +99,14 @@ object Relational2 {
         sum(col("o_totalprice").cast(DecimalType(14, 2))).as("monetary_d"))
       .localCheckpoint()
     val n = perCust.count()
-    val ranked = GlobalRank.withGlobalRank(
-      GlobalRank.withGlobalRank(
-        GlobalRank.withGlobalRank(perCust,
-          "r_rank", col("recency_days"), col("o_custkey")),
-        "f_rank", col("frequency").desc, col("o_custkey")),
-      "m_rank", col("monetary_d").desc, col("o_custkey"))
+    // r14: the three quintile rankings run through the FUSED device —
+    // one persisted sort chain, size-aware partitioning, one final
+    // checkpoint — instead of three eager zipWithIndex pipelines (the
+    // r13 driver-box 4.5× isolate was scheduler latency × job count)
+    val ranked = GlobalRank.withGlobalRanks(perCust, n, Seq(
+      ("r_rank", Seq(col("recency_days"), col("o_custkey"))),
+      ("f_rank", Seq(col("frequency").desc, col("o_custkey"))),
+      ("m_rank", Seq(col("monetary_d").desc, col("o_custkey")))))
     val scored = ranked
       .withColumn("r_score", GlobalRank.ntileFromRank(5, n, "r_rank"))
       .withColumn("f_score", GlobalRank.ntileFromRank(5, n, "f_rank"))
