@@ -90,6 +90,98 @@ class Round14Spec extends AnyFunSuite {
     assert(none == Seq("7", "hunter2"))
   }
 
+  // ------------------------------------------- seasonal decomposition
+
+  test("stats_seasonal_decomp equals a textbook classical decomposition") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("stats_seasonal_decomp")(spark, sf)
+      .collect().map(r => r.getAs[Long]("dow") -> r).toMap
+    assert(got.size == 7)
+    // driver-side recompute over the same gap-filled daily series
+    val counts = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("day").count().collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("count")).toMap
+    val d0 = counts.keys.min; val d1 = counts.keys.max
+    val x = (d0 to d1).map(d => d -> counts.getOrElse(d, 0L)).toMap
+    val det7 = (d0 + 3 to d1 - 3).map { d =>
+      d -> (7L * x(d) - (-3 to 3).map(j => x(d + j.toLong)).sum)
+    }.toMap
+    val fb = (d0 + 9) / 7; val lb = (d1 - 9) / 7
+    val w = lb - fb + 1
+    val inB = det7.filter { case (d, _) => d / 7 >= fb && d / 7 <= lb }
+    val sNum = inB.groupBy(_._1 % 7).view.mapValues(_.values.sum).toMap
+    val sAll = sNum.values.sum
+    val numStar = (0L to 6L).map(j => j -> (7L * sNum(j) - sAll)).toMap
+    (0L to 6L).foreach { j =>
+      val r = got(j)
+      assert(r.getAs[Long]("n_weeks") == w)
+      assert(r.getAs[Long]("seas_num") == numStar(j))
+      assert(r.getAs[Double]("seasonal") ==
+        numStar(j).toDouble / (49.0 * w))
+    }
+    // strength: variance ratio of remainder vs detrended on the shared
+    // 49W denominator (the ppb intdiv quantizes at 1e-9)
+    val ps = inB.toSeq.map { case (d, dt) => 7L * w * dt - numStar(d % 7) }
+    val qs = inB.toSeq.map { case (d, dt) => 7L * w * dt }
+    def ssq(v: Seq[Long]): Double = {
+      val n = v.length.toDouble
+      val bd = v.map(BigInt(_))
+      (BigInt(v.length) * bd.map(b => b * b).sum -
+        bd.sum * bd.sum).toDouble / (n * n)
+    }
+    val expect = math.max(0.0, 1.0 - ssq(ps) / ssq(qs))
+    val gotS = got(0L).getAs[Double]("seasonal_strength")
+    assert(math.abs(gotS - expect) < 1e-6, s"strength $gotS vs $expect")
+    assert(got(0L).getAs[Boolean]("strong_seasonality") == (gotS >= 0.64))
+    // centered indices sum to zero by construction
+    assert(numStar.values.sum == 0L)
+  }
+
+  test("stats_seasonal_decomp recovers a planted weekly rhythm; degrades clean") {
+    import org.apache.spark.sql.functions._
+    // 10 planted weeks: weekend lanes (epoch-dow 2 and 3) carry 5x the
+    // traffic — strength must read strong
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r14_seasonal").toString
+    val src = java.nio.file.Paths.get(TestSession.sf)
+    java.nio.file.Files.list(src).forEach { p =>
+      val n = p.getFileName.toString
+      if (n != "events.parquet")
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(dir, n))
+    }
+    val base = 10000L // epoch day
+    val days = (0 until 70).flatMap { i =>
+      val d = base + i
+      val n = if (d % 7 == 2 || d % 7 == 3) 50 else 10
+      Seq.fill(n)(d)
+    }
+    spark.createDataFrame(days.zipWithIndex.map { case (d, i) =>
+        (i.toLong, new java.sql.Timestamp(d * 86400000L + 3600000L))
+      }).toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("stats_seasonal_decomp")(spark, dir)
+      .collect().map(r => r.getAs[Long]("dow") -> r).toMap
+    assert(rows(2L).getAs[Long]("seas_num") > 0 &&
+      rows(4L).getAs[Long]("seas_num") < 0)
+    assert(rows(0L).getAs[Double]("seasonal_strength") > 0.9)
+    assert(rows(0L).getAs[Boolean]("strong_seasonality"))
+    // short series (10 days): no complete trend-covered week -> 0 rows
+    val shortDir = java.nio.file.Files
+      .createTempDirectory("graft_r14_seasonal_short").toString
+    java.nio.file.Files.list(src).forEach { p =>
+      val n = p.getFileName.toString
+      if (n != "events.parquet")
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(shortDir, n))
+    }
+    spark.createDataFrame((0 until 10).map(i =>
+        (i.toLong, new java.sql.Timestamp((base + i) * 86400000L))))
+      .toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$shortDir/events.parquet")
+    assert(SparkEntry.queries("stats_seasonal_decomp")(spark, shortDir)
+      .count() == 0L)
+  }
+
   // ------------------------------------------------- env fingerprint
 
   test("env_fingerprint is one self-describing row") {
