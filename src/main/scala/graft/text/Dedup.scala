@@ -85,7 +85,11 @@ object Dedup {
     * affect both engines identically, so parity is unconditional).
     */
   private[text] def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    // fanOut (r14, found by the sf1 shingle-family ladder): the ~w×
+    // gram explode + per-gram md5 below otherwise runs at the SCAN's
+    // parallelism — a few-large-files documents table pins it to 1-2
+    // cores regardless of session size (the r13 phash/simhash class)
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       // hoist the tokenization: split() inside the transform lambda would
       // re-parse the text per element (O(tokens²) per doc — measured 9 s
       // vs 2 s at sf0.1)
@@ -1222,7 +1226,13 @@ object Dedup {
   val dupGramN = 8
 
   def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    // fanOut + persist (r14, found by the sf1 shingle-family ladder):
+    // pre-fix this ran the ~w× gram explode + per-gram md5 at the
+    // scan's 1-2-core parallelism AND derived it TWICE (the
+    // doc-frequency branch and the per-doc join are both consumers) —
+    // >18 min at sf1 on one core; post-fix seconds-scale (the r13
+    // phash/simhash double-derivation class)
+    val base = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("source"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .select(col("doc_id"), col("source"),
@@ -1233,6 +1243,7 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(1, size(toks) - ${dupGramN - 1}), " +
           s"i -> md5(array_join(slice(toks, i, $dupGramN), ' '))))")).as("g"))
+      .persist()
     val byGram = pairs.groupBy(col("g")).agg(count(lit(1)).as("n_docs_g"))
     val perDoc = pairs.join(byGram, "g")
       .groupBy(col("doc_id"))
