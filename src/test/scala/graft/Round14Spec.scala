@@ -182,6 +182,90 @@ class Round14Spec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  // ------------------------------------------------------ ljung-box
+
+  test("stats_ljung_box equals a textbook BigInt recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("stats_ljung_box")(spark, sf)
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(got.size == 14)
+    val counts = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("day").count().collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("count")).toMap
+    val d0 = counts.keys.min; val d1 = counts.keys.max
+    val xs = (d0 to d1).map(d => BigInt(counts.getOrElse(d, 0L)))
+    val n = xs.length
+    val s = xs.sum
+    // den = Σ(n·x_t − S)² — an independent per-term path that equals
+    // the operator's n·(n·SS − S²) algebraically
+    val den = xs.map(x => (BigInt(n) * x - s).pow(2)).sum
+    val rho = (1 to 14).map { k =>
+      val num = (k until n).map(t =>
+        (BigInt(n) * xs(t) - s) * (BigInt(n) * xs(t - k) - s)).sum
+      k -> (if (den == 0 || n <= k) None
+            else Some(num.toDouble / den.toDouble))
+    }.toMap
+    val nd = n.toDouble
+    (1 to 14).foreach { k =>
+      val r = got(k)
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      assert(r.getAs[Double]("rho") == rho(k).get, s"rho at lag $k")
+      // Q_k replayed in the operator's pinned left-associated order
+      val q = nd * (nd + 2.0) * (1 to k)
+        .map(j => rho(j).get * rho(j).get / (nd - j.toDouble))
+        .foldLeft(0.0)(_ + _)
+      assert(r.getAs[Double]("q_stat") == q, s"Q at lag $k")
+      assert(r.getAs[Boolean]("reject_whiteness") ==
+        (q > r.getAs[Double]("crit_95")))
+    }
+    assert(SparkEntry.oracleSql.contains("stats_ljung_box"))
+  }
+
+  test("stats_ljung_box flags a planted weekly rhythm; degrades clean") {
+    import org.apache.spark.sql.functions._
+    def fixture(dayCounts: Seq[(Long, Int)]): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_r14_ljung").toString
+      val src = java.nio.file.Paths.get(TestSession.sf)
+      java.nio.file.Files.list(src).forEach { p =>
+        val nme = p.getFileName.toString
+        if (nme != "events.parquet")
+          java.nio.file.Files.copy(p, java.nio.file.Paths.get(dir, nme))
+      }
+      val rows = dayCounts.flatMap { case (d, c) => Seq.fill(c)(d) }
+      spark.createDataFrame(rows.zipWithIndex.map { case (d, i) =>
+          (i.toLong, new java.sql.Timestamp(d * 86400000L + 3600000L))
+        }).toDF("event_id", "ts")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // 70 days, weekend lanes 5x: the lag-7 autocorrelation dominates
+    // and the joint test must reject whiteness from lag 7 on
+    val rhythm = fixture((0 until 70).map { i =>
+      val d = 10000L + i
+      d -> (if (d % 7 == 2 || d % 7 == 3) 50 else 10)
+    })
+    val rr = SparkEntry.queries("stats_ljung_box")(spark, rhythm)
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(rr(7).getAs[Double]("rho") > 0.5)
+    assert(rr(7).getAs[Boolean]("reject_whiteness"))
+    assert(rr(14).getAs[Boolean]("reject_whiteness"))
+    // constant series: den = 0 -> every verdict NULL, never overstated
+    val const = fixture((0 until 30).map(i => (10000L + i) -> 5))
+    val cr = SparkEntry.queries("stats_ljung_box")(spark, const).collect()
+    assert(cr.length == 14)
+    cr.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("rho")))
+      assert(r.isNullAt(r.fieldIndex("q_stat")))
+      assert(r.isNullAt(r.fieldIndex("reject_whiteness")))
+    }
+    // single-day series: below the n >= 2 floor -> 0 rows
+    val single = fixture(Seq(10000L -> 3))
+    assert(SparkEntry.queries("stats_ljung_box")(spark, single)
+      .count() == 0L)
+  }
+
   // ------------------------------------------------- env fingerprint
 
   test("env_fingerprint is one self-describing row") {
