@@ -38,6 +38,24 @@ object Bench {
       (l.sum, l(3) + (if (l.length > 4) l(4) else 0L))
     } catch { case _: Throwable => (-1L, -1L) }
 
+  /** Summed io_ticks (ms spent with I/O in flight) across whole-disk
+    * devices from /proc/diskstats — the DISK sibling of busy_frac
+    * (r14): co-tenant disk saturation inflates shuffle/localCheckpoint
+    * -heavy queries while CPU busy_frac stays low, because iowait
+    * counts as idle there. The delta over a wall interval, divided by
+    * the interval, is the disk-busy fraction (can exceed 1.0 with
+    * multiple devices); recorded per query AND for the whole run so a
+    * heavy-tailed suite median is attributable in-band.
+    */
+  private val DiskName = "^(vd[a-z]+|sd[a-z]+|nvme\\d+n\\d+|xvd[a-z]+)$".r
+  private def diskTicks(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/diskstats")
+      try f.getLines().map(_.trim.split("\\s+")).collect {
+        case t if t.length > 12 && DiskName.matches(t(2)) => t(12).toLong
+      }.sum finally f.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -65,6 +83,10 @@ object Bench {
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val loadStart = loadavg1()
     val (statT0, statI0) = procStat()
+    val diskT0 = diskTicks()
+    val wallT0 = System.nanoTime()
+    var qDiskPrev = diskT0
+    var qWallPrev = wallT0
     val results = ordered.map { case (name, fn) =>
       // cache-clean boundary BETWEEN queries: ops that persist() reused
       // frames (LSH signatures, band indexes, IVF lists) keep them alive
@@ -112,10 +134,18 @@ object Bench {
       val first = if (times.head >= 0) times.head else -1.0
       // intermittent failures must stay visible even when the median is
       // healthy — queries_fails carries the per-query failed-run count;
-      // queries_load the 1-min loadavg observed as the query finished
-      (name, median, min, (times.size - ok.size).toDouble, first, loadavg1())
+      // queries_load the 1-min loadavg observed as the query finished;
+      // queries_disk the box-wide disk-busy fraction over this query's
+      // runs (includes co-tenants — the iowait blind spot of busy_frac)
+      val qDiskNow = diskTicks(); val qWallNow = System.nanoTime()
+      val qDisk =
+        if (qDiskNow < 0 || qWallNow <= qWallPrev) -1.0
+        else (qDiskNow - qDiskPrev).toDouble / ((qWallNow - qWallPrev) / 1e6)
+      qDiskPrev = qDiskNow; qWallPrev = qWallNow
+      (name, median, min, (times.size - ok.size).toDouble, first, loadavg1(),
+        qDisk)
     }
-    def fmt(f: ((String, Double, Double, Double, Double, Double)) => Double): String =
+    def fmt(f: ((String, Double, Double, Double, Double, Double, Double)) => Double): String =
       results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     // failures stay visible as -1 per query but must not reduce the total
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -130,9 +160,13 @@ object Bench {
       if (statT0 < 0 || statT1 <= statT0) -1.0
       else 1.0 - (statI1 - statI0).toDouble / (statT1 - statT0)
     val ncpu = Runtime.getRuntime.availableProcessors
-    val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"busy_frac":$busyFrac,"ncpu":$ncpu}"""
+    val diskT1 = diskTicks()
+    val diskBusyFrac =
+      if (diskT0 < 0 || diskT1 < diskT0) -1.0
+      else (diskT1 - diskT0).toDouble / ((System.nanoTime() - wallT0) / 1e6)
+    val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"busy_frac":$busyFrac,"disk_busy_frac":$diskBusyFrac,"ncpu":$ncpu}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_first":$totalFirst,"queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"queries_first":${fmt(_._5)},"queries_fails":${fmt(_._4)},"queries_load":${fmt(_._6)},"load":$loadJson,"runs":$nRuns,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_first":$totalFirst,"queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"queries_first":${fmt(_._5)},"queries_fails":${fmt(_._4)},"queries_load":${fmt(_._6)},"queries_disk":${fmt(_._7)},"load":$loadJson,"runs":$nRuns,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json"), detail)
     // The stdout contract line must survive that 2000-char tail TOGETHER

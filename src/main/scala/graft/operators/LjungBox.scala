@@ -54,8 +54,10 @@ import graft.Tables
   *
   * Scale shape: ONE data-sized day-keyed aggregate (the counts
   * group-by); everything downstream runs on the horizon-bounded daily
-  * grid — m self-joins of the days-sized frame + 1-row broadcasts (the
-  * events_autocorr scale argument verbatim, ×14 bounded lags).
+  * grid — all 14 lags computed in ONE shifted-union + one day-keyed
+  * join + one grouped aggregate (the seasonal_decomp shape, not 14
+  * sequential self-join jobs), then a 1-row pivot and one inline
+  * explode for the 14 output rows.
   */
 object LjungBox {
 
@@ -110,14 +112,18 @@ object LjungBox {
       count(lit(1)).cast(dec).as("n"),
       sum(col("x").cast(dec)).cast(dec).as("s"),
       sum(col("x").cast(dec) * col("x").cast(dec)).cast(dec).as("ss"))
-    val lagstats = (1 to maxLag).map { k =>
-      val a = filled.select(col("day"), col("x"))
-      val b = filled.select((col("day") - k).as("day"), col("x").as("y"))
-      a.join(b, "day").agg(
+    // ALL 14 lags in ONE shifted-union + one day-keyed join + one
+    // grouped aggregate (the seasonal_decomp shape) — not 14 sequential
+    // self-join jobs, which would be pure scheduler latency on a
+    // bounded grid (the q_rfm lesson)
+    val lagged = (1 to maxLag).map(k =>
+        filled.select((col("day") - k).as("day"), col("x").as("y"),
+          lit(k).as("lag")))
+      .reduce(_ unionByName _)
+    val lagstats = filled.join(lagged, "day")
+      .groupBy(col("lag")).agg(
         sum(col("x").cast(dec) * col("y").cast(dec)).cast(dec).as("c"),
         sum((col("x") + col("y")).cast(dec)).cast(dec).as("ab"))
-        .select(lit(k).as("lag"), col("c"), col("ab"))
-    }.reduce(_ unionByName _)
     val pivotCols = (1 to maxLag).flatMap(k => Seq(
       expr(s"max(CASE WHEN lag = $k THEN c END)").as(s"c$k"),
       expr(s"max(CASE WHEN lag = $k THEN ab END)").as(s"ab$k")))
@@ -125,16 +131,23 @@ object LjungBox {
       .crossJoin(broadcast(base))
     val withRho = (1 to maxLag).foldLeft(piv) { (df, k) =>
       df.withColumn(s"r$k", expr(rhoSql(k, sparkWide)))
-    }.localCheckpoint() // 1 row; read by all 14 output selects
-    val rows = (1 to maxLag).map { k =>
-      withRho.select(
-        lit(k).as("lag"),
-        expr("CAST(n AS BIGINT)").as("n_days"),
-        col(s"r$k").as("rho"),
-        expr(s"CASE WHEN r$k IS NOT NULL THEN ${qSql(k)} END").as("q_stat"),
-        lit(chi2Crit95(k - 1)).as("crit_95"))
-    }.reduce(_ unionByName _)
-    rows.filter(col("n_days") >= 2)
+    }
+    // 14 output rows off the 1-row frame via ONE inline explode — a
+    // 14-branch union of 1-row selects would again be 14 scheduler
+    // round-trips for no work
+    val structs = (1 to maxLag).map { k =>
+      s"""struct(CAST($k AS INT) AS lag, r$k AS rho,
+         |  CASE WHEN r$k IS NOT NULL THEN ${qSql(k)} END AS q_stat,
+         |  CAST(${chi2Crit95(k - 1)} AS DOUBLE) AS crit_95)"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    withRho
+      .select(expr("CAST(n AS BIGINT)").as("n_days"),
+        expr(s"explode(array($structs))").as("o"))
+      .select(col("o.lag").as("lag"), col("n_days"),
+        col("o.rho").as("rho"), col("o.q_stat").as("q_stat"),
+        col("o.crit_95").as("crit_95"))
+      .filter(col("n_days") >= 2)
       .withColumn("reject_whiteness",
         expr("CASE WHEN q_stat IS NOT NULL THEN q_stat > crit_95 END"))
       .orderBy(col("lag"))
