@@ -25,18 +25,24 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** (total, idle) jiffies from /proc/stat line 1 — idle+iowait counts
-    * as idle; the delta pair over the run yields the box-wide busy
+  /** (total, idle, steal) jiffies from /proc/stat line 1 — idle+iowait
+    * counts as idle; the delta over the run yields the box-wide busy
     * fraction INCLUDING co-tenants (our own local[32] work explains at
-    * most 32/ncpu of it).
+    * most 32/ncpu of it). steal (field 8) is the FOURTH evidence
+    * channel (r14, and the one that finally explained the heavy
+    * tails): hypervisor CPU steal stalls our threads while loadavg,
+    * busy_frac, disk and GC all read quiet — measured 9.3% over an
+    * idle-load window on this round's box, in bursts, which is exactly
+    * the disjoint-random-query inflation three full suite runs showed.
     */
-  private def procStat(): (Long, Long) =
+  private def procStat(): (Long, Long, Long) =
     try {
       val f = scala.io.Source.fromFile("/proc/stat")
       val l = try f.getLines().next().trim.split("\\s+").drop(1)
         .map(_.toLong) finally f.close()
-      (l.sum, l(3) + (if (l.length > 4) l(4) else 0L))
-    } catch { case _: Throwable => (-1L, -1L) }
+      (l.sum, l(3) + (if (l.length > 4) l(4) else 0L),
+        if (l.length > 7) l(7) else 0L)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   /** Summed io_ticks (ms spent with I/O in flight) across whole-disk
     * devices from /proc/diskstats — the DISK sibling of busy_frac
@@ -47,6 +53,18 @@ object Bench {
     * multiple devices); recorded per query AND for the whole run so a
     * heavy-tailed suite median is attributable in-band.
     */
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * the THIRD box-evidence channel (r14): a query inflated in suite
+    * context while loadavg, CPU busy and disk busy all read LOW fits a
+    * long GC pause (blocked threads are not runnable, so nothing else
+    * moves either counter). The per-query delta attributes it in-band.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   private val DiskName = "^(vd[a-z]+|sd[a-z]+|nvme\\d+n\\d+|xvd[a-z]+)$".r
   private def diskTicks(): Long =
     try {
@@ -82,11 +100,14 @@ object Bench {
     // are attributable, "queries_min" the best observed run
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val loadStart = loadavg1()
-    val (statT0, statI0) = procStat()
+    val (statT0, statI0, statS0) = procStat()
     val diskT0 = diskTicks()
+    val gcT0 = gcMillis()
     val wallT0 = System.nanoTime()
     var qDiskPrev = diskT0
+    var qGcPrev = gcT0
     var qWallPrev = wallT0
+    var qStatPrev = (statT0, statS0)
     val results = ordered.map { case (name, fn) =>
       // cache-clean boundary BETWEEN queries: ops that persist() reused
       // frames (LSH signatures, band indexes, IVF lists) keep them alive
@@ -141,11 +162,22 @@ object Bench {
       val qDisk =
         if (qDiskNow < 0 || qWallNow <= qWallPrev) -1.0
         else (qDiskNow - qDiskPrev).toDouble / ((qWallNow - qWallPrev) / 1e6)
-      qDiskPrev = qDiskNow; qWallPrev = qWallNow
+      // queries_gc: stop-the-world GC seconds spent during this
+      // query's runs — pauses inflate wall time while load/CPU/disk
+      // all read idle
+      val qGcNow = gcMillis()
+      val qGc = (qGcNow - qGcPrev) / 1e3
+      // queries_steal: hypervisor steal fraction over this query's runs
+      val (qsT, _, qsS) = procStat()
+      val qSteal =
+        if (qsT < 0 || qsT <= qStatPrev._1) -1.0
+        else (qsS - qStatPrev._2).toDouble / (qsT - qStatPrev._1)
+      qDiskPrev = qDiskNow; qGcPrev = qGcNow; qWallPrev = qWallNow
+      qStatPrev = (qsT, qsS)
       (name, median, min, (times.size - ok.size).toDouble, first, loadavg1(),
-        qDisk)
+        qDisk, qGc, qSteal)
     }
-    def fmt(f: ((String, Double, Double, Double, Double, Double, Double)) => Double): String =
+    def fmt(f: ((String, Double, Double, Double, Double, Double, Double, Double, Double)) => Double): String =
       results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     // failures stay visible as -1 per query but must not reduce the total
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -155,18 +187,22 @@ object Bench {
     // smaller than 4 maps x 100+ queries, which is exactly why BENCH_r04/
     // r05 recorded "parsed": null.
     val loadEnd = loadavg1()
-    val (statT1, statI1) = procStat()
+    val (statT1, statI1, statS1) = procStat()
     val busyFrac =
       if (statT0 < 0 || statT1 <= statT0) -1.0
       else 1.0 - (statI1 - statI0).toDouble / (statT1 - statT0)
+    val stealFrac =
+      if (statT0 < 0 || statT1 <= statT0) -1.0
+      else (statS1 - statS0).toDouble / (statT1 - statT0)
     val ncpu = Runtime.getRuntime.availableProcessors
     val diskT1 = diskTicks()
     val diskBusyFrac =
       if (diskT0 < 0 || diskT1 < diskT0) -1.0
       else (diskT1 - diskT0).toDouble / ((System.nanoTime() - wallT0) / 1e6)
-    val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"busy_frac":$busyFrac,"disk_busy_frac":$diskBusyFrac,"ncpu":$ncpu}"""
+    val gcTotalSec = (gcMillis() - gcT0) / 1e3
+    val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"busy_frac":$busyFrac,"steal_frac":$stealFrac,"disk_busy_frac":$diskBusyFrac,"gc_sec":$gcTotalSec,"ncpu":$ncpu}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_first":$totalFirst,"queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"queries_first":${fmt(_._5)},"queries_fails":${fmt(_._4)},"queries_load":${fmt(_._6)},"queries_disk":${fmt(_._7)},"load":$loadJson,"runs":$nRuns,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_first":$totalFirst,"queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"queries_first":${fmt(_._5)},"queries_fails":${fmt(_._4)},"queries_load":${fmt(_._6)},"queries_disk":${fmt(_._7)},"queries_gc":${fmt(_._8)},"queries_steal":${fmt(_._9)},"load":$loadJson,"runs":$nRuns,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json"), detail)
     // The stdout contract line must survive that 2000-char tail TOGETHER
