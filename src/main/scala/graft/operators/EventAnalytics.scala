@@ -111,18 +111,26 @@ object EventAnalytics {
       .groupBy(col("user_id")).agg(min(col("t_us")).as("t_signup"))
       .localCheckpoint() // user-keyed; reused by every edge below
     val nUsers = signup.count()
-    val rows = convLagEdges.map { dst =>
+    // r14 optimization round (guide §2.6): the three edges are
+    // independent job chains over the shared checkpointed signup frame —
+    // overlap them from driver futures (Future.sequence keeps edge order)
+    val rows = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(convLagEdges.map { dst => Future {
       val lagF = ev.filter(col("event_type") === dst)
         .join(signup, "user_id")
         .filter(col("t_us") >= col("t_signup"))
         .groupBy(col("user_id"), col("t_signup"))
         .agg(min(col("t_us")).as("t_dst"))
         .select(col("user_id"), (col("t_dst") - col("t_signup")).as("d"))
-      val ranked = GlobalRank.withGlobalRank(lagF, "rk",
-        col("d"), col("user_id"))
-      val agg = ranked.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
-        .collect().head
-      val n = agg.getLong(0)
+      // r14 optimization round: targeted order statistics — the count,
+      // the lag sum AND the three percentile rows come out of ONE sorted
+      // pass (GlobalRank.orderStats) instead of rank+checkpoint+agg+filter
+      val (n, sd, at) = GlobalRank.orderStats(lagF,
+        Seq(col("d"), col("user_id")), Some("d"),
+        nn => convLagPcts.map(p => math.max(1L, (p * nn + 99) / 100)))
       if (n == 0L)
         // a dead edge (zero conversions) is a MEASURED 0-ppm conversion
         // share, not an unknown: conv_ppm is NULL only when the signup
@@ -135,17 +143,16 @@ object EventAnalytics {
           Option.empty[Long],
           Option.empty[Long], Option.empty[Long], Option.empty[Long])
       else {
-        val sd = agg.getLong(1)
         val targets = convLagPcts.map(p => p -> math.max(1L, (p * n + 99) / 100))
-        val atRank = ranked
-          .filter(col("rk").isin(targets.map(_._2).distinct: _*))
-          .select(col("rk"), col("d")).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dIdx = lagF.schema.fieldIndex("d")
+        val atRank: Map[Long, Long] =
+          at.map { case (r, row) => r -> row.getLong(dIdx) }
         (dst, nUsers, n,
           if (nUsers == 0L) None else Some(n * 1000000L / nUsers),
           Some(sd / n), Some(atRank(targets(0)._2)),
           Some(atRank(targets(1)._2)), Some(atRank(targets(2)._2)))
       }
+      } }), Duration.Inf)
     }
     rows.toDF("edge", "n_users", "n_converted", "conv_ppm", "mean_us",
       "p50_us", "p90_us", "p99_us")
@@ -442,8 +449,11 @@ object EventAnalytics {
     import spark.implicits._
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    // (r14 optimization round: withGlobalRank already returns a
+    // localCheckpointed frame — the second checkpoint was a pure extra
+    // materialization job over identical rows)
     val ranked = GlobalRank.withGlobalRank(
-      perUser, "rk", col("c"), col("user_id")).localCheckpoint()
+      perUser, "rk", col("c"), col("user_id"))
     val agg = ranked.agg(count(lit(1)).as("n"),
       sum(col("c").cast(DecimalType(38, 0))).as("s"),
       sum((col("rk").cast(DecimalType(19, 0)) *
@@ -1147,11 +1157,11 @@ object EventAnalytics {
     val sessions = Relational.qSessionize(spark, dir)
       .select((col("end_us") - col("start_us")).as("d"),
         col("user_id"), col("session_id"))
-    val ranked = GlobalRank.withGlobalRank(sessions, "rk",
-      col("d"), col("user_id"), col("session_id"))
-    val agg = ranked.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
-      .collect().head
-    val n = agg.getLong(0)
+    // r14 optimization round: count + duration sum + six percentile rows
+    // from ONE sorted pass (GlobalRank.orderStats) — no ranked frame
+    val (n, sd, at) = GlobalRank.orderStats(sessions,
+      Seq(col("d"), col("user_id"), col("session_id")), Some("d"),
+      nn => sessionPcts.map(p => math.max(1L, (p * nn + 99) / 100)))
     // Degrade-don't-throw (the eventsAttribution discipline): a log
     // with zero sessions short-circuits to an empty, correctly-typed
     // frame before the sd/n division, the null-sum getLong, and the
@@ -1161,12 +1171,10 @@ object EventAnalytics {
         .toDF("n_sessions", "mean_us", "p10_us", "p25_us", "p50_us",
           "p75_us", "p90_us", "p99_us")
     }
-    val sd = agg.getLong(1)
     val targets = sessionPcts.map(p => p -> math.max(1L, (p * n + 99) / 100))
-    val atRank = ranked
-      .filter(col("rk").isin(targets.map(_._2).distinct: _*))
-      .select(col("rk"), col("d")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dIdx = sessions.schema.fieldIndex("d")
+    val atRank: Map[Long, Long] =
+      at.map { case (r, row) => r -> row.getLong(dIdx) }
     Seq((n, sd / n, atRank(targets(0)._2), atRank(targets(1)._2),
       atRank(targets(2)._2), atRank(targets(3)._2), atRank(targets(4)._2),
       atRank(targets(5)._2)))

@@ -32,16 +32,61 @@ object GlobalRank {
 
   /** Adds a 1-based contiguous global rank column under the given total
     * order. `keys` must include a unique tiebreak (e.g. the entity key).
+    *
+    * r14 optimization round (guide §2.4 "remove shuffles outright" +
+    * §5 caching): the r13-shape call paid, per invocation, a
+    * RangePartitioner SAMPLING job that re-evaluated the caller's whole
+    * upstream plan (often a full scan + aggregate), then zipWithIndex's
+    * count job, then the eager localCheckpoint — the upstream lineage
+    * ran 2-3×. Now the input is persisted and counted ONCE (one upstream
+    * evaluation; the count doubles as the size probe), the exchange is
+    * sized from that count exactly like [[withGlobalRanks]] (ceil(n/64k)
+    * capped at session parallelism — a small aggregate frame sorts as
+    * ONE task and RangePartitioner SKIPS its sampling job entirely at 1
+    * partition, and zipWithIndex skips its count job at ≤1 partition;
+    * at cluster scale the cap restores full parallelism), and the input
+    * is unpersisted once the checkpoint is materialized. Ranks are a
+    * pure function of the total order, so partition sizing cannot change
+    * the result (the q_rfm fusion precedent, oracle-proven).
     */
-  def withGlobalRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
+  def withGlobalRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame =
+    rankImpl(df, rankCol, None, keys)
+
+  /** Known-count variant: callers that have already materialized and
+    * counted the input (localCheckpoint + count for an ntile bound)
+    * pass n and skip the persist + count probe entirely.
+    */
+  def withGlobalRank(df: DataFrame, rankCol: String, n: Long,
+      keys: Column*): DataFrame =
+    rankImpl(df, rankCol, Some(n), keys)
+
+  private def rankImpl(df: DataFrame, rankCol: String, nKnown: Option[Long],
+      keys: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
+    val weCache = nKnown.isEmpty &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val input = if (weCache)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    val n = nKnown.getOrElse(input.count())
+    val parts = partsFor(spark, n)
+    val sorted = input.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
     val schema = StructType(sorted.schema :+ StructField(rankCol, LongType, nullable = false))
     val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
-    spark.createDataFrame(ranked, schema).localCheckpoint()
+    val out = spark.createDataFrame(ranked, schema).localCheckpoint()
+    if (weCache) input.unpersist(blocking = false)
+    out
+  }
+
+  /** Size-aware rank-exchange partition count (shared by every rank /
+    * cumsum entry point): ceil(n / 64k) in [1, session parallelism].
+    */
+  private def partsFor(spark: org.apache.spark.sql.SparkSession, n: Long): Int = {
+    val maxParts = spark.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(maxParts.toLong,
+      (n + RowsPerRankPartition - 1) / RowsPerRankPartition)).toInt
   }
 
   /** FUSED multi-ordering rank assignment (r13 VERDICT #2 — the
@@ -126,24 +171,124 @@ object GlobalRank {
     * vector.
     */
   def withGlobalCumsum(df: DataFrame, valueCol: String, cumCol: String,
-      keys: Column*): DataFrame = {
+      keys: Column*): DataFrame =
+    cumsumImpl(df, valueCol, cumCol, None, keys)
+
+  /** Known-count variant (see withGlobalRank's): skips persist + count. */
+  def withGlobalCumsum(df: DataFrame, valueCol: String, cumCol: String,
+      n: Long, keys: Column*): DataFrame =
+    cumsumImpl(df, valueCol, cumCol, Some(n), keys)
+
+  private def cumsumImpl(df: DataFrame, valueCol: String, cumCol: String,
+      nKnown: Option[Long], keys: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
+    // r14 optimization round: same persist + size-aware exchange as
+    // withGlobalRank (see its scaladoc) — one upstream evaluation, no
+    // sampling job at 1 partition, and the per-partition offset job is
+    // skipped outright when there is only one partition (offset 0).
+    val weCache = nKnown.isEmpty &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val input = if (weCache)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    val n = nKnown.getOrElse(input.count())
+    val parts = partsFor(spark, n)
+    val sorted = input.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
-    val partSums = rdd.mapPartitionsWithIndex { case (pid, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(vIdx))
-      Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = Σ earlier partitions
+    val offsets: Array[Long] =
+      if (parts <= 1) Array(0L)
+      else {
+        val partSums = rdd.mapPartitionsWithIndex { case (pid, it) =>
+          var s = 0L
+          it.foreach(r => s += r.getLong(vIdx))
+          Iterator((pid, s))
+        }.collect().sortBy(_._1).map(_._2)
+        partSums.scanLeft(0L)(_ + _) // offsets(pid) = Σ earlier partitions
+      }
     val schema = StructType(sorted.schema :+ StructField(cumCol, LongType, nullable = false))
     val summed = rdd.mapPartitionsWithIndex { case (pid, it) =>
       var run = offsets(pid)
       it.map { r => run += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ run) }
     }
-    spark.createDataFrame(summed, schema).localCheckpoint()
+    val out = spark.createDataFrame(summed, schema).localCheckpoint()
+    if (weCache) input.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact order statistics WITHOUT materializing a ranked frame
+    * (r14 optimization round). The rank-then-filter consumers
+    * (profile_shape_robust, profile_histogram, events_session_stats,
+    * events_conversion_lag) only ever read the rows at a handful of
+    * target ranks, yet the withGlobalRank path localCheckpointed the
+    * ENTIRE ranked frame (a Row conversion + storage write per input
+    * row) just to filter ~7-18 rows back out of it. This primitive
+    * sorts once (the same size-aware range exchange), folds ONE
+    * per-partition (count, sum) pass — bounded driver state, one pair
+    * per partition — and then collects ONLY the rows at the requested
+    * 1-based global ranks with a job over just the partitions that hold
+    * a target. Values at a rank are a pure function of the total order,
+    * exactly as for withGlobalRank, so results are unchanged.
+    *
+    * Returns (n, sum of `sumCol` over all rows (0 when None), rank →
+    * row). `ranksFor(n)` produces the wanted ranks once n is known;
+    * out-of-range ranks are ignored; n == 0 short-circuits to an empty
+    * map with no sort at all.
+    */
+  def orderStats(df: DataFrame, keys: Seq[Column], sumCol: Option[String],
+      ranksFor: Long => Seq[Long]): (Long, Long, Map[Long, Row]) = {
+    val spark = df.sparkSession
+    val weCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val input = if (weCache)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    val n = input.count()
+    if (n == 0L) {
+      if (weCache) input.unpersist(blocking = false)
+      return (0L, 0L, Map.empty)
+    }
+    val parts = partsFor(spark, n)
+    val sorted = input.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
+    val sIdx: Option[Int] = sumCol.map(sorted.schema.fieldIndex)
+    val rdd = sorted.rdd
+    // both passes (count+sum, targeted collect) read the sorted rows —
+    // persist so the within-partition sort runs once, not per job
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var c = 0L; var s = 0L
+      it.foreach { r => c += 1L; sIdx.foreach(i => s += r.getLong(i)) }
+      Iterator((pid, c, s))
+    }.collect().sortBy(_._1)
+    val offsets = stats.map(_._2).scanLeft(0L)(_ + _)
+    val total = stats.map(_._3).sum
+    val wanted = ranksFor(n).distinct.filter(r => r >= 1L && r <= n).sorted
+    // rank r lives in partition p with offsets(p) < r <= offsets(p+1)
+    val byPid: Map[Int, Seq[Long]] = wanted
+      .map { r =>
+        val p = offsets.lastIndexWhere(_ < r) // offsets(0)=0 ⇒ p ≥ 0
+        (p, r - offsets(p)) // 1-based local index
+      }
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).sorted }
+    val offsetsB = offsets
+    val results =
+      if (byPid.isEmpty) Array.empty[Array[(Long, Row)]]
+      else spark.sparkContext.runJob(
+        rdd,
+        (ctx: org.apache.spark.TaskContext, it: Iterator[Row]) => {
+          val pid = ctx.partitionId()
+          val locals = byPid(pid)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+          var i = 0L; var k = 0
+          while (it.hasNext && k < locals.length) {
+            val row = it.next(); i += 1L
+            if (i == locals(k)) { out += ((offsetsB(pid) + i, row)); k += 1 }
+          }
+          out.toArray
+        },
+        byPid.keys.toSeq.sorted)
+    rdd.unpersist(blocking = false)
+    if (weCache) input.unpersist(blocking = false)
+    (n, total, results.flatten.toMap)
   }
 
   /** SQL-standard NTILE(k) as a closed-form expression over a contiguous

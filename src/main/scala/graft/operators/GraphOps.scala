@@ -225,6 +225,12 @@ object GraphOps {
   val overlapMinCommon = 5L
 
   def supplierOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // r14 optimization round, measured and left alone: checkpointing cs/
+    // kept here was TRIED and reverted — the 8 plan copies of the
+    // orders⋈lineitem distinct subtree are already collapsed by runtime
+    // exchange reuse, and the dominant shuffle (~65 MB) is the pair
+    // self-join's own output, which no lineage truncation removes; the
+    // two added checkpoint jobs made the isolate ~0.7 s SLOWER.
     val cs = tradePairs(spark, dir) // distinct (c, s)
     val keptCust = cs.groupBy(col("c")).agg(count(lit(1)).as("c_deg"))
       .filter(col("c_deg") <= overlapDegCap)

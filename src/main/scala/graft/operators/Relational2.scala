@@ -158,7 +158,7 @@ object Relational2 {
       .localCheckpoint()
     val n = perCust.count()
     val deciled = GlobalRank
-      .withGlobalRank(perCust, "c_rank", col("spend_d"), col("o_custkey"))
+      .withGlobalRank(perCust, "c_rank", n, col("spend_d"), col("o_custkey"))
       .withColumn("decile", GlobalRank.ntileFromRank(10, n, "c_rank"))
     deciled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),

@@ -292,7 +292,9 @@ object Relational5 {
       .agg(sum(revenue).as("rev_d"))
       .select(col("l_partkey"),
         expr("CAST(rev_d * 10000 AS BIGINT)").as("rev_u"))
-      .localCheckpoint()
+    // r14 optimization round: the pre-cumsum localCheckpoint is gone —
+    // withGlobalCumsum now persists + counts its input itself (one
+    // materialization instead of checkpoint-then-sample-then-shuffle)
     val cum = GlobalRank.withGlobalCumsum(perPart, "rev_u", "cum_u",
       col("rev_u").desc, col("l_partkey"))
     val total = cum.agg(max(col("cum_u")).as("total_u"))

@@ -268,12 +268,21 @@ object Relational6 {
         .localCheckpoint()
       val n = perCust.count()
       GlobalRank
-        .withGlobalRank(perCust, "c_rank", col("spend_d").desc, col("o_custkey"))
+        .withGlobalRank(perCust, "c_rank", n, col("spend_d").desc, col("o_custkey"))
         .withColumn("decile", GlobalRank.ntileFromRank(10, n, "c_rank"))
         .select(col("o_custkey"), col("decile"))
     }
-    val from = eraDeciles(before = true).withColumnRenamed("decile", "dec_from")
-    val to = eraDeciles(before = false).withColumnRenamed("decile", "dec_to")
+    // r14 optimization round (guide §2.6): the two eras' checkpoint +
+    // count + rank chains are independent — overlap them from futures
+    val Seq(from, to) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(eraDeciles(before = true).withColumnRenamed("decile", "dec_from")),
+        Future(eraDeciles(before = false).withColumnRenamed("decile", "dec_to")))),
+        Duration.Inf)
+    }
     val moves = from.join(to, "o_custkey")
       .groupBy(col("dec_from"), col("dec_to"))
       .agg(count(lit(1)).as("n_customers"))

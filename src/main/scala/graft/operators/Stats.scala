@@ -683,15 +683,29 @@ object Stats {
     */
   def statsSpearman(spark: SparkSession, dir: String): DataFrame = {
     val cs = spearmanCols
+    // r14 optimization round: the 3-column projection feeds the count,
+    // all three value-grid aggregates AND the final row-level join —
+    // persist it so lineitem is scanned once, and overlap the three
+    // independent grid→cumsum chains from driver futures (guide §2.6);
+    // Future.sequence keeps column order, so the joined frame and every
+    // downstream sum are unchanged.
     val base = Tables.lineitem(spark, dir)
       .select(cs.map(col): _*)
       .filter(cs.map(col(_).isNotNull).reduce(_ && _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTot = base.agg(count(lit(1)).as("n_all")).localCheckpoint()
-    val ranks = cs.zipWithIndex.map { case (c, i) =>
-      val vals = base.groupBy(col(c)).agg(count(lit(1)).as("c_cnt"))
-      val cum = GlobalRank.withGlobalCumsum(vals, "c_cnt", "cum", col(c))
-      cum.crossJoin(broadcast(nTot))
-        .select(col(c), expr("2 * cum - c_cnt - n_all").as(s"u_$i"))
+    val ranks = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(cs.zipWithIndex.map { case (c, i) =>
+        Future {
+          val vals = base.groupBy(col(c)).agg(count(lit(1)).as("c_cnt"))
+          val cum = GlobalRank.withGlobalCumsum(vals, "c_cnt", "cum", col(c))
+          cum.crossJoin(broadcast(nTot))
+            .select(col(c), expr("2 * cum - c_cnt - n_all").as(s"u_$i"))
+        }
+      }), Duration.Inf)
     }
     val joined = ranks.zipWithIndex.foldLeft(base) { case (df, (r, i)) =>
       df.join(r, cs(i))

@@ -46,23 +46,29 @@ object Histogram {
 
   def profileHistogram(spark: SparkSession, dir: String): DataFrame = {
     val pcts = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    histCols.map { case (t, c) =>
+    // r14 optimization round (guide §2.6): the per-column decile probes
+    // are independent job chains — run them from driver futures so the
+    // five columns' sorts overlap instead of serializing; Future.sequence
+    // preserves column order, so the unioned output is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(histCols.map { case (t, c) => Future {
       val vals = Tables.table(spark, dir, t)
         .select(col(c).cast("double").as("x")).filter(col("x").isNotNull)
-      // distributed exact order statistics: rank the column once, pull
-      // only the rows at the interpolation positions
-      val ranked = GlobalRank.withGlobalRank(vals, "rk", col("x"))
-      val n = ranked.count()
+      // distributed exact order statistics: sort the column once, pull
+      // only the rows at the interpolation positions (r14 optimization
+      // round: GlobalRank.orderStats — no full ranked frame, no
+      // checkpoint of the whole column)
+      val (n, _, at) = GlobalRank.orderStats(vals, Seq(col("x")), None,
+        nn => pcts.map(_ * (nn - 1))
+          .flatMap(p => Seq(p.floor.toLong + 1, p.ceil.toLong + 1)))
       val bs: Seq[Double] =
         if (n == 0) Seq.fill(pcts.size)(0.0)
         else {
           val positions = pcts.map(_ * (n - 1))
-          val wanted = positions
-            .flatMap(p => Seq(p.floor.toLong + 1, p.ceil.toLong + 1)).distinct
-          val atRank: Map[Long, Double] = ranked
-            .filter(col("rk").isin(wanted: _*))
-            .select(col("rk"), col("x")).collect()
-            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          val atRank: Map[Long, Double] =
+            at.map { case (r, row) => r -> row.getDouble(0) }
           positions.map { pos =>
             val (fl, cl) = (pos.floor.toLong, pos.ceil.toLong)
             if (fl == cl) atRank(fl + 1)
@@ -70,7 +76,7 @@ object Histogram {
           }
         }
       val bsLit: Column = array(bs.map(lit): _*)
-      ranked
+      vals
         .select(size(filter(bsLit, b => col("x") >= b)).cast("int").as("bucket"),
           col("x"))
         .groupBy(col("bucket"))
@@ -82,7 +88,7 @@ object Histogram {
           when(col("bucket") === nBuckets - 1, lit(null).cast("double"))
             .otherwise(element_at(bsLit, col("bucket") + 1)).as("hi_bound"),
           col("n_rows"), col("min_v"), col("max_v"))
-    }.reduce(_ unionByName _)
+    } }), Duration.Inf).reduce(_ unionByName _)
       .orderBy(col("table_name"), col("column_name"), col("bucket"))
   }
 

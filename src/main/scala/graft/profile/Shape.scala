@@ -47,25 +47,35 @@ object Shape {
 
   def shapeRobust(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = shapeCols.map { case (t, c) =>
+    // r14 optimization round (guide §2.6 "overlap independent jobs"):
+    // the per-column octile probes are independent job chains — submit
+    // them from driver futures so one column's scheduler latency and
+    // stage tail back-fills with another column's tasks; results are
+    // re-ordered deterministically below (Future.sequence preserves
+    // input order), so the output frame is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence(shapeCols.map { case (t, c) =>
+      Future {
       val cents = Tables.table(spark, dir, t)
         .filter(col(c).isNotNull)
         .select(expr(s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)")
           .as("x"))
-      val ranked = GlobalRank.withGlobalRank(cents, "rk", col("x"))
-      val n = ranked.count()
+      // r14 optimization round: targeted order statistics — sort once,
+      // collect ONLY the 7 octile rows (no full ranked frame, no
+      // checkpoint of the whole column; see GlobalRank.orderStats)
+      val (n, _, atRank) = GlobalRank.orderStats(cents, Seq(col("x")), None,
+        nn => (1 to 7).map(k => math.max(1L, (k * nn + 7) / 8)))
       val targets = (1 to 7).map(k => k -> math.max(1L, (k * n + 7) / 8))
-      val atRank: Map[Long, Long] = ranked
-        .filter(col("rk").isin(targets.map(_._2).distinct: _*))
-        .select(col("rk"), col("x")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val e = targets.map { case (k, rk) => k -> atRank(rk) }.toMap
+      val e = targets.map { case (k, rk) => k -> atRank(rk).getLong(0) }.toMap
       val iqr = e(6) - e(2)
       def ppm(num: Long): Option[Long] =
         if (iqr == 0L) None else Some(num * 1000000L / iqr)
       (t, c, n, e(1), e(2), e(3), e(4), e(5), e(6), e(7),
         ppm(e(6) + e(2) - 2 * e(4)), ppm((e(7) - e(5)) + (e(3) - e(1))))
-    }
+      }
+    }), Duration.Inf)
     rows.toDF("table_name", "column_name", "n_rows", "e1_cents", "e2_cents",
       "e3_cents", "e4_cents", "e5_cents", "e6_cents", "e7_cents",
       "bowley_skew_ppm", "moors_kurt_ppm")

@@ -49,20 +49,42 @@ object ConstraintInference {
       approx: Boolean): DataFrame =
     if (approx) statsForApprox(tables) else statsForExact(tables)
 
-  /** Exact-mode stats, Expand-free (r8): the first cut put countDistinct
-    * + count/min/max in ONE no-group agg per column, and
+  /** Exact-mode stats, Expand-free (r8) — re-planned in the r14
+    * optimization round. History: the first cut put countDistinct +
+    * count/min/max in ONE no-group agg per column, and
     * RewriteDistinctAggregates plans that mix as a 2-projection Expand —
-    * every branch's rows doubled before the partial aggregate. Split
-    * instead into (a) ONE plain pass per TABLE folding count/nonnull/
-    * min/max for ALL columns into a single HashAggregate over the
-    * full-width scan (no distinct agg → no Expand; same bytes the
-    * per-column branches read anyway, now one stage instead of N), and
-    * (b) one LONE countDistinct branch per column (a lone distinct agg
-    * plans as partial-distinct → global count, no Expand). The two
-    * frames meet in a \|columns\|-row join. Isolated sf0.1 bench:
-    * 6.1 s → 5.3 s median.
+    * every branch's rows doubled before the partial aggregate; r8 split
+    * the plain moments into ONE HashAggregate per table and gave every
+    * column a LONE countDistinct branch (no Expand), which was correct
+    * but planned a 51-branch union: the catalog-wide query ran ~125
+    * Spark jobs for 196 tasks — AQE re-optimizes the whole surviving
+    * plan after EVERY materialized exchange, so a 100+-stage union pays
+    * a quadratic driver-side planning bill that dwarfed the scan work
+    * (measured 7.3-9.7 s isolated at sf0.1 on 17 MB of input).
+    *
+    * r14 shape: distinct counts now ride ONE exchange per TYPE FAMILY
+    * (long/double/string/timestamp — the KeyInference.foreignKeysFor
+    * device): each table explodes its family columns to (cid, v) pairs
+    * in a single scan projection, the family union deduplicates on
+    * (cid, v) — map-side partial dedup, so the exchange carries at most
+    * Σ|distinct| values exactly like the lone-branch form — and a
+    * |columns|-row count-by-cid finishes. countDistinct(c) ≡ the
+    * (cid, v)-distinct count by construction (same grouping-key
+    * normalization — NaN and -0.0 collapse identically — NULLs filtered
+    * as countDistinct ignores them; int→long widening is injective).
+    * Columns of any other type (none in this catalog) keep the lone
+    * countDistinct branch as the general fallback. Plan: 51 branches +
+    * 51 exchanges → ~4 family pipelines + 8 plain per-table aggs.
     */
-  private def statsForExact(tables: Seq[(String, DataFrame)]): DataFrame = {
+  private def statsForExact(tables: Seq[(String, DataFrame)]): DataFrame =
+    columnStatsExact(tables)
+
+  /** Package-visible: KeyInference.primaryKeysFor shares this exact
+    * per-column stats pipeline (same columns, same family-distinct
+    * device). */
+  private[sources] def columnStatsExact(tables: Seq[(String, DataFrame)]): DataFrame = {
+    val spark = tables.head._2.sparkSession
+    import spark.implicits._
     val plain = tables.map { case (t, df) =>
       val fields = df.schema.fields.filter(f => keyable(f.dataType))
       val aggs = count(lit(1)).as("n_rows") +: fields.flatMap { f =>
@@ -84,19 +106,50 @@ object ConstraintInference {
       }
       one.select(inline(array(structs: _*)))
     }.reduce(_ unionByName _)
-    val nd = tables.flatMap { case (t, df) =>
-      df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
-        // distinct over the raw value, not a hash: the partial distinct
-        // dedupes before the exchange so even wide text columns move at
-        // most |distinct| values, and the nd == nn uniqueness decision
-        // stays collision-free by construction (an md5 rewrite measured
-        // SLOWER here — hashing every cell costs more than it saves)
-        df.select(col(f.name))
-          .agg(countDistinct(col(f.name)).as("n_distinct"))
-          .select(lit(t).as("table_name"), lit(f.name).as("column_name"),
-            col("n_distinct"))
+    // dense column ids; names rejoin via a tiny broadcast at the end
+    val allCols: Seq[((String, String), DataType, Int)] = tables.flatMap {
+      case (t, df) =>
+        df.schema.fields.filter(f => keyable(f.dataType))
+          .map(f => ((t, f.name), f.dataType))
+    }.zipWithIndex.map { case ((tc, dt), i) => (tc, dt, i) }
+    val names = allCols.map { case ((t, c), _, i) => (i, t, c) }
+      .toDF("cid", "table_name", "column_name")
+    def familyOf(dt: DataType): Option[DataType] = dt match {
+      case LongType | IntegerType | ShortType | ByteType => Some(LongType)
+      case DoubleType | FloatType => Some(DoubleType)
+      case StringType => Some(StringType)
+      case TimestampType => Some(TimestampType)
+      case DateType => Some(DateType)
+      case _ => None
+    }
+    val byTable = allCols.groupBy(_._1._1)
+    val familyNd: Seq[DataFrame] = allCols.flatMap(c => familyOf(c._2))
+      .distinct.map { fam =>
+        tables.flatMap { case (t, df) =>
+          val cols = byTable(t).filter(c => familyOf(c._2).contains(fam))
+          if (cols.isEmpty) None
+          else Some {
+            val pairs = cols.map { case ((_, c), _, i) =>
+              struct(lit(i).as("cid"), col(c).cast(fam).as("v"))
+            }
+            df.select(explode(array(pairs: _*)).as("p"))
+              .select(col("p.cid").as("cid"), col("p.v").as("v"))
+              .filter(col("v").isNotNull)
+          }
+        }.reduce(_ unionByName _)
+          .distinct()
+          .groupBy(col("cid")).agg(count(lit(1)).as("n_distinct"))
       }
-    }.reduce(_ unionByName _)
+    // general fallback for exotic types: lone countDistinct branch
+    val loneNd: Seq[DataFrame] = allCols.filter(c => familyOf(c._2).isEmpty)
+      .map { case ((t, c), _, i) =>
+        tables.find(_._1 == t).get._2
+          .agg(countDistinct(col(c)).as("n_distinct"))
+          .select(lit(i).as("cid"), col("n_distinct"))
+      }
+    val nd = (familyNd ++ loneNd).reduce(_ unionByName _)
+      .join(broadcast(names), Seq("cid"))
+      .select(col("table_name"), col("column_name"), col("n_distinct"))
     plain.join(nd, Seq("table_name", "column_name"))
   }
 

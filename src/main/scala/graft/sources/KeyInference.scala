@@ -86,23 +86,24 @@ object KeyInference {
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
   def primaryKeysFor(tables: Seq[(String, DataFrame)]): DataFrame = {
-    val branches = tables.flatMap { case (t, df) =>
-      df.schema.fields.filter(f => keyable(f.dataType)).map { f =>
-        df.select(col(f.name)).agg(
-          count(lit(1)).as("n_rows"),
-          count(col(f.name)).as("n_nonnull"),
-          countDistinct(col(f.name)).as("n_distinct"))
-          .select(lit(t).as("table_name"), lit(f.name).as("column_name"),
-            col("n_rows"), col("n_nonnull"), col("n_distinct"),
-            (col("n_nonnull") === col("n_rows") &&
-              col("n_distinct") === col("n_rows")).as("is_pk_candidate"))
-      }
-    }
-    if (branches.isEmpty)
-      emptyResult(tables.head._2.sparkSession,
+    // r14 optimization round: the 51-branch per-column union (each
+    // branch one agg mixing count + countDistinct → a 2× Expand, and
+    // each adding an exchange AQE re-plans the whole union for) is
+    // replaced by the ConstraintInference.statsForExact shape — ONE
+    // plain per-table agg for n_rows/n_nonnull and one deduplicating
+    // (cid, v) exchange per type family for the exact distinct counts.
+    // Identical output: countDistinct(c) ≡ distinct-(cid,v) count (same
+    // grouping-key normalization, NULLs excluded both ways).
+    val eligible = tables.filter(_._2.schema.fields.exists(f => keyable(f.dataType)))
+    if (eligible.isEmpty)
+      return emptyResult(tables.head._2.sparkSession,
         "table_name STRING, column_name STRING, n_rows BIGINT, " +
           "n_nonnull BIGINT, n_distinct BIGINT, is_pk_candidate BOOLEAN")
-    else branches.reduce(_ unionByName _)
+    ConstraintInference.columnStatsExact(eligible)
+      .select(col("table_name"), col("column_name"),
+        col("n_rows"), col("n_nonnull"), col("n_distinct"),
+        (col("n_nonnull") === col("n_rows") &&
+          col("n_distinct") === col("n_rows")).as("is_pk_candidate"))
       .orderBy(col("table_name"), col("column_name"))
   }
 

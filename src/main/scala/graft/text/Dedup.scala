@@ -286,39 +286,61 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    lshSweepConfigs.map { case (b, r) =>
-      val bandStructs = (0 until b).map { bi =>
-        struct(lit(bi).as("band"),
-          concat_ws(",", (r * bi until r * bi + r).map(i =>
-            col(s"m_$i").cast("string")): _*).as("band_key"))
+    // r14 optimization round (guide §2.4 — share one exchange): the four
+    // band configurations used to run four separate explode → self-join
+    // → DISTINCT → localCheckpoint pipelines plus two counting jobs each
+    // (~52 Spark jobs for 16 MB of shuffle). All four derive from the
+    // SAME checkpointed signature frame, so they now ride ONE exchange:
+    // every config's bands are exploded together tagged by a config id,
+    // the candidate join keys on (cfg, band, band_key) — identical
+    // per-config join semantics, band keys never collide across configs —
+    // the DISTINCT runs once over (cfg, pair), and recall/precision fall
+    // out of a single left-join + per-cfg aggregate. Results are
+    // byte-identical (each config's candidate set and truth overlap are
+    // unchanged); only the job/exchange count drops.
+    val bandStructs = lshSweepConfigs.zipWithIndex.flatMap {
+      case ((b, r), cfg) =>
+        (0 until b).map { bi =>
+          struct(lit(cfg).as("cfg"), lit(bi).as("band"),
+            concat_ws(",", (r * bi until r * bi + r).map(i =>
+              col(s"m_$i").cast("string")): _*).as("band_key"))
+        }
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.cfg").as("cfg"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val cand = bands.join(
+        bands.select(col("doc_id").as("doc_b"), col("cfg"), col("band"),
+          col("band_key")),
+        Seq("cfg", "band", "band_key"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("cfg"), col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val perCfg = cand
+      .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(col("hit")).as("n_caught")) // count of non-null = matched
+    def cfgCase(f: ((Int, Int)) => Int): Column =
+      lshSweepConfigs.zipWithIndex.tail.foldLeft(
+        when(col("cfg") === 0, f(lshSweepConfigs.head))) {
+        case (acc, (br, cfg)) => acc.when(col("cfg") === cfg, f(br))
       }
-      val bands = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.band_key").as("band_key"))
-      val cand = bands.join(
-          bands.select(col("doc_id").as("doc_b"), col("band"),
-            col("band_key")),
-          Seq("band", "band_key"))
-        .filter(col("doc_id") < col("doc_b"))
-        .select(col("doc_id").as("doc_a"), col("doc_b"))
-        .distinct()
-        .localCheckpoint()
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val nCaught = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("n_caught"))
-      nCand.crossJoin(broadcast(nCaught)).crossJoin(broadcast(nTruth))
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_truth"), col("n_caught"),
-          expr("""CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
-                 |  ELSE CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000
-                 |    DIV n_truth AS BIGINT) END""".stripMargin)
-            .as("recall_ppm"),
-          expr("""CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
-                 |  ELSE CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000
-                 |    DIV n_candidates AS BIGINT) END""".stripMargin)
-            .as("precision_ppm"))
-    }.reduce(_ unionByName _).orderBy(col("rows_per_band"))
+    val cfgB = cfgCase(_._1)
+    val cfgR = cfgCase(_._2)
+    perCfg.crossJoin(broadcast(nTruth))
+      .select(cfgB.as("bands"), cfgR.as("rows_per_band"),
+        col("n_candidates"), col("n_truth"), col("n_caught"),
+        expr("""CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+               |  ELSE CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000
+               |    DIV n_truth AS BIGINT) END""".stripMargin)
+          .as("recall_ppm"),
+        expr("""CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+               |  ELSE CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000
+               |    DIV n_candidates AS BIGINT) END""".stripMargin)
+          .as("precision_ppm"))
+      .orderBy(col("rows_per_band"))
   }
 
   val lshParamSweepSql: String = {

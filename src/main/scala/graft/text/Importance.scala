@@ -174,7 +174,11 @@ object Importance {
           .as("score_d"))
     val ranked = graft.operators.GlobalRank.withGlobalRank(
       scored, "rk", col("score_d").desc, col("doc_id"))
-    val tot = scored.agg(count(lit(1)).as("n"),
+    // r14 optimization round: totals over the CHECKPOINTED ranked frame,
+    // not `scored` — the latter re-derived the whole bigram-importance
+    // pipeline (explode + two aggs + λ join) a second time for two
+    // integers (count is identical on both frames by construction).
+    val tot = ranked.agg(count(lit(1)).as("n"),
       expr(s"($selectNum * count(1) + ${selectDen - 1}) DIV $selectDen")
         .as("k"))
     ranked.crossJoin(broadcast(tot))
