@@ -71,4 +71,33 @@ object Tables {
     */
   def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+  /** fanOut + persist for a table consumed by SEVERAL differently-pruned
+    * branches of one query (r14 optimization round): a bare fanOut feeds
+    * each branch its own full-or-partial-width exchange (column pruning
+    * makes the exchanges non-identical, so runtime exchange reuse cannot
+    * collapse them — measured 102 MB of shuffle for a 17 MB catalog in
+    * infer_constraints), while the persisted fan-out shuffles the table
+    * ONCE and every branch reads the cache. Only tables whose parquet
+    * footprint exceeds `minBytes` are fanned — fanning a 5-row dimension
+    * costs 32 task launches per consumer for nothing; at lake scale
+    * every real table passes the threshold and the cache behaves like
+    * the pre-parallel input a cluster hands back anyway (MEMORY_AND_DISK
+    * — LRU-evictable).
+    */
+  def tableFannedCached(s: SparkSession, d: String, name: String,
+      minBytes: Long = 1L << 20): DataFrame = {
+    val df = table(s, d, name)
+    val sz =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(d, s"$name.parquet"))
+      catch { case _: Throwable => 0L }
+    if (sz < minBytes) df
+    else {
+      val key = df.schema.fields.headOption.map(f =>
+        org.apache.spark.sql.functions.col(f.name))
+      key.map(k => fanOut(df, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .getOrElse(df)
+    }
+  }
 }

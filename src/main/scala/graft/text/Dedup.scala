@@ -276,15 +276,27 @@ object Dedup {
     Seq((32, 1), (16, 2), (8, 4), (4, 8))
 
   def lshParamSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir)
-      .withColumn("hp", col("h") % minhashP)
+    // r14 optimization round: the signature rollup and the truth pair
+    // join BOTH hang off the shingle frame — persist it here (idempotent
+    // with prefixJoinDetail's identical persist: the CacheManager keys
+    // on the logical plan) so the 5-gram explode + md5 runs once, and
+    // overlap the two independent eager checkpoint chains from driver
+    // futures (guide §2.6).
+    val shBase = shingleHashes(spark, dir).persist()
+    val sh = shBase.withColumn("hp", col("h") % minhashP)
     val minAggs = (0 until nPerms).map(i =>
       min((col("hp") * permA(i) + permB(i)) % minhashP).as(s"m_$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-      .localCheckpoint()
-    val truth = prefixJoinDetail(spark, dir, 1L, 2L)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    val Seq(sigs, truth) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+          .localCheckpoint()),
+        Future(prefixJoinDetail(spark, dir, 1L, 2L)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()))), Duration.Inf)
+    }
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     // r14 optimization round (guide §2.4 — share one exchange): the four
     // band configurations used to run four separate explode → self-join

@@ -219,7 +219,7 @@ object TextStats {
     * count >= 5, deterministic tiebreak.
     */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val bigrams = toks
       .filter(size(col("toks")) >= 2)
@@ -230,7 +230,7 @@ object TextStats {
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
       .withColumn("tok_a", split(col("bigram"), " ").getItem(0))
       .withColumn("tok_b", split(col("bigram"), " ").getItem(1))
-    val uni = Tables.documents(spark, dir)
+    val uni = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
     // corpus size joined in as a 1-row broadcast, not a driver-side count()
@@ -370,7 +370,9 @@ object TextStats {
     * (the static side of StreamOps.nllGate). */
   private[graft] def unigramLp(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val vocab = Tables.documents(spark, dir)
+    // r14 optimization round: fanOut before the token explode (the
+    // single-row-group scan otherwise tokenizes the corpus on one core)
+    val vocab = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
@@ -382,7 +384,7 @@ object TextStats {
   }
 
   private[text] def unigramScored(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
     val lp = unigramLp(spark, dir)
@@ -572,7 +574,7 @@ object TextStats {
     * trainer iterates this with the merged symbol re-injected.
     */
   def bpePairStats(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+    val words = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("wc"))
     words.filter(length(col("token")) >= 2)
@@ -743,7 +745,7 @@ object TextStats {
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val freqs = Tables.documents(spark, dir)
+    val freqs = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"),
         explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
@@ -815,7 +817,7 @@ object TextStats {
     * |sources| rows; nothing touches data-sized rows after the rollups.
     */
   def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val wc = Tables.documents(spark, dir)
+    val wc = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
       .groupBy(col("doc_id"), col("source"), col("token"))
@@ -905,7 +907,10 @@ object TextStats {
 
   def skipgramPmi(spark: SparkSession, dir: String): DataFrame = {
     val w = skipgramWindow
-    val toks = Tables.documents(spark, dir)
+    // r14 optimization round: fan the doc scan out before the ~window×
+    // tokens pair explode (the shingleHashes fanOut discipline — the
+    // single-row-group scan otherwise runs the explode on one core)
+    val toks = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(expr("filter(split(text, ' '), x -> x <> '')").as("t"))
       .filter(size(col("t")) >= 2)
     val pairs = toks.select(explode(expr(
