@@ -82,15 +82,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // r14 optimization round: let AQE coalesce the output partitioning
-      // of cached plans too — GlobalRank persists its input before the
-      // range exchange, and without this flag the cache materializes at
-      // the raw shuffle partition count (32 near-empty partitions for an
-      // aggregate-sized frame) instead of the AQE-coalesced layout.
-      // Scale-neutral: the flag only permits AQE to repartition cached
-      // output; at cluster scale AQE targets advisoryPartitionSizeInBytes
-      // exactly as for uncached plans.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -370,9 +370,13 @@ object TextStats {
     * (the static side of StreamOps.nllGate). */
   private[graft] def unigramLp(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // r14 optimization round: fanOut before the token explode (the
-    // single-row-group scan otherwise tokenizes the corpus on one core)
-    val vocab = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
+    // r14 optimization round, measured and left alone: fanning this scan
+    // out was tried and REGRESSED the nll family (deciles 0.94 → 1.66 s
+    // suite median, min-stable) — the token explode feeds a groupBy
+    // whose single-partition partial aggregate already collapses the
+    // corpus to |vocab| rows before the exchange; the fan-out added a
+    // full-corpus shuffle for parallelism the aggregate did not need.
+    val vocab = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
@@ -384,7 +388,8 @@ object TextStats {
   }
 
   private[text] def unigramScored(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
+    // (fanOut tried and reverted here too — see unigramLp's note)
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
     val lp = unigramLp(spark, dir)
