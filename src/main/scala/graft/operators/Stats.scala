@@ -689,9 +689,15 @@ object Stats {
     // independent grid→cumsum chains from driver futures (guide §2.6);
     // Future.sequence keeps column order, so the joined frame and every
     // downstream sum are unchanged.
-    val base = Tables.lineitem(spark, dir)
-      .select(cs.map(col): _*)
-      .filter(cs.map(col(_).isNotNull).reduce(_ && _))
+    // (fanned before the persist — r14: the cache otherwise materializes
+    // at the single-row-group scan's 1 partition and every grid
+    // aggregate reads it single-threaded; the heavy grid is near-unique
+    // l_extendedprice, so per-slice partial-agg dedup loss is nil)
+    val base = Tables.fanOut(
+      Tables.lineitem(spark, dir)
+        .select(cs.map(col): _*)
+        .filter(cs.map(col(_).isNotNull).reduce(_ && _)),
+      col(cs.head))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTot = base.agg(count(lit(1)).as("n_all")).localCheckpoint()
     val ranks = {
