@@ -70,37 +70,62 @@ object GraphOps {
     val edgesCk = edges.localCheckpoint(true)
     val deg = edgesCk.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    // (src, dst, deg) materialized ONCE — the per-round join relation
-    val edgesDeg = edgesCk
-      .join(broadcast(deg), "src")
-      .localCheckpoint(true)
+    // (src, dst, deg) materialized ONCE, HASH-PARTITIONED ON src — the
+    // per-round join relation. localCheckpoint captures the physical
+    // plan's outputPartitioning into the LogicalRDD leaf, so every
+    // round's rank⋈edges join sees the edge side as already
+    // distributed-by-src and exchanges ONLY the node-sized rank frame
+    // (r14.2 fix: the unpartitioned checkpoint re-shuffled the full
+    // edge relation EVERY round — 3×~20 MB of the query's 67 MB total
+    // shuffle at sf0.1). This is the local twin of the bucketed-on-src
+    // edge table the scaladoc prescribes at lake scale. AQE must be off
+    // while THIS frame compiles: an AdaptiveSparkPlan leaf checkpoints
+    // as UnknownPartitioning (measured — the repartition was then a
+    // pure extra edge shuffle), while the non-adaptive plan checkpoints
+    // as hashpartitioning(src, N). N = spark.sql.shuffle.partitions,
+    // the session's scale knob, not a local constant.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val edgesDeg =
+      try edgesCk
+        .join(broadcast(deg), "src")
+        .repartition(col("src"))
+        .localCheckpoint(true)
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     free(edgesCk) // edgesDeg supersedes it; blocks freed before rounds
     val n = deg.count()
     val initU = unit / n
     val baseU = (unit - unit * dampingNum / dampingDen) / n
-    var rank = deg
-      .select(col("src").as("node"), lit(initU).as("rank_u"))
-      .localCheckpoint(true)
+    // Bounded unroll, ONE action (r14.2): with iters a small fixed
+    // constant the rounds no longer checkpoint — the K-round lineage is
+    // a linear DAG (each round's frame consumed exactly once), so a
+    // single job evaluates every round once, AQE picks the join
+    // strategy per round from RUNTIME sizes, and K eager-checkpoint
+    // jobs (plus their Row conversions and storage writes) disappear.
+    // The shuffle_hash hint keeps the stationary edge side unsorted
+    // (SMJ would re-sort the edge relation every round); the build side
+    // is the node-sized rank frame. Results are partitioning- and
+    // order-independent: contrib sums are exact longs, DIV is integer.
+    var rank = deg.select(col("src").as("node"), lit(initU).as("rank_u"))
     for (_ <- 1 to iters) {
-      val next = rank.join(edgesDeg, col("node") === col("src"))
+      rank = rank.hint("shuffle_hash")
+        .join(edgesDeg, col("node") === col("src"))
         .select(col("dst"), expr("rank_u DIV deg").as("contrib_u"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib_u")).as("sc"))
         .select(col("dst").as("node"),
           expr(s"CAST($baseU + ($dampingNum * sc) DIV $dampingDen AS BIGINT)")
             .as("rank_u"))
-        .localCheckpoint(true)
-      free(rank)
-      rank = next
     }
     val out = rank
       .select(col("node"), col("rank_u").as("rank_e9"))
       .orderBy(col("rank_e9").desc, col("node"))
       .limit(20)
       // TakeOrdered holds only 20 rows; materializing releases the
-      // final round's checkpointed blocks for freeing below
+      // edge/degree blocks for freeing below
       .localCheckpoint(true)
-    free(rank)
+    free(edgesDeg)
+    free(deg)
     out
   }
 

@@ -49,16 +49,65 @@ object Referential {
     totals.crossJoin(orphans) // two 1-row frames
   }
 
+  /** All edges audited in ONE fused pipeline (r14.2): the per-edge
+    * union shape planned 8 independent aggregate trees — 53 Spark jobs
+    * for 65 tasks and <1 MB of shuffle (Meter), i.e. the cost was AQE
+    * stage scheduling, not data, and lineitem was scanned once per
+    * edge. Here each child table is scanned ONCE, its edge columns
+    * explode to (eid, k) rows, and every edge rides one shared
+    * (eid, k)-keyed count exchange; parent key sets union the same way
+    * into one distinct, and the orphan anti-join is co-partitioned on
+    * (eid, k) — no further exchange. Per-edge semantics are unchanged:
+    * keys are disjoint across eids, so counts, orphan sets and sums per
+    * edge are exactly auditEdge's (the spec seam above still pins the
+    * single-edge semantics; the oracle gates this fused plan). The
+    * degenerate zero-child-key edge keeps its auditEdge presentation
+    * (n_child_rows NULL, counts 0, ppm NULL) via the left join from the
+    * edge list. Same bytes at lake scale, ~8× fewer driver-side plans.
+    */
   def qualityReferential(spark: SparkSession, dir: String): DataFrame = {
-    edges.map { case (ct, cc, pt, pc) =>
-      auditEdge(Tables.table(spark, dir, ct), cc, Tables.table(spark, dir, pt), pc)
-        .select(lit(ct).as("child_table"), lit(cc).as("child_column"),
-          lit(pt).as("parent_table"), lit(pc).as("parent_column"),
-          col("n_child_rows"), col("n_child_keys"),
-          col("n_orphan_keys"), col("n_orphan_rows"),
-          expr("CAST(n_orphan_rows * 1000000 DIV n_child_rows AS BIGINT)")
-            .as("orphan_row_ppm"))
+    val idx = edges.zipWithIndex
+    val childKeyed = idx.groupBy(_._1._1).toSeq.map { case (ct, es) =>
+      val tbl = Tables.table(spark, dir, ct)
+      val eks = es.map { case ((_, cc, _, _), i) =>
+        struct(lit(i).as("eid"), col(cc).cast("long").as("k"))
+      }
+      tbl.select(explode(array(eks: _*)).as("ek"))
+        .select(col("ek.eid").as("eid"), col("ek.k").as("k"))
+        .filter(col("k").isNotNull)
     }.reduce(_ unionByName _)
+      .groupBy(col("eid"), col("k"))
+      .agg(count(lit(1)).as("n_rows_key"))
+    val parents = idx.groupBy(_._1._3).toSeq.map { case (pt, es) =>
+      val tbl = Tables.table(spark, dir, pt)
+      val eks = es.map { case ((_, _, _, pc), i) =>
+        struct(lit(i).as("eid"), col(pc).cast("long").as("k"))
+      }
+      tbl.select(explode(array(eks: _*)).as("ek"))
+        .select(col("ek.eid").as("eid"), col("ek.k").as("k"))
+    }.reduce(_ unionByName _).distinct()
+    val totals = childKeyed.groupBy(col("eid"))
+      .agg(count(lit(1)).as("n_child_keys"),
+        sum(col("n_rows_key")).as("n_child_rows"))
+    val orphans = childKeyed.join(parents, Seq("eid", "k"), "left_anti")
+      .groupBy(col("eid"))
+      .agg(count(lit(1)).as("n_orphan_keys"),
+        sum(col("n_rows_key")).as("n_orphan_rows"))
+    import spark.implicits._
+    val meta = idx.map { case ((ct, cc, pt, pc), i) => (i, ct, cc, pt, pc) }
+      .toDF("eid", "child_table", "child_column", "parent_table",
+        "parent_column")
+    broadcast(meta)
+      .join(totals, Seq("eid"), "left_outer")
+      .join(orphans, Seq("eid"), "left_outer")
+      .select(col("child_table"), col("child_column"),
+        col("parent_table"), col("parent_column"),
+        col("n_child_rows"),
+        coalesce(col("n_child_keys"), lit(0L)).as("n_child_keys"),
+        coalesce(col("n_orphan_keys"), lit(0L)).as("n_orphan_keys"),
+        coalesce(col("n_orphan_rows"), lit(0L)).as("n_orphan_rows"),
+        expr("CAST(coalesce(n_orphan_rows, 0) * 1000000 DIV n_child_rows AS BIGINT)")
+          .as("orphan_row_ppm"))
       .orderBy(col("child_table"), col("child_column"))
   }
 
@@ -94,11 +143,55 @@ object Referential {
         max(col("n_children")).as("max_f"))
   }
 
+  /** All edges profiled in ONE fused pipeline (r14, the
+    * qualityReferential device above): same (eid, k) explode-and-share
+    * shape — each child table scanned once, one shared keyed-count
+    * exchange, parents LEFT-join the counts co-partitioned on (eid, k),
+    * one 8-row per-eid rollup. fanoutEdge (the spec seam) pins the
+    * single-edge semantics; keys are disjoint across eids so per-edge
+    * values are exactly fanoutEdge's, and orphan child keys still drop
+    * out via the left join FROM parents. The oracle gates the fused
+    * plan per edge.
+    */
   def profileJoinCardinality(spark: SparkSession, dir: String): DataFrame = {
-    edges.map { case (ct, cc, pt, pc) =>
-      fanoutEdge(Tables.table(spark, dir, ct), cc, Tables.table(spark, dir, pt), pc)
-        .select(lit(ct).as("child_table"), lit(cc).as("child_column"),
-          lit(pt).as("parent_table"), lit(pc).as("parent_column"),
+    val idx = edges.zipWithIndex
+    val childKeyed = idx.groupBy(_._1._1).toSeq.map { case (ct, es) =>
+      val tbl = Tables.table(spark, dir, ct)
+      val eks = es.map { case ((_, cc, _, _), i) =>
+        struct(lit(i).as("eid"), col(cc).cast("long").as("k"))
+      }
+      tbl.select(explode(array(eks: _*)).as("ek"))
+        .select(col("ek.eid").as("eid"), col("ek.k").as("k"))
+        .filter(col("k").isNotNull)
+    }.reduce(_ unionByName _)
+      .groupBy(col("eid"), col("k"))
+      .agg(count(lit(1)).as("n_children"))
+    val parents = idx.groupBy(_._1._3).toSeq.map { case (pt, es) =>
+      val tbl = Tables.table(spark, dir, pt)
+      val eks = es.map { case ((_, _, _, pc), i) =>
+        struct(lit(i).as("eid"), col(pc).cast("long").as("k"))
+      }
+      tbl.select(explode(array(eks: _*)).as("ek"))
+        .select(col("ek.eid").as("eid"), col("ek.k").as("k"))
+        .filter(col("k").isNotNull)
+    }.reduce(_ unionByName _).distinct()
+    val perEdge = parents.join(childKeyed, Seq("eid", "k"), "left_outer")
+      .select(col("eid"),
+        coalesce(col("n_children"), lit(0L)).as("n_children"))
+      .groupBy(col("eid"))
+      .agg(count(lit(1)).as("n_parents"),
+        sum(when(col("n_children") > 0, 1L).otherwise(0L))
+          .as("n_matched_parents"),
+        sum(col("n_children")).as("n_child_rows"),
+        min(when(col("n_children") > 0, col("n_children"))).as("min_f"),
+        max(col("n_children")).as("max_f"))
+    import spark.implicits._
+    val meta = idx.map { case ((ct, cc, pt, pc), i) => (i, ct, cc, pt, pc) }
+      .toDF("eid", "child_table", "child_column", "parent_table",
+        "parent_column")
+    broadcast(meta).join(perEdge, Seq("eid"))
+      .select(col("child_table"), col("child_column"),
+          col("parent_table"), col("parent_column"),
           col("n_parents"), col("n_matched_parents"),
           expr("""CAST(CAST((n_parents - n_matched_parents) AS DECIMAL(38,0)) * 1000000
                  |  DIV n_parents AS BIGINT)""".stripMargin).as("childless_ppm"),
@@ -110,7 +203,6 @@ object Referential {
           expr("""CAST(coalesce(CAST(max_f AS DECIMAL(38,0)) * n_matched_parents * 1000000
                  |  DIV nullif(n_child_rows, 0), 0) AS BIGINT)""".stripMargin)
             .as("max_over_avg_ppm"))
-    }.reduce(_ unionByName _)
       .orderBy(col("child_table"), col("child_column"))
   }
 

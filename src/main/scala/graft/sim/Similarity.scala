@@ -1879,6 +1879,14 @@ object Similarity {
     // (src, dst) edge list materialized ONCE — the per-round join relation
     val g = knnGraph(spark, dir).select(col("src"), col("dst"))
       .localCheckpoint(true)
+    // r14.2, tried and reverted: lazily persisting the rounds and
+    // materializing the whole lpRounds unroll in ONE action (the
+    // pageRank bounded-unroll device) removed the 4 eager-checkpoint
+    // jobs but REGRESSED the isolate 3.1 → 4.3 s — the single adaptive
+    // query spans ~12 exchanges, and AQE re-plans the surviving plan
+    // after every materialized stage (the infer_constraints quadratic-
+    // replanning bill), costing more than the checkpoints saved. The
+    // per-round checkpoint keeps each adaptive query small.
     var cur = vectors(spark, dir)
       .select(col("vec_id"), (col("vec_id") % lpSeedMod === 0).as("is_seed"),
         col("label"),
