@@ -57,18 +57,40 @@ object Patterns {
     }
     // NULL keeps its own mask (`<null>`), assigned AFTER masking so a
     // genuine value that happens to look like the marker can't merge
-    // with the null class
-    val unpivoted = perTable.reduce(_ unionByName _)
+    // with the null class.
+    //
+    // r14 expression rewrite (guide §4), same outputs by construction:
+    // (1) the raw char-class mask is a `translate` char map — identical
+    //     to the [A-Z]/[a-z]/[0-9] regexp_replace battery on every
+    //     string (both touch exactly the ASCII ranges), at a fraction
+    //     of the per-row cost on the single-row-group scan where the
+    //     fan-out fix measured a net LOSS (the shuffle cost more than
+    //     the regex saved — reverted, evidence in OPTIMIZATION_r14.md);
+    // (2) the 3-regex run-collapse moves BEHIND a group-by on the raw
+    //     mask, so it runs once per DISTINCT raw mask, not once per
+    //     row. The raw-mask partial aggregate collapses the corpus
+    //     map-side exactly like countDistinct's internal first phase
+    //     did, so the exchange carries the same rows as before.
+    // n_raw_masks stays countDistinct(mask_raw) over the pre-grouped
+    // rows (exact same semantics, now over a tiny input); example =
+    // min over per-raw-group mins ≡ min over rows.
+    val maskFrom = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).mkString
+    val maskTo = "A" * 26 + "a" * 26 + "9" * 10
+    val byRaw = perTable.reduce(_ unionByName _)
       .withColumn("mask_raw",
-        coalesce(expr(maskExpr("v")), lit("<null>")))
+        coalesce(translate(col("v"), maskFrom, maskTo), lit("<null>")))
+      .groupBy(col("tbl"), col("col_name"), col("mask_raw"),
+        col("v").isNull.as("is_null"))
+      .agg(count(lit(1)).as("n_rows_raw"),
+        min(coalesce(col("v"), lit(""))).as("example_raw"))
+    val byMask = byRaw
       .withColumn("mask",
-        when(col("v").isNull, lit("<null>"))
+        when(col("is_null"), lit("<null>"))
           .otherwise(expr(collapseExpr("mask_raw"))))
-    val byMask = unpivoted
       .groupBy(col("tbl"), col("col_name"), col("mask"))
-      .agg(count(lit(1)).as("n_rows"),
+      .agg(sum(col("n_rows_raw")).as("n_rows"),
         countDistinct(col("mask_raw")).as("n_raw_masks"),
-        min(coalesce(col("v"), lit(""))).as("example"))
+        min(col("example_raw")).as("example"))
     val totals = byMask.groupBy(col("tbl"), col("col_name"))
       .agg(sum(col("n_rows")).as("col_total")) // ≤ |columns| rows
     byMask.join(broadcast(totals), Seq("tbl", "col_name"))
