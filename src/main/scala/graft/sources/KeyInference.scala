@@ -265,47 +265,103 @@ object KeyInference {
     * branches swap for HLL sketches exactly as infer_constraints_approx
     * demonstrates for the unary case.
     */
+  /** r14 fused shape (the qualityReferential / family-distinct device):
+    * the per-pair branch union planned ~4 aggregate subtrees PER PAIR
+    * (55 Spark jobs for ZERO shuffle bytes at sf0.1 — pure AQE stage
+    * scheduling, each table scanned ~6×). Now three shared passes:
+    * (1) ONE plain aggregate per table emits n_rows + every pair's
+    *     nonnull-pair count (sums of when() — no countDistinct, no
+    *     Expand);
+    * (2) every pair's exact distinct-pair count rides ONE deduplicating
+    *     (pid, va, vb) exchange — pair ids keep the value spaces
+    *     disjoint, so the per-pid count is exactly the per-pair
+    *     `SELECT DISTINCT a, b` count (int→long injective, NULL-pair
+    *     rows filtered exactly as before);
+    * (3) every involved column's unary distinct rides ONE (cid, v)
+    *     exchange — NULLs are KEPT (the old per-column
+    *     `select(c).distinct()` counted the NULL group, and the oracle
+    *     does too).
+    * Results assemble over a broadcast pair-metadata frame; values and
+    * flags are unchanged by construction, and the compositeKeysFor spec
+    * seam + oracle gate both pin it.
+    */
   def compositeKeysFor(tables: Seq[(String, DataFrame)]): DataFrame = {
-    val branches = tables.flatMap { case (t, df) =>
-      val ints = df.schema.fields.filter(f => isIntType(f.dataType)).map(_.name)
-      if (ints.length < 2) Nil
-      else {
-        // one distinct-count frame per involved column, built once and
-        // crossJoined into every pair row that uses it
-        val dcol: Map[String, DataFrame] = ints.map { c =>
-          c -> df.select(col(c)).distinct().agg(count(lit(1)).as("nd"))
-        }.toMap
-        for {
-          i <- ints.indices; j <- (i + 1) until ints.length
-        } yield {
-          val (a, b) = (ints(i), ints(j))
-          val rowsF = df.agg(count(lit(1)).as("n_rows"),
-            sum(when(col(a).isNotNull && col(b).isNotNull, 1L).otherwise(0L))
-              .as("n_nonnull_pairs"))
-          val dpF = df.filter(col(a).isNotNull && col(b).isNotNull)
-            .select(col(a), col(b)).distinct()
-            .agg(count(lit(1)).as("n_distinct_pairs"))
-          rowsF.crossJoin(dpF)
-            .crossJoin(dcol(a).select(col("nd").as("n_distinct_a")))
-            .crossJoin(dcol(b).select(col("nd").as("n_distinct_b")))
-            .select(lit(t).as("table_name"), lit(a).as("col_a"), lit(b).as("col_b"),
-              col("n_rows"), col("n_nonnull_pairs"), col("n_distinct_pairs"),
-              col("n_distinct_a"), col("n_distinct_b"),
-              (col("n_nonnull_pairs") === col("n_rows") &&
-                col("n_distinct_pairs") === col("n_rows")).as("is_composite_key"),
-              (col("n_nonnull_pairs") === col("n_rows") &&
-                col("n_distinct_pairs") === col("n_rows") &&
-                col("n_distinct_a") < col("n_rows") &&
-                col("n_distinct_b") < col("n_rows")).as("is_minimal"))
-        }
-      }
-    }
-    if (branches.isEmpty)
-      emptyResult(tables.head._2.sparkSession,
+    val spark = tables.head._2.sparkSession
+    val perTable = tables.map { case (t, df) =>
+      (t, df, df.schema.fields.filter(f => isIntType(f.dataType))
+        .map(_.name).toSeq)
+    }.filter(_._3.length >= 2)
+    if (perTable.isEmpty)
+      return emptyResult(spark,
         "table_name STRING, col_a STRING, col_b STRING, n_rows BIGINT, " +
           "n_nonnull_pairs BIGINT, n_distinct_pairs BIGINT, n_distinct_a BIGINT, " +
           "n_distinct_b BIGINT, is_composite_key BOOLEAN, is_minimal BOOLEAN")
-    else branches.reduce(_ unionByName _)
+    val pairIdx: Seq[((String, String, String), Int)] = perTable.flatMap {
+      case (t, _, ints) =>
+        for { i <- ints.indices; j <- (i + 1) until ints.length }
+          yield (t, ints(i), ints(j))
+    }.zipWithIndex
+    val colIdx: Seq[((String, String), Int)] = perTable.flatMap {
+      case (t, _, ints) => ints.map(c => (t, c))
+    }.zipWithIndex
+    val colId = colIdx.toMap
+    val plain = perTable.map { case (t, df, _) =>
+      val pids = pairIdx.filter(_._1._1 == t)
+      val aggs = count(lit(1)).as("n_rows") +: pids.map { case ((_, a, b), i) =>
+        sum(when(col(a).isNotNull && col(b).isNotNull, 1L).otherwise(0L))
+          .as(s"nn_$i")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val rows = pids.map { case (_, i) =>
+        struct(lit(i).as("pid"), col("n_rows"),
+          col(s"nn_$i").as("n_nonnull_pairs"))
+      }
+      one.select(inline(array(rows: _*)))
+    }.reduce(_ unionByName _)
+    val dPairs = perTable.map { case (t, df, _) =>
+      val structs = pairIdx.filter(_._1._1 == t).map { case ((_, a, b), i) =>
+        struct(lit(i).as("pid"), col(a).cast(LongType).as("va"),
+          col(b).cast(LongType).as("vb"))
+      }
+      df.select(explode(array(structs: _*)).as("p"))
+        .select(col("p.pid").as("pid"), col("p.va").as("va"),
+          col("p.vb").as("vb"))
+        .filter(col("va").isNotNull && col("vb").isNotNull)
+    }.reduce(_ unionByName _).distinct()
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_distinct_pairs"))
+    val dCols = perTable.map { case (t, df, _) =>
+      val structs = colIdx.filter(_._1._1 == t).map { case ((_, c), i) =>
+        struct(lit(i).as("cid"), col(c).cast(LongType).as("v"))
+      }
+      df.select(explode(array(structs: _*)).as("p"))
+        .select(col("p.cid").as("cid"), col("p.v").as("v"))
+    }.reduce(_ unionByName _).distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("nd"))
+    import spark.implicits._
+    val meta = pairIdx.map { case ((t, a, b), i) =>
+      (i, t, a, b, colId((t, a)), colId((t, b)))
+    }.toDF("pid", "table_name", "col_a", "col_b", "cid_a", "cid_b")
+    broadcast(meta)
+      .join(plain, Seq("pid"))
+      .join(dPairs, Seq("pid"), "left_outer")
+      .join(dCols.select(col("cid").as("cid_a"), col("nd").as("n_distinct_a")),
+        Seq("cid_a"), "left_outer")
+      .join(dCols.select(col("cid").as("cid_b"), col("nd").as("n_distinct_b")),
+        Seq("cid_b"), "left_outer")
+      .select(col("table_name"), col("col_a"), col("col_b"),
+        col("n_rows"), col("n_nonnull_pairs"),
+        coalesce(col("n_distinct_pairs"), lit(0L)).as("n_distinct_pairs"),
+        coalesce(col("n_distinct_a"), lit(0L)).as("n_distinct_a"),
+        coalesce(col("n_distinct_b"), lit(0L)).as("n_distinct_b"))
+      .select(col("table_name"), col("col_a"), col("col_b"),
+        col("n_rows"), col("n_nonnull_pairs"), col("n_distinct_pairs"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        (col("n_nonnull_pairs") === col("n_rows") &&
+          col("n_distinct_pairs") === col("n_rows")).as("is_composite_key"),
+        (col("n_nonnull_pairs") === col("n_rows") &&
+          col("n_distinct_pairs") === col("n_rows") &&
+          col("n_distinct_a") < col("n_rows") &&
+          col("n_distinct_b") < col("n_rows")).as("is_minimal"))
       .orderBy(col("table_name"), col("col_a"), col("col_b"))
   }
 
