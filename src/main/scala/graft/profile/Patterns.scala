@@ -1,6 +1,6 @@
 package graft.profile
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -48,6 +48,23 @@ object Patterns {
     s"regexp_replace(regexp_replace(regexp_replace($v, 'A+', 'A'), " +
       "'a+', 'a'), '9+', '9')"
 
+  /** `translate`-based raw mask — identical output to maskExpr's regex
+    * battery on every string (both touch exactly the ASCII [A-Z] /
+    * [a-z] / [0-9] ranges) at a fraction of the per-row cost: one char
+    * map instead of three regex passes (r14, guide §4). Shared by the
+    * batch profiler and the streaming maskGate twin so batch/stream
+    * masks stay one definition.
+    */
+  private val maskFrom = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).mkString
+  private val maskTo = "A" * 26 + "a" * 26 + "9" * 10
+  def maskRaw(c: Column): Column = translate(c, maskFrom, maskTo)
+
+  /** Column form of collapseExpr (for callers without a SQL-fragment
+    * seam, e.g. the streaming twin). */
+  def collapseCol(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c, "A+", "A"),
+      "a+", "a"), "9+", "9")
+
   def valuePatterns(spark: SparkSession, dir: String): DataFrame = {
     val perTable = patternCols.map { case (tbl, cols) =>
       val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
@@ -74,11 +91,9 @@ object Patterns {
     // n_raw_masks stays countDistinct(mask_raw) over the pre-grouped
     // rows (exact same semantics, now over a tiny input); example =
     // min over per-raw-group mins ≡ min over rows.
-    val maskFrom = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).mkString
-    val maskTo = "A" * 26 + "a" * 26 + "9" * 10
     val byRaw = perTable.reduce(_ unionByName _)
       .withColumn("mask_raw",
-        coalesce(translate(col("v"), maskFrom, maskTo), lit("<null>")))
+        coalesce(maskRaw(col("v")), lit("<null>")))
       .groupBy(col("tbl"), col("col_name"), col("mask_raw"),
         col("v").isNull.as("is_null"))
       .agg(count(lit(1)).as("n_rows_raw"),

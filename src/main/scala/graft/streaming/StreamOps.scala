@@ -592,9 +592,10 @@ object StreamOps {
     * one window instead of corrupting a day of downstream parses.
     *
     * State = the single windowed aggregation (watermark-bounded,
-    * O(active windows)); the mask rewrite is three codegen'd
-    * regexp_replace calls, in-row; the dictionary probe is one
-    * stream-static left join against a broadcast-sized table.
+    * O(active windows)); the mask rewrite is one codegen'd `translate`
+    * char map + three run-collapse regexp_replace calls, in-row; the
+    * dictionary probe is one stream-static left join against a
+    * broadcast-sized table.
     *
     * `rows` needs (ts, v: string — the watched field, pre-projected by
     * the caller); `knownMasks` needs (mask).
@@ -602,10 +603,14 @@ object StreamOps {
   def maskGate(rows: DataFrame, knownMasks: DataFrame,
       ceilingPpm: Long = 1000L): DataFrame = {
     import graft.profile.Patterns
+    // r14: raw mask via the shared translate char map (≡ maskExpr's
+    // regex battery, one pass instead of three — guide §4); the
+    // run-collapse stays per-row (the dictionary probe needs the
+    // collapsed mask before the join), now 3 regexes instead of 6.
     val masked = rows
       .withColumn("mask",
         when(col("v").isNull, lit("<null>"))
-          .otherwise(expr(Patterns.collapseExpr(Patterns.maskExpr("v")))))
+          .otherwise(Patterns.collapseCol(Patterns.maskRaw(col("v")))))
       .withWatermark("ts", "1 hour")
     masked
       .join(broadcast(knownMasks.select(col("mask"), lit(1L).as("known"))),

@@ -369,6 +369,31 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("mask translate form ≡ regex battery on adversarial strings") {
+    // the r14 expression rewrite replaced maskExpr's three
+    // regexp_replace passes with one translate char map (and the
+    // streaming twin uses the Column forms) — pin the equivalence on
+    // the edge alphabet: empty, all-classes, runs, punctuation-only,
+    // the '<null>' lookalike, non-ASCII letters/digits (must pass
+    // through BOTH forms untouched), and embedded whitespace
+    import spark.implicits._
+    val probes = Seq("", "Abc123", "AAAaaa999", "---", "<null>",
+      "Ärger Straße №42", "a1B2c3", "  spaced  out  ", "ABC-12-xyz",
+      "ÉÀ日本語٣٤", "mixed<null>inside", "A", "9", "a").toDF("v")
+    val both = probes.select(col("v"),
+      Patterns.maskRaw(col("v")).as("t_raw"),
+      expr(Patterns.maskExpr("v")).as("r_raw"),
+      Patterns.collapseCol(Patterns.maskRaw(col("v"))).as("t_full"),
+      expr(Patterns.collapseExpr(Patterns.maskExpr("v"))).as("r_full"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[String]("t_raw") == r.getAs[String]("r_raw"),
+        s"raw mask diverged for '${r.getString(0)}'")
+      assert(r.getAs[String]("t_full") == r.getAs[String]("r_full"),
+        s"collapsed mask diverged for '${r.getString(0)}'")
+    }
+  }
+
   test("value patterns: scala-regex recompute for customer.c_name") {
     def mask(v: String): String = v
       .replaceAll("[A-Z]", "A").replaceAll("[a-z]", "a").replaceAll("[0-9]", "9")
